@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series / event-stream operators over the `events` table. Batch
+  * forms here (oracle-checkable in DuckDB); the same logic is exposed over
+  * Structured Streaming in graft.streaming (SURVEY.md §2.8 extension).
+  */
+object EventQueries {
+
+  // ---- q17: tumbling 1h window aggregation ----
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+  }
+  private val q17Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- q18: sessionization (30-min inactivity gap) via lag window ----
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when($"us" - lag($"us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg((sum($"new_sess") + 1L).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+  private val q18Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events)
+      |SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM g GROUP BY user_id""".stripMargin
+
+  // ---- q23: semi-structured JSON extraction from the props column ----
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+  }
+  private val q23Sql =
+    """SELECT event_type,
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q17_events_hourly", q17, Some(q17Sql)),
+    Q("q18_sessionize", q18, Some(q18Sql)),
+    Q("q23_json_extract", q23, Some(q23Sql)))
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over the `documents` table: exact dedup,
+  * token/quality/language analysis (DuckDB-oracle-checked), and the
+  * hash-based near-dup family (MinHash LSH, SimHash, fingerprints —
+  * rows-only checks, since DuckDB lacks xxhash64).
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "un", "une", "du")
+  private val stopEs = Seq("el", "los", "las", "y", "que", "en", "un", "una")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "nicht", "mit", "ist")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def hitCount(toks: String, ws: Seq[String]) =
+    s"size(filter($toks, t -> t IN (${sqlList(ws)})))"
+  private def duckHitCount(toks: String, ws: Seq[String]) =
+    "len(list_filter(" + toks + ", t -> " +
+      ws.map(w => s"t = '$w'").mkString(" OR ") + "))"
+
+  // ---- d01: exact dedup by normalized-text hash ----
+  private def d01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", md5(TextOps.normText($"text").cast("binary")).as("sig"))
+      .groupBy($"sig")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+  }
+  private val d01Sql =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS sig,
+      |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- d02: token counting (whitespace + regex token classes) ----
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_q"),
+        TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"n_chars_q",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_unique"),
+        size(expr("regexp_extract_all(toks[0], '[a-z]+|[0-9]+', 0)"))
+          .cast("long").as("n_first_token_parts"))
+  }
+  private val d02Sql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+      |  CAST(len(regexp_extract_all(toks[1], '[a-z]+|[0-9]+')) AS BIGINT) AS n_first_token_parts
+      |FROM (SELECT doc_id, text,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |      FROM documents WHERE length(trim(text)) > 0) t""".stripMargin
+
+  // ---- d03: quality scoring (length / punctuation / stopword ratios) ----
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_q"),
+        size($"toks").cast("long").as("n_tokens"),
+        (length(regexp_replace($"text", "[^.!?,;:]", "")) / length($"text"))
+          .as("punct_ratio"),
+        (expr(hitCount("toks", stopEn)) / size($"toks")).as("stop_ratio"),
+        (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size($"toks"))
+          .as("avg_token_len"))
+  }
+  private val d03Sql =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(${duckHitCount("toks", stopEn)} AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+       |FROM (SELECT doc_id, text,
+       |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |      FROM documents WHERE length(trim(text)) > 0) t""".stripMargin
+
+  // ---- d04: language ID by stopword-set scoring ----
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        expr(hitCount("toks", stopEn)).cast("long").as("en_hits"),
+        expr(hitCount("toks", stopFr)).cast("long").as("fr_hits"),
+        expr(hitCount("toks", stopEs)).cast("long").as("es_hits"),
+        expr(hitCount("toks", stopDe)).cast("long").as("de_hits"))
+      .withColumn("predicted",
+        when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits" &&
+          $"en_hits" >= $"de_hits", "en")
+          .when($"fr_hits" >= $"es_hits" && $"fr_hits" >= $"de_hits", "fr")
+          .when($"es_hits" >= $"de_hits", "es")
+          .otherwise("de"))
+  }
+  private val d04Sql =
+    s"""SELECT doc_id, en_hits, fr_hits, es_hits, de_hits,
+       |  CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+       |       WHEN es_hits >= de_hits THEN 'es'
+       |       ELSE 'de' END AS predicted
+       |FROM (SELECT doc_id,
+       |        CAST(${duckHitCount("toks", stopEn)} AS BIGINT) AS en_hits,
+       |        CAST(${duckHitCount("toks", stopFr)} AS BIGINT) AS fr_hits,
+       |        CAST(${duckHitCount("toks", stopEs)} AS BIGINT) AS es_hits,
+       |        CAST(${duckHitCount("toks", stopDe)} AS BIGINT) AS de_hits
+       |      FROM (SELECT doc_id,
+       |              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0) x) t""".stripMargin
+
+  // ---- d05: word-3-gram Jaccard near-dup pairs (exact, small slice) ----
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .select($"id_a", $"id_b", $"common",
+        ($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
+      .filter($"common" >= 2)
+  }
+  private val d05Sql =
+    """WITH t AS (SELECT doc_id,
+      |             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |           FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0),
+      |     s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |             generate_series(1, len(toks) - 2),
+      |             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+      |           FROM t WHERE len(toks) >= 3),
+      |     sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+      |     pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      |               FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |               GROUP BY 1, 2)
+      |SELECT id_a, id_b, common,
+      |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM pairs JOIN sz sa ON pairs.id_a = sa.doc_id
+      |JOIN sz sb ON pairs.id_b = sb.doc_id
+      |WHERE common >= 2""".stripMargin
+
+  // ---- rows-only (no DuckDB oracle: xxhash64-based) ----
+
+  private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("sh", TextOps.shingles("toks", 3))
+    val k = 32
+    val sigs = docs.withColumn("sig", TextOps.minhashSignature("sh", k))
+      .select($"doc_id", $"sig")
+    val cands = TextOps.lshCandidates(docs, "doc_id", "sh", k, bands = 8)
+    TextOps.estimateJaccard(cands, sigs, "doc_id", k)
+      .filter($"est_jaccard" >= 0.2)
+  }
+
+  private def d07Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 1)
+      .select($"doc_id", TextOps.simhash64("toks").as("simhash"))
+    // near-dup pairs: identical top-16-bit prefix bucket, hamming <= 12
+    val b = h.withColumn("bucket", expr("shiftright(simhash, 48)"))
+    b.as("x").join(b.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        TextOps.hamming64($"x.simhash", $"y.simhash").as("hamming"))
+      .filter($"hamming" <= 12)
+  }
+
+  private def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
+
+  val all: Seq[Q] = Seq(
+    Q("d01_dedup_exact", d01, Some(d01Sql)),
+    Q("d02_token_counts", d02, Some(d02Sql)),
+    Q("d03_quality_scores", d03, Some(d03Sql)),
+    Q("d04_lang_id", d04, Some(d04Sql)),
+    Q("d05_ngram_jaccard", d05, Some(d05Sql)),
+    Q("d06_minhash_lsh", d06MinhashLsh, None),
+    Q("d07_simhash", d07Simhash, None),
+    Q("d08_fingerprints", d08Fingerprint, None))
+}

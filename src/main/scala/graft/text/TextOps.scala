@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * normalization, shingling, MinHash+LSH, SimHash, fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions + xxhash64) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly: the only
+  * shuffles are the final LSH bucket joins / groupBys on band keys.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase normalization. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct word n-gram shingles from a `toks` array column (requires
+    * size(toks) >= n; callers filter). 0-based array indexing.
+    */
+  def shingles(toksCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ")
+    expr(s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
+      s"i -> concat_ws(' ', $parts)))")
+  }
+
+  /** MinHash signature: for seed s, min over shingles of
+    * xxhash64(shingle, seed) — k independent permutation approximations,
+    * all computed inside one projection (no shuffle).
+    */
+  def minhashSignature(shCol: String, k: Int): Column = {
+    val mins = (0 until k).map(i =>
+      s"array_min(transform($shCol, t -> xxhash64(t, ${i + 1})))")
+    expr(s"array(${mins.mkString(", ")})")
+  }
+
+  /** LSH candidate pairs: split the k-long signature into `bands` bands,
+    * bucket docs by (band index, band hash), self-join buckets. Returns
+    * (id_a, id_b, n_bands_matching). The band groupBy/join are the only
+    * shuffles; bucket skew is bounded because band hashes are uniform.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, shCol: String,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val sig = docs.withColumn("sig", minhashSignature(shCol, k))
+    val banded = sig.select(col(idCol).as("doc"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> aggregate(slice(sig, b * $r + 1, $r), cast(b as bigint), " +
+        s"(a, v) -> xxhash64(a, v)))"))
+        .as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Estimated Jaccard from full signatures for a candidate pair set
+    * (columns id_a, id_b): fraction of agreeing minhash slots.
+    */
+  def estimateJaccard(cands: DataFrame, sigs: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          s"v -> v)) / cast($k as double)"))
+      .drop("sig_a", "sig_b")
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: per bit, sign of the sum
+    * of ±1 contributions. Pure higher-order functions: fold tokens into a
+    * 64-wide counter array, then collapse signs to a BIGINT.
+    */
+  def simhash64(toksCol: String): Column = {
+    val acc = "aggregate(" +
+      s"transform($toksCol, t -> xxhash64(t)), " +
+      "array_repeat(0, 64), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 63), " +
+      "(a, b) -> a + CASE WHEN (h & shiftleft(1L, b)) <> 0 THEN 1 ELSE -1 END))"
+    expr("aggregate(zip_with(" + acc + ", sequence(0, 63), " +
+      "(c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), 0L, (s, v) -> s | v)")
+  }
+
+  /** Hamming distance between two BIGINT simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Content-defined document fingerprint: xxhash64 of the normalized
+    * text plus a winnowing-style min-shingle-hash (robust to reordering
+    * of a few tokens at the edges).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles("toks", 3))
+      .select(col(idCol),
+        xxhash64(concat_ws(" ", col("toks"))).as("full_hash"),
+        expr("array_min(transform(sh, t -> xxhash64(t)))").as("min_shingle_hash"),
+        expr("array_max(transform(sh, t -> xxhash64(t)))").as("max_shingle_hash"))
+  }
+}
