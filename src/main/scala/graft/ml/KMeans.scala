@@ -1,0 +1,102 @@
+package graft.ml
+
+import graft.vec.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Lloyd's K-Means re-expressed Spark-first — the reference's headline
+  * workload (kmeans/KMeansOriginal.java:62-143, kmeans/KMeansBlock.java:
+  * 16-116 and every row of BASELINE.md).
+  *
+  * Translation of the Flink plan:
+  *  - broadcast centroids per iteration (J3/C3) → a *literal* centroid
+  *    array folded into one projection: the assignment is a single
+  *    codegen'd map stage with zero shuffle and no join at all;
+  *  - SelectNearestCenter flatMap + combineGroup/reduceGroup (A3/A5/N6)
+  *    → `groupBy(cid, dim).agg(sum, count)`: Catalyst's hash aggregate
+  *    does the map-side partial (combine) and final merge automatically;
+  *  - bulk iteration (I1/I2) → driver loop (Iterate.loop) holding the
+  *    k×d centroid matrix; only k·d doubles cross the driver boundary
+  *    per step, so the loop cost is one job per iteration — same as the
+  *    reference's per-iteration superstep barrier;
+  *  - dead-centroid refill (KMeansOriginal.java:119-142) → clusters with
+  *    no assigned points keep their previous centroid.
+  *
+  * At 1000-executor scale the per-step shuffle is k·d·partitions rows of
+  * partial sums — independent of the point count — which is the same
+  * asymptotic shape as the reference's combineGroup plan.
+  */
+object KMeans {
+
+  final case class Model(
+      centroids: Array[Array[Double]],
+      iters: Int,
+      converged: Boolean,
+      lastShift: Double)
+
+  /** Nearest-centroid assignment (N5+N6) as a single projection over a
+    * literal centroid set: array_min over (dist2, cid) structs gives the
+    * argmin with deterministic cid tiebreak. Returns struct(dist2, cid).
+    */
+  def assign(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqdistLit(v, c).as("dist2"), lit(i).as("cid"))
+    }
+    array_min(array(scored.toIndexedSeq: _*))
+  }
+
+  /** One Lloyd step: assign every point, recompute per-dimension means.
+    * `points` must expose `v: array<double>`. Empty clusters keep their
+    * old centroid.
+    */
+  def step(points: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val rows = points
+      .select(assign(col("v"), centroids).getField("cid").as("cid"), col("v"))
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val next = centroids.map(_.clone())
+    rows.foreach { r =>
+      next(r.getAs[Int]("cid"))(r.getAs[Int]("dim")) =
+        r.getAs[Double]("sx") / r.getAs[Long]("n")
+    }
+    next
+  }
+
+  private def maxShift(a: Array[Array[Double]], b: Array[Array[Double]]): Double =
+    a.zip(b).map { case (x, y) =>
+      x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum
+    }.max
+
+  /** Full fit loop (I1/I2). `tol` is squared-L2 centroid shift for early
+    * exit; `tol = 0` runs exactly `maxIter` iterations.
+    */
+  def fit(
+      points: DataFrame,
+      init: Array[Array[Double]],
+      maxIter: Int,
+      tol: Double = 0.0): Model = {
+    val cached = points.select(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lastShift = Double.NaN
+      val r = Iterate.loop(init.map(_.clone()), maxIter) { cur =>
+        step(cached, cur)
+      } { (prev, next) =>
+        lastShift = maxShift(prev, next)
+        lastShift <= tol
+      }
+      Model(r.state, r.iters, r.converged, lastShift)
+    } finally {
+      cached.unpersist()
+    }
+  }
+
+  /** Deterministic seeding: the k rows with the lowest `idCol` values. */
+  def initFromLowestIds(points: DataFrame, idCol: String, k: Int): Array[Array[Double]] =
+    points.select(col(idCol), col("v"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+}

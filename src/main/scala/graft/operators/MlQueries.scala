@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import graft.ml.KMeans
+import graft.vec.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K-Means operators over the `embeddings` fixture (reference I1/I2 +
+  * N5/N6/N12: kmeans/KMeansOriginal.java:108-143, KMeansBlock.java:
+  * 41-102). m01/m02 expose the two halves of one Lloyd iteration in
+  * SQL-checkable form; m03 runs the real driver loop (graft.ml.KMeans).
+  *
+  * Determinism for the oracle: distances are left folds in index order
+  * (bit-identical to DuckDB's list_reduce); per-cluster means are FP
+  * sums whose partial order differs between engines, so means are
+  * rounded to 6 decimals on both sides (absolute reordering error is
+  * ~1e-13, far below the rounding grain).
+  */
+object MlQueries {
+
+  private val k = 8
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+  }
+
+  /** Initial centroids = the k lowest vec_ids (deterministic seed). */
+  private def initCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    KMeans.initFromLowestIds(embeddings(s, dir), "vec_id", k)
+
+  // ---- m01: nearest-centroid assignment, one projection (N5+N6) ----
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = initCentroids(s, dir)
+    embeddings(s, dir)
+      .select($"vec_id", KMeans.assign($"v", cents).as("a"))
+      .select($"vec_id", $"a.cid".cast("long").as("cid"),
+        round($"a.dist2", 6).as("dist2"))
+  }
+  private val m01Sql = {
+    val d2 = VectorOps.sqdistSql("e.embedding", "c.cv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $k),
+       |     d AS (SELECT e.vec_id, c.cid, $d2 AS dist2
+       |           FROM embeddings e CROSS JOIN c),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist2, cid) AS rn FROM d)
+       |SELECT vec_id, cid, round(dist2, 6) AS dist2 FROM r WHERE rn = 1""".stripMargin
+  }
+
+  // ---- m02: one full Lloyd step — assignment + per-dim means (A2/A3) --
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = initCentroids(s, dir)
+    embeddings(s, dir)
+      .select(KMeans.assign($"v", cents).getField("cid").cast("long").as("cid"),
+        $"v")
+      .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim".cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), round(sum($"x") / count(lit(1)), 6).as("mean"))
+  }
+  private val m02Sql = {
+    val d2 = VectorOps.sqdistSql("e.embedding", "c.cv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $k),
+       |     d AS (SELECT e.vec_id, e.embedding, c.cid, $d2 AS dist2
+       |           FROM embeddings e CROSS JOIN c),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist2, cid) AS rn FROM d),
+       |     a AS (SELECT cid, embedding FROM r WHERE rn = 1),
+       |     x AS (SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+       |             CAST(embedding[i] AS DOUBLE) AS x
+       |           FROM a CROSS JOIN generate_series(1, 64) AS g(i))
+       |SELECT cid, dim, COUNT(*) AS n, round(SUM(x) / COUNT(*), 6) AS mean
+       |FROM x GROUP BY cid, dim""".stripMargin
+  }
+
+  // ---- m03: the real iterative K-Means (I1/I2), 5 Lloyd steps ----
+  // Rows-only for the driver (DuckDB can't loop); the loop itself is
+  // verified against a driver-side naive implementation in KMeansSpec.
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val model = KMeans.fit(e, initCentroids(s, dir), maxIter = 5)
+    val rows = for {
+      (c, cid) <- model.centroids.zipWithIndex
+      (x, dim) <- c.zipWithIndex
+    } yield (cid.toLong, dim.toLong, math.rint(x * 1e6) / 1e6)
+    s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "mean")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("m01_kmeans_assign", m01, Some(m01Sql)),
+    Q("m02_kmeans_step", m02, Some(m02Sql)),
+    Q("m03_kmeans_loop", m03, None))
+}

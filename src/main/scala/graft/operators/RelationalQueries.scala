@@ -214,16 +214,20 @@ object RelationalQueries {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
-  // ---- q11: per-group argmin (N6) via deterministic window ----
+  // ---- q11: per-group argmin (N6) via min_by hash agg ----
+  // (a window over the 3-value l_returnflag key would sort the whole
+  // table in ≤3 tasks; min_by with a unique-ordering struct is one
+  // hash-agg pass with map-side partials and a deterministic tiebreak)
   private def q11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc)
     Tables(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
-        $"l_extendedprice".as("min_price"))
+      .groupBy($"l_returnflag")
+      .agg(min_by(
+        struct($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+        struct($"l_extendedprice", $"l_orderkey", $"l_linenumber")).as("m"))
+      .select($"l_returnflag", $"m.l_orderkey".as("l_orderkey"),
+        $"m.l_linenumber".as("l_linenumber"),
+        $"m.l_extendedprice".as("min_price"))
   }
   private val q11Sql =
     """SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -372,10 +376,10 @@ object RelationalQueries {
     val d = pts.crossJoin(broadcast(cents))
       .withColumn("dist2",
         ($"x" - $"cx") * ($"x" - $"cx") + ($"y" - $"cy") * ($"y" - $"cy"))
-    val w = Window.partitionBy($"id").orderBy($"dist2".asc, $"cid".asc)
-    d.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"id", $"cid", $"dist2")
+    // argmin via min_by hash agg (no window shuffle+sort over N×k rows)
+    d.groupBy($"id")
+      .agg(min_by(struct($"cid", $"dist2"), struct($"dist2", $"cid")).as("m"))
+      .select($"id", $"m.cid".as("cid"), $"m.dist2".as("dist2"))
   }
   private val q21Sql =
     """WITH pts AS (SELECT c_custkey AS id, c_acctbal AS x,

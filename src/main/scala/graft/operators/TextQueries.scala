@@ -165,9 +165,10 @@ object TextQueries {
       .filter(size($"toks") >= 3)
       .withColumn("sh", TextOps.shingles("toks", 3))
     val k = 32
+    // one minhash projection, shared by banding and Jaccard estimation
     val sigs = docs.withColumn("sig", TextOps.minhashSignature("sh", k))
       .select($"doc_id", $"sig")
-    val cands = TextOps.lshCandidates(docs, "doc_id", "sh", k, bands = 8)
+    val cands = TextOps.lshCandidates(sigs, "doc_id", k, bands = 8)
     TextOps.estimateJaccard(cands, sigs, "doc_id", k)
       .filter($"est_jaccard" >= 0.2)
   }
@@ -178,13 +179,18 @@ object TextQueries {
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 1)
       .select($"doc_id", TextOps.simhash64("toks").as("simhash"))
-    // near-dup pairs: identical top-16-bit prefix bucket, hamming <= 12
-    val b = h.withColumn("bucket", expr("shiftright(simhash, 48)"))
+    // near-dup pairs: 4 bands × 16-bit blocking (a pair within hamming
+    // ≤ 12 that spreads its differing bits still matches a band with
+    // high probability; single-prefix bucketing both misses those and
+    // goes quadratic inside its 65k buckets at corpus scale)
+    val b = h.select($"doc_id", $"simhash",
+      explode(TextOps.simhashBands($"simhash", bands = 4)).as("code"))
     b.as("x").join(b.as("y"),
-        $"x.bucket" === $"y.bucket" && $"x.doc_id" < $"y.doc_id")
+        $"x.code" === $"y.code" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
         TextOps.hamming64($"x.simhash", $"y.simhash").as("hamming"))
       .filter($"hamming" <= 12)
+      .distinct()
   }
 
   private def d08Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.vec.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * float[64], label): exact brute-force top-k cosine (DuckDB-oracle
+  * checked, bit-identical fold order) and a random-hyperplane-LSH ANN
+  * variant whose recall vs the exact top-k is asserted in
+  * VectorQueriesSpec (rows-only here — the LSH planes are driver-side
+  * constants DuckDB can't reproduce cheaply).
+  *
+  * Scale notes: the exact path is a broadcast join of a small query set
+  * against the full table + a two-phase bounded top-k (no window over a
+  * low-cardinality partition key). The ANN path's only shuffle is the
+  * (band, code) bucket join; candidate count per band is bounded by the
+  * bucket size, and bands/bits are the recall/cost dials.
+  */
+object VectorQueries {
+
+  private val nQueries = 5
+  private val topK = 10
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+  }
+
+  // ---- v01: exact top-k cosine for a fixed query set (oracle) ----
+  private def v01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(scored, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+  private val v01Sql = {
+    val cos = VectorOps.cosineSql("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |     d AS (SELECT q.qid, e.vec_id, $cos AS score
+       |           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn FROM d)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS cosine
+       |FROM r WHERE rn <= $topK""".stripMargin
+  }
+
+  // ---- v02: ANN top-k via random-hyperplane LSH (rows-only) ----
+  // 96 planes, 24 bands × 4 bits: tuned for ≥0.9 recall@10 on the
+  // near-uniform fixture embeddings (top-10 cosines ≈ 0.24–0.4 ⇒ sign
+  // agreement p ≈ 0.58, band hit 1−(1−p⁴)²⁴ ≈ 0.95). Clustered real
+  // corpora get the same recall from far fewer/wider bands.
+  private val bitsPerBand = 4
+  private val nBands = 24
+  private lazy val planes =
+    VectorOps.hyperplanes(nBands * bitsPerBand, dim = 64, seed = 42L)
+
+  private def v02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val sig = e.withColumn("codes",
+      VectorOps.bandCodes($"v", planes, bitsPerBand))
+    val banded = sig
+      .select($"vec_id", $"v", posexplode($"codes").as(Seq("band", "code")))
+    val qb = banded.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"band", $"code")
+    val cands = banded.join(qb,
+        Seq("band", "code")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", $"qv", $"v")
+      .dropDuplicates("qid", "vec_id")
+    val scored = cands
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(scored, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("v01_knn_exact", v01, Some(v01Sql)),
+    Q("v02_knn_ann_lsh", v02, None))
+}

@@ -39,17 +39,20 @@ object TextOps {
     expr(s"array(${mins.mkString(", ")})")
   }
 
-  /** LSH candidate pairs: split the k-long signature into `bands` bands,
-    * bucket docs by (band index, band hash), self-join buckets. Returns
-    * (id_a, id_b, n_bands_matching). The band groupBy/join are the only
-    * shuffles; bucket skew is bounded because band hashes are uniform.
+  /** LSH candidate pairs from precomputed signatures: split the k-long
+    * `sig` column into `bands` bands, bucket docs by (band index, band
+    * hash), self-join buckets. Returns (id_a, id_b, n_bands_matching).
+    * The band groupBy/join are the only shuffles; bucket skew is bounded
+    * because band hashes are uniform. Takes the signature as a column
+    * (rather than recomputing from shingles) so the k-minhash
+    * projection — the expensive part — is evaluated once and shared
+    * with Jaccard estimation.
     */
-  def lshCandidates(docs: DataFrame, idCol: String, shCol: String,
+  def lshCandidates(sigs: DataFrame, idCol: String,
       k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val sig = docs.withColumn("sig", minhashSignature(shCol, k))
-    val banded = sig.select(col(idCol).as("doc"),
+    val banded = sigs.select(col(idCol).as("doc"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> aggregate(slice(sig, b * $r + 1, $r), cast(b as bigint), " +
         s"(a, v) -> xxhash64(a, v)))"))
@@ -93,6 +96,25 @@ object TextOps {
   /** Hamming distance between two BIGINT simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash blocking codes: `bands` contiguous bit-slices of the 64-bit
+    * simhash (standard multi-band blocking). Near-dup pairs within
+    * hamming distance h are guaranteed to share at least one band when
+    * h < bands (pigeonhole), and recall stays high well past that; a
+    * single-prefix bucket both misses pairs whose differing bits land in
+    * the prefix and goes quadratic inside 2^16 buckets at corpus scale.
+    * Returns array<bigint> of per-band codes (band index folded in so
+    * codes from different bands never collide).
+    */
+  def simhashBands(sim: Column, bands: Int): Column = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val codes = (0 until bands).map { b =>
+      shiftright(sim, b * w).bitwiseAND(lit(mask)) + lit(b.toLong << w)
+    }
+    array(codes: _*)
+  }
 
   /** Content-defined document fingerprint: xxhash64 of the normalized
     * text plus a winnowing-style min-shingle-hash (robust to reordering
