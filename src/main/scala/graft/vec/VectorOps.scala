@@ -75,9 +75,10 @@ object VectorOps {
       s"planes=${planes.length} not divisible by bitsPerBand=$bitsPerBand")
     val bits: Seq[Column] =
       planes.toSeq.map(h => when(dotLit(v, h) >= 0.0, 1L).otherwise(0L))
-    val codes = bits.grouped(bitsPerBand).toSeq.map { g =>
-      g.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
-        .reduce(_ + _)
+    val codes = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
+      case (g, band) =>
+        g.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
+          .reduce(_ + _) + lit(band.toLong << bitsPerBand)
     }
     array(codes: _*)
   }

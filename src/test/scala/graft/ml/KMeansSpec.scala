@@ -1,0 +1,87 @@
+package graft.ml
+
+import graft.TestSpark
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def points() = {
+    import spark.implicits._
+    spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+  }
+
+  /** Naive driver-side Lloyd loop — the reference-loop oracle. */
+  private def naiveKMeans(pts: Array[Array[Double]],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = init.map(_.clone())
+    for (_ <- 1 to iters) {
+      val k = cents.length
+      val d = cents(0).length
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var s = 0.0
+          for (j <- 0 until d) { val t = p(j) - cents(c)(j); s += t * t }
+          if (s < bestD) { bestD = s; best = c }
+        }
+        counts(best) += 1
+        for (j <- 0 until d) sums(best)(j) += p(j)
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(d)(j => sums(c)(j) / counts(c)))
+    }
+    cents
+  }
+
+  test("fit matches a driver-side reference loop after 5 iterations") {
+    import spark.implicits._
+    val df = points()
+    val init = KMeans.initFromLowestIds(df, "vec_id", 4)
+    val model = KMeans.fit(df, init, maxIter = 5)
+    val local = df.select($"v").as[Seq[Double]].collect().map(_.toArray)
+    val want = naiveKMeans(local, init, 5)
+    assert(model.iters == 5)
+    model.centroids.zip(want).foreach { case (g, w) =>
+      g.zip(w).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"centroid drift: $a vs $b")
+      }
+    }
+  }
+
+  test("empty clusters keep their previous centroid (reference refill semantics)") {
+    import spark.implicits._
+    // all points near origin; one centroid far away gets no assignment
+    val pts = Seq.tabulate(20)(i => Seq(0.01 * i, 0.0)).toDF("v")
+    val far = Array(1e6, 1e6)
+    val next = KMeans.step(pts, Array(Array(0.0, 0.0), far))
+    assert(next(1).toSeq == far.toSeq)
+    assert(next(0)(0) > 0.0) // near centroid moved to the mean
+  }
+
+  test("tol-based early exit sets converged") {
+    import spark.implicits._
+    val df = points()
+    val init = KMeans.initFromLowestIds(df, "vec_id", 2)
+    val model = KMeans.fit(df, init, maxIter = 50, tol = 1e12)
+    assert(model.converged && model.iters == 1)
+    val model2 = KMeans.fit(df, init, maxIter = 3, tol = 0.0)
+    assert(!model2.converged && model2.iters == 3)
+  }
+
+  test("assignment column is deterministic argmin with cid tiebreak") {
+    import spark.implicits._
+    val pts = Seq(Seq(0.0, 0.0)).toDF("v")
+    // two centroids at identical distance -> lower cid wins
+    val a = pts.select(
+      KMeans.assign($"v", Array(Array(1.0, 0.0), Array(-1.0, 0.0))).as("a"))
+      .select($"a.cid").as[Int].collect()
+    assert(a.toSeq == Seq(0))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("identical normalized text yields identical minhash signature") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick  brown fox jumps over the lazy dog today"),
+      (2L, "the QUICK brown   fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark engines here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .withColumn("sig", TextOps.minhashSignature("sh", 16))
+    val sigs = df.select($"doc_id", $"sig").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("estimateJaccard = 1.0 for identical docs via LSH candidates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("sh", TextOps.shingles("toks", 3))
+    val sigs = docs.withColumn("sig", TextOps.minhashSignature("sh", 16))
+      .select($"doc_id", $"sig")
+    val cands = TextOps.lshCandidates(sigs, "doc_id", 16, bands = 4)
+    val est = TextOps.estimateJaccard(cands, sigs, "doc_id", 16)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(est.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
+    assert(!est.exists(r => r._2 == 3L || r._1 == 3L))
+  }
+
+  test("simhash: identical text -> hamming 0; different text -> large hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark engines process large datasets with distributed aggregation"),
+      (2L, "spark engines process large datasets with distributed aggregation"),
+      (3L, "completely unrelated words about gardening tulips daffodils roses"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.simhash64("toks").as("h"))
+    val h = df.as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
+  }
+
+  test("simhashBands: h-hamming pair shares a band when h < bands (pigeonhole)") {
+    import spark.implicits._
+    val x = 0x0123456789abcdefL
+    val y = x ^ (1L << 3) ^ (1L << 40) ^ (1L << 63) // hamming 3
+    val df = Seq(x, y).toDF("h")
+      .select(TextOps.simhashBands($"h", 4).as("codes"))
+      .as[Seq[Long]].collect()
+    assert(df(0).toSet.intersect(df(1).toSet).nonEmpty)
+    // and codes are namespaced per band: 4 distinct entries each
+    assert(df(0).length == 4 && df(0).distinct.length == 4)
+  }
+
+  test("d07 banded candidates are a superset of the old single-prefix buckets") {
+    import spark.implicits._
+    // any two hashes with identical top-16 bits (old bucket) share band 3
+    val a = 0x7fff000000000001L
+    val b = 0x7fff0000ffff0000L
+    val df = Seq(a, b).toDF("h")
+      .select(TextOps.simhashBands($"h", 4).as("codes")).as[Seq[Long]].collect()
+    assert(df(0)(3) == df(1)(3))
+  }
+
+  test("fingerprints are deterministic and reorder-sensitive only at edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprints(docs, "doc_id", "text")
+      .select($"doc_id", $"full_hash", $"min_shingle_hash")
+      .as[(Long, Long, Long)].collect()
+    assert(fp(0)._2 == fp(1)._2 && fp(0)._3 == fp(1)._3)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.vec
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot/sqdist/cosine match driver-side math") {
+    import spark.implicits._
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(-1.0, 0.5, 2.0)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot($"a", $"b").as("dot"),
+      VectorOps.sqdist($"a", $"b").as("d2"),
+      VectorOps.cosine($"a", $"b").as("cos")).head()
+    assert(row.getDouble(0) == 1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0)
+    assert(row.getDouble(1) == 4.0 + 2.25 + 1.0)
+    val wantCos = row.getDouble(0) /
+      (math.sqrt(14.0) * math.sqrt(1.0 + 0.25 + 4.0))
+    assert(math.abs(row.getDouble(2) - wantCos) < 1e-15)
+  }
+
+  test("topKPerQuery equals the sort-based top-k with tiebreak") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = for (q <- 0 until 3; v <- 0 until 200)
+      yield (q.toLong, v.toLong, math.rint(rnd.nextDouble() * 20) / 20.0)
+    val df = rows.toDF("qid", "vec_id", "score")
+    val got = VectorOps.topKPerQuery(df, 5)
+      .select($"qid", $"rank", $"vec_id", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex.map {
+        case ((_, v, s), i) => (q, (i + 1).toLong, v, s)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("bandCodes: deterministic, correct band count, namespaced codes") {
+    import spark.implicits._
+    val planes = VectorOps.hyperplanes(12, 4, seed = 7)
+    val df = Seq(Seq(1.0, -0.5, 0.25, 2.0), Seq(1.0, -0.5, 0.25, 2.0))
+      .toDF("v")
+    val codes = df.select(VectorOps.bandCodes($"v", planes, 4).as("c"))
+      .as[Seq[Long]].collect()
+    assert(codes(0) == codes(1)) // deterministic
+    assert(codes(0).length == 3) // 12 planes / 4 bits
+    codes(0).zipWithIndex.foreach { case (c, b) =>
+      assert(c >= (b.toLong << 4) && c < ((b.toLong + 1) << 4))
+    }
+  }
+
+  test("LSH ANN recall@10 >= 0.8 vs exact top-k on sf0.001 embeddings") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val ann = graft.operators.VectorQueries.all.find(_.name == "v02_knn_ann_lsh").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = ann.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (e & a).size.toDouble / e.size
+    info(s"ANN recall@10 = $recall (${(e & a).size}/${e.size})")
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
+}
