@@ -1,0 +1,198 @@
+package graft.damds
+
+import graft.TestSpark
+import graft.damds.DamdsKernels._
+import graft.mm.FixedPoint
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DamdsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- synthetic fixture: n seeded 3-D points, normalized distances ----
+  private val n = 48
+  private val origDim = 3
+  private lazy val points: Array[Double] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(n * origDim)(rnd.nextDouble())
+  }
+  private lazy val trueDist: Array[Double] = {
+    val d = new Array[Double](n * n)
+    var mx = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      d(i * n + j) = euclidean(points, i, j, origDim)
+      mx = math.max(mx, d(i * n + j))
+    }
+    d.map(_ / mx)
+  }
+  private lazy val distShorts: Array[Short] =
+    trueDist.map(FixedPoint.encode)
+
+  private def mkBlocks(numSplits: Int): Seq[DamdsBlock] = {
+    graft.mm.MatrixIO.rowSplits(n, numSplits).zipWithIndex.map {
+      case ((start, rows), idx) =>
+        DamdsBlock(idx, start, rows, n,
+          java.util.Arrays.copyOfRange(distShorts, start * n,
+            (start + rows) * n),
+          Array.empty[Short]) // constant weight 1.0
+    }
+  }
+
+  private def blocksDs(numSplits: Int): Dataset[DamdsBlock] =
+    spark.createDataset(mkBlocks(numSplits))(Encoders.product[DamdsBlock])
+
+  test("statistics: count/max/positiveMin over all entries (A6)") {
+    val st = Damds.statistics(blocksDs(4))
+    assert(st.count == n.toLong * n)
+    assert(math.abs(st.vmax - 1.0) < 1e-3)
+    assert(st.positiveMin > 0 && st.positiveMin < 1.0)
+    assert(st.vmin == 0.0) // diagonal
+  }
+
+  test("floor repair leaves no value in (0, positiveMin) (N8)") {
+    val st = Damds.statistics(blocksDs(4))
+    val repaired = floorRepair(distShorts, st.positiveMin)
+    val eps = 1e-12
+    repaired.foreach { s =>
+      val d = FixedPoint.decode(s)
+      assert(d < 0 || d >= st.positiveMin - FixedPoint.InvShortMax - eps)
+    }
+  }
+
+  test("vArray with constant weights = n (1 + (n-1) off-diagonals) (A8)") {
+    mkBlocks(3).foreach { b =>
+      vArray(b).foreach(v => assert(v == n.toDouble))
+    }
+  }
+
+  test("mm kernel equals dense V*x multiply (N2)") {
+    val d = 2
+    val rnd = new scala.util.Random(3)
+    val x = Array.fill(n * d)(rnd.nextGaussian())
+    val blocks = mkBlocks(4)
+    val vs = blocks.map(vArray)
+    // dense V: V_ii = v_i, V_ij = -w_ij = -1
+    val got = blocks.zip(vs).flatMap { case (b, v) =>
+      mmBlock(b, v, x, d)
+    }.toArray
+    val want = new Array[Double](n * d)
+    for (i <- 0 until n; k <- 0 until d) {
+      var s = n.toDouble * x(i * d + k) // V_ii = n
+      for (j <- 0 until n if j != i) s -= x(j * d + k)
+      want(i * d + k) = s
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("bcBlock equals explicit BofZ build + multiply (N3)") {
+    val d = 2
+    val rnd = new scala.util.Random(5)
+    val x = Array.fill(n * d)(rnd.nextGaussian())
+    val tCur = 0.05
+    val diff = heatDiff(d, tCur)
+    val blocks = mkBlocks(4)
+    val got = blocks.flatMap(b => bcBlock(b, x, d, tCur)).toArray
+    // naive: build full B then multiply
+    val bMat = new Array[Double](n * n)
+    for (i <- 0 until n) {
+      var diag = 0.0
+      for (j <- 0 until n if j != i) {
+        val origD = distShorts(i * n + j) * FixedPoint.InvShortMax
+        val dist = euclidean(x, i, j, d)
+        val bij =
+          if (origD >= 0 && dist >= 1e-10 && diff < origD)
+            -(origD - diff) / dist
+          else 0.0
+        bMat(i * n + j) = bij
+        diag -= bij
+      }
+      bMat(i * n + i) = diag
+    }
+    val want = new Array[Double](n * d)
+    for (i <- 0 until n; k <- 0 until d) {
+      var s = 0.0
+      for (j <- 0 until n) s += bMat(i * n + j) * x(j * d + k)
+      want(i * d + k) = s
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("CG solves V*X = B against a dense direct solve (N10/I2)") {
+    val d = 2
+    val rnd = new scala.util.Random(7)
+    val b = Array.fill(n * d)(rnd.nextGaussian())
+    val x0 = Array.fill(n * d)(0.0)
+    val blocks = blocksDs(4)
+    val vblocks = blocks.rdd.map(bl => (bl, vArray(bl)))
+    val (got, iters) = Damds.cg(spark, vblocks, x0, b, d, n,
+      cgIter = 200, cgThreshold = 1e-14, exactCG = false)
+    assert(iters > 0)
+    // dense solve via Gaussian elimination on V (n x n, per column of B)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) n.toDouble else -1.0)
+    for (k <- 0 until d) {
+      val rhs = Array.tabulate(n)(i => b(i * d + k))
+      val a = v.map(_.clone())
+      // forward elimination
+      for (p <- 0 until n) {
+        val piv = a(p)(p)
+        for (r <- p + 1 until n) {
+          val f = a(r)(p) / piv
+          for (c <- p until n) a(r)(c) -= f * a(p)(c)
+          rhs(r) -= f * rhs(p)
+        }
+      }
+      val sol = new Array[Double](n)
+      for (r <- n - 1 to 0 by -1) {
+        var s = rhs(r)
+        for (c <- r + 1 until n) s -= a(r)(c) * sol(c)
+        sol(r) = s / a(r)(r)
+      }
+      for (i <- 0 until n)
+        assert(math.abs(got(i * d + k) - sol(i)) < 1e-7,
+          s"row $i dim $k: ${got(i * d + k)} vs ${sol(i)}")
+    }
+  }
+
+  test("stress is ~0 at the true embedding, positive at a random one (N4)") {
+    val st = Damds.statistics(blocksDs(4))
+    val invs = 1.0 / st.sumSq
+    // scale the true points by 1/maxDist so embedded distances match the
+    // normalized decoded distances
+    var mx = 0.0
+    for (i <- 0 until n; j <- 0 until n)
+      mx = math.max(mx, euclidean(points, i, j, origDim))
+    val xTrue = points.map(_ / mx)
+    val s0 = Damds.stress(spark, blocksDs(4), xTrue, origDim, 0.0, invs)
+    assert(s0 < 1e-6, s"stress at truth: $s0")
+    val rnd = new scala.util.Random(13)
+    val xRand = Array.fill(n * origDim)(rnd.nextGaussian())
+    val s1 = Damds.stress(spark, blocksDs(4), xRand, origDim, 0.0, invs)
+    assert(s1 > s0 * 100)
+  }
+
+  test("full annealed run improves the embedding (I3/N9)") {
+    val rnd = new scala.util.Random(17)
+    val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
+    val st = Damds.statistics(blocksDs(4))
+    val invs = 1.0 / st.sumSq
+    // true (tCur=0) stress before vs after — the annealed target moves
+    // with temperature, so stressLog values are only comparable within
+    // one temperature step
+    val before = Damds.stress(spark, blocksDs(4), initX, 2, 0.0, invs)
+    // fast cooling (alpha=0.3) and anneal all the way to tCur=0 so the
+    // final stress loops optimize against the true distances
+    val r = Damds.run(spark, blocksDs(4), initX, n,
+      Damds.Config(targetDim = 2, alpha = 0.3, cgIter = 20,
+        maxStressLoops = 2, maxTempLoops = -1))
+    val after = Damds.stress(spark, blocksDs(4), r.x, 2, 0.0, invs)
+    assert(after < before, s"true stress did not improve: $before -> $after")
+    // within each temperature the annealed stress is non-increasing
+    r.stressLog.grouped(2).foreach { pair =>
+      if (pair.length == 2)
+        assert(pair(1) <= pair(0) * (1 + 1e-9),
+          s"within-temperature increase: $pair")
+    }
+    assert(r.state.cgCount > 0)
+    assert(r.x.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}
