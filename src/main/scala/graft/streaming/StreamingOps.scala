@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.ml.KMeans
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.8: the
+  * reference has no streaming at all — this is the mandated extension,
+  * re-expressing the batch operators over unbounded input).
+  *
+  * Every transform here takes/returns DataFrames so the same logic runs
+  * on a `readStream` source in production and on a MemoryStream in
+  * tests. Scale notes: all aggregations are keyed (state is bounded by
+  * watermark eviction), sessionization state is per-user and dropped on
+  * timeout, and the foreachBatch K-Means keeps only k×d doubles of
+  * driver state per batch.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time window aggregation with a watermark —
+    * the streaming form of q17_events_hourly. Late data beyond
+    * `lateness` is dropped and its window state evicted. */
+  def hourlyAgg(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session counts per user via the native session_window (30-min
+    * inactivity gap) — the streaming form of q18_sessionize. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState sessionizer ----
+
+  final case class Evt(user_id: Long, tsMicros: Long)
+  final case class SessState(start: Long, last: Long, n: Long, emitted: Long)
+  final case class Session(user_id: Long, session_id: Long,
+      startMicros: Long, endMicros: Long, n_events: Long)
+
+  /** Emit one row per CLOSED session (gap exceeded or state timeout).
+    * Demonstrates arbitrary keyed state (KeyValueGroupedDataset.
+    * flatMapGroupsWithState) for semantics session_window can't express
+    * (e.g. monotone per-user session ids). State per key is O(1). */
+  def sessionize(events: Dataset[Evt], gapMicros: Long = 1800000000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Evt], state: GroupState[SessState]) =>
+          val sorted = rows.map(_.tsMicros).toArray.sorted
+          var st = state.getOption.getOrElse(
+            SessState(Long.MinValue, Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (t <- sorted) {
+            if (st.n == 0L) st = SessState(t, t, 1L, st.emitted)
+            else if (t - st.last > gapMicros) {
+              out += Session(uid, st.emitted + 1L, st.start, st.last, st.n)
+              st = SessState(t, t, 1L, st.emitted + 1L)
+            } else st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush any open sessions (test/finalization helper — batch analog of
+    * the watermark-driven timeout close). */
+  def openSessions(events: Dataset[Evt], gapMicros: Long = 1800000000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      val sorted = rows.map(_.tsMicros).toArray.sorted
+      var sid = 1L; var start = sorted.head; var last = start; var n = 1L
+      for (t <- sorted.tail) {
+        if (t - last > gapMicros) { sid += 1; start = t; n = 0L }
+        last = t; n += 1L
+      }
+      Session(uid, sid, start, last, n)
+    }
+  }
+
+  /** Streaming exact dedup on a signature column with watermark-bounded
+    * state — the streaming form of d01_dedup_exact. */
+  def dedupStream(docs: DataFrame, sigCol: String, tsCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .dropDuplicates(Seq(sigCol, tsCol))
+
+  /** Streaming global DoubleStatistics (A6) in update mode: running
+    * count/min/max/sum/sumsq — partial aggregation state is a single
+    * row. */
+  def runningStats(values: DataFrame, c: String): DataFrame =
+    values.agg(
+      count(col(c)).as("cnt"),
+      min(col(c)).as("vmin"),
+      max(col(c)).as("vmax"),
+      sum(col(c)).as("vsum"),
+      sum(col(c) * col(c)).as("sumsq"),
+      min(when(col(c) > 0.0, col(c))).as("positive_min"))
+
+  // ---- streaming K-Means via foreachBatch (micro-batch Lloyd step) ----
+
+  /** Mutable driver-side model handle (k×d doubles — tiny). */
+  final class StreamingKMeansModel(init: Array[Array[Double]]) {
+    @volatile var centroids: Array[Array[Double]] = init
+    @volatile var batches: Long = 0L
+  }
+
+  /** One Lloyd step per micro-batch against the current centroids,
+    * blended by per-cluster batch weight (mini-batch K-Means). Returns
+    * the started query; the model handle is live-updated. `points` must
+    * be a streaming DataFrame with an array<double> column `v`. */
+  def kmeansStream(points: DataFrame, model: StreamingKMeansModel,
+      decay: Double = 0.5): StreamingQuery =
+    points.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val stepped = KMeans.step(batch, model.centroids)
+          val k = model.centroids.length
+          model.centroids = Array.tabulate(k) { i =>
+            val old = model.centroids(i); val nw = stepped(i)
+            Array.tabulate(old.length)(j =>
+              (1.0 - decay) * old(j) + decay * nw(j))
+          }
+          model.batches += 1L
+        }
+      }
+      .start()
+}

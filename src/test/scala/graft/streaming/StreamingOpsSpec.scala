@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, event_type: String,
+    value: Double, user_id: Long)
+
+/** Streaming surface checked against batch equivalents on the same
+  * data — the batch operators are themselves DuckDB-oracle-checked, so
+  * agreement here transitively validates the streaming forms. */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // day-1 offset: an event at exactly epoch 0 equals the initial
+  // watermark and is discarded as late by streaming dedup
+  private def ts(min: Long): Timestamp =
+    new Timestamp(86400000L + min * 60000L)
+
+  private val fixture = Seq(
+    Ev(ts(0), "a", 1.5, 1), Ev(ts(10), "a", 2.5, 1),
+    Ev(ts(20), "b", 3.0, 2), Ev(ts(65), "a", 4.0, 1),
+    Ev(ts(70), "b", 0.5, 2), Ev(ts(130), "a", 1.0, 1),
+    Ev(ts(260), "a", 2.0, 1), Ev(ts(265), "b", 7.0, 2))
+
+  test("hourlyAgg (streaming) equals the batch windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = StreamingOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly")
+      .select($"hour", $"event_type", $"n", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val want = fixture.toDF()
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("sessionAgg (streaming session_window) matches gap-based sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = StreamingOps.sessionAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess")
+      .select($"user_id", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1 events at minutes 0,10,65,130,260 with 30-min gap:
+    // sessions {0,10}, {65}, {130}, {260} → sizes (1,1,1,2)
+    assert(got(1L) == Seq(1L, 1L, 1L, 2L))
+    // user 2 at 20,70,265 → three singleton sessions
+    assert(got(2L) == Seq(1L, 1L, 1L))
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions with monotone ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Evt]
+    val evts = fixture.map(e =>
+      StreamingOps.Evt(e.user_id, e.ts.getTime * 1000L))
+    mem.addData(evts: _*)
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("fmgs")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val closed = spark.table("fmgs").as[StreamingOps.Session]
+      .collect().sortBy(s => (s.user_id, s.session_id))
+    // last session per user stays open (no timeout configured in test):
+    // user 1 closed: {0,10}(n=2), {65}, {130}; user 2 closed: {20}, {70}
+    assert(closed.map(s => (s.user_id, s.session_id, s.n_events)).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L),
+          (2L, 1L, 1L), (2L, 2L, 1L)))
+    // batch flush helper agrees on the total session count per user
+    val all = StreamingOps.openSessions(spark.createDataset(evts))
+      .collect().map(s => (s.user_id, s.session_id)).toMap
+    assert(all == Map(1L -> 4L, 2L -> 3L))
+  }
+
+  test("dedupStream drops exact duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture ++ fixture.take(3): _*) // re-send 3 duplicates
+    val q = StreamingOps.dedupStream(
+        mem.toDF().withColumn("sig", md5(concat_ws("|", $"event_type", $"value"))),
+        "sig", "ts")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup").count() == fixture.size)
+  }
+
+  test("runningStats (update mode) converges to the batch statistics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = StreamingOps.runningStats(mem.toDF(), "value")
+      .writeStream.format("memory").queryName("stats")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table("stats").collect().head
+    assert(r.getAs[Long]("cnt") == 8L)
+    assert(r.getAs[Double]("vmin") == 0.5)
+    assert(r.getAs[Double]("vmax") == 7.0)
+    assert(math.abs(r.getAs[Double]("vsum") - 21.5) < 1e-12)
+    assert(r.getAs[Double]("positive_min") == 0.5)
+  }
+
+  test("kmeansStream moves centroids toward the batch Lloyd step") {
+    implicit val sqlCtx = spark.sqlContext
+    case class P(v: Array[Double])
+    val pts = Seq(
+      Array(0.0, 0.0), Array(0.2, 0.1), Array(-0.1, 0.1),
+      Array(5.0, 5.0), Array(5.2, 4.9), Array(4.9, 5.1))
+    val mem = MemoryStream[Array[Double]]
+    mem.addData(pts: _*)
+    val init = Array(Array(1.0, 1.0), Array(4.0, 4.0))
+    val model = new StreamingOps.StreamingKMeansModel(init.map(_.clone()))
+    val q = StreamingOps.kmeansStream(
+      mem.toDS().toDF("v"), model, decay = 1.0)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+
+    assert(model.batches >= 1L)
+    val expected = graft.ml.KMeans.step(
+      spark.createDataset(pts).toDF("v"), init)
+    model.centroids.zip(expected).foreach { case (got, want) =>
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+  }
+}
