@@ -65,6 +65,54 @@ object KMeans {
     next
   }
 
+  /** A5 variant of `step`: explicit per-partition pre-aggregation, the
+    * reference's KMeansBlock plan (kmeans/KMeansBlock.java:139-203
+    * SelectNearestCenter flatMap accumulating a local per-centroid map,
+    * then combineGroup/reduceGroup :46-99). Each partition scans its
+    * points once against the broadcast centroids, keeps k local
+    * (sum[d], count) accumulators, and emits exactly k records — the
+    * shuffle is k rows per partition regardless of point count. Results
+    * are identical to `step` up to FP summation order.
+    */
+  def stepBlock(points: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val spark = points.sparkSession
+    val k = centroids.length
+    val d = centroids.head.length
+    val cBc = spark.sparkContext.broadcast(centroids)
+    val partials = points.select(col("v")).rdd.mapPartitions { it =>
+      val cs = cBc.value
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Long](k)
+      it.foreach { row =>
+        val v = row.getAs[scala.collection.Seq[Double]](0)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = v(j) - cs(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      Iterator.tabulate(k)(c => (c, (sums(c), counts(c))))
+        .filter(_._2._2 > 0)
+    }.reduceByKey { (a, b) =>
+      val (s1, n1) = a; val (s2, n2) = b
+      var j = 0
+      while (j < s1.length) { s1(j) += s2(j); j += 1 }
+      (s1, n1 + n2)
+    }.collect()
+    cBc.destroy()
+    val next = centroids.map(_.clone())
+    partials.foreach { case (c, (s, n)) =>
+      next(c) = s.map(_ / n)
+    }
+    next
+  }
+
   private def maxShift(a: Array[Array[Double]], b: Array[Array[Double]]): Double =
     a.zip(b).map { case (x, y) =>
       x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum

@@ -75,6 +75,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(!model2.converged && model2.iters == 3)
   }
 
+  test("stepBlock (A5 partition pre-agg) matches step up to FP order") {
+    import spark.implicits._
+    val df = points()
+    val init = KMeans.initFromLowestIds(df, "vec_id", 4)
+    val a = KMeans.step(df, init)
+    val b = KMeans.stepBlock(df, init)
+    a.zip(b).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, w) =>
+        assert(math.abs(u - w) < 1e-9, s"$u vs $w")
+      }
+    }
+  }
+
+  test("stepBlock keeps empty clusters at their previous centroid (A5)") {
+    import spark.implicits._
+    val pts = Seq.tabulate(20)(i => Seq(0.01 * i, 0.0)).toDF("v")
+    val far = Array(1e6, 1e6)
+    val next = KMeans.stepBlock(pts, Array(Array(0.0, 0.0), far))
+    assert(next(1).toSeq == far.toSeq)
+    assert(next(0)(0) > 0.0)
+  }
+
   test("assignment column is deterministic argmin with cid tiebreak") {
     import spark.implicits._
     val pts = Seq(Seq(0.0, 0.0)).toDF("v")
