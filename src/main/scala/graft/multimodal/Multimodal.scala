@@ -1,0 +1,215 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column surface: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus the batch-shaped kernels a
+  * training-data pipeline runs over them (decode, feature-extract,
+  * resize, frame-sample).
+  *
+  * This is an extension beyond the reference (which is numeric-matrix
+  * only) mandated by the engine's 100 TB training-pipeline goal. Design
+  * rules that survive scale:
+  *
+  *  - payloads stay OPAQUE BYTES end-to-end; Spark never interprets
+  *    them, so pushdown/pruning on the metadata columns is unaffected
+  *    and a scan that projects only metadata never touches the bytes
+  *    (parquet column pruning);
+  *  - per-record work runs in `mapPartitions` over Datasets — one JVM
+  *    pass per partition, no driver collect, no per-row UDF dispatch;
+  *  - decode is a pluggable kernel: the container has no image/audio
+  *    codecs, so the default `FakeCodec` is a DETERMINISTIC STUB that
+  *    fabricates pixels/samples from the payload bytes. The pipeline
+  *    shape (schemas, batching, partitioning) is real and tested; a
+  *    production deployment swaps `Codec` for a JNI/javax.imageio one.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  final case class MediaMeta(
+      kind: String, // image | audio | video
+      format: String, // png, wav, mp4, ... (advisory)
+      width: Int, height: Int, channels: Int, // image/video
+      sampleRate: Int, durationMs: Long, // audio/video
+      frames: Int) // video
+
+  final case class MediaRecord(
+      media_id: Long,
+      meta: MediaMeta,
+      payload: Array[Byte])
+
+  /** Decoded dense image tensor (H x W x C, row-major bytes). */
+  final case class ImageTensor(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** A codec turns opaque payload bytes into tensors/samples. */
+  trait Codec extends Serializable {
+    def decodeImage(meta: MediaMeta, payload: Array[Byte]): ImageTensor
+    def decodeAudio(meta: MediaMeta, payload: Array[Byte]): Array[Short]
+    /** Decode one video frame by index. */
+    def decodeFrame(meta: MediaMeta, payload: Array[Byte], frame: Int): ImageTensor
+  }
+
+  /** STUB codec — deterministic fake decode (no real codecs in this
+    * environment). Pixels are a keyed byte stream of the payload so the
+    * same record always decodes identically; replace with a real codec
+    * in production. The surrounding plumbing does not change.
+    */
+  object FakeCodec extends Codec {
+    private def stream(payload: Array[Byte], salt: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var h = salt * 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < n) {
+        h ^= (if (payload.length > 0) payload(i % payload.length) else 0).toLong
+        h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        out(i) = (h & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    def decodeImage(meta: MediaMeta, payload: Array[Byte]): ImageTensor =
+      ImageTensor(-1, meta.width, meta.height, meta.channels,
+        stream(payload, 1L, meta.width * meta.height * meta.channels))
+    def decodeAudio(meta: MediaMeta, payload: Array[Byte]): Array[Short] = {
+      val n = (meta.sampleRate.toLong * meta.durationMs / 1000).toInt
+      val b = stream(payload, 2L, n * 2)
+      Array.tabulate(n)(i => ((b(2 * i) << 8) | (b(2 * i + 1) & 0xff)).toShort)
+    }
+    def decodeFrame(meta: MediaMeta, payload: Array[Byte], frame: Int): ImageTensor =
+      ImageTensor(-1, meta.width, meta.height, meta.channels,
+        stream(payload, 3L + frame, meta.width * meta.height * meta.channels))
+  }
+
+  /** Ingest: attach payloads + typed metadata to a keyed DataFrame.
+    * `payloadCol` must be binary; metadata arrives as plain columns so
+    * parquet stats/pruning work on them.
+    */
+  def ingest(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String, format: String,
+      width: Int = 0, height: Int = 0, channels: Int = 0,
+      sampleRate: Int = 0, durationMs: Long = 0L, frames: Int = 0)
+      : Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      struct(
+        lit(kind).as("kind"), lit(format).as("format"),
+        lit(width).as("width"), lit(height).as("height"),
+        lit(channels).as("channels"), lit(sampleRate).as("sampleRate"),
+        lit(durationMs).as("durationMs"), lit(frames).as("frames")).as("meta"),
+      col(payloadCol).as("payload")).as[MediaRecord]
+  }
+
+  /** Decode + feature-extract images in one partition pass: per-channel
+    * mean/std over the decoded tensor → a 2C-dim float embedding.
+    * (With a real codec this is the CLIP-preprocessing slot.)
+    */
+  def imageFeatures(media: Dataset[MediaRecord], codec: Codec = FakeCodec)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val t = codec.decodeImage(r.meta, r.payload)
+        val c = t.channels
+        val px = t.pixels
+        val n = px.length / math.max(c, 1)
+        val sum = new Array[Double](c)
+        val sumSq = new Array[Double](c)
+        var i = 0
+        while (i < px.length) {
+          val ch = i % c
+          val v = (px(i) & 0xff).toDouble
+          sum(ch) += v; sumSq(ch) += v * v
+          i += 1
+        }
+        val feat = Array.tabulate(2 * c) { j =>
+          val ch = j / 2
+          val mean = sum(ch) / n
+          if (j % 2 == 0) mean.toFloat
+          else math.sqrt(math.max(0, sumSq(ch) / n - mean * mean)).toFloat
+        }
+        (r.media_id, feat)
+      }
+    }.toDF("media_id", "features")
+  }
+
+  /** Nearest-neighbor resize of decoded images — real math over the
+    * (fake-)decoded tensor, emitted as a new tensor per record.
+    */
+  def resize(media: Dataset[MediaRecord], outW: Int, outH: Int,
+      codec: Codec = FakeCodec): Dataset[ImageTensor] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val t = codec.decodeImage(r.meta, r.payload)
+        val c = t.channels
+        val out = new Array[Byte](outW * outH * c)
+        var y = 0
+        while (y < outH) {
+          val sy = y * t.height / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * t.width / outW
+            var ch = 0
+            while (ch < c) {
+              out((y * outW + x) * c + ch) = t.pixels((sy * t.width + sx) * c + ch)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageTensor(r.media_id, outW, outH, c, out)
+      }
+    }
+  }
+
+  /** Video frame sampling: every `stride`-th frame decoded and emitted
+    * as its own row (one-to-many flatMap, the P2 shape applied to
+    * media). Output partitioning follows the input — no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int,
+      codec: Codec = FakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        (0 until r.meta.frames by stride).iterator.map { f =>
+          val t = codec.decodeFrame(r.meta, r.payload, f)
+          (r.media_id, f, t.width, t.height, t.channels, t.pixels)
+        }
+      }
+    }.toDF("media_id", "frame", "width", "height", "channels", "pixels")
+  }
+
+  /** Audio feature extraction: RMS energy + zero-crossing rate per
+    * fixed-length window (the MFCC slot with a real codec).
+    */
+  def audioFeatures(media: Dataset[MediaRecord], windowSamples: Int,
+      codec: Codec = FakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val samples = codec.decodeAudio(r.meta, r.payload)
+        samples.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+          var sumSq = 0.0; var zc = 0
+          var j = 0
+          while (j < w.length) {
+            sumSq += w(j).toDouble * w(j)
+            if (j > 0 && ((w(j) >= 0) != (w(j - 1) >= 0))) zc += 1
+            j += 1
+          }
+          (r.media_id, i.toLong, math.sqrt(sumSq / w.length).toFloat,
+            zc.toDouble / math.max(1, w.length - 1))
+        }
+      }
+    }.toDF("media_id", "window", "rms", "zcr")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries over the `documents` fixture. The corpus
+  * has no real media files, so the payload is the document's UTF-8
+  * bytes treated as an opaque binary column — which is precisely the
+  * point: the engine never interprets payload bytes, so the plumbing
+  * (binary columns, typed metadata, batch kernels) is identical for
+  * real images/audio. Decode goes through Multimodal.FakeCodec (a
+  * clearly-marked deterministic stub).
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String) = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
+      format = "fake", width = 16, height = 16, channels = 3)
+  }
+
+  /** x01: binary ingest — exact oracle on the opaque-byte invariants
+    * (length and md5 of the payload). Proves binary columns survive the
+    * scan → ingest → projection path byte-for-byte.
+    */
+  private def x01(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).toDF()
+      .select(col("media_id").as("doc_id"),
+        octet_length(col("payload")).cast("long").as("payload_len"),
+        md5(col("payload")).as("payload_md5"))
+
+  private val x01Sql =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+      |       md5(text) AS payload_md5
+      |FROM documents""".stripMargin
+
+  /** x02: decode + per-channel image features (rows-only: the stub
+    * decode is not SQL-expressible; invariants are covered in
+    * MultimodalSpec).
+    */
+  private def x02(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(media(s, dir))
+      .select(col("media_id"), size(col("features")).as("dim"),
+        round(element_at(col("features"), 1), 4).as("mean_c0"))
+
+  /** x03: frame sampling over the same payloads declared as video
+    * (rows-only; frame count + shape invariants tested in spec).
+    */
+  private def x03(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val vids = Multimodal.ingest(docs, "doc_id", "payload", kind = "video",
+      format = "fake", width = 8, height = 8, channels = 3, frames = 12)
+    Multimodal.sampleFrames(vids, stride = 4)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("width") * col("height") * col("channels")).as("bytes"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("x01_media_ingest", x01, Some(x01Sql)),
+    Q("x02_image_features", x02, None),
+    Q("x03_frame_sample", x03, None))
+}

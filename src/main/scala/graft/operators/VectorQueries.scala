@@ -82,7 +82,57 @@ object VectorQueries {
       .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
   }
 
+  // ---- v03: embedding-cosine near-dup, exact on a bounded slice ----
+  // The all-pairs form is the ORACLE for the LSH path (like d05 for
+  // d06): exact over vec_id < sliceN so DuckDB can check it; the
+  // unbounded production path is v04.
+  private val dupTau = 0.30
+  private val sliceN = 200
+
+  private def v03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).filter($"vec_id" < sliceN)
+    val a = e.select($"vec_id".as("id_a"), $"v".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"))
+    a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", VectorOps.cosine($"va", $"vb").as("c"))
+      .filter($"c" >= dupTau)
+      .select($"id_a", $"id_b", round($"c", 6).as("cosine"))
+  }
+  private val v03Sql = {
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""WITH s AS (SELECT * FROM embeddings WHERE vec_id < $sliceN)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($cos, 6) AS cosine
+       |FROM s a JOIN s b ON a.vec_id < b.vec_id
+       |WHERE $cos >= $dupTau""".stripMargin
+  }
+
+  /** v04: the scale path — LSH-blocked near-dup over the FULL table.
+    * Candidates are pairs sharing ≥1 (band, code) bucket; each is
+    * exact-verified against the cosine threshold. The only shuffle is
+    * the bucket self-join; bucket sizes are bounded because codes are
+    * uniform sign-bits (recall vs v03 asserted in VectorQueriesSpec).
+    */
+  private def v04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val banded = e.withColumn("codes",
+        VectorOps.bandCodes($"v", planes, bitsPerBand))
+      .select($"vec_id", $"v", posexplode($"codes").as(Seq("band", "code")))
+    val a = banded.select($"vec_id".as("id_a"), $"v".as("va"), $"band", $"code")
+    val b = banded.select($"vec_id".as("id_b"), $"v".as("vb"), $"band", $"code")
+    a.join(b, Seq("band", "code")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"va", $"vb")
+      .dropDuplicates("id_a", "id_b")
+      .select($"id_a", $"id_b", VectorOps.cosine($"va", $"vb").as("c"))
+      .filter($"c" >= dupTau)
+      .select($"id_a", $"id_b", round($"c", 6).as("cosine"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
-    Q("v02_knn_ann_lsh", v02, None))
+    Q("v02_knn_ann_lsh", v02, None),
+    Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
+    Q("v04_cosine_dup_lsh", v04, None))
 }

@@ -66,4 +66,24 @@ class VectorOpsSpec extends AnyFunSuite {
     info(s"ANN recall@10 = $recall (${(e & a).size}/${e.size})")
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
+
+  test("cosine near-dup LSH pairs superset-approximate the exact slice (v04 vs v03)") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v03_cosine_dup_exact").get
+    val lsh = graft.operators.VectorQueries.all.find(_.name == "v04_cosine_dup_lsh").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val l = lsh.fn(spark, TestSpark.sf0001)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // v04 runs on the FULL table; restrict to the v03 slice for recall
+    val lSlice = l.filter { case (a, b) => a < 200 && b < 200 }
+    assert(e.nonEmpty, "exact slice found no dup pairs — lower tau")
+    val recall = (e & lSlice).size.toDouble / e.size
+    info(s"near-dup recall = $recall (${(e & lSlice).size}/${e.size})")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    // every LSH candidate is exact-verified against tau, and v03 holds
+    // ALL slice pairs >= tau, so the slice of v04 must be a subset: the
+    // LSH path has precision 1 by construction
+    assert(lSlice.subsetOf(e), s"false positives: ${lSlice -- e}")
+  }
 }
