@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expressions for the text-dedup hash kernels.
+  *
+  * The higher-order-function forms of SimHash/MinHash are O(tokens × 64)
+  * resp. O(shingles × k) *array materializations* per row (each `zip_with`
+  * / `transform` step allocates); these expressions do the same math in
+  * one tight primitive loop per row with zero allocation beyond the
+  * output, and generate straight-line Java via `doGenCode` so they stay
+  * inside WholeStageCodegen. Semantics of the hash itself match Spark's
+  * `xxhash64` (XXH64 over the UTF-8 bytes, same as the HOF versions).
+  */
+object HashKernels {
+
+  /** One-pass 64-bit SimHash over the xxhash64 of each token. */
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** One-pass k-slot min-hash signature, value-identical to the HOF
+    * form `array_min(transform(sh, t -> xxhash64(t, slot + 1)))`:
+    * Spark's multi-arg xxhash64 CHAINS — bytes hashed with seed 42,
+    * then the int literal mixed with that result as seed — so the
+    * expensive byte hash happens once per shingle and the k per-slot
+    * values are k cheap int-mixes of it.
+    */
+  def minhash(arr: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashInt(j + 1, base)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** simhash64(tokens: array<string>) → bigint. */
+final case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType), ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** minhash_signature(shingles: array<string>, k) → array<bigint>. */
+final case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= 1024, s"bad k=$k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType), ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashKernels.minhash(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.minhash($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+object HashKernels2 {
+  /** One-pass sign-LSH band codes: project v on every hyperplane (flat
+    * row-major planes matrix), take sign bits, pack `bitsPerBand` bits
+    * per band with the band index folded into the high bits —
+    * value-identical to the HOF `VectorOps.bandCodes` form.
+    */
+  def signLsh(v: ArrayData, planes: Array[Double], dim: Int,
+      bitsPerBand: Int): Array[Long] = {
+    val nPlanes = planes.length / dim
+    val bands = nPlanes / bitsPerBand
+    val codes = new Array[Long](bands)
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      val off = p * dim
+      while (j < dim) { dot += v.getDouble(j) * planes(off + j); j += 1 }
+      if (dot >= 0.0) codes(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+      p += 1
+    }
+    var b = 0
+    while (b < bands) { codes(b) += b.toLong << bitsPerBand; b += 1 }
+    codes
+  }
+}
+
+/** sign_lsh(v: array<double>) → array<bigint> band codes; the planes
+  * matrix is a driver-side constant carried by the expression (the C3
+  * broadcast-operand pattern: small, replicated, never shuffled).
+  */
+final case class SignLshExpr(child: Expression, planes: Array[Double],
+    dim: Int, bitsPerBand: Int) extends UnaryExpression {
+  require(planes.length % dim == 0 &&
+    (planes.length / dim) % bitsPerBand == 0, "bad planes/dim/bits shape")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType,
+        ArrayType(org.apache.spark.sql.types.DoubleType),
+        ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_lsh"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashKernels2.signLsh(
+      input.asInstanceOf[ArrayData], planes, dim, bitsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels2.signLsh($c, $planesRef, $dim, $bitsPerBand))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshExpr =
+    copy(child = newChild)
+}
+
+/** Column-API facade for the native kernels. */
+object GraftFunctions {
+  def simhash64(tokens: Column): Column =
+    column(SimHash64Expr(expression(tokens)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    column(MinHashSigExpr(expression(shingles), k))
+  def signLsh(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
+    val dim = planes.head.length
+    column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))
+  }
+}

@@ -108,26 +108,24 @@ object VectorQueries {
        |WHERE $cos >= $dupTau""".stripMargin
   }
 
-  /** v04: the scale path — LSH-blocked near-dup over the FULL table.
-    * Candidates are pairs sharing ≥1 (band, code) bucket; each is
-    * exact-verified against the cosine threshold. The only shuffle is
-    * the bucket self-join; bucket sizes are bounded because codes are
-    * uniform sign-bits (recall vs v03 asserted in VectorQueriesSpec).
+  /** v04: the scale path — LSH-blocked near-dup over the FULL table,
+    * via `VectorOps.lshDupPairs`. Three scale rules (learned from a
+    * 110 s sf0.1 run of the naive form):
+    *  1. the band self-join carries IDS ONLY — vectors are fetched once
+    *     per deduped pair, not once per colliding band;
+    *  2. bands are 8-bit, so uniform random pairs collide in a band
+    *     with p≈2^-8 and the candidate set stays near-linear (4-bit
+    *     bands made candidates ≈ all pairs);
+    *  3. every candidate is exact-verified, so precision vs the
+    *     threshold is 1 by construction (subset-of-v03 asserted in
+    *     spec); recall is asserted on injected true near-dups, the
+    *     workload this blocking targets.
     */
   private def v04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val banded = e.withColumn("codes",
-        VectorOps.bandCodes($"v", planes, bitsPerBand))
-      .select($"vec_id", $"v", posexplode($"codes").as(Seq("band", "code")))
-    val a = banded.select($"vec_id".as("id_a"), $"v".as("va"), $"band", $"code")
-    val b = banded.select($"vec_id".as("id_b"), $"v".as("vb"), $"band", $"code")
-    a.join(b, Seq("band", "code")).filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"va", $"vb")
-      .dropDuplicates("id_a", "id_b")
-      .select($"id_a", $"id_b", VectorOps.cosine($"va", $"vb").as("c"))
-      .filter($"c" >= dupTau)
-      .select($"id_a", $"id_b", round($"c", 6).as("cosine"))
+    VectorOps.lshDupPairs(e, "vec_id", planes, bitsPerBand = 8, dupTau)
+      .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
   }
 
   val all: Seq[Q] = Seq(

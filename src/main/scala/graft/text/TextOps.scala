@@ -29,15 +29,16 @@ object TextOps {
       s"i -> concat_ws(' ', $parts)))")
   }
 
-  /** MinHash signature: for seed s, min over shingles of
-    * xxhash64(shingle, seed) — k independent permutation approximations,
-    * all computed inside one projection (no shuffle).
+  /** MinHash signature: for slot i, min over shingles of
+    * xxhash64(shingle, i + 1) — k independent permutation
+    * approximations in one projection (no shuffle). Delegates to the
+    * native one-pass Catalyst expression (graft.functions): the HOF
+    * form re-hashed every shingle k times and allocated an array per
+    * `transform`; the native kernel hashes bytes once per shingle
+    * (value-identical — proven in HashExprsSpec).
     */
-  def minhashSignature(shCol: String, k: Int): Column = {
-    val mins = (0 until k).map(i =>
-      s"array_min(transform($shCol, t -> xxhash64(t, ${i + 1})))")
-    expr(s"array(${mins.mkString(", ")})")
-  }
+  def minhashSignature(shCol: String, k: Int): Column =
+    graft.functions.GraftFunctions.minhashSignature(col(shCol), k)
 
   /** LSH candidate pairs from precomputed signatures: split the k-long
     * `sig` column into `bands` bands, bucket docs by (band index, band
@@ -79,19 +80,13 @@ object TextOps {
       .drop("sig_a", "sig_b")
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per bit, sign of the sum
-    * of ±1 contributions. Pure higher-order functions: fold tokens into a
-    * 64-wide counter array, then collapse signs to a BIGINT.
+  /** 64-bit SimHash over token xxhash64 values: per bit, sign of the
+    * sum of ±1 contributions. Delegates to the native one-pass Catalyst
+    * expression (graft.functions) — the HOF form allocated a 64-wide
+    * array per token (value-identical — proven in HashExprsSpec).
     */
-  def simhash64(toksCol: String): Column = {
-    val acc = "aggregate(" +
-      s"transform($toksCol, t -> xxhash64(t)), " +
-      "array_repeat(0, 64), " +
-      "(acc, h) -> zip_with(acc, sequence(0, 63), " +
-      "(a, b) -> a + CASE WHEN (h & shiftleft(1L, b)) <> 0 THEN 1 ELSE -1 END))"
-    expr("aggregate(zip_with(" + acc + ", sequence(0, 63), " +
-      "(c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), 0L, (s, v) -> s | v)")
-  }
+  def simhash64(toksCol: String): Column =
+    graft.functions.GraftFunctions.simhash64(col(toksCol))
 
   /** Hamming distance between two BIGINT simhashes. */
   def hamming64(a: Column, b: Column): Column =

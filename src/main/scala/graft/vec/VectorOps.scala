@@ -73,14 +73,49 @@ object VectorOps {
   def bandCodes(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
     require(planes.length % bitsPerBand == 0,
       s"planes=${planes.length} not divisible by bitsPerBand=$bitsPerBand")
-    val bits: Seq[Column] =
-      planes.toSeq.map(h => when(dotLit(v, h) >= 0.0, 1L).otherwise(0L))
-    val codes = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
-      case (g, band) =>
-        g.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
-          .reduce(_ + _) + lit(band.toLong << bitsPerBand)
-    }
-    array(codes: _*)
+    // native one-pass expression: the HOF form built |planes| separate
+    // fold expressions (an array allocation each) per row
+    graft.functions.GraftFunctions.signLsh(v, planes, bitsPerBand)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH blocking — the
+    * 100 TB-shaped plan:
+    *
+    *  1. one projection computes all band codes (zero shuffle);
+    *  2. the band self-join ships (id, band, code) rows ONLY — never
+    *     vectors — so a pair colliding in b bands costs b tiny rows,
+    *     and `dropDuplicates(id_a, id_b)` runs on 16-byte pairs;
+    *  3. vectors are fetched once per surviving pair via two joins
+    *     against the input (hash joins on the id — broadcast if the
+    *     vector side is small, shuffle otherwise);
+    *  4. exact cosine filter at `tau` — precision 1 by construction.
+    *
+    * Candidate volume is governed by `bitsPerBand`: a uniform random
+    * pair collides in a band with ~2^-bits, so bits should grow with
+    * log2(n) to keep candidates near-linear. Recall for true near-dups
+    * (cos ≥ 0.9 ⇒ per-plane agreement ≈ 0.86) with 8-bit bands is
+    * 1-(1-0.86^8)^bands — ≥0.98 for 12 bands.
+    *
+    * Input df needs (idCol, v: array<double>). Output:
+    * (id_a, id_b, cosine), id_a < id_b.
+    */
+  def lshDupPairs(df: DataFrame, idCol: String, planes: Array[Array[Double]],
+      bitsPerBand: Int, tau: Double): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"),
+        posexplode(bandCodes(col("v"), planes, bitsPerBand))
+          .as(Seq("band", "code")))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("code"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("code"))
+    val pairs = a.join(b, Seq("band", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col("v").as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col("v").as("vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= tau)
   }
 
   /** Scalable top-k per query without a full-partition window sort:

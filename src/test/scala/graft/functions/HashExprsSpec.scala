@@ -1,0 +1,106 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs() = {
+    import spark.implicits._
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+  }
+
+  test("native simhash64 expression equals the HOF form on real docs") {
+    import spark.implicits._
+    // the original higher-order-function rendering, kept here as the
+    // independent oracle for the native expression
+    val acc = "aggregate(" +
+      "transform(toks, t -> xxhash64(t)), " +
+      "array_repeat(0, 64), " +
+      "(acc, h) -> zip_with(acc, sequence(0, 63), " +
+      "(a, b) -> a + CASE WHEN (h & shiftleft(1L, b)) <> 0 THEN 1 ELSE -1 END))"
+    val hofSimhash = expr("aggregate(zip_with(" + acc + ", sequence(0, 63), " +
+      "(c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), 0L, (s, v) -> s | v)")
+    val rows = docs()
+      .select($"doc_id",
+        hofSimhash.as("hof"),
+        GraftFunctions.simhash64($"toks").as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hof") == r.getAs[Long]("native"),
+        s"doc ${r.get(0)}")
+    }
+  }
+
+  test("native minhash signature equals the HOF form on real docs") {
+    import spark.implicits._
+    val k = 32
+    val rows = docs()
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .select($"doc_id",
+        expr(s"array(${(0 until k).map(i =>
+          s"array_min(transform(sh, t -> xxhash64(t, ${i + 1})))").mkString(", ")})")
+          .as("hof"),
+        GraftFunctions.minhashSignature($"sh", k).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("hof") ==
+        r.getAs[scala.collection.Seq[Long]]("native"), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("native signLsh equals the HOF band-code form on real embeddings") {
+    import spark.implicits._
+    import graft.vec.VectorOps
+    val planes = VectorOps.hyperplanes(24, dim = 64, seed = 42L)
+    val bitsPerBand = 4
+    // original HOF rendering as the independent oracle
+    val bits: Seq[org.apache.spark.sql.Column] =
+      planes.toSeq.map(h => when(VectorOps.dotLit($"v", h) >= 0.0, 1L).otherwise(0L))
+    val hofCodes = array(bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
+      case (g, band) =>
+        g.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
+          .reduce(_ + _) + lit(band.toLong << bitsPerBand)
+    }: _*)
+    val rows = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(VectorOps.toDouble($"embedding").as("v"))
+      .select(hofCodes.as("hof"),
+        GraftFunctions.signLsh($"v", planes, bitsPerBand).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("hof") ==
+        r.getAs[scala.collection.Seq[Long]]("native"))
+    }
+  }
+
+  test("native exprs stay inside WholeStageCodegen") {
+    import spark.implicits._
+    val plan = docs()
+      .select(GraftFunctions.simhash64($"toks").as("s"),
+        GraftFunctions.minhashSignature($"toks", 8).as("m"))
+      .queryExecution.executedPlan.toString
+    // the * marker on the Project = inside a WholeStageCodegen stage
+    val projLine = plan.linesIterator
+      .find(_.contains("graft_simhash64")).getOrElse("")
+    assert(projLine.trim.matches("""^[+\-:\s]*\*\(\d+\) Project.*"""), plan)
+  }
+
+  test("empty and null-element arrays are handled") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[String], Seq("a", "b")).toDF("toks")
+    val out = df.select(GraftFunctions.simhash64($"toks").as("s"),
+      GraftFunctions.minhashSignature($"toks", 4).as("m")).collect()
+    assert(out(0).getAs[Long]("s") == 0L)
+    assert(out(0).getAs[scala.collection.Seq[Long]]("m")
+      .forall(_ == Long.MaxValue))
+    assert(out(1).getAs[scala.collection.Seq[Long]]("m").size == 4)
+  }
+}

