@@ -34,12 +34,41 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
+    // K-Means throughput probe against BASELINE.md's headline workload
+    // (10M pts × k=1000 × d=2 × 10 iters in 93.8 s on p=320 ⇒ ~6.7e6
+    // point-centroid dist-dims /core/sec). Same shape normalized to
+    // this box: 1M × k=100 × d=2 × 10 iters via the block pre-agg step
+    // (the reference's KMeansBlock plan). Deterministic hash points.
+    val km =
+      try {
+        import org.apache.spark.sql.functions._
+        val nPts = 1000000L; val k = 100; val d = 2; val iters = 10
+        val pts = spark.range(nPts).select(
+          array((0 until d).map(j =>
+            (pmod(xxhash64(col("id"), lit(j)), lit(1000000L)) / 1e6)): _*)
+            .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pts.count()
+        val init = pts.limit(k).collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+        val t0 = System.nanoTime()
+        var c = init
+        for (_ <- 1 to iters) c = graft.ml.KMeans.stepBlock(pts, c)
+        val sec = (System.nanoTime() - t0) / 1e9
+        pts.unpersist()
+        val opsPerCoreSec = nPts.toDouble * k * d * iters / sec / cpus.toInt
+        s""","kmeans":{"points":$nPts,"k":$k,"d":$d,"iters":$iters,"sec":$sec,""" +
+          s""""dist_dims_per_core_sec":$opsPerCoreSec,"baseline_dist_dims_per_core_sec":6.7e6}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] kmeans probe FAILED: ${e.getMessage}")
+        ""
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km}""")
     spark.stop()
   }
 }

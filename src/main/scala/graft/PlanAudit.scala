@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of selected
+  * queries so shuffle/pushdown/broadcast regressions are visible in
+  * review. Usage: runMain graft.PlanAudit [sfDir] [query ...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q03_join_agg", "q10_topk",
+        "d01_dedup_exact", "d06_minhash_lsh", "v01_knn_exact",
+        "v04_cosine_dup_lsh", "m01_kmeans_assign")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      println(s"\n===================== $n =====================")
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } catch {
+        case e: Throwable => println(s"FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -196,6 +196,59 @@ object TextQueries {
   private def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
 
+  // ---- d09: end-to-end curation pipeline (oracle-checked) ----
+  // The composed shape a training-data run actually executes: normalize
+  // → tokenize → quality gate → exact-dedup (keep lowest doc_id) → per
+  // source corpus stats. One scan, two hash aggs; every stage pushes
+  // into the one projection, so at 100 TB this is scan-bound.
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        md5(TextOps.normText($"text").cast("binary")).as("sig"),
+        size($"toks").cast("long").as("n_tokens"),
+        (length(regexp_replace($"text", "[^.!?,;:]", "")) / length($"text"))
+          .as("punct_ratio"),
+        (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size($"toks"))
+          .as("avg_token_len"))
+      .filter($"n_tokens" >= 10 && $"punct_ratio" < 0.2 &&
+        $"avg_token_len".between(2.0, 12.0))
+    val kept = scored
+      .groupBy($"sig")
+      .agg(min_by(struct($"doc_id", $"source", $"n_tokens"), $"doc_id").as("m"),
+        count(lit(1)).as("n_copies"))
+      .select($"m.source".as("source"), $"m.n_tokens".as("n_tokens"),
+        $"n_copies")
+    kept.groupBy($"source")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum($"n_copies").as("total_copies"),
+        sum($"n_tokens").as("sum_tokens"),
+        round(avg($"n_tokens"), 6).as("avg_tokens"))
+  }
+  private val d09Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS sig,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+      |  FROM (SELECT doc_id, source, text,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |        FROM documents WHERE length(trim(text)) > 0) t),
+      |  gated AS (SELECT * FROM scored
+      |            WHERE n_tokens >= 10 AND punct_ratio < 0.2
+      |              AND avg_token_len BETWEEN 2.0 AND 12.0),
+      |  kept AS (
+      |    SELECT arg_min(source, doc_id) AS source,
+      |           arg_min(n_tokens, doc_id) AS n_tokens,
+      |           COUNT(*) AS n_copies
+      |    FROM gated GROUP BY sig)
+      |SELECT source, COUNT(*) AS kept_docs, SUM(n_copies) AS total_copies,
+      |  SUM(n_tokens) AS sum_tokens, round(AVG(n_tokens), 6) AS avg_tokens
+      |FROM kept GROUP BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -204,5 +257,6 @@ object TextQueries {
     Q("d05_ngram_jaccard", d05, Some(d05Sql)),
     Q("d06_minhash_lsh", d06MinhashLsh, None),
     Q("d07_simhash", d07Simhash, None),
-    Q("d08_fingerprints", d08Fingerprint, None))
+    Q("d08_fingerprints", d08Fingerprint, None),
+    Q("d09_curation_pipeline", d09, Some(d09Sql)))
 }

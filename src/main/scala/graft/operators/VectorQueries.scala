@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.ml.KMeans
 import graft.vec.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -128,9 +129,50 @@ object VectorQueries {
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
   }
 
+  /** v05: IVF-style ANN — the partition-pruning scale path. A coarse
+    * K-Means quantizer (k cells, trained once) assigns every vector to
+    * a cell; a query probes only its `nprobe` nearest cells and runs
+    * exact top-k inside them. At scale the corpus is WRITTEN partitioned
+    * by cell, so a probe reads nprobe/k of the data (real partition
+    * pruning); here the cell filter expresses the same plan. Recall vs
+    * v01 asserted in spec.
+    */
+  private val ivfCells = 16
+  private val nprobe = 4
+
+  private def v05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cents = KMeans.fit(e, KMeans.initFromLowestIds(e, "vec_id", ivfCells),
+      maxIter = 3).centroids
+    val assigned = e.select($"vec_id", $"v",
+      KMeans.assign($"v", cents).getField("cid").as("cell"))
+    val q = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    // nprobe nearest cells per query, computed on the driver-side
+    // centroid matrix (k×d doubles) and joined as a literal
+    val qCells = q.select($"qid", $"qv").collect().map { r =>
+      val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
+      val near = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+      (r.getAs[Long]("qid"), near.toSeq)
+    }.toSeq
+    val probes = qCells
+      .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
+      .toDF("qid", "cell")
+    val cands = assigned.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"qid")
+    val scored = cands.join(broadcast(q.select($"qid", $"qv")), "qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(scored, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, None),
     Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
-    Q("v04_cosine_dup_lsh", v04, None))
+    Q("v04_cosine_dup_lsh", v04, None),
+    Q("v05_knn_ivf", v05, None))
 }

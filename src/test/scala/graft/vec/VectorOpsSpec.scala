@@ -83,6 +83,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(lSlice.subsetOf(e), s"false positives: ${lSlice -- e}")
   }
 
+  test("IVF ANN recall@10 >= 0.6 vs exact top-k (nprobe=4 of 16 cells)") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val ivf = graft.operators.VectorQueries.all.find(_.name == "v05_knn_ivf").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = ivf.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (e & a).size.toDouble / e.size
+    info(s"IVF recall@10 = $recall (${(e & a).size}/${e.size})")
+    // probing 1/4 of the cells of a near-uniform corpus bounds recall;
+    // clustered real corpora do far better at the same nprobe/cells
+    assert(recall >= 0.6, s"recall $recall below 0.6")
+  }
+
   test("lshDupPairs finds >= 90% of injected true near-dups at tau 0.9") {
     import spark.implicits._
     // true near-dups (cos >= ~0.95) are the workload LSH blocking
