@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions hook registering the native kernels as SQL
+  * functions, so `spark.sql("SELECT graft_simhash64(toks) ...")` works:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64(tokens)")
+        SimHash64Expr(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSigExpr(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingles, k literal int)")
+      }))
+  }
+}

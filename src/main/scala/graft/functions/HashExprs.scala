@@ -181,6 +181,72 @@ final case class SignLshExpr(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+object VecKernels {
+  /** Nearest-centroid scan (N5+N6): squared-L2 against every centroid
+    * (flat row-major k×d matrix), strictly-less update ⇒ lowest cid on
+    * ties — value-identical to the HOF
+    * `array_min(array(struct(sqdist, cid)...))` form: per-dim left-fold
+    * sums in index order, lexicographic (dist2, cid) min.
+    */
+  def nearest(v: ArrayData, cents: Array[Double], d: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.length / d
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      var dist = 0.0
+      var j = 0
+      val off = c * d
+      while (j < d) {
+        val t = v.getDouble(j) - cents(off + j)
+        dist += t * t
+        j += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, best))
+  }
+}
+
+/** nearest_centroid(v: array<double>) → struct<dist2: double, cid: int>.
+  * The centroid matrix is a driver-side constant on the expression (the
+  * reference's broadcast-centroids J3/C3 pattern); one tight loop per
+  * row replaces k separate fold expressions, so k=1000+ works without
+  * expression-tree blowup.
+  */
+final case class NearestCentroidExpr(child: Expression,
+    centroids: Array[Double], d: Int) extends UnaryExpression {
+  require(d > 0 && centroids.length % d == 0 && centroids.nonEmpty,
+    "bad centroid matrix shape")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType,
+        ArrayType(org.apache.spark.sql.types.DoubleType),
+        ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("dist2",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.nearest(input.asInstanceOf[ArrayData], centroids, d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernels.nearest($c, $centsRef, $d)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the native kernels. */
 object GraftFunctions {
   def simhash64(tokens: Column): Column =
@@ -191,4 +257,7 @@ object GraftFunctions {
     val dim = planes.head.length
     column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))
   }
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidExpr(expression(v), centroids.flatten,
+      centroids.head.length))
 }

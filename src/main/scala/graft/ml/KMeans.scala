@@ -36,15 +36,16 @@ object KMeans {
       lastShift: Double)
 
   /** Nearest-centroid assignment (N5+N6) as a single projection over a
-    * literal centroid set: array_min over (dist2, cid) structs gives the
-    * argmin with deterministic cid tiebreak. Returns struct(dist2, cid).
+    * literal centroid set, via the native one-pass expression
+    * (graft.functions.NearestCentroidExpr): the HOF
+    * `array_min(array(struct(sqdist, cid)...))` form built k fold
+    * expressions per row, which blows up the expression tree at the
+    * reference's k=1000+. Value-identical (same fold order, same
+    * lowest-cid tiebreak — proven in HashExprsSpec). Returns
+    * struct(dist2, cid).
     */
-  def assign(v: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.sqdistLit(v, c).as("dist2"), lit(i).as("cid"))
-    }
-    array_min(array(scored.toIndexedSeq: _*))
-  }
+  def assign(v: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.GraftFunctions.nearestCentroid(v, centroids)
 
   /** One Lloyd step: assign every point, recompute per-dimension means.
     * `points` must expose `v: array<double>`. Empty clusters keep their

@@ -93,6 +93,56 @@ class HashExprsSpec extends AnyFunSuite {
     assert(projLine.trim.matches("""^[+\-:\s]*\*\(\d+\) Project.*"""), plan)
   }
 
+  test("native nearestCentroid equals the HOF argmin form on real embeddings") {
+    import spark.implicits._
+    import graft.vec.VectorOps
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+    val cents = e.orderBy($"vec_id").limit(6).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    // original HOF rendering as the independent oracle
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.sqdistLit($"v", c).as("dist2"), lit(i).as("cid"))
+    }
+    val hof = array_min(array(scored.toIndexedSeq: _*))
+    val rows = e.select($"vec_id", hof.as("h"),
+      GraftFunctions.nearestCentroid($"v", cents).as("n")).collect()
+    rows.foreach { r =>
+      val h = r.getStruct(1); val n = r.getStruct(2)
+      assert(h.getDouble(0) == n.getDouble(0), s"dist2 differs for ${r.get(0)}")
+      assert(h.getInt(1) == n.getInt(1), s"cid differs for ${r.get(0)}")
+    }
+    // tiebreak: two identical centroids -> lower cid wins, both forms
+    val tie = Seq(Seq(0.5, 0.5)).toDF("v")
+    val tc = Array(Array(1.0, 1.0), Array(1.0, 1.0))
+    assert(tie.select(GraftFunctions.nearestCentroid($"v", tc).getField("cid"))
+      .as[Int].head() == 0)
+  }
+
+  test("GraftExtensions registers SQL-callable functions") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate would return the shared extension-less session; clear
+    // it so the builder constructs a fresh one (same SparkContext)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_simhash64(array('a','b')) AS s, " +
+          "graft_minhash(array('a','b'), 4) AS m").head()
+      assert(r.getAs[Long]("s") != 0L)
+      assert(r.getAs[scala.collection.Seq[Long]]("m").size == 4)
+    } finally {
+      // keep the shared TestSpark session as the active one
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("empty and null-element arrays are handled") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b")).toDF("toks")
