@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewAndStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 10k rows where 90% share one hot key. */
+  private def skewed() = {
+    import spark.implicits._
+    spark.range(10000).select(
+      when($"id" % 10 < 9, lit(1L)).otherwise($"id" % 100).as("k"),
+      ($"id" % 7).cast("double").as("v"))
+  }
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    import spark.implicits._
+    val dim = (0L until 100L).map(i => (i, s"name_$i")).toDF("k", "name")
+    val plain = skewed().join(dim, "k")
+      .groupBy($"name").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(skewed(), dim, "k", salts = 8)
+      .groupBy($"name").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(plain == salted)
+  }
+
+  test("saltedSumCount equals plain groupBy sum/count") {
+    import spark.implicits._
+    val plain = skewed().groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(skewed(), "k", "v", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(plain == salted)
+  }
+
+  test("typed DoubleStatistics Aggregator matches the expression agg (A6)") {
+    import spark.implicits._
+    val vals = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select($"l_discount".cast("double").as("d"))
+    val t = vals.as[Double].select(StatsAggregator.toColumn).head()
+    val e = vals.agg(
+      count($"d").as("cnt"), min($"d").as("vmin"),
+      max($"d").as("vmax"),
+      min(when($"d" > 0.0, $"d")).as("pmin"),
+      sum($"d").as("vsum"), sum($"d" * $"d").as("vsumsq"))
+      .head()
+    assert(t.count == e.getAs[Long]("cnt"))
+    assert(t.vmin == e.getAs[Double]("vmin"))
+    assert(t.vmax == e.getAs[Double]("vmax"))
+    assert(t.positiveMin == e.getAs[Double]("pmin"))
+    assert(math.abs(t.sum - e.getAs[Double]("vsum")) < 1e-9)
+    assert(math.abs(t.sumSq - e.getAs[Double]("vsumsq")) < 1e-9)
+  }
+}
