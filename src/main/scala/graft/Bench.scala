@@ -63,12 +63,57 @@ object Bench {
         System.err.println(s"[bench] kmeans probe FAILED: ${e.getMessage}")
         ""
       }
+    // GEMM throughput probe (N1 slice): seeded A (65536×256) blocks ×
+    // broadcast col-major B (256×128), naive kernel — reports GFLOP/s
+    // (no reference GEMM numbers exist; tracked round-over-round).
+    val gm =
+      try {
+        import org.apache.spark.sql.functions._
+        val m = 65536; val kk = 256; val nn = 128
+        val bCol = graft.mm.Gemm.toColMajor(
+          graft.mm.MatrixIO.randomMatrix(kk, nn, seed = 5L), kk, nn)
+        val bBc = spark.sparkContext.broadcast(bCol)
+        import spark.implicits._
+        val a = spark.range(m).select(
+          $"id", array((0 until kk).map(j =>
+            (pmod(xxhash64($"id", lit(j)), lit(1000L)) / 1000.0)): _*).as("v"))
+          .as[(Long, Seq[Double])]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count()
+        val t0 = System.nanoTime()
+        val sum = a.mapPartitions { it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val nr = rows.length
+            val flat = new Array[Double](nr * kk)
+            var i = 0
+            while (i < nr) {
+              val v = rows(i)._2
+              var j = 0
+              while (j < kk) { flat(i * kk + j) = v(j); j += 1 }
+              i += 1
+            }
+            val c = graft.mm.Gemm.gemm(flat, nr, kk, bBc.value, nn)
+            var s = 0.0; var x = 0
+            while (x < c.length) { s += c(x); x += 1 }
+            Iterator.single(s)
+          }
+        }.reduce(_ + _)
+        val sec = (System.nanoTime() - t0) / 1e9
+        a.unpersist(); bBc.destroy()
+        val gflops = 2.0 * m * kk * nn / sec / 1e9
+        s""","gemm":{"m":$m,"k":$kk,"n":$nn,"sec":$sec,"gflops":$gflops,"checksum":$sum}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] gemm probe FAILED: ${e.getMessage}")
+        ""
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$gm}""")
     spark.stop()
   }
 }
