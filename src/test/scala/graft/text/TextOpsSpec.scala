@@ -78,6 +78,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df(0)(3) == df(1)(3))
   }
 
+  test("d06 LSH candidates cover all high-Jaccard pairs found exactly by d05") {
+    import spark.implicits._
+    // the oracle-checked d05 computes EXACT shingle-Jaccard on a slice;
+    // the production d06 must recover its strong pairs (j >= 0.8 ->
+    // per-band hit 1-(1-j^4)^8 > 0.97; j = 1.0 pairs are guaranteed)
+    val d05 = graft.operators.TextQueries.all.find(_.name == "d05_ngram_jaccard").get
+    val d06 = graft.operators.TextQueries.all.find(_.name == "d06_minhash_lsh").get
+    val strong = d05.fn(spark, TestSpark.sf0001)
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty, "fixture has no strong near-dup pairs in the slice")
+    val lsh = d06.fn(spark, TestSpark.sf0001)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(strong.subsetOf(lsh),
+      s"d06 missed strong pairs: ${strong -- lsh}")
+  }
+
   test("fingerprints are deterministic and reorder-sensitive only at edges") {
     import spark.implicits._
     val docs = Seq(
