@@ -123,6 +123,45 @@ final case class MinHashSigExpr(child: Expression, k: Int)
 }
 
 object HashKernels2 {
+  /** Fused n-gram-shingle MinHash: slides an n-token window, builds the
+    * shingle's UTF-8 bytes (tokens joined by ' ') in a reusable buffer,
+    * hashes once, and folds the k per-slot mins — value-identical to
+    * `minhash(array_distinct(transform(seq, i -> concat_ws(' ', ...))))`
+    * because (a) the byte stream equals concat_ws output and (b) min is
+    * duplicate-insensitive, so the distinct step is unnecessary. Saves
+    * the per-shingle string/array materializations of the two-step form.
+    */
+  def minhashShingles(toks: ArrayData, n: Int, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val numToks = toks.numElements()
+    var buf = new Array[Byte](256)
+    var i = 0
+    while (i <= numToks - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val s = toks.getUTF8String(i + j)
+        val nb = s.numBytes
+        if (len + nb + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
+        if (j < n - 1) { buf(len) = ' '; len += 1 }
+        j += 1
+      }
+      val base = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      var slot = 0
+      while (slot < k) {
+        val h = XXH64.hashInt(slot + 1, base)
+        if (h < mins(slot)) mins(slot) = h
+        slot += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   /** One-pass sign-LSH band codes: project v on every hyperplane (flat
     * row-major planes matrix), take sign bits, pack `bitsPerBand` bits
     * per band with the band index folded into the high bits —
@@ -146,6 +185,32 @@ object HashKernels2 {
     while (b < bands) { codes(b) += b.toLong << bitsPerBand; b += 1 }
     codes
   }
+}
+
+/** minhash_shingles(tokens: array<string>, n, k) → array<bigint>. */
+final case class MinHashShinglesExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n > 0 && k > 0 && k <= 1024, s"bad n=$n k=$k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType),
+        ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashKernels2.minhashShingles(
+      input.asInstanceOf[ArrayData], n, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels2.minhashShingles($c, $n, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShinglesExpr =
+    copy(child = newChild)
 }
 
 /** sign_lsh(v: array<double>) → array<bigint> band codes; the planes
@@ -253,6 +318,8 @@ object GraftFunctions {
     column(SimHash64Expr(expression(tokens)))
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSigExpr(expression(shingles), k))
+  def minhashShingles(tokens: Column, n: Int, k: Int): Column =
+    column(MinHashShinglesExpr(expression(tokens), n, k))
   def signLsh(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
     val dim = planes.head.length
     column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))

@@ -163,10 +163,11 @@ object TextQueries {
     val docs = Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
-      .withColumn("sh", TextOps.shingles("toks", 3))
     val k = 32
-    // one minhash projection, shared by banding and Jaccard estimation
-    val sigs = docs.withColumn("sig", TextOps.minhashSignature("sh", k))
+    // one fused tokens→minhash projection (no shingle-string array),
+    // shared by banding and Jaccard estimation
+    val sigs = docs
+      .withColumn("sig", TextOps.minhashOfShingles("toks", 3, k))
       .select($"doc_id", $"sig")
     val cands = TextOps.lshCandidates(sigs, "doc_id", k, bands = 8)
     TextOps.estimateJaccard(cands, sigs, "doc_id", k)

@@ -114,6 +114,27 @@ object StreamingOps {
       sum(col(c) * col(c)).as("sumsq"),
       min(when(col(c) > 0.0, col(c))).as("positive_min"))
 
+  /** Stream-static join: enrich a stream against a (small) dimension
+    * table. The static side is broadcast per micro-batch; no streaming
+    * state at all, so it scales with the stream alone. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
+  /** Stream-stream interval self-join: pair events of the same user
+    * whose timestamps are within `windowSec` (left before right).
+    * Watermarks on both sides bound the join state — without the time
+    * bound + watermark the state would grow forever, which is exactly
+    * the 100 TB failure mode this formulation avoids. */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      windowSec: Int, lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") > col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   // ---- streaming K-Means via foreachBatch (micro-batch Lloyd step) ----
 
   /** Mutable driver-side model handle (k×d doubles — tiny). */

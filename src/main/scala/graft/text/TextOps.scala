@@ -40,6 +40,15 @@ object TextOps {
   def minhashSignature(shCol: String, k: Int): Column =
     graft.functions.GraftFunctions.minhashSignature(col(shCol), k)
 
+  /** Fused tokens → n-gram-shingle MinHash signature: skips the
+    * intermediate shingle-string array entirely (min is
+    * duplicate-insensitive so the distinct step drops too) —
+    * value-identical to `minhashSignature(shingles(toks, n), k)`,
+    * proven in HashExprsSpec.
+    */
+  def minhashOfShingles(toksCol: String, n: Int, k: Int): Column =
+    graft.functions.GraftFunctions.minhashShingles(col(toksCol), n, k)
+
   /** LSH candidate pairs from precomputed signatures: split the k-long
     * `sig` column into `bands` bands, bucket docs by (band index, band
     * hash), self-join buckets. Returns (id_a, id_b, n_bands_matching).

@@ -56,6 +56,31 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused shingle-minhash equals the two-step shingles+minhash form") {
+    import spark.implicits._
+    val k = 16
+    val rows = docs()
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .select($"doc_id",
+        GraftFunctions.minhashSignature($"sh", k).as("twoStep"),
+        GraftFunctions.minhashShingles($"toks", 3, k).as("fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("twoStep") ==
+        r.getAs[scala.collection.Seq[Long]]("fused"), s"doc ${r.get(0)}")
+    }
+    // multi-byte UTF-8 tokens take the buffer-copy path too
+    val uni = Seq(Seq("héllo", "wörld", "日本語", "emoji🙂", "x"))
+      .toDF("toks")
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .select(GraftFunctions.minhashSignature($"sh", k).as("twoStep"),
+        GraftFunctions.minhashShingles($"toks", 3, k).as("fused"))
+      .head()
+    assert(uni.getAs[scala.collection.Seq[Long]]("twoStep") ==
+      uni.getAs[scala.collection.Seq[Long]]("fused"))
+  }
+
   test("native signLsh equals the HOF band-code form on real embeddings") {
     import spark.implicits._
     import graft.vec.VectorOps

@@ -47,6 +47,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("enrich (stream-static broadcast join) equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = StreamingOps.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched")
+      .select($"user_id", $"name", $"value").collect().map(_.toSeq).toSet
+    val want = fixture.toDF().join(dim, "user_id")
+      .select($"user_id", $"name", $"value").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("correlate (stream-stream interval join) equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    memL.addData(fixture: _*)
+    memR.addData(fixture: _*)
+    val q = StreamingOps.correlate(
+      memL.toDF().select($"ts", $"user_id", $"value".as("lv")),
+      memR.toDF().select($"ts", $"user_id", $"value".as("rv")),
+      "user_id", windowSec = 900)
+      .select(col("l.ts").as("lts"), col("r.ts").as("rts"),
+        col("lv"), col("rv"))
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("correlated").collect().map(_.toSeq).toSet
+    val b = fixture.toDF()
+    val want = b.select($"ts".as("lts"), $"user_id", $"value".as("lv"))
+      .join(b.select($"ts".as("rts"), $"user_id".as("uid2"), $"value".as("rv")),
+        $"user_id" === $"uid2" && $"rts" > $"lts" &&
+          $"rts" <= $"lts" + expr("INTERVAL 900 SECONDS"))
+      .select($"lts", $"rts", $"lv", $"rv").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("sessionAgg (streaming session_window) matches gap-based sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
