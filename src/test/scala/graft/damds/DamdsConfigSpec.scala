@@ -1,0 +1,70 @@
+package graft.damds
+
+import java.nio.file.{Files, Paths}
+
+import graft.TestSpark
+import graft.mm.{FixedPoint, MatrixIO}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DamdsConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fromProperties parses the reference's config keys and defaults") {
+    val dir = Files.createTempDirectory("graft-damds-cfg").toString
+    Files.write(Paths.get(s"$dir/config.properties"),
+      ("DistanceMatrixFile = /data/d.bin\n" +
+        "NumberDataPoints = 100\n" +
+        "TargetDimension = 2\n" +
+        "Alpha = 0.9\n" +
+        "CGIterations = 15\n" +
+        "MaxTempLoops = 3\n" +
+        "IsBigEndian = true\n").getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/config.properties")
+    assert(job.distanceMatrixFile == "/data/d.bin")
+    assert(job.numberDataPoints == 100)
+    assert(job.bigEndian)
+    assert(job.weightMatrixFile.isEmpty) // IsSimpleWeights defaults false
+    assert(job.cfg.targetDim == 2 && job.cfg.alpha == 0.9)
+    assert(job.cfg.cgIter == 15 && job.cfg.maxTempLoops == 3)
+    // untouched keys keep the reference defaults
+    assert(job.cfg.threshold == 1e-6 && job.cfg.tMinFactor == 0.5)
+    assert(job.cfg.maxStressLoops == 0)
+  }
+
+  test("run executes the pipeline from a config file end to end") {
+    val dir = Files.createTempDirectory("graft-damds-run").toString
+    val n = 32
+    // distances from seeded 2-D points, normalized, fixed-point
+    val rnd = new scala.util.Random(23)
+    val pts = Array.fill(n * 2)(rnd.nextDouble())
+    val dist = new Array[Double](n * n)
+    var mx = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      val dx = pts(i * 2) - pts(j * 2); val dy = pts(i * 2 + 1) - pts(j * 2 + 1)
+      val d = math.sqrt(dx * dx + dy * dy)
+      dist(i * n + j) = d; mx = math.max(mx, d)
+    }
+    MatrixIO.writeShortMatrix(s"$dir/d.bin",
+      dist.map(d => FixedPoint.encode(d / mx)), bigEndian = true)
+    Files.write(Paths.get(s"$dir/config.properties"),
+      (s"DistanceMatrixFile = $dir/d.bin\n" +
+        s"NumberDataPoints = $n\n" +
+        "TargetDimension = 2\n" +
+        "IsBigEndian = true\n" +
+        "MaxTempLoops = 2\n" +
+        "MaxStressLoops = 1\n" +
+        "CGIterations = 8\n").getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/config.properties", splits = 4)
+    val initRnd = new scala.util.Random(7)
+    val init = Array.fill(n * 2)(initRnd.nextDouble() - 0.5)
+    val res = DamdsConfig.run(spark, job, init)
+    assert(res.x.length == n * 2)
+    assert(res.x.forall(v => !v.isNaN && !v.isInfinite))
+    // stress values at different temperatures are not comparable to each
+    // other (the annealed target moves); check they are finite/positive
+    // and that the configured loop caps were honored
+    assert(res.stressLog.nonEmpty)
+    assert(res.stressLog.forall(s => s > 0 && !s.isNaN && !s.isInfinite))
+    assert(res.state.tItr == 2)
+  }
+}
