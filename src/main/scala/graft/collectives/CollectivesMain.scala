@@ -1,0 +1,53 @@
+package graft.collectives
+
+import org.apache.spark.sql.SparkSession
+
+/** Reference-compatible collectives micro-benchmark CLI
+  * (collectives/Program.java:7-29): same flags (--size payload ints,
+  * --itr iterations, --col 0=Reduce 1=AllReduce), timing each
+  * iteration's collective over `parallelism` payloads and printing the
+  * per-iteration latencies the reference logs to its out file.
+  */
+object CollectivesMain {
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val size = a.getOrElse("size", "1000").toInt
+    val itr = a.getOrElse("itr", "10").toInt
+    val col = a.getOrElse("col", "0").toInt
+
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val p = spark.sparkContext.defaultParallelism
+      val payloads = spark.range(p)
+        .map(i => Array.tabulate(size)(j => (i + j).toDouble))
+        .persist()
+      payloads.count()
+      val name = if (col == 0) "Reduce" else "AllReduce"
+      println(s"******************** $name ********************")
+      val times = (1 to itr).map { _ =>
+        val t0 = System.nanoTime()
+        if (col == 0) Collectives.reduce(payloads, Collectives.vectorSum)
+        else {
+          val bc = Collectives.allReduce(spark, payloads, Collectives.vectorSum)
+          // touch the broadcast on every executor (the reference's
+          // second map over the broadcast variable)
+          payloads.map(v => bc.value.length + v.length).reduce(_ + _)
+          bc.destroy()
+        }
+        (System.nanoTime() - t0) / 1e6
+      }
+      payloads.unpersist()
+      println(s"size $size itr $itr parallelism $p")
+      println(times.map(t => f"$t%.2f").mkString("latencies_ms ", " ", ""))
+    } finally if (!preexisting) spark.stop()
+  }
+}

@@ -30,6 +30,44 @@ class CliMainsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("cid")).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("DamdsMain runs from a reference config file and writes outputs") {
+    spark
+    val dir = Files.createTempDirectory("graft-cli-damds").toString
+    val n = 24
+    val rnd = new scala.util.Random(29)
+    val pts = Array.fill(n * 2)(rnd.nextDouble())
+    val dist = new Array[Double](n * n)
+    var mx = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      val dx = pts(i * 2) - pts(j * 2); val dy = pts(i * 2 + 1) - pts(j * 2 + 1)
+      val d = math.sqrt(dx * dx + dy * dy)
+      dist(i * n + j) = d; mx = math.max(mx, d)
+    }
+    graft.mm.MatrixIO.writeShortMatrix(s"$dir/d.bin",
+      dist.map(v => graft.mm.FixedPoint.encode(v / mx)))
+    Files.write(java.nio.file.Paths.get(s"$dir/config.properties"),
+      (s"DistanceMatrixFile = $dir/d.bin\nNumberDataPoints = $n\n" +
+        "TargetDimension = 2\nIsBigEndian = true\n" +
+        "MaxTempLoops = 1\nMaxStressLoops = 1\nCGIterations = 5\n").getBytes)
+    graft.damds.DamdsMain.main(Array(
+      "--config", s"$dir/config.properties", "--output", s"$dir/out"))
+    val outPts = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/points.txt"))).split("\n")
+    assert(outPts.length == n)
+    assert(outPts.head.split(" ").length == 3) // "i x y"
+    val summary = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/summary.txt")))
+    assert(summary.contains("finalStress"))
+  }
+
+  test("CollectivesMain times Reduce and AllReduce rounds") {
+    spark
+    graft.collectives.CollectivesMain.main(Array(
+      "--size", "100", "--itr", "2", "--col", "0"))
+    graft.collectives.CollectivesMain.main(Array(
+      "--size", "100", "--itr", "2", "--col", "1"))
+  }
+
   test("MatrixMultiplyMain generates, multiplies, and self-checks (-t)") {
     spark
     val dir = Files.createTempDirectory("graft-cli-mm").toString
