@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the physical-plan properties the engine
+  * promises at scale (README "Design rules"): filter pushdown into the
+  * parquet scan, column pruning, broadcast of small join sides, bounded
+  * top-k without a global sort, and no Window node in the argmin
+  * queries that were rewritten to hash aggregates (round-1 verdict
+  * findings 5/6).
+  */
+class PlanDisciplineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    Catalog.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02 filter is pushed into the parquet scan and columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters:\n$p")
+    // projection should not read the full 11-column lineitem schema;
+    // count the columns inside the FileScan's bracket list
+    val scanCols = p.linesIterator.find(_.contains("FileScan parquet"))
+      .flatMap(l => "\\[([^\\]]*)\\]".r.findFirstMatchIn(l).map(_.group(1)))
+      .map(_.split(",").length).getOrElse(99)
+    assert(scanCols < 8, s"scan reads $scanCols columns:\n$p")
+  }
+
+  test("q03 joins broadcast the small dimension sides") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("argmin queries q11/q21 contain no Window node") {
+    assert(!plan("q11_argmin_window").contains("Window"))
+    assert(!plan("q21_kmeans_assign").contains("Window"))
+  }
+
+  test("kmeans assignment m01 is shuffle-free up to the argmin projection") {
+    // one projection over the scan: the only Exchange allowed is none
+    val p = plan("m01_kmeans_assign")
+    assert(!p.contains("Exchange"), s"assignment should not shuffle:\n$p")
+  }
+
+  test("native hash expressions stay inside whole-stage codegen in d06/d07") {
+    // AQE wraps the plan and hides the codegen stage markers until the
+    // final plan; disable it for this static check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p6 = plan("d06_minhash_lsh")
+      val p7 = plan("d07_simhash")
+      def starred(p: String, token: String): Boolean =
+        p.linesIterator.exists(l => l.contains(token) && l.contains("*("))
+      assert(starred(p6, "graft_minhash_shingles"), p6)
+      assert(starred(p7, "graft_simhash64"), p7)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
