@@ -84,7 +84,7 @@ object Damds {
 
   /** N2 + A4: one distributed V·x multiply, gathered to N×d. */
   def mm(spark: SparkSession,
-      vblocks: org.apache.spark.rdd.RDD[(DamdsBlock, Array[Double])],
+      vblocks: org.apache.spark.rdd.RDD[(WeightBlock, Array[Double])],
       x: Array[Double], d: Int, n: Int): Array[Double] = {
     val xBc = spark.sparkContext.broadcast(x)
     val parts = vblocks.map { case (b, v) =>
@@ -101,7 +101,7 @@ object Damds {
     * completes its r/p updates. Returns (X, cg iterations used).
     */
   def cg(spark: SparkSession,
-      vblocks: org.apache.spark.rdd.RDD[(DamdsBlock, Array[Double])],
+      vblocks: org.apache.spark.rdd.RDD[(WeightBlock, Array[Double])],
       x0: Array[Double], bcM: Array[Double], d: Int, n: Int,
       cgIter: Int, cgThreshold: Double, exactCG: Boolean)
       : (Array[Double], Int) = {
@@ -147,8 +147,11 @@ object Damds {
     val invs = 1.0 / st.sumSq
     val blocks = updateDistances(rawBlocks, st.positiveMin)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vblocks = blocks.rdd.map(b => (b, vArray(b)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // slim weight-only view: caching full DamdsBlocks here would hold
+    // the N×N dist array twice (it already lives in `blocks`)
+    val vblocks = blocks.rdd.map { b =>
+      (WeightBlock(b.index, b.start, b.blockRows, b.n, b.weight), vArray(b))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val tMax = st.vmax / math.sqrt(2.0 * d)
       var state = State(

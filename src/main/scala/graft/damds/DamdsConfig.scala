@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * defaults), so a flink-mm user can point their existing config file
   * at this engine. Keys about Flink-specific plumbing (memory mapping,
   * timing/summary files, transformation functions) are accepted and
-  * ignored — loop state lives on the driver here, not in files.
+  * ignored — loop state lives on the driver here, not in files. Keys
+  * that would silently change numeric results (IsSimpleWeights,
+  * IsSammon, DistanceTransform != 1) are rejected with an error
+  * instead of being dropped.
   */
 object DamdsConfig {
 
@@ -32,12 +35,25 @@ object DamdsConfig {
         .orElse(Option(p.getProperty(name))).getOrElse(default)
     val weightFile = get("WeightMatrixFile", "weights.bin")
     val simpleWeights = get("IsSimpleWeights", "false").toBoolean
+    // modes that silently change numeric results are REJECTED rather
+    // than ignored: per-point simple-weight files (IsSimpleWeights) and
+    // Sammon weighting are not wired into the block loader yet, and a
+    // non-identity DistanceTransform changes every distance
+    require(!simpleWeights,
+      "IsSimpleWeights=true (per-point weight file) is not supported; " +
+        "provide a per-cell WeightMatrixFile or constant weights")
+    require(!get("IsSammon", "false").toBoolean,
+      "IsSammon=true is not supported in the config path " +
+        "(DamdsKernels.sammonWeight exists for callers wiring it explicitly)")
+    require(get("DistanceTransform", "1.0").toDouble == 1.0,
+      "DistanceTransform != 1.0 is not supported")
     Job(
       distanceMatrixFile = get("DistanceMatrixFile", "distance.bin"),
-      // the reference treats a missing/blank weight file as constant
-      // weight 1.0 (io/RowBlock.java:101-103)
-      weightMatrixFile =
-        if (weightFile.isEmpty || !simpleWeights) None else Some(weightFile),
+      // per-cell short weight matrix is the reference's default
+      // (non-simple) mode; a missing file means constant weight 1.0
+      // (the reference's WeightsWrap(null) mode, io/RowBlock.java:101-103)
+      weightMatrixFile = Some(weightFile).filter(f =>
+        f.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
       numberDataPoints = get("NumberDataPoints", "-1").toInt,
       bigEndian = get("IsBigEndian", "false").toBoolean,
       splits = splits,

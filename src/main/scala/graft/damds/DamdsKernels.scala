@@ -192,8 +192,21 @@ object DamdsKernels {
     out
   }
 
+  /** Weight-only view of a block for the CG/V·x path: the distance
+    * array is NOT needed there, and caching it alongside the weights
+    * would store the dominant N×N operand twice (the dist cache
+    * already holds it for stress/BC).
+    */
+  final case class WeightBlock(
+      index: Int, start: Int, blockRows: Int, n: Int,
+      weight: Array[Short]) {
+    def w(localRow: Int, globalCol: Int): Double =
+      if (weight.length == 0) 1.0
+      else weight(localRow * n + globalCol) * InvShortMax
+  }
+
   /** N2: out = V·x over the block's rows, V_ii = v(i), V_ij = −w_ij. */
-  def mmBlock(b: DamdsBlock, v: Array[Double], x: Array[Double],
+  def mmBlock(b: WeightBlock, v: Array[Double], x: Array[Double],
       d: Int): Array[Double] = {
     val out = new Array[Double](b.blockRows * d)
     var localRow = 0

@@ -52,14 +52,19 @@ object HashKernels {
     * Spark's multi-arg xxhash64 CHAINS — bytes hashed with seed 42,
     * then the int literal mixed with that result as seed — so the
     * expensive byte hash happens once per shingle and the k per-slot
-    * values are k cheap int-mixes of it.
+    * values are k cheap int-mixes of it. Returns null when there are
+    * no shingles (the HOF array_min of an empty array is null) — a
+    * sentinel signature here would make every short doc an exact LSH
+    * match of every other.
     */
   def minhash(arr: ArrayData, k: Int): Array[Long] = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
+    var any = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val s = arr.getUTF8String(i)
         val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
           s.numBytes, 42L)
@@ -72,7 +77,7 @@ object HashKernels {
       }
       i += 1
     }
-    mins
+    if (any) mins else null
   }
 }
 
@@ -108,15 +113,22 @@ final case class MinHashSigExpr(child: Expression, k: Int)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs array<string>, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle set -> null
   override def prettyName: String = "graft_minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(HashKernels.minhash(input.asInstanceOf[ArrayData], k))
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = HashKernels.minhash(input.asInstanceOf[ArrayData], k)
+    if (m == null) null else new GenericArrayData(m)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.HashKernels.minhash($c, $k))")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("mh")
+      s"""long[] $tmp = graft.functions.HashKernels.minhash($c, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
@@ -132,8 +144,9 @@ object HashKernels2 {
     * the per-shingle string/array materializations of the two-step form.
     */
   def minhashShingles(toks: ArrayData, n: Int, k: Int): Array[Long] = {
-    val mins = Array.fill(k)(Long.MaxValue)
     val numToks = toks.numElements()
+    if (numToks < n) return null // no shingles -> null, like minhash()
+    val mins = Array.fill(k)(Long.MaxValue)
     var buf = new Array[Byte](256)
     var i = 0
     while (i <= numToks - n) {
@@ -198,16 +211,22 @@ final case class MinHashShinglesExpr(child: Expression, n: Int, k: Int)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs array<string>, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // fewer than n tokens -> null
   override def prettyName: String = "graft_minhash_shingles"
 
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(HashKernels2.minhashShingles(
-      input.asInstanceOf[ArrayData], n, k))
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = HashKernels2.minhashShingles(input.asInstanceOf[ArrayData], n, k)
+    if (m == null) null else new GenericArrayData(m)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.HashKernels2.minhashShingles($c, $n, $k))")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("mhs")
+      s"""long[] $tmp = graft.functions.HashKernels2.minhashShingles($c, $n, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashShinglesExpr =
     copy(child = newChild)
@@ -255,7 +274,9 @@ object VecKernels {
     */
   def nearest(v: ArrayData, cents: Array[Double], d: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val k = cents.length / d
-    var best = -1
+    // best starts at 0, not -1: a NaN in v makes every comparison false
+    // and must still yield a valid cid (cluster 0, matching stepBlock)
+    var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < k) {

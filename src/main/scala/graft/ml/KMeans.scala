@@ -119,8 +119,9 @@ object KMeans {
       x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum
     }.max
 
-  /** Full fit loop (I1/I2). `tol` is squared-L2 centroid shift for early
-    * exit; `tol = 0` runs exactly `maxIter` iterations.
+  /** Full fit loop (I1/I2). `tol` is squared-L2 centroid shift for
+    * early exit; `tol = 0` stops early only on an exact fixed point
+    * (shift == 0), otherwise runs `maxIter` iterations.
     */
   def fit(
       points: DataFrame,

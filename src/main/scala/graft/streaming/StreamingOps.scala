@@ -47,35 +47,50 @@ object StreamingOps {
   // ---- custom state: flatMapGroupsWithState sessionizer ----
 
   final case class Evt(user_id: Long, tsMicros: Long)
+  final case class TEvt(user_id: Long, ts: java.sql.Timestamp)
   final case class SessState(start: Long, last: Long, n: Long, emitted: Long)
   final case class Session(user_id: Long, session_id: Long,
       startMicros: Long, endMicros: Long, n_events: Long)
 
-  /** Emit one row per CLOSED session (gap exceeded or state timeout).
-    * Demonstrates arbitrary keyed state (KeyValueGroupedDataset.
-    * flatMapGroupsWithState) for semantics session_window can't express
-    * (e.g. monotone per-user session ids). State per key is O(1). */
-  def sessionize(events: Dataset[Evt], gapMicros: Long = 1800000000L)
-      : Dataset[Session] = {
+  /** Emit one row per CLOSED session — closed by the inactivity gap
+    * when a later event arrives, or by EVENT-TIME TIMEOUT once the
+    * watermark passes the session's last event + gap (so a user who
+    * goes quiet still gets their final session emitted, and their
+    * state is removed — bounded state). Demonstrates arbitrary keyed
+    * state (flatMapGroupsWithState) for semantics session_window can't
+    * express (monotone per-user session ids). State per key is O(1). */
+  def sessionize(events: Dataset[TEvt], gapMicros: Long = 1800000000L,
+      lateness: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
+      .as[TEvt]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[Evt], state: GroupState[SessState]) =>
-          val sorted = rows.map(_.tsMicros).toArray.sorted
-          var st = state.getOption.getOrElse(
-            SessState(Long.MinValue, Long.MinValue, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          for (t <- sorted) {
-            if (st.n == 0L) st = SessState(t, t, 1L, st.emitted)
-            else if (t - st.last > gapMicros) {
-              out += Session(uid, st.emitted + 1L, st.start, st.last, st.n)
-              st = SessState(t, t, 1L, st.emitted + 1L)
-            } else st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TEvt], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and evict
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              Session(uid, st.emitted + 1L, st.start, st.last, st.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime * 1000L).toArray.sorted
+            var st = state.getOption.getOrElse(
+              SessState(Long.MinValue, Long.MinValue, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            for (t <- sorted) {
+              if (st.n == 0L) st = SessState(t, t, 1L, st.emitted)
+              else if (t - st.last > gapMicros) {
+                out += Session(uid, st.emitted + 1L, st.start, st.last, st.n)
+                st = SessState(t, t, 1L, st.emitted + 1L)
+              } else st = st.copy(last = math.max(st.last, t), n = st.n + 1L)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last / 1000L + gapMicros / 1000L)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -96,11 +111,16 @@ object StreamingOps {
   }
 
   /** Streaming exact dedup on a signature column with watermark-bounded
-    * state — the streaming form of d01_dedup_exact. */
+    * state — the streaming form of d01_dedup_exact. Dedup key is the
+    * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested
+    * copy with a different event time is still a duplicate, and state
+    * for a signature is evicted once the watermark passes its event
+    * time. (A (sig, ts) composite key would keep both copies and match
+    * nothing d01 means by "duplicate".) */
   def dedupStream(docs: DataFrame, sigCol: String, tsCol: String,
       lateness: String = "1 hour"): DataFrame =
     docs.withWatermark(tsCol, lateness)
-      .dropDuplicates(Seq(sigCol, tsCol))
+      .dropDuplicatesWithinWatermark(Seq(sigCol))
 
   /** Streaming global DoubleStatistics (A6) in update mode: running
     * count/min/max/sum/sumsq — partial aggregation state is a single

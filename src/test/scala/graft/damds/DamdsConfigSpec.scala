@@ -23,12 +23,36 @@ class DamdsConfigSpec extends AnyFunSuite {
     assert(job.distanceMatrixFile == "/data/d.bin")
     assert(job.numberDataPoints == 100)
     assert(job.bigEndian)
-    assert(job.weightMatrixFile.isEmpty) // IsSimpleWeights defaults false
+    // default weights.bin does not exist -> constant weight 1.0 mode
+    assert(job.weightMatrixFile.isEmpty)
     assert(job.cfg.targetDim == 2 && job.cfg.alpha == 0.9)
     assert(job.cfg.cgIter == 15 && job.cfg.maxTempLoops == 3)
     // untouched keys keep the reference defaults
     assert(job.cfg.threshold == 1e-6 && job.cfg.tMinFactor == 0.5)
     assert(job.cfg.maxStressLoops == 0)
+  }
+
+  test("an existing per-cell weight matrix file is picked up (non-simple mode)") {
+    val dir = Files.createTempDirectory("graft-damds-w").toString
+    graft.mm.MatrixIO.writeShortMatrix(s"$dir/w.bin", Array[Short](1, 2, 3, 4))
+    Files.write(Paths.get(s"$dir/config.properties"),
+      (s"DistanceMatrixFile = $dir/d.bin\nWeightMatrixFile = $dir/w.bin\n" +
+        "NumberDataPoints = 2\n").getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/config.properties")
+    assert(job.weightMatrixFile.contains(s"$dir/w.bin"))
+  }
+
+  test("modes that would silently change results are rejected") {
+    val dir = Files.createTempDirectory("graft-damds-rej").toString
+    for (bad <- Seq("IsSimpleWeights = true", "IsSammon = true",
+        "DistanceTransform = 0.5")) {
+      Files.write(Paths.get(s"$dir/c.properties"),
+        s"NumberDataPoints = 4\n$bad\n".getBytes)
+      val e = intercept[IllegalArgumentException] {
+        DamdsConfig.fromProperties(s"$dir/c.properties")
+      }
+      assert(e.getMessage.contains("not supported"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("run executes the pipeline from a config file end to end") {

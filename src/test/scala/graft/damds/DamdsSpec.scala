@@ -73,7 +73,8 @@ class DamdsSpec extends AnyFunSuite {
     val vs = blocks.map(vArray)
     // dense V: V_ii = v_i, V_ij = -w_ij = -1
     val got = blocks.zip(vs).flatMap { case (b, v) =>
-      mmBlock(b, v, x, d)
+      mmBlock(WeightBlock(b.index, b.start, b.blockRows, b.n, b.weight),
+        v, x, d)
     }.toArray
     val want = new Array[Double](n * d)
     for (i <- 0 until n; k <- 0 until d) {
@@ -123,7 +124,9 @@ class DamdsSpec extends AnyFunSuite {
     val b = Array.fill(n * d)(rnd.nextGaussian())
     val x0 = Array.fill(n * d)(0.0)
     val blocks = blocksDs(4)
-    val vblocks = blocks.rdd.map(bl => (bl, vArray(bl)))
+    val vblocks = blocks.rdd.map(bl =>
+      (WeightBlock(bl.index, bl.start, bl.blockRows, bl.n, bl.weight),
+        vArray(bl)))
     val (got, iters) = Damds.cg(spark, vblocks, x0, b, d, n,
       cgIter = 200, cgThreshold = 1e-14, exactCG = false)
     assert(iters > 0)

@@ -172,10 +172,13 @@ class HashExprsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b")).toDF("toks")
     val out = df.select(GraftFunctions.simhash64($"toks").as("s"),
-      GraftFunctions.minhashSignature($"toks", 4).as("m")).collect()
+      GraftFunctions.minhashSignature($"toks", 4).as("m"),
+      GraftFunctions.minhashShingles($"toks", 3, 4).as("msh")).collect()
     assert(out(0).getAs[Long]("s") == 0L)
-    assert(out(0).getAs[scala.collection.Seq[Long]]("m")
-      .forall(_ == Long.MaxValue))
+    // no shingles -> null signature (matches array_min-of-empty = null;
+    // a MaxValue sentinel would LSH-match all short docs to each other)
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
     assert(out(1).getAs[scala.collection.Seq[Long]]("m").size == 4)
+    assert(out(1).isNullAt(2)) // 2 tokens < n=3 shingle width
   }
 }

@@ -67,19 +67,24 @@ object KernelProps extends Properties("graft.kernels") {
         HashKernels.simhash(utf8Array(shuffled))
     }
 
-  // ---- MinHash ----
+  // ---- MinHash (null = signature of an empty set, the identity) ----
+  private def sig(ts: Seq[String], k: Int): Option[Seq[Long]] =
+    Option(HashKernels.minhash(utf8Array(ts), k)).map(_.toSeq)
+
   property("minhash of a union is the elementwise min of the parts") =
     forAll(tokenGen, tokenGen, Gen.chooseNum(1, 16)) { (a, b, k) =>
-      val ma = HashKernels.minhash(utf8Array(a), k)
-      val mb = HashKernels.minhash(utf8Array(b), k)
-      val mu = HashKernels.minhash(utf8Array(a ++ b), k)
-      mu.toSeq == ma.zip(mb).map { case (x, y) => math.min(x, y) }.toSeq
+      val mu = sig(a ++ b, k)
+      (sig(a, k), sig(b, k)) match {
+        case (None, mb) => mu == mb
+        case (ma, None) => mu == ma
+        case (Some(ma), Some(mb)) =>
+          mu.contains(ma.zip(mb).map { case (x, y) => math.min(x, y) })
+      }
     }
 
   property("minhash is duplicate-insensitive") =
     forAll(tokenGen, Gen.chooseNum(1, 16)) { (a, k) =>
-      HashKernels.minhash(utf8Array(a), k).toSeq ==
-        HashKernels.minhash(utf8Array(a ++ a), k).toSeq
+      sig(a, k) == sig(a ++ a, k)
     }
 
   // ---- sign LSH ----

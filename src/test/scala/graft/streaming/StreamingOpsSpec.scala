@@ -110,10 +110,13 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessionizer emits closed sessions with monotone ids") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StreamingOps.Evt]
-    val evts = fixture.map(e =>
-      StreamingOps.Evt(e.user_id, e.ts.getTime * 1000L))
-    mem.addData(evts: _*)
+    val mem = MemoryStream[StreamingOps.TEvt]
+    // user 3 has a single early event: its session must be closed by
+    // the EVENT-TIME TIMEOUT once the watermark (max ts - lateness =
+    // 265min - 60min) passes its last event + gap (10min + 30min)
+    val tevts = fixture.map(e => StreamingOps.TEvt(e.user_id, e.ts)) :+
+      StreamingOps.TEvt(3L, ts(10))
+    mem.addData(tevts: _*)
     val q = StreamingOps.sessionize(mem.toDS())
       .writeStream.format("memory").queryName("fmgs")
       .outputMode("append").start()
@@ -121,12 +124,15 @@ class StreamingOpsSpec extends AnyFunSuite {
 
     val closed = spark.table("fmgs").as[StreamingOps.Session]
       .collect().sortBy(s => (s.user_id, s.session_id))
-    // last session per user stays open (no timeout configured in test):
-    // user 1 closed: {0,10}(n=2), {65}, {130}; user 2 closed: {20}, {70}
+    // users 1/2: gap-closed sessions; their trailing sessions (260/265)
+    // are still within gap of the watermark and stay open. user 3:
+    // closed by timeout.
     assert(closed.map(s => (s.user_id, s.session_id, s.n_events)).toSeq ==
       Seq((1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L),
-          (2L, 1L, 1L), (2L, 2L, 1L)))
+          (2L, 1L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
     // batch flush helper agrees on the total session count per user
+    val evts = fixture.map(e =>
+      StreamingOps.Evt(e.user_id, e.ts.getTime * 1000L))
     val all = StreamingOps.openSessions(spark.createDataset(evts))
       .collect().map(s => (s.user_id, s.session_id)).toMap
     assert(all == Map(1L -> 4L, 2L -> 3L))
@@ -135,7 +141,9 @@ class StreamingOpsSpec extends AnyFunSuite {
   test("dedupStream drops exact duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    mem.addData(fixture ++ fixture.take(3): _*) // re-send 3 duplicates
+    // re-send 3 exact duplicates plus one SAME-CONTENT copy at a
+    // different event time — still a duplicate by signature
+    mem.addData(fixture ++ fixture.take(3) :+ Ev(ts(5), "a", 1.5, 1): _*)
     val q = StreamingOps.dedupStream(
         mem.toDF().withColumn("sig", md5(concat_ws("|", $"event_type", $"value"))),
         "sig", "ts")
