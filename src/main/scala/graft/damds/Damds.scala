@@ -39,7 +39,8 @@ object Damds {
       cgThreshold: Double = 1e-5,
       exactCG: Boolean = false,
       maxStressLoops: Int = -1,
-      maxTempLoops: Int = -1)
+      maxTempLoops: Int = -1,
+      sammonFactor: Double = 0.0) // > 0 enables Sammon weighting (N11)
 
   final case class State(
       tCur: Double, tMin: Double,
@@ -145,13 +146,20 @@ object Damds {
     val d = cfg.targetDim
     val st = statistics(rawBlocks)
     val invs = 1.0 / st.sumSq
-    val blocks = updateDistances(rawBlocks, st.positiveMin)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Sammon weighting needs the global average distance from the
+    // stats pass (reference DAMDS.java wires distanceSummary.getAverage
+    // into RowBlock.useSammonWeights)
+    val repaired = updateDistances(rawBlocks, st.positiveMin)
+    val blocks = (
+      if (cfg.sammonFactor > 0.0)
+        repaired.map(b => b.copy(sammonFactor = cfg.sammonFactor,
+          avgDist = st.sum / st.count))(repaired.encoder)
+      else repaired
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     // slim weight-only view: caching full DamdsBlocks here would hold
     // the N×N dist array twice (it already lives in `blocks`)
-    val vblocks = blocks.rdd.map { b =>
-      (WeightBlock(b.index, b.start, b.blockRows, b.n, b.weight), vArray(b))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val vblocks = blocks.rdd.map(b => (weightView(b), vArray(b)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val tMax = st.vmax / math.sqrt(2.0 * d)
       var state = State(

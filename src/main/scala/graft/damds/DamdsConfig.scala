@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * defaults), so a flink-mm user can point their existing config file
   * at this engine. Keys about Flink-specific plumbing (memory mapping,
   * timing/summary files, transformation functions) are accepted and
-  * ignored — loop state lives on the driver here, not in files. Keys
-  * that would silently change numeric results (IsSimpleWeights,
-  * IsSammon, DistanceTransform != 1) are rejected with an error
+  * ignored — loop state lives on the driver here, not in files.
+  * IsSimpleWeights (per-point w_i·w_j) and IsSammon (w/max(d,
+  * 0.001·avgDist)) are fully supported; DistanceTransform != 1, which
+  * would silently change every distance, is rejected with an error
   * instead of being dropped.
   */
 object DamdsConfig {
@@ -21,6 +22,7 @@ object DamdsConfig {
   final case class Job(
       distanceMatrixFile: String,
       weightMatrixFile: Option[String],
+      simpleWeightsFile: Option[String],
       numberDataPoints: Int,
       bigEndian: Boolean,
       splits: Int,
@@ -35,25 +37,21 @@ object DamdsConfig {
         .orElse(Option(p.getProperty(name))).getOrElse(default)
     val weightFile = get("WeightMatrixFile", "weights.bin")
     val simpleWeights = get("IsSimpleWeights", "false").toBoolean
-    // modes that silently change numeric results are REJECTED rather
-    // than ignored: per-point simple-weight files (IsSimpleWeights) and
-    // Sammon weighting are not wired into the block loader yet, and a
-    // non-identity DistanceTransform changes every distance
-    require(!simpleWeights,
-      "IsSimpleWeights=true (per-point weight file) is not supported; " +
-        "provide a per-cell WeightMatrixFile or constant weights")
-    require(!get("IsSammon", "false").toBoolean,
-      "IsSammon=true is not supported in the config path " +
-        "(DamdsKernels.sammonWeight exists for callers wiring it explicitly)")
+    // a key that would silently change every distance is REJECTED
+    // rather than ignored
     require(get("DistanceTransform", "1.0").toDouble == 1.0,
       "DistanceTransform != 1.0 is not supported")
+    val existing = Some(weightFile).filter(f =>
+      f.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
     Job(
       distanceMatrixFile = get("DistanceMatrixFile", "distance.bin"),
       // per-cell short weight matrix is the reference's default
-      // (non-simple) mode; a missing file means constant weight 1.0
-      // (the reference's WeightsWrap(null) mode, io/RowBlock.java:101-103)
-      weightMatrixFile = Some(weightFile).filter(f =>
-        f.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
+      // (non-simple) mode; IsSimpleWeights=true reads the same file key
+      // as N per-point doubles (w_i·w_j, RowBlock.java:98-99,127-129);
+      // a missing file means constant weight 1.0 (WeightsWrap(null)
+      // mode, io/RowBlock.java:101-103)
+      weightMatrixFile = if (simpleWeights) None else existing,
+      simpleWeightsFile = if (simpleWeights) existing else None,
       numberDataPoints = get("NumberDataPoints", "-1").toInt,
       bigEndian = get("IsBigEndian", "false").toBoolean,
       splits = splits,
@@ -66,7 +64,10 @@ object DamdsConfig {
         cgThreshold = get("CGErrorThreshold", "1").toDouble,
         exactCG = get("ExactCGIter", "false").toBoolean,
         maxStressLoops = get("MaxStressLoops", "0").toInt,
-        maxTempLoops = get("MaxTempLoops", "0").toInt))
+        maxTempLoops = get("MaxTempLoops", "0").toInt,
+        // reference Sammon default factor 0.001 (RowBlock.java:107-108)
+        sammonFactor =
+          if (get("IsSammon", "false").toBoolean) 0.001 else 0.0))
   }
 
   /** Load inputs per the job spec and run the full pipeline. */
@@ -74,7 +75,8 @@ object DamdsConfig {
       : Damds.RunResult = {
     require(job.numberDataPoints > 0, "NumberDataPoints must be set")
     val blocks = DamdsIO.loadSideRead(spark, job.distanceMatrixFile,
-      job.weightMatrixFile, job.numberDataPoints, job.splits, job.bigEndian)
+      job.weightMatrixFile, job.numberDataPoints, job.splits, job.bigEndian,
+      simpleWeightsFile = job.simpleWeightsFile)
     Damds.run(spark, blocks, initX, job.numberDataPoints, job.cfg)
   }
 }

@@ -41,12 +41,18 @@ object DamdsIO {
 
   /** J2/S10: one scan; each task side-reads its weight row range from
     * the file. `weightFile = None` gives constant weight 1.0 (the
-    * reference's missing-weight-file mode, io/RowBlock.java:101-103).
+    * reference's missing-weight-file mode, io/RowBlock.java:101-103);
+    * `simpleWeightsFile` instead loads N per-point doubles (text,
+    * whitespace-separated) for the reference's IsSimpleWeights w_i·w_j
+    * mode (RowBlock.java:98-99,127-129).
     */
   def loadSideRead(spark: SparkSession, distFile: String,
       weightFile: Option[String], n: Int, numSplits: Int,
-      bigEndian: Boolean = true): Dataset[DamdsBlock] = {
+      bigEndian: Boolean = true,
+      simpleWeightsFile: Option[String] = None): Dataset[DamdsBlock] = {
     import spark.implicits._
+    require(weightFile.isEmpty || simpleWeightsFile.isEmpty,
+      "per-cell weightFile and per-point simpleWeightsFile are exclusive")
     val splits = MatrixIO.rowSplits(n, numSplits)
     spark.createDataset(splits.zipWithIndex)
       .repartition(splits.size)
@@ -58,7 +64,16 @@ object DamdsIO {
             bigEndian)
           case None => Array.empty[Short]
         }
-        DamdsBlock(idx, start, blockRows, n, dist, w)
+        val rw = simpleWeightsFile match {
+          case Some(f) =>
+            val vals = scala.io.Source.fromFile(f).mkString.trim
+              .split("\\s+").map(_.toDouble)
+            require(vals.length == n,
+              s"simple weights file $f has ${vals.length} values, want $n")
+            vals
+          case None => Array.empty[Double]
+        }
+        DamdsBlock(idx, start, blockRows, n, dist, w, rw)
       }
   }
 }

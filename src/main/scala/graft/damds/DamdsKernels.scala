@@ -24,17 +24,37 @@ object DamdsKernels {
 
   import FixedPoint.InvShortMax
 
-  /** Block of the N×N fixed-point distance matrix plus its weights. */
+  /** Block of the N×N fixed-point distance matrix plus its weights.
+    * Weight semantics mirror the reference's RowBlock.getWeight
+    * (io/RowBlock.java:124-142), in precedence order:
+    *  - `rowWeight` non-empty → per-point simple weights w_i·w_j
+    *    (full-N vector, same in every block);
+    *  - `weight` non-empty → per-cell fixed-point matrix;
+    *  - both empty → constant 1.0;
+    * and when `sammonFactor > 0`, the base weight is divided by
+    * max(d_ij, sammonFactor·avgDist) (N11; reference default factor
+    * 0.001, RowBlock.java:107-113,139-142).
+    */
   final case class DamdsBlock(
       index: Int,
       start: Int,
       blockRows: Int,
       n: Int,
       dist: Array[Short],
-      weight: Array[Short]) {
-    def w(localRow: Int, globalCol: Int): Double =
-      if (weight.length == 0) 1.0
-      else weight(localRow * n + globalCol) * InvShortMax
+      weight: Array[Short],
+      rowWeight: Array[Double] = Array.empty,
+      sammonFactor: Double = 0.0,
+      avgDist: Double = 0.0) {
+    def w(localRow: Int, globalCol: Int): Double = {
+      val base =
+        if (rowWeight.nonEmpty) rowWeight(start + localRow) * rowWeight(globalCol)
+        else if (weight.length == 0) 1.0
+        else weight(localRow * n + globalCol) * InvShortMax
+      if (sammonFactor > 0.0)
+        base / math.max(dist(localRow * n + globalCol) * InvShortMax,
+          sammonFactor * avgDist)
+      else base
+    }
   }
 
   /** Combinable DoubleStatistics (A6). */
@@ -193,17 +213,35 @@ object DamdsKernels {
   }
 
   /** Weight-only view of a block for the CG/V·x path: the distance
-    * array is NOT needed there, and caching it alongside the weights
-    * would store the dominant N×N operand twice (the dist cache
-    * already holds it for stress/BC).
+    * array is NOT needed there (except under Sammon weighting, which
+    * divides by the cell distance — `DamdsBlock.weightView` retains
+    * dist only in that mode), so caching the full block would store
+    * the dominant N×N operand twice.
     */
   final case class WeightBlock(
       index: Int, start: Int, blockRows: Int, n: Int,
-      weight: Array[Short]) {
-    def w(localRow: Int, globalCol: Int): Double =
-      if (weight.length == 0) 1.0
-      else weight(localRow * n + globalCol) * InvShortMax
+      weight: Array[Short],
+      rowWeight: Array[Double] = Array.empty,
+      dist: Array[Short] = Array.empty,
+      sammonFactor: Double = 0.0,
+      avgDist: Double = 0.0) {
+    def w(localRow: Int, globalCol: Int): Double = {
+      val base =
+        if (rowWeight.nonEmpty) rowWeight(start + localRow) * rowWeight(globalCol)
+        else if (weight.length == 0) 1.0
+        else weight(localRow * n + globalCol) * InvShortMax
+      if (sammonFactor > 0.0)
+        base / math.max(dist(localRow * n + globalCol) * InvShortMax,
+          sammonFactor * avgDist)
+      else base
+    }
   }
+
+  /** Weight view of a full block (dist retained only under Sammon). */
+  def weightView(b: DamdsBlock): WeightBlock =
+    WeightBlock(b.index, b.start, b.blockRows, b.n, b.weight, b.rowWeight,
+      if (b.sammonFactor > 0.0) b.dist else Array.empty,
+      b.sammonFactor, b.avgDist)
 
   /** N2: out = V·x over the block's rows, V_ii = v(i), V_ij = −w_ij. */
   def mmBlock(b: WeightBlock, v: Array[Double], x: Array[Double],

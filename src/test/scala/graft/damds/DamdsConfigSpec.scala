@@ -42,17 +42,73 @@ class DamdsConfigSpec extends AnyFunSuite {
     assert(job.weightMatrixFile.contains(s"$dir/w.bin"))
   }
 
-  test("modes that would silently change results are rejected") {
+  test("unsupported DistanceTransform is rejected, not silently dropped") {
     val dir = Files.createTempDirectory("graft-damds-rej").toString
-    for (bad <- Seq("IsSimpleWeights = true", "IsSammon = true",
-        "DistanceTransform = 0.5")) {
-      Files.write(Paths.get(s"$dir/c.properties"),
-        s"NumberDataPoints = 4\n$bad\n".getBytes)
-      val e = intercept[IllegalArgumentException] {
-        DamdsConfig.fromProperties(s"$dir/c.properties")
-      }
-      assert(e.getMessage.contains("not supported"), s"$bad: ${e.getMessage}")
+    Files.write(Paths.get(s"$dir/c.properties"),
+      "NumberDataPoints = 4\nDistanceTransform = 0.5\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      DamdsConfig.fromProperties(s"$dir/c.properties")
     }
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("IsSimpleWeights routes the weight file to per-point mode; IsSammon sets the factor") {
+    val dir = Files.createTempDirectory("graft-damds-sw").toString
+    Files.write(Paths.get(s"$dir/sw.txt"), "1.0 2.0 0.5 1.5".getBytes)
+    Files.write(Paths.get(s"$dir/c.properties"),
+      (s"NumberDataPoints = 4\nWeightMatrixFile = $dir/sw.txt\n" +
+        "IsSimpleWeights = true\nIsSammon = true\n").getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/c.properties")
+    assert(job.weightMatrixFile.isEmpty)
+    assert(job.simpleWeightsFile.contains(s"$dir/sw.txt"))
+    assert(job.cfg.sammonFactor == 0.001)
+  }
+
+  test("simple weights: block w(i,j) = w_i * w_j; sammon floors by distance") {
+    import graft.damds.DamdsKernels.DamdsBlock
+    import graft.mm.FixedPoint
+    val n = 3
+    val rw = Array(2.0, 0.5, 3.0)
+    val dist = Array.tabulate(n * n)(i => FixedPoint.encode(0.1 * (i % n)))
+    val plain = DamdsBlock(0, 0, n, n, dist, Array.empty, rw)
+    assert(plain.w(0, 1) == 2.0 * 0.5)
+    assert(plain.w(2, 0) == 3.0 * 2.0)
+    // sammon: w / max(d, factor * avgDist); pick factor*avg larger than
+    // the cell distance so the floor binds
+    val sam = plain.copy(sammonFactor = 0.5, avgDist = 1.0)
+    val expectFloor = (2.0 * 0.5) / 0.5 // d(0,1)=0.1 < 0.5 -> floor
+    assert(math.abs(sam.w(0, 1) - expectFloor) < 1e-9)
+    // and when the distance exceeds the floor it divides by the distance
+    val d02 = FixedPoint.decode(dist(2)) // 0.2
+    assert(math.abs(sam.w(0, 2) - (2.0 * 3.0) / math.max(d02, 0.5)) < 1e-9)
+  }
+
+  test("run with all-ones simple weights equals the constant-weight run") {
+    val dir = Files.createTempDirectory("graft-damds-eq").toString
+    val n = 24
+    val rnd = new scala.util.Random(31)
+    val pts = Array.fill(n * 2)(rnd.nextDouble())
+    val dist = new Array[Double](n * n)
+    var mx = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      val dx = pts(i * 2) - pts(j * 2); val dy = pts(i * 2 + 1) - pts(j * 2 + 1)
+      val d = math.sqrt(dx * dx + dy * dy)
+      dist(i * n + j) = d; mx = math.max(mx, d)
+    }
+    graft.mm.MatrixIO.writeShortMatrix(s"$dir/d.bin",
+      dist.map(v => graft.mm.FixedPoint.encode(v / mx)))
+    Files.write(Paths.get(s"$dir/ones.txt"),
+      Array.fill(n)("1.0").mkString(" ").getBytes)
+    val initRnd = new scala.util.Random(7)
+    val init = Array.fill(n * 2)(initRnd.nextDouble() - 0.5)
+    val cfg = Damds.Config(targetDim = 2, cgIter = 8,
+      maxStressLoops = 1, maxTempLoops = 1)
+    def blocks(sw: Option[String]) = DamdsIO.loadSideRead(
+      TestSpark.spark, s"$dir/d.bin", None, n, 4, simpleWeightsFile = sw)
+    val a = Damds.run(spark, blocks(None), init.clone(), n, cfg)
+    val b = Damds.run(spark, blocks(Some(s"$dir/ones.txt")), init.clone(), n, cfg)
+    assert(a.x.toSeq == b.x.toSeq)
+    assert(a.state.stress == b.state.stress)
   }
 
   test("run executes the pipeline from a config file end to end") {
