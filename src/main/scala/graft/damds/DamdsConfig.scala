@@ -23,10 +23,30 @@ object DamdsConfig {
       distanceMatrixFile: String,
       weightMatrixFile: Option[String],
       simpleWeightsFile: Option[String],
+      initialPointsFile: Option[String],
       numberDataPoints: Int,
       bigEndian: Boolean,
       splits: Int,
       cfg: Damds.Config)
+
+  /** Seed embedding: InitialPointsFile when configured (whitespace
+    * text, n rows × targetDim, the reference's init.txt format), else
+    * a seeded uniform random in [-0.5, 0.5).
+    */
+  def initialX(job: Job, seed: Long = 17L): Array[Double] =
+    job.initialPointsFile match {
+      case Some(f) =>
+        val vals = scala.io.Source.fromFile(f).mkString.trim
+          .split("\\s+").map(_.toDouble)
+        require(vals.length == job.numberDataPoints * job.cfg.targetDim,
+          s"init file $f has ${vals.length} values, want " +
+            s"${job.numberDataPoints} x ${job.cfg.targetDim}")
+        vals
+      case None =>
+        val rnd = new java.util.Random(seed)
+        Array.fill(job.numberDataPoints * job.cfg.targetDim)(
+          rnd.nextDouble() - 0.5)
+    }
 
   def fromProperties(path: String, splits: Int = 32): Job = {
     val p = new Properties()
@@ -52,6 +72,9 @@ object DamdsConfig {
       // mode, io/RowBlock.java:101-103)
       weightMatrixFile = if (simpleWeights) None else existing,
       simpleWeightsFile = if (simpleWeights) existing else None,
+      initialPointsFile = Some(get("InitialPointsFile", "init.txt"))
+        .filter(f => f.nonEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
       numberDataPoints = get("NumberDataPoints", "-1").toInt,
       bigEndian = get("IsBigEndian", "false").toBoolean,
       splits = splits,

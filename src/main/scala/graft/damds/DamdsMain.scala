@@ -31,11 +31,8 @@ object DamdsMain {
         splits = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
       val n = job.numberDataPoints
       val d = job.cfg.targetDim
-      // deterministic seed embedding (the reference reads
-      // InitialPointsFile or randomizes; seeded here for repeatability)
-      val rnd = new java.util.Random(17L)
-      val initX = Array.fill(n * d)(rnd.nextDouble() - 0.5)
-      val res = DamdsConfig.run(spark, job, initX)
+      // InitialPointsFile when configured, else deterministic random
+      val res = DamdsConfig.run(spark, job, DamdsConfig.initialX(job))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       // K1: final embedding text
       val lines = (0 until n).map { i =>

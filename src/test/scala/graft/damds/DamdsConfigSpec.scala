@@ -42,6 +42,23 @@ class DamdsConfigSpec extends AnyFunSuite {
     assert(job.weightMatrixFile.contains(s"$dir/w.bin"))
   }
 
+  test("InitialPointsFile seeds the embedding when present") {
+    val dir = Files.createTempDirectory("graft-damds-init").toString
+    Files.write(Paths.get(s"$dir/init.txt"),
+      "0.1 0.2\n0.3 0.4\n".getBytes)
+    Files.write(Paths.get(s"$dir/c.properties"),
+      (s"NumberDataPoints = 2\nTargetDimension = 2\n" +
+        s"InitialPointsFile = $dir/init.txt\n").getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/c.properties")
+    assert(DamdsConfig.initialX(job).toSeq == Seq(0.1, 0.2, 0.3, 0.4))
+    // absent file -> seeded random of the right size
+    Files.write(Paths.get(s"$dir/c2.properties"),
+      "NumberDataPoints = 5\nTargetDimension = 3\n".getBytes)
+    val job2 = DamdsConfig.fromProperties(s"$dir/c2.properties")
+    val x = DamdsConfig.initialX(job2)
+    assert(x.length == 15 && x.forall(v => v >= -0.5 && v < 0.5))
+  }
+
   test("unsupported DistanceTransform is rejected, not silently dropped") {
     val dir = Files.createTempDirectory("graft-damds-rej").toString
     Files.write(Paths.get(s"$dir/c.properties"),
