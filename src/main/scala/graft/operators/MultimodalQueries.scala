@@ -61,8 +61,21 @@ object MultimodalQueries {
         sum(col("width") * col("height") * col("channels")).as("bytes"))
   }
 
+  /** x04: content-addressable media dedup — decode → feature-extract →
+    * group by the exact feature signature. Identical payloads decode to
+    * identical features, so copies collapse to one keeper regardless of
+    * their ids; the signature groupBy is the only shuffle (the d01
+    * exact-dedup shape applied to media).
+    */
+  private def x04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(media(s, dir))
+      .groupBy(xxhash64(col("features")).as("feat_sig"))
+      .agg(min(col("media_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, None),
-    Q("x03_frame_sample", x03, None))
+    Q("x03_frame_sample", x03, None),
+    Q("x04_media_dedup", x04, None))
 }

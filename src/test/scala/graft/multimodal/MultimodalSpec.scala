@@ -69,6 +69,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq == Seq(0, 3, 6, 9))
   }
 
+  test("media dedup by feature signature collapses identical payloads") {
+    import org.apache.spark.sql.functions.xxhash64
+    // inject explicit duplicates: ids 1 and 10 share a payload
+    val docs = Seq(
+      (1L, "same payload bytes"), (2L, "unique one"),
+      (3L, "unique two"), (10L, "same payload bytes"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val m = Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
+      format = "fake", width = 16, height = 16, channels = 3)
+    val groups = Multimodal.imageFeatures(m)
+      .groupBy(xxhash64($"features").as("sig"))
+      .agg(org.apache.spark.sql.functions.min($"media_id").as("keeper"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n"))
+    assert(groups.length == 3) // 4 media -> 3 distinct contents
+    assert(groups.contains(1L -> 2L)) // dup group kept the lowest id
+    assert(groups.map(_._2).sum == 4)
+    // the registered x04 runs clean over the real fixture
+    import graft.TestSpark
+    val q = graft.operators.MultimodalQueries.all
+      .find(_.name == "x04_media_dedup").get
+    val out = q.fn(spark, TestSpark.sf0001)
+    assert(out.agg(org.apache.spark.sql.functions.sum($"n_copies"))
+      .head().getLong(0) ==
+      spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet").count())
+  }
+
   test("audioFeatures: windows cover all samples, rms/zcr in range") {
     val df = Multimodal.audioFeatures(mediaDf(kind = "audio"), windowSamples = 100)
     val rows = df.where($"media_id" === 1L).collect()
