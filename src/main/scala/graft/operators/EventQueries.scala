@@ -69,8 +69,51 @@ object EventQueries {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin
 
+  // ---- q24: interval self-join (batch form of streaming correlate) --
+  // pairs of same-user events within 15 minutes (strictly after), a
+  // time-bounded theta join; per-user pair counts keep the output small
+  // while still forcing the full interval-join work
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val l = e.select($"user_id", $"event_id".as("id_l"), $"us".as("us_l"))
+    val r = e.select($"user_id", $"event_id".as("id_r"), $"us".as("us_r"))
+    l.join(r, Seq("user_id"))
+      .where($"us_r" > $"us_l" && $"us_r" <= $"us_l" + 900000000L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        max($"us_r" - $"us_l").cast("long").as("max_gap_us"))
+  }
+  private val q24Sql =
+    """SELECT l.user_id, COUNT(*) AS n_pairs,
+      |  CAST(MAX(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS max_gap_us
+      |FROM events l JOIN events r ON l.user_id = r.user_id
+      |  AND epoch_us(r.ts) > epoch_us(l.ts)
+      |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 900000000
+      |GROUP BY l.user_id""".stripMargin
+
+  // ---- q25: grouping sets over the hourly rollup ----
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("day", to_date($"ts"))
+      .groupingSets(
+        Seq(Seq($"day", $"event_type"), Seq($"day"), Seq($"event_type")),
+        $"day", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
+  }
+  private val q25Sql =
+    """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY GROUPING SETS ((1, 2), (1), (2))""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q17_events_hourly", q17, Some(q17Sql)),
     Q("q18_sessionize", q18, Some(q18Sql)),
-    Q("q23_json_extract", q23, Some(q23Sql)))
+    Q("q23_json_extract", q23, Some(q23Sql)),
+    Q("q24_interval_join", q24, Some(q24Sql)),
+    Q("q25_grouping_sets", q25, Some(q25Sql)))
 }
