@@ -406,7 +406,30 @@ object RelationalQueries {
       |  CAST(1 + SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS v
       |FROM lineitem GROUP BY l_suppkey""".stripMargin
 
+  // ---- q26: exact interpolated percentiles per group ----
+  // Spark `percentile` and DuckDB `quantile_cont` share the sorted
+  // linear-interpolation definition; results are rounded to 6dp on
+  // both sides to absorb the last-bit interpolation arithmetic
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+  }
+  private val q26Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
     Q("q03_join_agg", q03, Some(q03Sql)),
