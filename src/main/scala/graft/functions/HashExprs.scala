@@ -333,6 +333,66 @@ final case class NearestCentroidExpr(child: Expression,
     copy(child = newChild)
 }
 
+object TextKernels {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** Normalize-and-tokenize in one pass, value-identical to
+    * `split(lower(trim(regexp_replace(s, "\\s+", " "))), " ")`:
+    * tokens are maximal runs not containing the regex \s class
+    * ([ \t\n\x0B\f\r]), lowercased with Spark's own UTF8String
+    * lowercasing; an all-whitespace/empty input yields [""] (split of
+    * an empty string), matching the HOF chain's edge case. One scan of
+    * the bytes instead of three regex/string passes per row.
+    *
+    * Multi-byte UTF-8 is safe to scan bytewise: continuation bytes
+    * have the high bit set and can never equal the ASCII whitespace
+    * byte values.
+    */
+  def normTokens(s: UTF8String): GenericArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes // materialized copy, offset 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out += UTF8String.fromBytes(bytes, start, i - start)
+      }
+    }
+    if (out.isEmpty) out += UTF8String.EMPTY_UTF8
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** norm_tokens(text: string) → array<string>. */
+final case class NormTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_norm_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.normTokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.normTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormTokensExpr =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the native kernels. */
 object GraftFunctions {
   def simhash64(tokens: Column): Column =
@@ -348,4 +408,6 @@ object GraftFunctions {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroidExpr(expression(v), centroids.flatten,
       centroids.head.length))
+  def normTokens(text: Column): Column =
+    column(NormTokensExpr(expression(text)))
 }

@@ -17,8 +17,14 @@ object TextOps {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Whitespace tokens of the normalized text. Delegates to the native
+    * one-pass tokenizer (graft.functions.NormTokensExpr) — the
+    * regex-chain form ran three regex/string passes per row;
+    * value-identical including the all-whitespace → [""] edge case
+    * (proven in HashExprsSpec).
+    */
+  def tokens(c: Column): Column =
+    graft.functions.GraftFunctions.normTokens(c)
 
   /** Distinct word n-gram shingles from a `toks` array column (requires
     * size(toks) >= n; callers filter). 0-based array indexing.

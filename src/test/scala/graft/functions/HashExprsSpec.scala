@@ -56,6 +56,28 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("native normTokens equals the regex normalize+split chain") {
+    import spark.implicits._
+    val hof = split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")
+    // real docs plus crafted edge cases: empty, all-whitespace, mixed
+    // whitespace classes, multi-byte and case-mapped unicode
+    val crafted = Seq("", "   ", " \t\n\f\r ", "a", "  a  b ",
+      "HÉLLO\tWörld", "日本語 テスト", "Mixed\r\nCASE\ttokens  here",
+      "İstanbul Iİ")
+      .toDF("text")
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select($"text")
+    for (df <- Seq(crafted, docs)) {
+      val rows = df.select(hof.as("hof"),
+        GraftFunctions.normTokens($"text").as("native")).collect()
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[String]]("hof") ==
+          r.getAs[scala.collection.Seq[String]]("native"),
+          s"input: ${r}")
+      }
+    }
+  }
+
   test("fused shingle-minhash equals the two-step shingles+minhash form") {
     import spark.implicits._
     val k = 16
