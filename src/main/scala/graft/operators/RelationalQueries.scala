@@ -428,7 +428,29 @@ object RelationalQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- q27: correlated scalar subquery via the SQL interface ----
+  // parts priced above their brand's average; Catalyst decorrelates the
+  // subquery into an aggregate + join (no per-row re-execution), and
+  // the engine's SQL text surface gets exercised end to end
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part").createOrReplaceTempView("graft_part")
+    s.sql(
+      """SELECT p_partkey, p_brand,
+        |  CAST(p_retailprice AS DOUBLE) AS price
+        |FROM graft_part p
+        |WHERE p_retailprice > 1.1 * (
+        |  SELECT AVG(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+        |  FROM graft_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
+  }
+  private val q27Sql =
+    """SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS price
+      |FROM part p
+      |WHERE p_retailprice > 1.1 * (
+      |  SELECT AVG(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+      |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
