@@ -144,6 +144,85 @@ object KMeans {
     }
   }
 
+  /** `fit` over the A5 block pre-agg step (`stepBlock`) — same loop and
+    * convergence contract, one single-pass job per iteration instead of
+    * the posexplode plan (which multiplies rows ×d per step). Use for
+    * high-d quantizer training (e.g. the IVF coarse quantizer) where
+    * the explode cost dominates. Results differ from `fit` only in FP
+    * summation order.
+    */
+  def fitBlock(
+      points: DataFrame,
+      init: Array[Array[Double]],
+      maxIter: Int,
+      tol: Double = 0.0): Model = {
+    val cached = points.select(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lastShift = Double.NaN
+      val r = Iterate.loop(init.map(_.clone()), maxIter) { cur =>
+        stepBlock(cached, cur)
+      } { (prev, next) =>
+        lastShift = maxShift(prev, next)
+        lastShift <= tol
+      }
+      Model(r.state, r.iters, r.converged, lastShift)
+    } finally {
+      cached.unpersist()
+    }
+  }
+
+  /** Lloyd's on a driver-local sample — the quantizer-training path for
+    * IVF-style indexes: at 100 TB the coarse quantizer is trained on a
+    * bounded reservoir/sample (FAISS practice), never via distributed
+    * jobs over the corpus, so training cost is independent of corpus
+    * size. Same update rule, strict-< lowest-index tiebreak, and
+    * empty-cluster-keeps-old-centroid contract as `step`/`stepBlock`.
+    */
+  def fitLocal(
+      pts: Array[Array[Double]],
+      init: Array[Array[Double]],
+      maxIter: Int,
+      tol: Double = 0.0): Model = {
+    val k = init.length
+    val d = init.head.length
+    var cur = init.map(_.clone())
+    var iters = 0
+    var converged = false
+    var lastShift = Double.NaN
+    while (iters < maxIter && !converged) {
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Long](k)
+      pts.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = v(j) - cur(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      val next = cur.map(_.clone())
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { next(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iters += 1
+      lastShift = maxShift(cur, next)
+      converged = lastShift <= tol
+      cur = next
+    }
+    Model(cur, iters, converged, lastShift)
+  }
+
   /** Deterministic seeding: the k rows with the lowest `idCol` values. */
   def initFromLowestIds(points: DataFrame, idCol: String, k: Int): Array[Array[Double]] =
     points.select(col(idCol), col("v"))

@@ -246,8 +246,8 @@ object TextQueries {
       |           arg_min(n_tokens, doc_id) AS n_tokens,
       |           COUNT(*) AS n_copies
       |    FROM gated GROUP BY sig)
-      |SELECT source, COUNT(*) AS kept_docs, SUM(n_copies) AS total_copies,
-      |  SUM(n_tokens) AS sum_tokens, round(AVG(n_tokens), 6) AS avg_tokens
+      |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(n_copies) AS BIGINT) AS total_copies,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, round(AVG(n_tokens), 6) AS avg_tokens
       |FROM kept GROUP BY source""".stripMargin
 
   val all: Seq[Q] = Seq(

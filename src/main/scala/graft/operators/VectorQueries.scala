@@ -130,40 +130,66 @@ object VectorQueries {
   }
 
   /** v05: IVF-style ANN — the partition-pruning scale path. A coarse
-    * K-Means quantizer (k cells, trained once) assigns every vector to
-    * a cell; a query probes only its `nprobe` nearest cells and runs
-    * exact top-k inside them. At scale the corpus is WRITTEN partitioned
-    * by cell, so a probe reads nprobe/k of the data (real partition
-    * pruning); here the cell filter expresses the same plan. Recall vs
-    * v01 asserted in spec.
+    * K-Means quantizer (k cells) is trained ONCE per dataset and the
+    * cell-assigned corpus is materialized once (memoized + persisted —
+    * at cluster scale this is the corpus *written* partitioned by cell,
+    * so a probe reads nprobe/k of the data via real partition pruning).
+    * A query probes only its `nprobe` nearest cells and runs exact
+    * top-k inside them. Recall vs v01 asserted in spec.
     */
   private val ivfCells = 16
   private val nprobe = 4
 
+  // Index build is the expensive, once-per-dataset step; queries must
+  // not pay for it (memoized per session+dir). The quantizer is trained
+  // driver-side on a bounded deterministic sample (KMeans.fitLocal) —
+  // FAISS practice: a 16-cell quantizer never needs distributed jobs
+  // over the corpus, so training cost is independent of corpus size. At
+  // 100 TB the sample would be a TABLESAMPLE/reservoir; here the
+  // pushdown-friendly `vec_id < sampleN` slice keeps it deterministic.
+  // The only distributed work is the one-pass cell assignment, cached
+  // (= the corpus written partitioned by cell).
+  private val sampleN = 4096L
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)]
+
+  private def ivfIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame) =
+    ivfCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val sample = e.filter($"vec_id" < sampleN)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray))
+        .sortBy(_._1)
+      val init = sample.take(ivfCells).map(_._2) // lowest-id seeding, as initFromLowestIds
+      val cents = KMeans.fitLocal(sample.map(_._2), init, maxIter = 3).centroids
+      val assigned = e.select($"vec_id", $"v",
+        KMeans.assign($"v", cents).getField("cid").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no eager count: the first probe's single pruned scan populates
+      // the cache as it runs; later probes hit the cached assignment
+      (cents, sample, assigned)
+    })
+
   private def v05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, dir)
-    val cents = KMeans.fit(e, KMeans.initFromLowestIds(e, "vec_id", ivfCells),
-      maxIter = 3).centroids
-    val assigned = e.select($"vec_id", $"v",
-      KMeans.assign($"v", cents).getField("cid").as("cell"))
-    val q = assigned.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"))
-    // nprobe nearest cells per query, computed on the driver-side
-    // centroid matrix (k×d doubles) and joined as a literal
-    val qCells = q.select($"qid", $"qv").collect().map { r =>
-      val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
+    val (cents, sample, assigned) = ivfIndex(s, dir)
+    // Query vectors and their nprobe nearest cells are pure driver math
+    // over the k×d centroid matrix + the (already collected) sample —
+    // zero extra jobs; the single distributed job is the pruned
+    // candidate scan below.
+    val qRows = sample.filter(_._1 < nQueries)
+    val probes = qRows.flatMap { case (qid, qv) =>
       val near = cents.zipWithIndex.map { case (c, i) =>
         (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
       }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-      (r.getAs[Long]("qid"), near.toSeq)
-    }.toSeq
-    val probes = qCells
-      .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
-      .toDF("qid", "cell")
+      near.map(cell => (qid, cell, qv.toSeq))
+    }.toSeq.toDF("qid", "cell", "qv")
     val cands = assigned.join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"qid")
-    val scored = cands.join(broadcast(q.select($"qid", $"qv")), "qid")
+    val scored = cands
       .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
     VectorOps.topKPerQuery(scored, topK)
       .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
