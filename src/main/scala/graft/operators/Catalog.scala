@@ -22,7 +22,8 @@ object Catalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ MlQueries.all ++ MatrixQueries.all ++
-      DamdsQueries.all ++ MultimodalQueries.all
+      DamdsQueries.all ++ DamdsOracleQueries.all ++ CollectiveQueries.all ++
+      MultimodalQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

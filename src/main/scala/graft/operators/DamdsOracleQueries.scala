@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.damds.DamdsKernels
+import graft.damds.DamdsKernels.DamdsBlock
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DuckDB-oracle rows for the DA-MDS numeric kernels that were
+  * previously spec-only: stress σ (N4/A7, damds/Stress.java:55-93),
+  * B(Z)·X (N3, damds/BC.java:86-134) and V·x with the VArray diagonal
+  * (N2+A8, damds/VArray.java:49-67 + the CG multiply contract at
+  * damds/CG.java:411-421).
+  *
+  * The ACTUAL block kernels run on Spark (one `DamdsBlock` per row so
+  * each block partial is a checkable output row); the oracle recomputes
+  * the same arithmetic in plain SQL over a deterministic fixed-point
+  * matrix derived from the `embeddings` fixture's id universe:
+  *   δ_ij = ((31i + 17j) mod 32768) / 32767   (fixed-point short decode)
+  *   w_ij = ((13i +  7j) mod 32768) / 32767
+  *   x_i  = (i mod 8, i div 8)                 (2-d target embedding)
+  * tCur = 0 so the annealing diff term is 0 (heatDiff cutoff).
+  *
+  * Determinism: per-row double sums over 64 terms differ between the
+  * kernel's sequential fold and DuckDB's aggregate order only in the
+  * last bits; both sides round to 6 decimals (the Catalog contract for
+  * order-dependent folds).
+  */
+object DamdsOracleQueries {
+
+  private val n = 64
+  private val dim = 2
+
+  private def distRow(i: Int): Array[Short] =
+    Array.tabulate(n)(j => ((i * 31 + j * 17) % 32768).toShort)
+  private def weightRow(i: Int): Array[Short] =
+    Array.tabulate(n)(j => ((i * 13 + j * 7) % 32768).toShort)
+  private def xFlat: Array[Double] =
+    Array.tabulate(n * dim) { k =>
+      val i = k / dim
+      if (k % dim == 0) (i % 8).toDouble else (i / 8).toDouble
+    }
+
+  /** One single-row block per fixture id (vec_id < n), so every block
+    * partial the kernel emits is one oracle-checkable output row. */
+  private def blocks(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[DamdsBlock] = {
+    val ids = Tables(s, dir, "embeddings")
+      .select(col("vec_id")).filter(col("vec_id") < n)
+      .collect().map(_.getLong(0)).sorted
+    require(ids.length == n, s"fixture has ${ids.length} < $n ids")
+    s.createDataset(ids.map { id =>
+      val i = id.toInt
+      DamdsBlock(i, i, 1, n, distRow(i), weightRow(i))
+    }.toIndexedSeq)(Encoders.product[DamdsBlock])
+  }
+
+  /** Shared oracle prelude: the id universe with its 2-d embedding and
+    * the (i, j, δ, w, euclidean) cell view. */
+  private def matSql(body: String): String =
+    s"""WITH ids AS (SELECT vec_id AS i, CAST(vec_id % 8 AS DOUBLE) AS px,
+       |               CAST(vec_id // 8 AS DOUBLE) AS py
+       |             FROM embeddings WHERE vec_id < $n),
+       |  cells AS (SELECT a.i AS i, a.px AS apx, a.py AS apy,
+       |              b.i AS j, b.px AS bpx, b.py AS bpy,
+       |              ((a.i * 31 + b.i * 17) % 32768) * (1.0 / 32767) AS delta,
+       |              ((a.i * 13 + b.i * 7) % 32768) * (1.0 / 32767) AS w,
+       |              CASE WHEN a.i <> b.i THEN
+       |                sqrt((a.px - b.px) * (a.px - b.px)
+       |                   + (a.py - b.py) * (a.py - b.py))
+       |              ELSE 0.0 END AS euc
+       |            FROM ids a CROSS JOIN ids b)
+       |$body""".stripMargin
+
+  // ---- n03: stress σ per-row partials (N4/A7) ----
+  private def n03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xB = s.sparkContext.broadcast(xFlat)
+    blocks(s, dir)
+      .map(b => (b.start.toLong, DamdsKernels.stressSigma(b, xB.value, dim, 0.0)))
+      .toDF("row_id", "sigma")
+      .select($"row_id", round($"sigma", 6).as("sigma"))
+  }
+  private val n03Sql = matSql(
+    """SELECT i AS row_id,
+      |  round(SUM(w * (delta - euc) * (delta - euc)), 6) AS sigma
+      |FROM cells GROUP BY i""".stripMargin)
+
+  // ---- n04: B(Z)·X per-row (N3) ----
+  private def n04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xB = s.sparkContext.broadcast(xFlat)
+    blocks(s, dir)
+      .map { b =>
+        val out = DamdsKernels.bcBlock(b, xB.value, dim, 0.0)
+        (b.start.toLong, out(0), out(1))
+      }
+      .toDF("row_id", "bx", "by")
+      .select($"row_id", round($"bx", 6).as("bx"), round($"by", 6).as("by"))
+  }
+  // B_ij = −w δ / d(X) when d ≥ 1e-10 ∧ δ > diff(=0); B_ii = −Σ_{j≠i} B_ij
+  private val n04Sql = matSql(
+    """SELECT i AS row_id,
+      |  round(SUM(bij * bpx) + (-SUM(bij)) * apx, 6) AS bx,
+      |  round(SUM(bij * bpy) + (-SUM(bij)) * apy, 6) AS by
+      |FROM (SELECT *, CASE WHEN euc >= 1e-10 AND delta > 0
+      |        THEN -w * delta / euc ELSE 0.0 END AS bij
+      |      FROM cells WHERE i <> j AND w <> 0) t
+      |GROUP BY i, apx, apy""".stripMargin)
+
+  // ---- n05: V·x with VArray diagonal (N2 + A8) ----
+  private def n05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xB = s.sparkContext.broadcast(xFlat)
+    blocks(s, dir)
+      .map { b =>
+        val v = DamdsKernels.vArray(b)
+        val out = DamdsKernels.mmBlock(DamdsKernels.weightView(b), v, xB.value, dim)
+        (b.start.toLong, v(0), out(0), out(1))
+      }
+      .toDF("row_id", "v", "ox", "oy")
+      .select($"row_id", round($"v", 6).as("v"),
+        round($"ox", 6).as("ox"), round($"oy", 6).as("oy"))
+  }
+  // v_i = 1 + Σ_{j≠i, w≠0} w_ij ; out = v_i·x_i − Σ_{j≠i, w≠0} w_ij·x_j
+  private val n05Sql = matSql(
+    """SELECT i AS row_id, round(v, 6) AS v,
+      |  round(v * apx - sx, 6) AS ox, round(v * apy - sy, 6) AS oy
+      |FROM (SELECT i, apx, apy,
+      |        1 + SUM(CASE WHEN w <> 0 THEN w ELSE 0.0 END) AS v,
+      |        SUM(CASE WHEN w <> 0 THEN w * bpx ELSE 0.0 END) AS sx,
+      |        SUM(CASE WHEN w <> 0 THEN w * bpy ELSE 0.0 END) AS sy
+      |      FROM cells WHERE i <> j GROUP BY i, apx, apy) t""".stripMargin)
+
+  val all: Seq[Q] = Seq(
+    Q("n03_stress_sigma", n03, Some(n03Sql)),
+    Q("n04_bofz_multiply", n04, Some(n04Sql)),
+    Q("n05_vx_multiply", n05, Some(n05Sql)))
+}

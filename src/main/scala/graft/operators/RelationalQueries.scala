@@ -449,8 +449,33 @@ object RelationalQueries {
       |  SELECT AVG(CAST(p2.p_retailprice AS DECIMAL(18,2)))
       |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin
 
+  // ---- q28: skew-salted grouped aggregation (driver-visible proof of
+  // Skew.saltedSumCount) ----
+  // A deliberately hot key (every l_orderkey ≡ 0 mod 3 folds into key
+  // 0, ~1/3 of the table) aggregated through the two-phase salted plan;
+  // the oracle is the PLAIN group-by — salting must be result-invisible.
+  // Values go through DECIMAL(18,2) so sums are exact and
+  // order-independent regardless of which salt partial they land in.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables(s, dir, "lineitem")
+      .select(
+        when($"l_orderkey" % 3 === 0, 0L)
+          .otherwise($"l_orderkey" % 64).as("k"),
+        dec($"l_quantity").as("qty"))
+    Skew.saltedSumCount(keyed, "k", "qty", salts = 8)
+      .select($"k", $"sum_qty".cast("double").as("sum_qty"), $"cnt")
+  }
+  private val q28Sql =
+    """SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+      |       ELSE l_orderkey % 64 END AS k,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
+    Q("q28_salted_agg", q28, Some(q28Sql)),
     Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
