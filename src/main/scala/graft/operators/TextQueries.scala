@@ -197,6 +197,154 @@ object TextQueries {
   private def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
 
+  // ---- d10–d12: md5 siblings of the xxhash64 near-dup family ----
+  // The production paths (d06/d07/d08) hash with xxhash64, which DuckDB
+  // cannot reproduce, so they are rows-only for the driver. These
+  // variants run the SAME banding/blocking/fingerprint logic with an
+  // md5-derived hash both engines compute identically — so the LSH
+  // plumbing (band slicing, bucket join, slot-agreement estimate,
+  // bit-band blocking, hamming verify) is end-to-end oracle-checked.
+  // md5 hex strings are lowercase fixed-width in both engines, so
+  // lexicographic min/max = numeric min/max.
+
+  private val mhK = 16 // minhash slots (md5 variant)
+  private val mhBands = 4
+  // d10/d11 are oracle slices (like d05 for d06): interpreted md5/bit
+  // HOFs cost ~7 ms/doc, so the checked universe is capped at the
+  // sf0.01 gate's document universe; the unbounded production paths
+  // remain d06/d07 (native xxhash64 expressions)
+  private val oracleSliceN = 300
+
+  private def d10MinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = mhK / mhBands
+    val sigs = Tables(s, dir, "documents")
+      .filter($"doc_id" < oracleSliceN)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .select($"doc_id", expr(
+        s"""transform(sequence(0, ${mhK - 1}), i ->
+           |  array_min(transform(sh, x ->
+           |    md5(cast(concat(cast(i as string), ' ', x) as binary)))))"""
+          .stripMargin).as("sig"))
+    val banded = sigs.select($"doc_id".as("doc"), posexplode(expr(
+      s"""transform(sequence(0, ${mhBands - 1}), b ->
+         |  md5(cast(concat(cast(b as string), '|',
+         |    concat_ws('|', slice(sig, b * $r + 1, $r))) as binary)))"""
+        .stripMargin)).as(Seq("band", "bucket")))
+    val cands = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+        $"x.doc" < $"y.doc")
+      .groupBy($"x.doc".as("id_a"), $"y.doc".as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    TextOps.estimateJaccard(cands, sigs, "doc_id", mhK)
+      .filter($"est_jaccard" >= 0.2)
+      .select($"id_a", $"id_b", $"n_bands", $"est_jaccard")
+  }
+  private val d10Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE doc_id < $oracleSliceN AND length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+       |    FROM t WHERE len(toks) >= 3),
+       |  sig AS (SELECT doc_id, list_transform(generate_series(0, ${mhK - 1}),
+       |      i -> list_min(list_transform(sh,
+       |        x -> md5(CAST(i AS VARCHAR) || ' ' || x)))) AS sig
+       |    FROM s),
+       |  banded AS (SELECT doc_id, b.range AS band,
+       |      md5(CAST(b.range AS VARCHAR) || '|' || array_to_string(
+       |        sig[b.range * ${mhK / mhBands} + 1 : b.range * ${mhK / mhBands} + ${mhK / mhBands}], '|')) AS bucket
+       |    FROM sig CROSS JOIN range($mhBands) b),
+       |  cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_bands
+       |    FROM banded x JOIN banded y
+       |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_bands,
+       |  CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK AS est_jaccard
+       |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+       |JOIN sig sb ON c.id_b = sb.doc_id
+       |WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK >= 0.2""".stripMargin
+
+  private def d11SimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 32-bit simhash from the first 8 md5 nibbles per token: bit b set
+    // iff Σ_tokens (±1 by token-bit b) > 0 — same sign rule and band
+    // blocking as d07, at a width both engines can bit-slice; 8-bit
+    // bands keep bucket fan-in sub-quadratic (256 buckets per band)
+    val h = Tables(s, dir, "documents")
+      .filter($"doc_id" < oracleSliceN)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("vals", expr(
+        "transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint))"))
+      .select($"doc_id", expr(
+        """aggregate(transform(sequence(0, 31), b ->
+          |  case when aggregate(vals, cast(0 as bigint),
+          |      (a, v) -> a + (shiftright(v, b) & 1) * 2 - 1) > 0
+          |    then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end),
+          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin).as("simhash"))
+    val b = h.select($"doc_id", $"simhash", explode(array((0 until 4).map { i =>
+      (shiftright($"simhash", i * 8).bitwiseAND(lit(255L)) + lit(i.toLong * 256))
+    }: _*)).as("code"))
+    b.as("x").join(b.as("y"),
+        $"x.code" === $"y.code" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        TextOps.hamming64($"x.simhash", $"y.simhash").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+  }
+  private val d11Sql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0),
+      |  v AS (SELECT doc_id, list_transform(toks,
+      |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS vals
+      |    FROM t),
+      |  h AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+      |      b -> CASE WHEN list_sum(list_transform(vals,
+      |          v -> ((v >> b) & 1) * 2 - 1)) > 0
+      |        THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+      |    FROM v),
+      |  b AS (SELECT doc_id, simhash, ((simhash >> (i.range * 8)) & 255) + i.range * 256 AS code
+      |    FROM h CROSS JOIN range(4) i)
+      |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      |FROM b x JOIN b y ON x.code = y.code AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  private def d12FingerprintMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("sh", TextOps.shingles("toks", 3))
+      .select($"doc_id",
+        md5(concat_ws(" ", $"toks").cast("binary")).as("full_fp"),
+        expr("array_min(transform(sh, t -> md5(cast(t as binary))))")
+          .as("min_shingle_fp"),
+        expr("array_max(transform(sh, t -> md5(cast(t as binary))))")
+          .as("max_shingle_fp"))
+  }
+  private val d12Sql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |  s AS (SELECT doc_id, toks, list_distinct(list_transform(
+      |      generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+      |    FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, md5(array_to_string(toks, ' ')) AS full_fp,
+      |  list_min(list_transform(sh, t -> md5(t))) AS min_shingle_fp,
+      |  list_max(list_transform(sh, t -> md5(t))) AS max_shingle_fp
+      |FROM s""".stripMargin
+
   // ---- d09: end-to-end curation pipeline (oracle-checked) ----
   // The composed shape a training-data run actually executes: normalize
   // → tokenize → quality gate → exact-dedup (keep lowest doc_id) → per
@@ -259,5 +407,8 @@ object TextQueries {
     Q("d06_minhash_lsh", d06MinhashLsh, None),
     Q("d07_simhash", d07Simhash, None),
     Q("d08_fingerprints", d08Fingerprint, None),
-    Q("d09_curation_pipeline", d09, Some(d09Sql)))
+    Q("d09_curation_pipeline", d09, Some(d09Sql)),
+    Q("d10_minhash_lsh_md5", d10MinhashMd5, Some(d10Sql)),
+    Q("d11_simhash_md5", d11SimhashMd5, Some(d11Sql)),
+    Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)))
 }
