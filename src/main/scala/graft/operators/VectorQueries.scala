@@ -181,13 +181,19 @@ object VectorQueries {
     // zero extra jobs; the single distributed job is the pruned
     // candidate scan below.
     val qRows = sample.filter(_._1 < nQueries)
-    val probes = qRows.flatMap { case (qid, qv) =>
+    val probeRows = qRows.flatMap { case (qid, qv) =>
       val near = cents.zipWithIndex.map { case (c, i) =>
         (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
       }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
       near.map(cell => (qid, cell, qv.toSeq))
-    }.toSeq.toDF("qid", "cell", "qv")
-    val cands = assigned.join(broadcast(probes), "cell")
+    }
+    val probes = probeRows.toSeq.toDF("qid", "cell", "qv")
+    val probedCells = probeRows.map(_._2).distinct.toSeq
+    // the IN-list over probed cells is the partition-pruning predicate:
+    // with the corpus written partitioned by cell, a probe reads only
+    // nprobe/k of the data (here it prunes the cached assignment scan)
+    val cands = assigned.filter($"cell".isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"qid")
     val scored = cands
       .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))

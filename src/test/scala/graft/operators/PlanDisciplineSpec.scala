@@ -51,6 +51,38 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment should not shuffle:\n$p")
   }
 
+  test("v04/d06 LSH band exchanges ship ids only, never vectors/signatures") {
+    // the scale contract of the banded designs: the only shuffles keyed
+    // on (band, bucket/code) carry ids — vector/signature arrays are
+    // joined back once per deduped pair, never replicated per band
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.types.ArrayType
+      for (name <- Seq("v04_cosine_dup_lsh", "d06_minhash_lsh")) {
+        val plan = Catalog.queries(name)(spark, TestSpark.sf0001)
+          .queryExecution.executedPlan
+        val bandEx = plan.collect {
+          case e: Exchange if e.output.exists(a =>
+            Seq("band", "bucket", "code").contains(a.name)) => e
+        }
+        assert(bandEx.nonEmpty, s"$name: no band exchange in plan:\n$plan")
+        bandEx.foreach { e =>
+          assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"$name: band exchange carries an array column: ${e.output}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("v05 candidate scan is pruned to the probed cell set") {
+    val opt = Catalog.queries("v05_knn_ivf")(spark, TestSpark.sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("cell"), s"no cell column in plan:\n$opt")
+    assert(opt.contains("IN (") || opt.contains("INSET"),
+      s"no IN-list cell pruning predicate before the candidate join:\n$opt")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only
