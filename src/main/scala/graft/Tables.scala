@@ -24,10 +24,25 @@ object Tables {
     * We read nanos-as-long and derive a micros timestamp (truncating,
     * matching DuckDB's `epoch_us`/timestamp-cast semantics on the same
     * file, so oracle SQL can keep using `ts` natively).
+    *
+    * The nanosAsLong flag is a session conf (no per-read DataFrameReader
+    * option exists), but it is only consulted during the eager schema
+    * resolution inside `spark.read.parquet`, so it is scoped here: set,
+    * resolve, then restored to its prior value — a later read of some
+    * OTHER nanos-timestamp parquet is not silently affected by this one.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

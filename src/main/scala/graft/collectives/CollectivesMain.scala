@@ -33,21 +33,37 @@ object CollectivesMain {
       payloads.count()
       val name = if (col == 0) "Reduce" else "AllReduce"
       println(s"******************** $name ********************")
-      val times = (1 to itr).map { _ =>
+      // reference latency harness parity (collectives/Reduce.java:22-70,
+      // CollectiveData.java:6-13): each payload is stamped with its send
+      // time + host inside the task, the merge keeps the earliest stamp,
+      // and the recorded latency is create→reduction-complete — the
+      // collective's true end-to-end hop time, not just driver wall time
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      val results = (1 to itr).map { _ =>
         val t0 = System.nanoTime()
-        if (col == 0) Collectives.reduce(payloads, Collectives.vectorSum)
-        else {
-          val bc = Collectives.allReduce(spark, payloads, Collectives.vectorSum)
-          // touch the broadcast on every executor (the reference's
-          // second map over the broadcast variable)
-          payloads.map(v => bc.value.length + v.length).reduce(_ + _)
-          bc.destroy()
-        }
-        (System.nanoTime() - t0) / 1e6
+        val stamped = payloads.map(v => (v, System.nanoTime(), host))
+        def merge(a: (Array[Double], Long, String),
+            b: (Array[Double], Long, String)) =
+          (Collectives.vectorSum(a._1, b._1), math.min(a._2, b._2), a._3)
+        val sendNanos =
+          if (col == 0) Collectives.reduce(stamped, merge)._2
+          else {
+            val bc = Collectives.allReduce(spark, stamped, merge)
+            // touch the broadcast on every executor (the reference's
+            // second map over the broadcast variable)
+            payloads.map(v => bc.value._1.length + v.length).reduce(_ + _)
+            val s = bc.value._2
+            bc.destroy()
+            s
+          }
+        val done = System.nanoTime()
+        ((done - sendNanos) / 1e6, (done - t0) / 1e6)
       }
       payloads.unpersist()
       println(s"size $size itr $itr parallelism $p")
-      println(times.map(t => f"$t%.2f").mkString("latencies_ms ", " ", ""))
+      println(results.map(t => f"${t._1}%.2f")
+        .mkString("collective_latency_ms ", " ", ""))
+      println(results.map(t => f"${t._2}%.2f").mkString("latencies_ms ", " ", ""))
     } finally if (!preexisting) spark.stop()
   }
 }

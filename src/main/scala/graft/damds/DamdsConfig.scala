@@ -55,14 +55,29 @@ object DamdsConfig {
     def get(name: String, default: String): String =
       Option(System.getProperty(name))
         .orElse(Option(p.getProperty(name))).getOrElse(default)
-    val weightFile = get("WeightMatrixFile", "weights.bin")
     val simpleWeights = get("IsSimpleWeights", "false").toBoolean
     // a key that would silently change every distance is REJECTED
     // rather than ignored
     require(get("DistanceTransform", "1.0").toDouble == 1.0,
       "DistanceTransform != 1.0 is not supported")
-    val existing = Some(weightFile).filter(f =>
-      f.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    // an absent DEFAULT file degrades to the reference's null-fallback
+    // (constant weight 1.0 / random init), but an EXPLICITLY configured
+    // path that does not exist fails fast — the reference errors when it
+    // cannot read a named file, and a typo'd path must not silently
+    // change numeric results
+    def optionalFile(key: String, default: String): Option[String] = {
+      val explicit = Option(System.getProperty(key))
+        .orElse(Option(p.getProperty(key)))
+      val f = explicit.getOrElse(default)
+      if (f.isEmpty) None
+      else if (java.nio.file.Files.exists(java.nio.file.Paths.get(f))) Some(f)
+      else {
+        require(explicit.isEmpty || explicit.contains(default),
+          s"$key=$f is explicitly configured but does not exist")
+        None
+      }
+    }
+    val existing = optionalFile("WeightMatrixFile", "weights.bin")
     Job(
       distanceMatrixFile = get("DistanceMatrixFile", "distance.bin"),
       // per-cell short weight matrix is the reference's default
@@ -72,9 +87,7 @@ object DamdsConfig {
       // mode, io/RowBlock.java:101-103)
       weightMatrixFile = if (simpleWeights) None else existing,
       simpleWeightsFile = if (simpleWeights) existing else None,
-      initialPointsFile = Some(get("InitialPointsFile", "init.txt"))
-        .filter(f => f.nonEmpty &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
+      initialPointsFile = optionalFile("InitialPointsFile", "init.txt"),
       numberDataPoints = get("NumberDataPoints", "-1").toInt,
       bigEndian = get("IsBigEndian", "false").toBoolean,
       splits = splits,

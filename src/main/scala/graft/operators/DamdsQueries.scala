@@ -29,6 +29,13 @@ object DamdsQueries {
   private def distanceBlocks(s: SparkSession, dir: String, splits: Int)
       : org.apache.spark.sql.Dataset[DamdsBlock] = {
     import s.implicits._
+    // this builder collects N vectors and materializes the N×N matrix
+    // on the driver — fixture-only by design (the reference's DAMDS
+    // reads a pre-computed distance file; the parallelism-1 gather is
+    // its contract). For larger N build blocks distributedly: assign
+    // row ranges, broadcast the N×d vectors, compute each block's rows
+    // in its own task (the mm/Gemm block pattern).
+    require(n <= 1024, s"driver-side N×N distance build capped at 1024 (n=$n)")
     val vecs = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .filter($"vec_id" < n)

@@ -164,9 +164,13 @@ object StreamingOps {
   }
 
   /** One Lloyd step per micro-batch against the current centroids,
-    * blended by per-cluster batch weight (mini-batch K-Means). Returns
-    * the started query; the model handle is live-updated. `points` must
-    * be a streaming DataFrame with an array<double> column `v`. */
+    * blended into the model with a FIXED exponential decay (`decay`
+    * weight on the batch step, `1-decay` on the old centroid — applied
+    * uniformly to every cluster; clusters with no points in the batch
+    * are unchanged because `KMeans.step` returns their old centroid,
+    * so the blend is a no-op for them). Returns the started query; the
+    * model handle is live-updated. `points` must be a streaming
+    * DataFrame with an array<double> column `v`. */
   def kmeansStream(points: DataFrame, model: StreamingKMeansModel,
       decay: Double = 0.5): StreamingQuery =
     points.writeStream

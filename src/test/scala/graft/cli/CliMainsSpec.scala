@@ -62,10 +62,23 @@ class CliMainsSpec extends AnyFunSuite {
 
   test("CollectivesMain times Reduce and AllReduce rounds") {
     spark
-    graft.collectives.CollectivesMain.main(Array(
-      "--size", "100", "--itr", "2", "--col", "0"))
-    graft.collectives.CollectivesMain.main(Array(
-      "--size", "100", "--itr", "2", "--col", "1"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.collectives.CollectivesMain.main(Array(
+        "--size", "100", "--itr", "2", "--col", "0"))
+      graft.collectives.CollectivesMain.main(Array(
+        "--size", "100", "--itr", "2", "--col", "1"))
+    }
+    val text = out.toString
+    // reference harness format: per-iteration create→reduced latency
+    // (CollectiveData stamps) plus driver wall time per round
+    val lat = text.linesIterator
+      .filter(_.startsWith("collective_latency_ms ")).toSeq
+    val wall = text.linesIterator
+      .filter(_.startsWith("latencies_ms ")).toSeq
+    assert(lat.length == 2 && wall.length == 2, text)
+    assert(lat.forall(_.split(" ").drop(1).forall(_.toDouble > 0.0)), text)
+    assert(lat.forall(_.split(" ").length == 3), text) // itr=2 values
   }
 
   test("MatrixMultiplyMain generates, multiplies, and self-checks (-t)") {

@@ -59,6 +59,27 @@ class DamdsConfigSpec extends AnyFunSuite {
     assert(x.length == 15 && x.forall(v => v >= -0.5 && v < 0.5))
   }
 
+  test("an explicitly configured missing weight/init file fails fast") {
+    val dir = Files.createTempDirectory("graft-damds-miss").toString
+    Files.write(Paths.get(s"$dir/c.properties"),
+      (s"NumberDataPoints = 4\nWeightMatrixFile = $dir/typo.bin\n").getBytes)
+    val e = intercept[IllegalArgumentException] {
+      DamdsConfig.fromProperties(s"$dir/c.properties")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    Files.write(Paths.get(s"$dir/c2.properties"),
+      (s"NumberDataPoints = 4\nInitialPointsFile = $dir/nope.txt\n").getBytes)
+    val e2 = intercept[IllegalArgumentException] {
+      DamdsConfig.fromProperties(s"$dir/c2.properties")
+    }
+    assert(e2.getMessage.contains("does not exist"))
+    // the DEFAULT names absent keep the reference's silent fallback
+    Files.write(Paths.get(s"$dir/c3.properties"),
+      "NumberDataPoints = 4\n".getBytes)
+    val job = DamdsConfig.fromProperties(s"$dir/c3.properties")
+    assert(job.weightMatrixFile.isEmpty && job.initialPointsFile.isEmpty)
+  }
+
   test("unsupported DistanceTransform is rejected, not silently dropped") {
     val dir = Files.createTempDirectory("graft-damds-rej").toString
     Files.write(Paths.get(s"$dir/c.properties"),
