@@ -110,7 +110,39 @@ object EventQueries {
       |FROM events
       |GROUP BY GROUPING SETS ((1, 2), (1), (2))""".stripMargin
 
+  // ---- q29: as-of join (each click matched to the latest prior
+  // purchase of the same user) ----
+  // Implementation is the scale-correct union + last_value pattern: tag
+  // both sides, one shuffle on user_id, sort within partition by
+  // (ts, tag) — purchases sort before clicks at equal ts, matching
+  // ASOF's c.ts >= p.ts — and carry the running last purchase ts
+  // forward. No range fan-out, no per-row subquery; at 100 TB this is
+  // one sort-merge pass, same shape as a sessionization. The oracle is
+  // DuckDB's native ASOF JOIN.
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", lit(1).as("tag"),
+        lit(null).cast("timestamp").as("pts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts",
+        lit(0).as("tag"), $"ts".as("pts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"tag".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("matched_purchase_ts", last($"pts", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"matched_purchase_ts".isNotNull)
+      .select($"event_id", $"user_id", $"ts", $"matched_purchase_ts")
+  }
+  private val q29Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, p.ts AS matched_purchase_ts
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q29_asof_join", q29, Some(q29Sql)),
     Q("q17_events_hourly", q17, Some(q17Sql)),
     Q("q18_sessionize", q18, Some(q18Sql)),
     Q("q23_json_extract", q23, Some(q23Sql)),

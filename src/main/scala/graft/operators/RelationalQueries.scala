@@ -473,9 +473,48 @@ object RelationalQueries {
       |  COUNT(*) AS cnt
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- q30: bucketed co-located join (zero-shuffle at scale) ----
+  // Both sides are written ONCE per dataset as bucketed+sorted tables
+  // on the join key (the durable co-partitioning a recurring 100 TB
+  // join pays for once); the join then needs no Exchange — Catalyst
+  // proves the bucket spec satisfies the distribution requirement
+  // (asserted in BucketingSpec). hint("merge") keeps the plan on the
+  // bucketed SMJ path at fixture scale where broadcast would otherwise
+  // hide it. Bucketing is result-invisible: the oracle is the plain
+  // join+agg.
+  private val bucketedFor =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (lt, ot) = bucketedFor.getOrElseUpdate((s, dir), {
+      val tag = Integer.toHexString(dir.hashCode)
+      val lt = s"graft_b_lineitem_$tag"; val ot = s"graft_b_orders_$tag"
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Bucketing.writeBucketed(
+        Tables(s, dir, "lineitem").select($"l_orderkey", $"l_quantity"),
+        s"$wh/$lt", lt, "l_orderkey", 16)
+      graft.sources.Bucketing.writeBucketed(
+        Tables(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        s"$wh/$ot", ot, "o_orderkey", 16)
+      (lt, ot)
+    })
+    s.table(lt).hint("merge")
+      .join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("qty"))
+  }
+  private val q30Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
+    Q("q30_bucketed_join", q30, Some(q30Sql)),
     Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),

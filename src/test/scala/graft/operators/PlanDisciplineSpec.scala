@@ -83,6 +83,18 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"no IN-list cell pruning predicate before the candidate join:\n$opt")
   }
 
+  test("q30 bucketed join has no shuffle on the join key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q30_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // the only allowed Exchange is the final agg's (on o_orderpriority);
+      // bucketed reads must satisfy the join's distribution directly
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"), s"join key shuffled:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only
