@@ -65,6 +65,50 @@ object MatrixQueries {
        |           FROM embeddings e CROSS JOIN js)
        |SELECT row_id, col_id, round(value, 6) AS value FROM d""".stripMargin
 
+  // ---- n06/n07: binary matrix file roundtrip through the DSv2 source
+  // (G1 generate → K2 file sink → S2/S3 scan, + N7 decode for shorts) ----
+  // A formula-defined matrix is written as a headerless binary file and
+  // read back through format("graft-matrix") — the reference's external-
+  // shape file contract — so the writer, the row-aligned split scan and
+  // the fixed-point decode are all under the DuckDB oracle (which just
+  // recomputes the formula; doubles survive the binary roundtrip
+  // bit-exactly, shorts decode as s/32767).
+  private val mRows = 64
+  private val mCols = 16
+
+  private def roundtrip(s: SparkSession, valueType: String,
+      write: String => Unit): DataFrame = {
+    import s.implicits._
+    val f = java.nio.file.Files.createTempFile("graft-roundtrip", ".bin")
+    write(f.toString)
+    f.toFile.deleteOnExit()
+    s.read.format("graft-matrix")
+      .option("path", f.toString).option("rows", mRows).option("cols", mCols)
+      .option("valueType", valueType).option("splits", 8).load()
+      .select($"row", posexplode($"values").as(Seq("col", "v")))
+      .select($"row", $"col".cast("long").as("col"), $"v")
+  }
+
+  private def n06(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, "double", p => graft.mm.MatrixIO.writeDoubleMatrix(p,
+      Array.tabulate(mRows * mCols)(k =>
+        ((k / mCols) * 37 + (k % mCols) * 11) % 1000 / 1000.0)))
+  private val n06Sql =
+    s"""SELECT r.range AS row, c.range AS col,
+       |  CAST((r.range * 37 + c.range * 11) % 1000 AS DOUBLE) / 1000.0 AS v
+       |FROM range($mRows) r CROSS JOIN range($mCols) c""".stripMargin
+
+  private def n07(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, "short", p => graft.mm.MatrixIO.writeShortMatrix(p,
+      Array.tabulate(mRows * mCols)(k =>
+        (((k / mCols) * 37 + (k % mCols) * 11) % 32768).toShort)))
+  private val n07Sql =
+    s"""SELECT r.range AS row, c.range AS col,
+       |  ((r.range * 37 + c.range * 11) % 32768) * (1.0 / 32767) AS v
+       |FROM range($mRows) r CROSS JOIN range($mCols) c""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("n01_block_gemm", n01, Some(n01Sql)))
+    Q("n01_block_gemm", n01, Some(n01Sql)),
+    Q("n06_matrix_roundtrip", n06, Some(n06Sql)),
+    Q("n07_matrix_roundtrip_short", n07, Some(n07Sql)))
 }
