@@ -23,7 +23,7 @@ object Catalog {
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ MlQueries.all ++ MatrixQueries.all ++
       DamdsQueries.all ++ DamdsOracleQueries.all ++ CollectiveQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ SourceQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
