@@ -31,18 +31,22 @@ object Tables {
     * resolve, then restored to its prior value — a later read of some
     * OTHER nanos-timestamp parquet is not silently affected by this one.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+
+  /** Run `body` (which must do its schema resolution eagerly) with the
+    * nanosAsLong flag set, restoring the prior value after. */
+  def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 }

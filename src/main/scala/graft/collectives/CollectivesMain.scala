@@ -35,17 +35,19 @@ object CollectivesMain {
       println(s"******************** $name ********************")
       // reference latency harness parity (collectives/Reduce.java:22-70,
       // CollectiveData.java:6-13): each payload is stamped with its send
-      // time + host inside the task, the merge keeps the earliest stamp,
-      // and the recorded latency is create→reduction-complete — the
-      // collective's true end-to-end hop time, not just driver wall time
-      val host = java.net.InetAddress.getLocalHost.getHostName
+      // time INSIDE the task, the merge keeps the earliest stamp, and
+      // the recorded latency is create→reduction-complete — the
+      // collective's true end-to-end hop time, not just driver wall
+      // time. Wall-clock millis like the reference (nanoTime origins
+      // are arbitrary per JVM, so they cannot cross the executor/driver
+      // boundary); cross-machine clock skew is inherent to the
+      // reference's metric too.
       val results = (1 to itr).map { _ =>
         val t0 = System.nanoTime()
-        val stamped = payloads.map(v => (v, System.nanoTime(), host))
-        def merge(a: (Array[Double], Long, String),
-            b: (Array[Double], Long, String)) =
-          (Collectives.vectorSum(a._1, b._1), math.min(a._2, b._2), a._3)
-        val sendNanos =
+        val stamped = payloads.map(v => (v, System.currentTimeMillis()))
+        def merge(a: (Array[Double], Long), b: (Array[Double], Long)) =
+          (Collectives.vectorSum(a._1, b._1), math.min(a._2, b._2))
+        val sendMillis =
           if (col == 0) Collectives.reduce(stamped, merge)._2
           else {
             val bc = Collectives.allReduce(spark, stamped, merge)
@@ -56,8 +58,8 @@ object CollectivesMain {
             bc.destroy()
             s
           }
-        val done = System.nanoTime()
-        ((done - sendNanos) / 1e6, (done - t0) / 1e6)
+        val done = System.currentTimeMillis()
+        ((done - sendMillis).toDouble, (System.nanoTime() - t0) / 1e6)
       }
       payloads.unpersist()
       println(s"size $size itr $itr parallelism $p")

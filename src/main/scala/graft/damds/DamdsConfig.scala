@@ -60,11 +60,12 @@ object DamdsConfig {
     // rather than ignored
     require(get("DistanceTransform", "1.0").toDouble == 1.0,
       "DistanceTransform != 1.0 is not supported")
-    // an absent DEFAULT file degrades to the reference's null-fallback
-    // (constant weight 1.0 / random init), but an EXPLICITLY configured
-    // path that does not exist fails fast — the reference errors when it
-    // cannot read a named file, and a typo'd path must not silently
-    // change numeric results
+    // an absent file whose name equals the key's DEFAULT degrades to
+    // the reference's null-fallback (constant weight 1.0 / random init)
+    // — whether the default was implied or spelled out in the config —
+    // but any OTHER configured path that does not exist fails fast: the
+    // reference errors when it cannot read a named file, and a typo'd
+    // path must not silently change numeric results
     def optionalFile(key: String, default: String): Option[String] = {
       val explicit = Option(System.getProperty(key))
         .orElse(Option(p.getProperty(key)))

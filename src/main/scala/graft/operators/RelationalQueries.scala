@@ -487,6 +487,10 @@ object RelationalQueries {
 
   private def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // table metadata dies with its session; drop dead cache keys so
+    // stopped sessions can be GC'd
+    bucketedFor.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(bucketedFor.remove)
     val (lt, ot) = bucketedFor.getOrElseUpdate((s, dir), {
       val tag = Integer.toHexString(dir.hashCode)
       val lt = s"graft_b_lineitem_$tag"; val ot = s"graft_b_orders_$tag"

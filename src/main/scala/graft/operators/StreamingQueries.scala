@@ -36,11 +36,8 @@ object StreamingQueries {
   /** Stream the events file through `transform` into a memory sink and
     * return the sink table. */
   private def runStream(s: SparkSession, dir: String,
-      transform: DataFrame => DataFrame): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try {
+      transform: DataFrame => DataFrame): DataFrame =
+    graft.Tables.withNanosAsLong(s) {
       // the file stream source lists a DIRECTORY; the glob filter picks
       // out the events file from the shared sf dir
       val raw = s.readStream.schema(rawSchema)
@@ -55,13 +52,7 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.table(name)
-    } finally {
-      prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }
-  }
 
   // ---- s01: streaming hourly window agg == batch q17 ----
   private def s01(s: SparkSession, dir: String): DataFrame = {

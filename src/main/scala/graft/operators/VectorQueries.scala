@@ -154,7 +154,15 @@ object VectorQueries {
     .empty[(SparkSession, String), (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)]
 
   private def ivfIndex(s: SparkSession, dir: String)
-      : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame) =
+      : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame) = {
+    // evict indexes owned by stopped sessions so a long-lived driver
+    // serving many sessions/datasets doesn't pin dead sessions or keep
+    // persisted assignments forever
+    ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      ivfCache.remove(k).foreach { case (_, _, df) =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
     ivfCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val e = embeddings(s, dir)
@@ -172,6 +180,7 @@ object VectorQueries {
       // the cache as it runs; later probes hit the cached assignment
       (cents, sample, assigned)
     })
+  }
 
   private def v05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -77,7 +77,8 @@ class CliMainsSpec extends AnyFunSuite {
     val wall = text.linesIterator
       .filter(_.startsWith("latencies_ms ")).toSeq
     assert(lat.length == 2 && wall.length == 2, text)
-    assert(lat.forall(_.split(" ").drop(1).forall(_.toDouble > 0.0)), text)
+    // millis resolution: a warm local round can legitimately stamp 0 ms
+    assert(lat.forall(_.split(" ").drop(1).forall(_.toDouble >= 0.0)), text)
     assert(lat.forall(_.split(" ").length == 3), text) // itr=2 values
   }
 

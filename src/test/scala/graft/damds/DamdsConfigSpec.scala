@@ -78,6 +78,12 @@ class DamdsConfigSpec extends AnyFunSuite {
       "NumberDataPoints = 4\n".getBytes)
     val job = DamdsConfig.fromProperties(s"$dir/c3.properties")
     assert(job.weightMatrixFile.isEmpty && job.initialPointsFile.isEmpty)
+    // spelling out the default name keeps the fallback too (a filled-in
+    // template is not a typo)
+    Files.write(Paths.get(s"$dir/c4.properties"),
+      "NumberDataPoints = 4\nWeightMatrixFile = weights.bin\n".getBytes)
+    val job4 = DamdsConfig.fromProperties(s"$dir/c4.properties")
+    assert(job4.weightMatrixFile.isEmpty)
   }
 
   test("unsupported DistanceTransform is rejected, not silently dropped") {
