@@ -97,6 +97,20 @@ class KMeansSpec extends AnyFunSuite {
     assert(next(0)(0) > 0.0)
   }
 
+  test("fitLocal == fitBlock on a single partition (same update contract)") {
+    import spark.implicits._
+    val n = 60
+    val data = Array.tabulate(n)(i =>
+      Array((i * 37 % 97) / 97.0, (i * 11 % 89) / 89.0))
+    val pts = data.map(_.toSeq).toSeq.toDF("v").coalesce(1)
+    val init = data.take(4)
+    val a = KMeans.fitLocal(data, init, maxIter = 5)
+    val b = KMeans.fitBlock(pts, init, maxIter = 5)
+    // one partition -> identical summation order -> exact equality
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    assert(a.iters == b.iters && a.converged == b.converged)
+  }
+
   test("assignment column is deterministic argmin with cid tiebreak") {
     import spark.implicits._
     val pts = Seq(Seq(0.0, 0.0)).toDF("v")
