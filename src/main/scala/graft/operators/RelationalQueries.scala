@@ -515,10 +515,30 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---- q31: sketch aggregations (HLL++ distinct, GK percentiles) ----
+  // The approximate surface a 100 TB engine leans on when exact
+  // distinct/percentile shuffles are too expensive: one pass, bounded
+  // memory per group, mergeable partials. Rows-only for the driver
+  // (sketch internals are implementation-specific, so DuckDB's approx
+  // functions produce different estimates); SkewAndStatsSpec bounds the
+  // relative error vs the exact answers instead.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+          .as("price_p50_p99"))
+      .select($"l_returnflag", $"approx_orders",
+        $"price_p50_p99"(0).as("price_p50"), $"price_p50_p99"(1).as("price_p99"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
     Q("q30_bucketed_join", q30, Some(q30Sql)),
+    Q("q31_approx_stats", q31, None),
     Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),

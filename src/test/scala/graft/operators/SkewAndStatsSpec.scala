@@ -37,6 +37,29 @@ class SkewAndStatsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("q31 sketch aggregations stay within error bounds of the exact answers") {
+    import spark.implicits._
+    val approx = Catalog.queries("q31_approx_stats")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (nApprox, p50, p99)) <- approx) {
+      val (nExact, ps) = exact(k)
+      assert(math.abs(nApprox - nExact).toDouble / nExact <= 0.05,
+        s"$k distinct: $nApprox vs $nExact")
+      // GK sketch with accuracy 10000 on a few thousand rows per group
+      // is near-exact; allow 2% relative drift
+      assert(math.abs(p50 - ps(0)) / ps(0) <= 0.02, s"$k p50: $p50 vs ${ps(0)}")
+      assert(math.abs(p99 - ps(1)) / ps(1) <= 0.02, s"$k p99: $p99 vs ${ps(1)}")
+    }
+  }
+
   test("typed DoubleStatistics Aggregator matches the expression agg (A6)") {
     import spark.implicits._
     val vals = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
