@@ -36,7 +36,8 @@ object StreamingQueries {
   /** Stream the events file through `transform` into a memory sink and
     * return the sink table. */
   private def runStream(s: SparkSession, dir: String,
-      transform: DataFrame => DataFrame): DataFrame =
+      transform: DataFrame => DataFrame,
+      mode: String = "complete"): DataFrame =
     graft.Tables.withNanosAsLong(s) {
       // the file stream source lists a DIRECTORY; the glob filter picks
       // out the events file from the shared sf dir
@@ -47,7 +48,7 @@ object StreamingQueries {
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
       val q = transform(raw).writeStream
         .format("memory").queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -83,7 +84,22 @@ object StreamingQueries {
       |  COUNT(*) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
+  // ---- s03: streaming dedup == batch DISTINCT ----
+  // dropDuplicates in append mode emits the first occurrence of each
+  // key and suppresses the rest — on bounded input that is exactly
+  // DISTINCT (append works here: dedup rows flush immediately, nothing
+  // waits on a watermark; the watermark-bounded production form is
+  // StreamingOps.dedup, spec-tested).
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, _.dropDuplicates("user_id", "event_type")
+      .select($"user_id", $"event_type"), mode = "append")
+  }
+  private val s03Sql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
-    Q("s02_stream_sessions", s02, Some(s02Sql)))
+    Q("s02_stream_sessions", s02, Some(s02Sql)),
+    Q("s03_stream_dedup", s03, Some(s03Sql)))
 }
