@@ -83,6 +83,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"no IN-list cell pruning predicate before the candidate join:\n$opt")
   }
 
+  test("q29 as-of join is a single shuffle on the key, no range join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q29_asof_join")
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"as-of must not plan as a range/cross join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q30 bucketed join has no shuffle on the join key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
