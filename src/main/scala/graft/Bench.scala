@@ -34,11 +34,22 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
+    // Drop state accumulated by the query sweep (memory-sink tables,
+    // memoized persisted datasets, bucketed-table cache) so the probes
+    // below measure the kernels, not leftover GC pressure — probe
+    // timings were swinging 4-5× run-to-run before this.
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    spark.catalog.clearCache()
+    System.gc()
     // K-Means throughput probe against BASELINE.md's headline workload
     // (10M pts × k=1000 × d=2 × 10 iters in 93.8 s on p=320 ⇒ ~6.7e6
     // point-centroid dist-dims /core/sec). Same shape normalized to
     // this box: 1M × k=100 × d=2 × 10 iters via the block pre-agg step
     // (the reference's KMeansBlock plan). Deterministic hash points.
+    // One untimed warmup sweep + best-of-2 timed: the probe runs after
+    // 60+ queries, so a single timing is hostage to JIT/GC noise.
     val km =
       try {
         import org.apache.spark.sql.functions._
@@ -51,10 +62,13 @@ object Bench {
         pts.count()
         val init = pts.limit(k).collect()
           .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-        val t0 = System.nanoTime()
-        var c = init
-        for (_ <- 1 to iters) c = graft.ml.KMeans.stepBlock(pts, c)
-        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ml.KMeans.stepBlock(pts, init) // warmup (JIT + codegen)
+        val sec = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          var c = init
+          for (_ <- 1 to iters) c = graft.ml.KMeans.stepBlock(pts, c)
+          (System.nanoTime() - t0) / 1e9
+        }.min
         pts.unpersist()
         val opsPerCoreSec = nPts.toDouble * k * d * iters / sec / cpus.toInt
         s""","kmeans":{"points":$nPts,"k":$k,"d":$d,"iters":$iters,"sec":$sec,""" +
@@ -80,27 +94,31 @@ object Bench {
           .as[(Long, Seq[Double])]
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         a.count()
-        val t0 = System.nanoTime()
-        val sum = a.mapPartitions { it =>
-          val rows = it.toArray
-          if (rows.isEmpty) Iterator.empty
-          else {
-            val nr = rows.length
-            val flat = new Array[Double](nr * kk)
-            var i = 0
-            while (i < nr) {
-              val v = rows(i)._2
-              var j = 0
-              while (j < kk) { flat(i * kk + j) = v(j); j += 1 }
-              i += 1
+        def sweep(): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val sum = a.mapPartitions { it =>
+            val rows = it.toArray
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val nr = rows.length
+              val flat = new Array[Double](nr * kk)
+              var i = 0
+              while (i < nr) {
+                val v = rows(i)._2
+                var j = 0
+                while (j < kk) { flat(i * kk + j) = v(j); j += 1 }
+                i += 1
+              }
+              val c = graft.mm.Gemm.gemm(flat, nr, kk, bBc.value, nn)
+              var s = 0.0; var x = 0
+              while (x < c.length) { s += c(x); x += 1 }
+              Iterator.single(s)
             }
-            val c = graft.mm.Gemm.gemm(flat, nr, kk, bBc.value, nn)
-            var s = 0.0; var x = 0
-            while (x < c.length) { s += c(x); x += 1 }
-            Iterator.single(s)
-          }
-        }.reduce(_ + _)
-        val sec = (System.nanoTime() - t0) / 1e9
+          }.reduce(_ + _)
+          ((System.nanoTime() - t0) / 1e9, sum)
+        }
+        sweep() // warmup (JIT + codegen)
+        val (sec, sum) = Seq(sweep(), sweep()).minBy(_._1)
         a.unpersist(); bBc.destroy()
         val gflops = 2.0 * m * kk * nn / sec / 1e9
         s""","gemm":{"m":$m,"k":$kk,"n":$nn,"sec":$sec,"gflops":$gflops,"checksum":$sum}"""
