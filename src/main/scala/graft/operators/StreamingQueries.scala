@@ -98,8 +98,77 @@ object StreamingQueries {
   private val s03Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // ---- s04: stream-stream interval self-join == batch q24 ----
+  // the join itself runs as a streaming query (append mode — the only
+  // mode stream-stream joins support; inner-join matches emit in the
+  // micro-batch they pair up, the watermark only bounds join state);
+  // the per-user rollup happens in batch over the sink so the oracle is
+  // exactly q24's SQL
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, { raw =>
+      val e = raw.select($"user_id", $"ts")
+      StreamingOps.correlate(e, e, "user_id", windowSec = 900)
+        .select(col("l.user_id").as("user_id"),
+          unix_micros(col("l.ts")).as("us_l"),
+          unix_micros(col("r.ts")).as("us_r"))
+    }, mode = "append")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        max($"us_r" - $"us_l").cast("long").as("max_gap_us"))
+  }
+  private val s04Sql =
+    """SELECT l.user_id, COUNT(*) AS n_pairs,
+      |  CAST(MAX(epoch_us(r.ts) - epoch_us(l.ts)) AS BIGINT) AS max_gap_us
+      |FROM events l JOIN events r ON l.user_id = r.user_id
+      |  AND epoch_us(r.ts) > epoch_us(l.ts)
+      |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 900000000
+      |GROUP BY l.user_id""".stripMargin
+
+  // ---- s05: arbitrary-state sessionizer (flatMapGroupsWithState) ----
+  // Emits one row per CLOSED session: closed in-batch by the 30-min gap
+  // when a later event arrives, or by event-time timeout once the final
+  // watermark (max event time, 0s delay) passes last+gap — so exactly
+  // the sessions whose end + gap precedes the stream's max event time
+  // appear, and the oracle reproduces that closed-session set. The
+  // sessionizer and Spark's watermark both work at MILLISECOND
+  // granularity (Timestamp.getTime, EventTimeStats), so the oracle
+  // sessionizes on epoch_ms — not epoch_us — to be bit-deterministic
+  // rather than lucky about sub-millisecond gap boundaries.
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, { raw =>
+      StreamingOps.sessionize(
+        raw.select($"user_id", $"ts").as[StreamingOps.TEvt],
+        lateness = "0 seconds").toDF
+    }, mode = "append")
+      .select($"user_id", $"session_id", $"startMicros".as("start_us"),
+        $"endMicros".as("end_us"), $"n_events")
+  }
+  private val s05Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ems FROM events),
+      |m AS (SELECT MAX(ems) AS max_ems FROM e),
+      |g AS (
+      |  SELECT user_id, event_id, ems,
+      |    CASE WHEN ems - LAG(ems) OVER (PARTITION BY user_id ORDER BY ems, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sr AS (
+      |  SELECT user_id, ems,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ems, event_id ROWS UNBOUNDED PRECEDING) + 1 AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      |    MIN(ems) * 1000 AS start_us, MAX(ems) * 1000 AS end_us,
+      |    MAX(ems) AS end_ems, COUNT(*) AS n_events
+      |  FROM sr GROUP BY user_id, sid)
+      |SELECT user_id, session_id, start_us, end_us, n_events
+      |FROM sess, m WHERE m.max_ems > sess.end_ems + 1800000""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
-    Q("s03_stream_dedup", s03, Some(s03Sql)))
+    Q("s03_stream_dedup", s03, Some(s03Sql)),
+    Q("s04_stream_interval_join", s04, Some(s04Sql)),
+    Q("s05_stream_sessionize_state", s05, Some(s05Sql)))
 }
