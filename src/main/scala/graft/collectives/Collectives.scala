@@ -42,4 +42,14 @@ object Collectives {
     while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
     out
   }
+
+  /** Elementwise scale by 1/s — the divide half of the reference's
+    * add/divide averaging (N12, Point2.divide), used after a sum
+    * reduction to turn totals into means. */
+  def vectorDivide(a: Array[Double], s: Double): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) / s; i += 1 }
+    out
+  }
 }

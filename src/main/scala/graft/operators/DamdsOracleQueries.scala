@@ -132,8 +132,42 @@ object DamdsOracleQueries {
       |        SUM(CASE WHEN w <> 0 THEN w * bpy ELSE 0.0 END) AS sy
       |      FROM cells WHERE i <> j GROUP BY i, apx, apy) t""".stripMargin)
 
+  // ---- n08: Sammon + simple-weight row sums (N11) ----
+  // Exercises DamdsBlock.w's two non-trivial weight modes per cell:
+  // the fixed-point matrix weight and the per-point simple weights
+  // (rw_i·rw_j), both under Sammon damping w / max(δ, factor·avgDist).
+  // avgDist is injected as the CONSTANT 0.5 (in production it comes
+  // from the A6 DoubleStatistics pass; a recomputed average would
+  // differ between engines in the last FP bits and could flip the
+  // max() branch at the threshold) so the δ > 0.25 branch choice is
+  // bit-deterministic on both sides. factor·avg = 0.25 splits the
+  // uniform-ish δ ∈ [0,1) matrix roughly 1:3 across the two branches.
+  private def n08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blocks(s, dir)
+      .map { b0 =>
+        val b = b0.copy(sammonFactor = 0.5, avgDist = 0.5)
+        val br = b.copy(rowWeight =
+          Array.tabulate(b.n)(i => 1.0 + (i % 4) * 0.25))
+        var sw = 0.0; var srw = 0.0
+        var j = 0
+        while (j < b.n) { sw += b.w(0, j); srw += br.w(0, j); j += 1 }
+        (b.start.toLong, sw, srw)
+      }
+      .toDF("row_id", "sw", "srw")
+      .select($"row_id", round($"sw", 6).as("sw"),
+        round($"srw", 6).as("srw"))
+  }
+  private val n08Sql = matSql(
+    """SELECT i AS row_id,
+      |  round(SUM(w / GREATEST(delta, 0.25)), 6) AS sw,
+      |  round(SUM((1 + (i % 4) * 0.25) * (1 + (j % 4) * 0.25)
+      |            / GREATEST(delta, 0.25)), 6) AS srw
+      |FROM cells GROUP BY i""".stripMargin)
+
   val all: Seq[Q] = Seq(
     Q("n03_stress_sigma", n03, Some(n03Sql)),
     Q("n04_bofz_multiply", n04, Some(n04Sql)),
-    Q("n05_vx_multiply", n05, Some(n05Sql)))
+    Q("n05_vx_multiply", n05, Some(n05Sql)),
+    Q("n08_sammon_weights", n08, Some(n08Sql)))
 }

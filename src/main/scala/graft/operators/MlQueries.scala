@@ -92,8 +92,42 @@ object MlQueries {
     s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "mean")
   }
 
+  // ---- m04: the A5 in-scan pre-agg step (KMeansBlock) ----
+  // Same Lloyd step as m02 but through KMeans.stepBlock — one
+  // single-pass job with per-partition (sum, count) combiners instead
+  // of the posexplode plan; the oracle is the same SQL step (without
+  // the per-group count column), so the block pre-agg path itself gets
+  // a green driver row. All k clusters are non-empty here (each seed
+  // centroid IS a dataset point that assigns to itself), so the SQL's
+  // assigned-clusters-only output covers every centroid.
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val next = KMeans.stepBlock(embeddings(s, dir), initCentroids(s, dir))
+    val rows = for {
+      (c, cid) <- next.zipWithIndex
+      (x, dim) <- c.zipWithIndex
+    } yield (cid.toLong, dim.toLong, math.rint(x * 1e6) / 1e6)
+    s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "mean")
+  }
+  private val m04Sql = {
+    val d2 = VectorOps.sqdistSql("e.embedding", "c.cv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $k),
+       |     d AS (SELECT e.vec_id, e.embedding, c.cid, $d2 AS dist2
+       |           FROM embeddings e CROSS JOIN c),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY dist2, cid) AS rn FROM d),
+       |     a AS (SELECT cid, embedding FROM r WHERE rn = 1),
+       |     x AS (SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+       |             CAST(embedding[i] AS DOUBLE) AS x
+       |           FROM a CROSS JOIN generate_series(1, 64) AS g(i))
+       |SELECT cid, dim, round(SUM(x) / COUNT(*), 6) AS mean
+       |FROM x GROUP BY cid, dim""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
-    Q("m03_kmeans_loop", m03, None))
+    Q("m03_kmeans_loop", m03, None),
+    Q("m04_kmeans_step_block", m04, Some(m04Sql)))
 }
