@@ -182,13 +182,19 @@ object VectorQueries {
     })
   }
 
-  private def v05(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF probe: each query's `nprobe` nearest cells are pure
+    * driver math over the k×d centroid matrix + the already-collected
+    * sample — zero extra jobs; the single distributed job is the pruned
+    * candidate scan. The IN-list over probed cells is the
+    * partition-pruning predicate: against the disk layout written
+    * `partitionBy(cell)` it becomes a real PartitionFilter (only
+    * nprobe/k of the files are read — asserted in PlanDisciplineSpec);
+    * against the cached assignment it prunes the scan. */
+  private[operators] def ivfProbe(corpus: DataFrame,
+      cents: Array[Array[Double]], sample: Array[(Long, Array[Double])],
+      nprobe: Int): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val (cents, sample, assigned) = ivfIndex(s, dir)
-    // Query vectors and their nprobe nearest cells are pure driver math
-    // over the k×d centroid matrix + the (already collected) sample —
-    // zero extra jobs; the single distributed job is the pruned
-    // candidate scan below.
     val qRows = sample.filter(_._1 < nQueries)
     val probeRows = qRows.flatMap { case (qid, qv) =>
       val near = cents.zipWithIndex.map { case (c, i) =>
@@ -198,10 +204,7 @@ object VectorQueries {
     }
     val probes = probeRows.toSeq.toDF("qid", "cell", "qv")
     val probedCells = probeRows.map(_._2).distinct.toSeq
-    // the IN-list over probed cells is the partition-pruning predicate:
-    // with the corpus written partitioned by cell, a probe reads only
-    // nprobe/k of the data (here it prunes the cached assignment scan)
-    val cands = assigned.filter($"cell".isin(probedCells: _*))
+    val cands = corpus.filter($"cell".isin(probedCells: _*))
       .join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"qid")
     val scored = cands
@@ -210,10 +213,53 @@ object VectorQueries {
       .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
   }
 
+  private def v05(s: SparkSession, dir: String): DataFrame = {
+    val (cents, sample, assigned) = ivfIndex(s, dir)
+    ivfProbe(assigned, cents, sample, nprobe)
+  }
+
+  // ---- v06: IVF over the corpus WRITTEN partitioned by cell ----
+  // The durable form of v05's layout: the cell-assigned corpus is
+  // written once per dataset as `partitionBy(cell)` parquet (at 100 TB
+  // this is the index-build job a fleet of probes amortizes), and every
+  // probe's cell IN-list prunes at the FILE level — the scan's
+  // PartitionFilters skip nprobe/k of the directories before a byte is
+  // read. The driver row probes ALL cells so the result is exactly the
+  // brute-force top-k and the row is DuckDB-oracle-checked end to end
+  // (layout, probe plumbing, scoring); the pruned nprobe=2 path and its
+  // PartitionFilters are asserted in PlanDisciplineSpec/VectorQueriesSpec.
+  private val ivfDiskCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[operators] def ivfDiskPath(s: SparkSession, dir: String): String = {
+    ivfDiskCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(ivfDiskCache.remove)
+    ivfDiskCache.getOrElseUpdate((s, dir), {
+      val (_, _, assigned) = ivfIndex(s, dir)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$wh/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+  }
+
+  /** Probe the disk layout with an arbitrary nprobe (test hook for the
+    * pruned path; the driver row uses nprobe = all cells for oracle
+    * exactness). */
+  private[operators] def ivfDiskProbe(s: SparkSession, dir: String,
+      np: Int): DataFrame = {
+    val (cents, sample, _) = ivfIndex(s, dir)
+    ivfProbe(s.read.parquet(ivfDiskPath(s, dir)), cents, sample, np)
+  }
+
+  private def v06(s: SparkSession, dir: String): DataFrame =
+    ivfDiskProbe(s, dir, np = ivfCells)
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, None),
     Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
     Q("v04_cosine_dup_lsh", v04, None),
-    Q("v05_knn_ivf", v05, None))
+    Q("v05_knn_ivf", v05, None),
+    Q("v06_knn_ivf_disk", v06, Some(v01Sql)))
 }

@@ -83,6 +83,21 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"no IN-list cell pruning predicate before the candidate join:\n$opt")
   }
 
+  test("v06 disk probe prunes cell partitions at the file level") {
+    // nprobe=2 of 16 cells: the scan over the partitionBy(cell) layout
+    // must carry a non-empty PartitionFilters on cell — files outside
+    // the probed cells are skipped before a byte is read
+    val p = VectorQueries.ivfDiskProbe(spark, TestSpark.sf0001, np = 2)
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft_ivf_"))
+      .getOrElse(fail(s"no ivf FileScan in plan:\n$p"))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1)).getOrElse("")
+    assert(pf.contains("cell") && pf.trim.nonEmpty,
+      s"no cell PartitionFilters on the ivf scan:\n$scanLine")
+  }
+
   test("q29 as-of join is a single shuffle on the key, no range join") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

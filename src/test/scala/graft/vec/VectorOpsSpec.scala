@@ -98,6 +98,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall below 0.6")
   }
 
+  test("IVF disk layout probed at all cells equals exact top-k (v06 vs v01)") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val disk = graft.operators.VectorQueries.all.find(_.name == "v06_knn_ivf_disk").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"rank", $"vec_id").as[(Long, Long, Long)].collect().toSet
+    val d = disk.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"rank", $"vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(d == e, s"disk probe diverges from exact: ${(d -- e) ++ (e -- d)}")
+  }
+
   test("lshDupPairs finds >= 90% of injected true near-dups at tau 0.9") {
     import spark.implicits._
     // true near-dups (cos >= ~0.95) are the workload LSH blocking
