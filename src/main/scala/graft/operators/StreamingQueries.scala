@@ -165,10 +165,59 @@ object StreamingQueries {
       |SELECT user_id, session_id, start_us, end_us, n_events
       |FROM sess, m WHERE m.max_ems > sess.end_ems + 1800000""".stripMargin
 
+  // ---- s06: stream-static broadcast enrich == batch join ----
+  // The dimension side is a STATIC table broadcast per micro-batch
+  // (StreamingOps.enrich) — no streaming state at all; enriched rows
+  // flow through in append mode and the rollup happens in batch over
+  // the sink, so the oracle is the plain batch join+agg.
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, { raw =>
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      StreamingOps.enrich(
+        raw.select($"user_id", $"event_type", $"value"), dim, "user_id")
+    }, mode = "append")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+  }
+  private val s06Sql =
+    """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- s07: streaming global DoubleStatistics (A6) == batch stats ----
+  // A single-row global aggregation in complete mode — the streaming
+  // form of q09. Sums go through DECIMAL(18,2) (exact, order-
+  // independent) exactly as the batch/oracle sides do, so micro-batch
+  // partial-aggregation order cannot perturb the result.
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    runStream(s, dir, _.agg(
+      count($"value").as("cnt"),
+      min($"value").as("vmin"),
+      max($"value").as("vmax"),
+      sum(d($"value")).cast("double").as("vsum"),
+      sum(d($"value") * d($"value")).cast("double").as("vsumsq"),
+      min(when($"value" > 0.0, $"value")).as("positive_min")))
+  }
+  private val s07Sql =
+    """SELECT COUNT(value) AS cnt, MIN(value) AS vmin, MAX(value) AS vmax,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsumsq,
+      |  MIN(CASE WHEN value > 0.0 THEN value END) AS positive_min
+      |FROM events""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
     Q("s03_stream_dedup", s03, Some(s03Sql)),
     Q("s04_stream_interval_join", s04, Some(s04Sql)),
-    Q("s05_stream_sessionize_state", s05, Some(s05Sql)))
+    Q("s05_stream_sessionize_state", s05, Some(s05Sql)),
+    Q("s06_stream_enrich", s06, Some(s06Sql)),
+    Q("s07_stream_stats", s07, Some(s07Sql)))
 }
