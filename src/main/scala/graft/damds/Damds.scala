@@ -137,6 +137,14 @@ object Damds {
     (x, cgCount)
   }
 
+  /** N9 cooling step (reference DAMDS.java:234-238): geometric decay
+    * by `alpha`, snapping to exactly 0 once below `tMin` (the run
+    * terminates on tCur == 0). */
+  def cooledTemp(tCur: Double, tMin: Double, alpha: Double): Double = {
+    val c = tCur * alpha
+    if (c < tMin) 0.0 else c
+  }
+
   /** Full annealed run (I3): temperature loop → stress loop → CG,
     * reference control flow (DAMDS.java:169-253, N9 schedule at
     * :121-152, :234-238).
@@ -195,9 +203,8 @@ object Damds {
           if (state.tItr == cfg.maxTempLoops) done = true
         } else if (state.tCur == 0) done = true
         if (!done) {
-          val cooled = state.tCur * cfg.alpha
           state = state.copy(tItr = state.tItr + 1,
-            tCur = if (cooled < state.tMin) 0.0 else cooled)
+            tCur = cooledTemp(state.tCur, state.tMin, cfg.alpha))
         }
       }
       RunResult(x, state, log.toSeq)

@@ -165,9 +165,67 @@ object DamdsOracleQueries {
       |            / GREATEST(delta, 0.25)), 6) AS srw
       |FROM cells GROUP BY i""".stripMargin)
 
+  // ---- n09: annealing temperature schedule (N9) ----
+  // The exact schedule Damds.run walks: t0 = α·(vmax/√(2d)), then
+  // Damds.cooledTemp (geometric decay, snap to 0 below tMin) until 0.
+  // The oracle is a RECURSIVE CTE doing the same iterated multiply —
+  // bit-identical, because α^k via repeated multiplication is NOT the
+  // same double as power(α, k), and both engines here run the
+  // identical FP op sequence (no rounding needed). vmax/positiveMin
+  // come from the same δ fixture expression on both sides (max/min
+  // are exact, sqrt and the arithmetic are IEEE-identical).
+  private def n09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var vmax = Double.MinValue; var pmin = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val dlt = ((i * 31 + j * 17) % 32768) * (1.0 / 32767)
+        if (dlt > vmax) vmax = dlt
+        if (dlt > 0 && dlt < pmin) pmin = dlt
+        j += 1
+      }
+      i += 1
+    }
+    val alpha = 0.95
+    val tMax = vmax / math.sqrt(2.0 * dim)
+    val tMin = 0.01 * pmin / math.sqrt(2.0 * dim)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    var t = alpha * tMax; var itr = 0L
+    out += ((itr, t))
+    while (t > 0) {
+      t = graft.damds.Damds.cooledTemp(t, tMin, alpha)
+      itr += 1
+      out += ((itr, t))
+    }
+    out.toSeq.toDF("itr", "temp")
+  }
+  private val n09Sql =
+    s"""WITH RECURSIVE
+       |idx AS (SELECT a.vec_id AS i, b.vec_id AS j
+       |        FROM embeddings a CROSS JOIN embeddings b
+       |        WHERE a.vec_id < $n AND b.vec_id < $n),
+       |cells AS (SELECT ((i * 31 + j * 17) % 32768) * (1.0 / 32767) AS delta
+       |          FROM idx),
+       |s AS (SELECT MAX(delta) AS vmax,
+       |        MIN(CASE WHEN delta > 0 THEN delta END) AS pmin FROM cells),
+       |t AS (
+       |  SELECT CAST(0 AS BIGINT) AS itr,
+       |    0.95 * (vmax / sqrt(2.0 * $dim)) AS temp,
+       |    0.01 * pmin / sqrt(2.0 * $dim) AS tmin
+       |  FROM s
+       |  UNION ALL
+       |  SELECT itr + 1,
+       |    CASE WHEN temp * 0.95 < tmin THEN 0.0 ELSE temp * 0.95 END,
+       |    tmin
+       |  FROM t WHERE temp > 0)
+       |SELECT itr, temp FROM t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("n03_stress_sigma", n03, Some(n03Sql)),
     Q("n04_bofz_multiply", n04, Some(n04Sql)),
     Q("n05_vx_multiply", n05, Some(n05Sql)),
-    Q("n08_sammon_weights", n08, Some(n08Sql)))
+    Q("n08_sammon_weights", n08, Some(n08Sql)),
+    Q("n09_temperature_schedule", n09, Some(n09Sql)))
 }
