@@ -398,6 +398,39 @@ object TextQueries {
       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, round(AVG(n_tokens), 6) AS avg_tokens
       |FROM kept GROUP BY source""".stripMargin
 
+  // ---- d13: intra-document repetition ratio (quality signal) ----
+  // The Gopher/RefinedWeb-style curation metric: the fraction of a
+  // document's word 5-grams that are repeats of an earlier 5-gram
+  // (1 − distinct/total). Pure per-row projection — no explode, no
+  // shuffle; the n-gram sets stay inside one codegen'd transform.
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id",
+        (size($"toks") - 4).cast("long").as("total_5grams"),
+        size(TextOps.shingles("toks", 5)).cast("long").as("distinct_5grams"))
+      .withColumn("rep_ratio",
+        lit(1.0) - $"distinct_5grams".cast("double") / $"total_5grams")
+  }
+  private val d13Sql =
+    """WITH t AS (SELECT doc_id,
+      |             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |     f AS (SELECT doc_id,
+      |             CAST(len(toks) - 4 AS BIGINT) AS total_5grams,
+      |             CAST(len(list_distinct(list_transform(
+      |               generate_series(1, len(toks) - 4),
+      |               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |                    || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS BIGINT)
+      |               AS distinct_5grams
+      |           FROM t WHERE len(toks) >= 5)
+      |SELECT doc_id, total_5grams, distinct_5grams,
+      |  1.0 - CAST(distinct_5grams AS DOUBLE) / total_5grams AS rep_ratio
+      |FROM f""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -410,5 +443,6 @@ object TextQueries {
     Q("d09_curation_pipeline", d09, Some(d09Sql)),
     Q("d10_minhash_lsh_md5", d10MinhashMd5, Some(d10Sql)),
     Q("d11_simhash_md5", d11SimhashMd5, Some(d11Sql)),
-    Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)))
+    Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)),
+    Q("d13_repetition_ratio", d13, Some(d13Sql)))
 }
