@@ -34,7 +34,16 @@ object StreamingQueries {
   private val sinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Stream the events file through `transform` into a memory sink and
-    * return the sink table. */
+    * return the sink table.
+    *
+    * Stateful streaming operators allocate one state store per shuffle
+    * partition per stateful operator (×4 for a stream-stream join's
+    * left/right keyed state), so shuffle partitions are sized to the
+    * STATE volume, not the batch default — a fixed conf baked into the
+    * query's checkpoint at start, which is exactly how a production
+    * job would pin it. Scoped here: set for the stream start, restored
+    * after (batch plans in the same session are unaffected).
+    */
   private def runStream(s: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
       mode: String = "complete"): DataFrame =
@@ -46,12 +55,20 @@ object StreamingQueries {
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-      val q = transform(raw).writeStream
-        .format("memory").queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val key = "spark.sql.shuffle.partitions"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "8")
+      try {
+        val q = transform(raw).writeStream
+          .format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
       s.table(name)
     }
 
