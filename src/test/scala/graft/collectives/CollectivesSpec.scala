@@ -28,4 +28,9 @@ class CollectivesSpec extends AnyFunSuite {
     val s = Collectives.vectorSum(Array(1.0, 2.0), Array(3.0, 4.0))
     assert(s.toSeq == Seq(4.0, 6.0))
   }
+
+  test("vectorDivide scales elementwise (N12 divide)") {
+    val d = Collectives.vectorDivide(Array(4.0, -6.0, 0.0), 4.0)
+    assert(d.toSeq == Seq(1.0, -1.5, 0.0))
+  }
 }

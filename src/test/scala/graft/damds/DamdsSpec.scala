@@ -173,6 +173,13 @@ class DamdsSpec extends AnyFunSuite {
     assert(s1 > s0 * 100)
   }
 
+  test("cooledTemp decays geometrically and snaps to exactly 0 below tMin (N9)") {
+    assert(Damds.cooledTemp(1.0, 1e-6, 0.95) == 0.95)
+    assert(Damds.cooledTemp(1e-6, 1e-6, 0.95) == 0.0) // 9.5e-7 < tMin
+    // the snap is exact zero, not merely small — run() terminates on == 0
+    assert(Damds.cooledTemp(1e-300, 1e-6, 0.95) == 0.0)
+  }
+
   test("full annealed run improves the embedding (I3/N9)") {
     val rnd = new scala.util.Random(17)
     val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
