@@ -255,11 +255,54 @@ object VectorQueries {
   private def v06(s: SparkSession, dir: String): DataFrame =
     ivfDiskProbe(s, dir, np = ivfCells)
 
+  // ---- v07: int8 embedding quantization (storage-scale practice) ----
+  // Symmetric per-vector int8 quantization — the 4× storage cut a
+  // 100 TB embedding corpus takes before indexing — with its
+  // reconstruction-error audit: scale = max|x|/127, q = ⌊x/scale+0.5⌋,
+  // and per-vector max-abs / mean-squared reconstruction error. One
+  // shuffle-free projection; determinism comes from floor-form
+  // rounding (Spark round() is HALF_UP on doubles' decimal rendering,
+  // DuckDB's is not — floor(x+0.5) is the same IEEE op sequence in
+  // both) and index-order folds for the error sums.
+  private def v07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select($"vec_id", $"v",
+        (greatest(array_max(transform($"v", x => abs(x))), lit(1e-30))
+          / 127.0).as("scale"))
+      .select($"vec_id", $"scale", $"v",
+        expr("transform(v, x -> floor(x / scale + 0.5) * scale)").as("dq"))
+      .select($"vec_id", $"scale",
+        array_max(expr("zip_with(v, dq, (a, b) -> abs(a - b))"))
+          .as("max_abs_err"),
+        (expr("aggregate(zip_with(v, dq, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)") / 64.0).as("mse"))
+  }
+  private val v07Sql =
+    """WITH b AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |  sc AS (SELECT vec_id, v,
+      |           GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30)
+      |             / 127.0 AS scale
+      |         FROM b),
+      |  dq AS (SELECT vec_id, v, scale,
+      |           list_transform(v, x -> floor(x / scale + 0.5) * scale) AS d
+      |         FROM sc)
+      |SELECT vec_id, scale,
+      |  list_max(list_transform(generate_series(1, len(v)),
+      |    i -> abs(v[i] - d[i]))) AS max_abs_err,
+      |  list_reduce(list_transform(generate_series(1, len(v)),
+      |    i -> (v[i] - d[i]) * (v[i] - d[i])), (acc, x) -> acc + x) / 64.0
+      |    AS mse
+      |FROM dq""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, None),
     Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
     Q("v04_cosine_dup_lsh", v04, None),
     Q("v05_knn_ivf", v05, None),
-    Q("v06_knn_ivf_disk", v06, Some(v01Sql)))
+    Q("v06_knn_ivf_disk", v06, Some(v01Sql)),
+    Q("v07_quantize_int8", v07, Some(v07Sql)))
 }
