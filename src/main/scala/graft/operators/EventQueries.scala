@@ -141,7 +141,53 @@ object EventQueries {
       |SELECT c.event_id, c.user_id, c.ts, p.ts AS matched_purchase_ts
       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  // ---- q32: pivot event types into per-day count columns ----
+  // Explicit value list (the only scale-safe pivot: an unlisted pivot
+  // collects distinct values to the driver first); absent cells are
+  // coalesced to 0 to match SQL conditional counts.
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables(s, dir, "events")
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"day")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    p.select($"day" +: eventTypes.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+  }
+  private val q32Sql = {
+    val cols = eventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  // ---- q33: rolling 1-hour RANGE frame per user ----
+  // Value-based frame (RANGE, not ROWS) so tied timestamps form
+  // identical frames in both engines; the rolling sum goes through
+  // DECIMAL(18,2), which is order-independent and exact.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("sum_1h"))
+  }
+  private val q33Sql =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q32_pivot", q32, Some(q32Sql)),
+    Q("q33_rolling_window", q33, Some(q33Sql)),
     Q("q29_asof_join", q29, Some(q29Sql)),
     Q("q17_events_hourly", q17, Some(q17Sql)),
     Q("q18_sessionize", q18, Some(q18Sql)),
