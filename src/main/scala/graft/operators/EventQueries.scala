@@ -142,18 +142,21 @@ object EventQueries {
       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
   // ---- q32: pivot event types into per-day count columns ----
-  // Explicit value list (the only scale-safe pivot: an unlisted pivot
-  // collects distinct values to the driver first); absent cells are
-  // coalesced to 0 to match SQL conditional counts.
+  // With a KNOWN value list the optimal pivot is one-pass conditional
+  // aggregation: a single groupBy(day) shuffle with map-side partials.
+  // (`.pivot(col, values)` is semantically identical but plans the
+  // generic two-shuffle groupBy(day,type)→pivot shape; an UNLISTED
+  // pivot additionally collects distinct values to the driver — both
+  // avoidable here, so avoided.)
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
   private def q32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = Tables(s, dir, "events")
+    val cells = eventTypes.map(t =>
+      count(when($"event_type" === t, 1)).as(t))
+    Tables(s, dir, "events")
       .withColumn("day", to_date($"ts"))
       .groupBy($"day")
-      .pivot("event_type", eventTypes)
-      .agg(count(lit(1)))
-    p.select($"day" +: eventTypes.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .agg(cells.head, cells.tail: _*)
   }
   private val q32Sql = {
     val cols = eventTypes.map(t =>
