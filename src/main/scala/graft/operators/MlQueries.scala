@@ -125,9 +125,35 @@ object MlQueries {
        |FROM x GROUP BY cid, dim""".stripMargin
   }
 
+  /** g01: the G2 Gaussian cluster generator feeding the engine end to
+    * end — generate the reference's seeded fixture (single RNG stream,
+    * reference draw order: means first, then d gaussians per point),
+    * assign every point to its nearest TRUE mean, and roll up
+    * per-cluster counts and centroids. Rows-only: Gaussian draws from
+    * a Java RNG are not SQL-reproducible; the draw-order contract is
+    * spec-tested in PointSourcesSpec. The sequential RNG stream is the
+    * reference's own generator contract (a scale deployment would seed
+    * per partition instead — see PointSources scaladoc).
+    */
+  private def g01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (means, pts, _) =
+      graft.sources.PointSources.gaussianPoints(
+        seed = 7L, numPoints = 20000, k = 4, d = 2)
+    val df = s.createDataset(pts.toIndexedSeq.map(p => Tuple1(p.toSeq)))
+      .toDF("v")
+    df.select(KMeans.assign($"v", means).getField("cid").cast("long").as("cid"),
+        $"v")
+      .select($"cid", $"v"(0).as("x"), $"v"(1).as("y"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"x"), 4).as("mean_x"), round(avg($"y"), 4).as("mean_y"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, None),
-    Q("m04_kmeans_step_block", m04, Some(m04Sql)))
+    Q("m04_kmeans_step_block", m04, Some(m04Sql)),
+    Q("g01_gaussian_generator", g01, None))
 }

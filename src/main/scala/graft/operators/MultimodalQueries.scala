@@ -73,9 +73,27 @@ object MultimodalQueries {
       .agg(min(col("media_id")).as("keeper"),
         count(lit(1)).as("n_copies"))
 
+  /** x05: audio decode + windowed RMS / zero-crossing features over the
+    * payloads declared as audio (rows-only: stub decode; kernel
+    * invariants covered in MultimodalSpec). One mapPartitions pass,
+    * window rows flatMapped out, per-media rollup is the only shuffle.
+    */
+  private def x05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val auds = Multimodal.ingest(docs, "doc_id", "payload", kind = "audio",
+      format = "fake", sampleRate = 8000, durationMs = 250) // 2000 samples
+    Multimodal.audioFeatures(auds, windowSamples = 500)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(avg(col("rms")), 3).as("avg_rms"),
+        round(avg(col("zcr")), 6).as("avg_zcr"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, None),
     Q("x03_frame_sample", x03, None),
-    Q("x04_media_dedup", x04, None))
+    Q("x04_media_dedup", x04, None),
+    Q("x05_audio_features", x05, None))
 }
