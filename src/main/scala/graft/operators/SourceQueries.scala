@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.damds.DamdsIO
 import graft.sources.PointSources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,7 +56,46 @@ object SourceQueries {
        |  CAST((r.range * 37 + c.range * 11) % 1000 AS DOUBLE) / 1000.0 AS v
        |FROM range($mRows) r CROSS JOIN range($mCols) c""".stripMargin
 
+  // ---- p03: S7/S10/J2 side-read join through the driver gate ----
+  // Formula-defined binary short dist + weight files go out through the
+  // real binary writer and come back through `DamdsIO.loadSideRead` —
+  // the reference's filReadJoin: ONE scan whose tasks side-read their
+  // matching weight row range directly (zero shuffle, no
+  // co-partitioning needed; the scale path when both matrices live on
+  // a shared filesystem). Cells are emitted fixed-point-decoded and
+  // DuckDB recomputes the generating formula — so the split math, the
+  // binary round-trip, the side-read pairing, and the N7 decode are
+  // all under the gate.
+  private val sdN = 64
+
+  private def p03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sideread")
+    val dist = tmp.resolve("dist.bin").toString
+    val wgt = tmp.resolve("weight.bin").toString
+    graft.mm.MatrixIO.writeShortMatrix(dist,
+      Array.tabulate(sdN * sdN)(k =>
+        (((k / sdN) * 31 + (k % sdN) * 17) % 32768).toShort), bigEndian = true)
+    graft.mm.MatrixIO.writeShortMatrix(wgt,
+      Array.tabulate(sdN * sdN)(k =>
+        (((k / sdN) * 13 + (k % sdN) * 7) % 32768).toShort), bigEndian = true)
+    DamdsIO.loadSideRead(s, dist, Some(wgt), sdN, numSplits = 8)
+      .flatMap { b =>
+        for (i <- 0 until b.blockRows; j <- 0 until b.n) yield
+          ((b.start + i).toLong, j.toLong,
+            b.dist(i * b.n + j) * (1.0 / 32767),
+            b.weight(i * b.n + j) * (1.0 / 32767))
+      }
+      .toDF("row", "col", "d", "w")
+  }
+  private val p03Sql =
+    s"""SELECT r.range AS row, c.range AS col,
+       |  ((r.range * 31 + c.range * 17) % 32768) * (1.0 / 32767) AS d,
+       |  ((r.range * 13 + c.range * 7) % 32768) * (1.0 / 32767) AS w
+       |FROM range($sdN) r CROSS JOIN range($sdN) c""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_points_text_roundtrip", p01, Some(p01Sql)),
-    Q("p02_wholefile_matrix_roundtrip", p02, Some(p02Sql)))
+    Q("p02_wholefile_matrix_roundtrip", p02, Some(p02Sql)),
+    Q("p03_sideread_join_roundtrip", p03, Some(p03Sql)))
 }
