@@ -410,4 +410,8 @@ object GraftFunctions {
       centroids.head.length))
   def normTokens(text: Column): Column =
     column(NormTokensExpr(expression(text)))
+  /** Bounded top-k aggregate: k smallest (ns, vid) pairs, ascending. */
+  def boundedTopK(ns: Column, vid: Column, k: Int): Column =
+    column(BoundedTopKAgg(expression(ns), expression(vid), k)
+      .toAggregateExpression())
 }

@@ -118,19 +118,23 @@ object VectorOps {
       .filter(col("cosine") >= tau)
   }
 
-  /** Scalable top-k per query without a full-partition window sort:
-    * phase 1 takes a bounded top-k inside each (qid, hash-bucket) group
-    * (hash agg, map-side partial), phase 2 merges ≤ buckets·k rows per
-    * qid. Input needs columns (qid, vec_id, score); higher score = better.
-    * Output: (qid, rank, vec_id, score) with deterministic vec_id tiebreak.
+  /** Scalable top-k per query without a full-partition window sort and
+    * without buffering any group: one `groupBy(qid)` over a bounded-heap
+    * `TypedImperativeAggregate` (graft.functions.BoundedTopKAgg). Spark
+    * plans it as ObjectHashAggregate with map-side partials, so each map
+    * task keeps a k-element heap per qid, the shuffle carries ≤ tasks·k
+    * pairs per qid, and the reduce side heap-merges — O(k) memory per
+    * group at any corpus size. Input needs columns (qid, vec_id: bigint,
+    * score); higher score = better. Output: (qid, rank, vec_id, score)
+    * with deterministic vec_id tiebreak, value-identical to
+    * `slice(array_sort(collect_list(struct(-score, vec_id))), 1, k)`.
     */
-  def topKPerQuery(scored: DataFrame, k: Int, buckets: Int = 64): DataFrame = {
-    val ranked = struct((-col("score")).as("ns"), col("vec_id").as("vid"))
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     scored
-      .groupBy(col("qid"), pmod(col("vec_id"), lit(buckets)).as("bkt"))
-      .agg(slice(array_sort(collect_list(ranked)), 1, k).as("top"))
       .groupBy(col("qid"))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .agg(graft.functions.GraftFunctions
+        .boundedTopK((-col("score")).cast("double"), col("vec_id").cast("long"), k)
+        .as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("col.vid").as("vec_id"), (-col("col.ns")).as("score"))

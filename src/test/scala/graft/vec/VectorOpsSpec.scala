@@ -40,6 +40,38 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("topKPerQuery plans the bounded-heap aggregate, not collect_list") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val plan = exact.fn(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "v01 still plans an unbounded collect_list top-k")
+    assert(plan.contains("graft_bounded_top_k"),
+      "bounded top-k aggregate missing from v01 plan")
+    // partial aggregation must be planned (map-side heaps before the
+    // qid shuffle) — ObjectHashAggregate appears twice: partial + final
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "bounded top-k is not planned with map-side partial aggregation")
+  }
+
+  test("topKPerQuery bounded heap survives many-partition partial merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = for (q <- 0 until 2; v <- 0 until 5000)
+      yield (q.toLong, v.toLong, rnd.nextDouble())
+    val df = rows.toDF("qid", "vec_id", "score").repartition(32)
+    val got = VectorOps.topKPerQuery(df, 7)
+      .select($"qid", $"rank", $"vec_id", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(7).zipWithIndex.map {
+        case ((_, v, s), i) => (q, (i + 1).toLong, v, s)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("bandCodes: deterministic, correct band count, namespaced codes") {
     import spark.implicits._
     val planes = VectorOps.hyperplanes(12, 4, seed = 7)
