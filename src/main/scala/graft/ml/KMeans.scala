@@ -122,18 +122,26 @@ object KMeans {
   /** Full fit loop (I1/I2). `tol` is squared-L2 centroid shift for
     * early exit; `tol = 0` stops early only on an exact fixed point
     * (shift == 0), otherwise runs `maxIter` iterations.
+    *
+    * `postStep` transforms the centroids after every Lloyd step. The
+    * intended use is fixed-point Lloyd: snapping each coordinate to a
+    * decimal grid (`snap6`) makes the whole trajectory reproducible
+    * bit-for-bit by an independent engine replaying the same steps,
+    * because iteration boundaries stop carrying engine-specific FP
+    * summation order. Identity by default (production fit).
     */
   def fit(
       points: DataFrame,
       init: Array[Array[Double]],
       maxIter: Int,
-      tol: Double = 0.0): Model = {
+      tol: Double = 0.0,
+      postStep: Array[Array[Double]] => Array[Array[Double]] = identity): Model = {
     val cached = points.select(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var lastShift = Double.NaN
       val r = Iterate.loop(init.map(_.clone()), maxIter) { cur =>
-        step(cached, cur)
+        postStep(step(cached, cur))
       } { (prev, next) =>
         lastShift = maxShift(prev, next)
         lastShift <= tol
@@ -143,6 +151,14 @@ object KMeans {
       cached.unpersist()
     }
   }
+
+  /** Floor-form half-up rounding to 6 decimals — the same IEEE op
+    * sequence (`floor(x * 1e6 + 0.5) / 1e6`) in Spark, plain JVM code
+    * and DuckDB, unlike each engine's `round()` which disagree on
+    * doubles. Used as the `fit` postStep for cross-engine-checkable
+    * fixed-point Lloyd runs.
+    */
+  def snap6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** `fit` over the A5 block pre-agg step (`stepBlock`) — same loop and
     * convergence contract, one single-pass job per iteration instead of

@@ -79,17 +79,52 @@ object MlQueries {
   }
 
   // ---- m03: the real iterative K-Means (I1/I2), 5 Lloyd steps ----
-  // Rows-only for the driver (DuckDB can't loop); the loop itself is
-  // verified against a driver-side naive implementation in KMeansSpec.
+  // Oracle-checked end to end: the engine runs fixed-point Lloyd
+  // (centroids snapped to the 1e-6 grid after every step, floor-form
+  // rounding — identical IEEE ops in both engines), and the oracle
+  // replays the SAME 5 iterations as an unrolled CTE chain in DuckDB.
+  // Snapping makes each iteration boundary engine-independent: the
+  // only FP divergence between Spark's partial-agg sums and DuckDB's
+  // SUM is ~1e-13, far below the snap grain, so assignments and
+  // means agree exactly at every step (same index-order distance
+  // folds, same lowest-cid tiebreak, same empty-cluster-keeps-old
+  // rule via the LEFT JOIN COALESCE).
+  private val m03Iters = 5
   private def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val model = KMeans.fit(e, initCentroids(s, dir), maxIter = 5)
+    val model = KMeans.fit(e, initCentroids(s, dir), maxIter = m03Iters,
+      postStep = _.map(_.map(KMeans.snap6)))
     val rows = for {
       (c, cid) <- model.centroids.zipWithIndex
       (x, dim) <- c.zipWithIndex
-    } yield (cid.toLong, dim.toLong, math.rint(x * 1e6) / 1e6)
+    } yield (cid.toLong, dim.toLong, x)
     s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "mean")
+  }
+  private val m03Sql = {
+    val d2 = VectorOps.sqdistSql("e.v", "c.cv")
+    val steps = (1 to m03Iters).map { i =>
+      val p = i - 1
+      s"""  d$i AS (SELECT e.vec_id, e.v, c.cid, $d2 AS dist2
+         |          FROM e CROSS JOIN c$p c),
+         |  a$i AS (SELECT vec_id, v, cid FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY dist2, cid) AS rn FROM d$i) WHERE rn = 1),
+         |  m$i AS (SELECT cid, g.i AS dim,
+         |            floor((SUM(v[g.i]) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS val
+         |          FROM a$i CROSS JOIN generate_series(1, 64) AS g(i)
+         |          GROUP BY cid, g.i),
+         |  n$i AS (SELECT cid, list(val ORDER BY dim) AS cv FROM m$i GROUP BY cid),
+         |  c$i AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |          FROM c$p p LEFT JOIN n$i n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |  c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |$steps
+       |SELECT cid, CAST(g.i - 1 AS BIGINT) AS dim, cv[g.i] AS mean
+       |FROM c$m03Iters CROSS JOIN generate_series(1, 64) AS g(i)""".stripMargin
   }
 
   // ---- m04: the A5 in-scan pre-agg step (KMeansBlock) ----
@@ -153,7 +188,7 @@ object MlQueries {
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
-    Q("m03_kmeans_loop", m03, None),
+    Q("m03_kmeans_loop", m03, Some(m03Sql)),
     Q("m04_kmeans_step_block", m04, Some(m04Sql)),
     Q("g01_gaussian_generator", g01, None))
 }
