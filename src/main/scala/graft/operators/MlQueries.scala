@@ -164,11 +164,13 @@ object MlQueries {
     * end — generate the reference's seeded fixture (single RNG stream,
     * reference draw order: means first, then d gaussians per point),
     * assign every point to its nearest TRUE mean, and roll up
-    * per-cluster counts and centroids. Rows-only: Gaussian draws from
-    * a Java RNG are not SQL-reproducible; the draw-order contract is
-    * spec-tested in PointSourcesSpec. The sequential RNG stream is the
-    * reference's own generator contract (a scale deployment would seed
-    * per partition instead — see PointSources scaladoc).
+    * per-cluster counts and centroids. Gaussian draws from a Java RNG
+    * are not SQL-reproducible, but the seeded stream is a constant, so
+    * the oracle is the pinned golden rollup (GoldenOracles.g01); the
+    * draw-order contract is additionally spec-tested in
+    * PointSourcesSpec. The sequential RNG stream is the reference's own
+    * generator contract (a scale deployment would seed per partition
+    * instead — see PointSources scaladoc).
     */
   private def g01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -190,5 +192,5 @@ object MlQueries {
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, Some(m03Sql)),
     Q("m04_kmeans_step_block", m04, Some(m04Sql)),
-    Q("g01_gaussian_generator", g01, None))
+    Q("g01_gaussian_generator", g01, Some(GoldenOracles.g01)))
 }

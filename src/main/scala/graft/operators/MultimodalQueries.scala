@@ -38,17 +38,22 @@ object MultimodalQueries {
       |       md5(text) AS payload_md5
       |FROM documents""".stripMargin
 
-  /** x02: decode + per-channel image features (rows-only: the stub
-    * decode is not SQL-expressible; invariants are covered in
-    * MultimodalSpec).
+  /** x02: decode + per-channel image features. The stub decode's hash
+    * stream is not SQL-expressible, but it IS per-record deterministic,
+    * so the oracle is a pinned golden table (GoldenOracles.x02) that
+    * was cross-checked against an independent non-JVM reimplementation
+    * of the codec + feature math. Kernel invariants also in
+    * MultimodalSpec.
     */
   private def x02(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageFeatures(media(s, dir))
       .select(col("media_id"), size(col("features")).as("dim"),
         round(element_at(col("features"), 1), 4).as("mean_c0"))
 
-  /** x03: frame sampling over the same payloads declared as video
-    * (rows-only; frame count + shape invariants tested in spec).
+  /** x03: frame sampling over the same payloads declared as video.
+    * The rollup depends only on the declared metadata, not on decoded
+    * pixels — every doc yields ceil(frames/stride) = 3 frames of
+    * 8·8·3 = 192 bytes — so the oracle is real SQL over documents.
     */
   private def x03(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
@@ -90,10 +95,16 @@ object MultimodalQueries {
         round(avg(col("zcr")), 6).as("avg_zcr"))
   }
 
+  private val x03Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(3 AS BIGINT) AS n_frames,
+      |  CAST(3 * 8 * 8 * 3 AS BIGINT) AS bytes
+      |FROM documents""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
-    Q("x02_image_features", x02, None),
-    Q("x03_frame_sample", x03, None),
+    Q("x02_image_features", x02, Some(GoldenOracles.x02)),
+    Q("x03_frame_sample", x03, Some(x03Sql)),
     Q("x04_media_dedup", x04, None),
-    Q("x05_audio_features", x05, None))
+    Q("x05_audio_features", x05, Some(GoldenOracles.x05)))
 }
