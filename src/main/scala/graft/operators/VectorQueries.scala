@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding
-  * float[64], label): exact brute-force top-k cosine (DuckDB-oracle
-  * checked, bit-identical fold order) and a random-hyperplane-LSH ANN
-  * variant whose recall vs the exact top-k is asserted in
-  * VectorQueriesSpec (rows-only here — the LSH planes are driver-side
-  * constants DuckDB can't reproduce cheaply).
+  * float[64], label): exact brute-force top-k cosine and the
+  * random-hyperplane-LSH ANN/near-dup paths — ALL DuckDB-oracle
+  * checked (bit-identical fold order; the LSH planes are injected into
+  * the oracle SQL as full-precision literals so the banding itself is
+  * reproduced cross-engine), with recall additionally asserted in
+  * VectorOpsSpec.
   *
   * Scale notes: the exact path is a broadcast join of a small query set
   * against the full table + a two-phase bounded top-k (no window over a
@@ -54,7 +55,42 @@ object VectorQueries {
        |FROM r WHERE rn <= $topK""".stripMargin
   }
 
-  // ---- v02: ANN top-k via random-hyperplane LSH (rows-only) ----
+  // ---- oracle-side rendering of the sign-LSH banding ----
+  // The hyperplanes are driver-side constants; the oracle injects the
+  // SAME doubles as SQL literals (shortest round-trip repr, 'e0'
+  // suffix so DuckDB parses DOUBLE, not DECIMAL) and reproduces the
+  // banding bit-for-bit: index-order projection folds, sign at >= 0,
+  // bit (p mod bits) inside band (p div bits), band id folded into the
+  // high bits. Everything downstream (candidate join, exact rescoring,
+  // ranking) is ordinary SQL, so the whole ANN path is cross-engine
+  // checked, not just its exact sibling.
+  private def fmtD(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** `WITH`-clause body for: e (cast vectors), pl (literal planes),
+    * codes (vec_id, band, code) with `bits` bits per band. */
+  private def lshCodesSql(planes: Array[Array[Double]], bits: Int): String = {
+    val dim = planes.head.length
+    val plRows = planes.zipWithIndex
+      .map { case (row, p) => s"($p, ${row.map(fmtD).mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    s"""e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |  pl AS (SELECT p, w FROM (VALUES $plRows) pl(p, w)),
+       |  dots AS (SELECT e.vec_id, pl.p,
+       |      list_reduce(list_transform(generate_series(1, $dim),
+       |        i -> e.v[i] * CAST(pl.w[i] AS DOUBLE)), (s, x) -> s + x) AS dot
+       |    FROM e CROSS JOIN pl),
+       |  codes AS (SELECT vec_id, p // $bits AS band,
+       |      SUM(CASE WHEN dot >= 0e0 THEN 1 << (p % $bits) ELSE 0 END)
+       |        + (p // $bits) * ${1 << bits} AS code
+       |    FROM dots GROUP BY 1, 2)""".stripMargin
+  }
+
+  // ---- v02: ANN top-k via random-hyperplane LSH (oracle-checked) ----
   // 96 planes, 24 bands × 4 bits: tuned for ≥0.9 recall@10 on the
   // near-uniform fixture embeddings (top-10 cosines ≈ 0.24–0.4 ⇒ sign
   // agreement p ≈ 0.58, band hit 1−(1−p⁴)²⁴ ≈ 0.95). Clustered real
@@ -81,6 +117,22 @@ object VectorQueries {
       .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
     VectorOps.topKPerQuery(scored, topK)
       .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+  private lazy val v02Sql = {
+    val cos = VectorOps.cosineSql("cv.v", "qv.v")
+    s"""WITH ${lshCodesSql(planes, bitsPerBand)},
+       |  qb AS (SELECT vec_id AS qid, band, code FROM codes WHERE vec_id < $nQueries),
+       |  cand AS (SELECT DISTINCT q.qid, c.vec_id
+       |           FROM codes c JOIN qb q ON c.band = q.band AND c.code = q.code
+       |           WHERE c.vec_id <> q.qid),
+       |  scored AS (SELECT cand.qid, cand.vec_id, $cos AS score
+       |             FROM cand JOIN e cv ON cv.vec_id = cand.vec_id
+       |                       JOIN e qv ON qv.vec_id = cand.qid),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY score DESC, vec_id) AS rn FROM scored)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS cosine
+       |FROM r WHERE rn <= $topK""".stripMargin
   }
 
   // ---- v03: embedding-cosine near-dup, exact on a bounded slice ----
@@ -127,6 +179,19 @@ object VectorQueries {
     val e = embeddings(s, dir)
     VectorOps.lshDupPairs(e, "vec_id", planes, bitsPerBand = 8, dupTau)
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+  }
+  private lazy val v04Sql = {
+    val cos = VectorOps.cosineSql("va.v", "vb.v")
+    s"""WITH ${lshCodesSql(planes, 8)},
+       |  pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |            FROM codes a JOIN codes b
+       |              ON a.band = b.band AND a.code = b.code
+       |             AND a.vec_id < b.vec_id),
+       |  scored AS (SELECT p.id_a, p.id_b, $cos AS c
+       |             FROM pairs p JOIN e va ON va.vec_id = p.id_a
+       |                          JOIN e vb ON vb.vec_id = p.id_b)
+       |SELECT id_a, id_b, round(c, 6) AS cosine
+       |FROM scored WHERE c >= ${fmtD(dupTau)}""".stripMargin
   }
 
   /** v05: IVF-style ANN — the partition-pruning scale path. A coarse
@@ -299,9 +364,9 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
-    Q("v02_knn_ann_lsh", v02, None),
+    Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
     Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
-    Q("v04_cosine_dup_lsh", v04, None),
+    Q("v04_cosine_dup_lsh", v04, Some(v04Sql)),
     Q("v05_knn_ivf", v05, None),
     Q("v06_knn_ivf_disk", v06, Some(v01Sql)),
     Q("v07_quantize_int8", v07, Some(v07Sql)))
