@@ -83,10 +83,27 @@ object Damds {
     Gemm.assemble(parts.toSeq)
   }
 
+  /** Largest N×d gather (in doubles) `mm`/`bc` will pull through the
+    * driver per CG step — 64M doubles = 512 MB, past which the
+    * parallelism-1 gather contract stops being sane. The reference's
+    * DAMDS has exactly this gather (its reduceGroup at parallelism 1,
+    * SURVEY §2.4 A4/O9), so up to the cap we keep parity; beyond it,
+    * fail fast with the redesign pointer instead of OOMing the driver:
+    * keep X partitioned as row blocks co-located with V, replace the
+    * gather+broadcast pair with a per-block exchange of only the
+    * columns each block touches (allreduce-style), and let CG's dot
+    * products run as distributed treeReduce.
+    */
+  val maxGatherDoubles: Long = 64L * 1024 * 1024
+
   /** N2 + A4: one distributed V·x multiply, gathered to N×d. */
   def mm(spark: SparkSession,
       vblocks: org.apache.spark.rdd.RDD[(WeightBlock, Array[Double])],
       x: Array[Double], d: Int, n: Int): Array[Double] = {
+    require(n.toLong * d <= maxGatherDoubles,
+      s"DAMDS driver gather of ${n.toLong * d} doubles (N=$n × d=$d) " +
+        s"exceeds $maxGatherDoubles; distribute X instead of gathering " +
+        "(see Damds.maxGatherDoubles)")
     val xBc = spark.sparkContext.broadcast(x)
     val parts = vblocks.map { case (b, v) =>
       DoubleMatrixBlock(b.index, b.start, b.blockRows, n, d,

@@ -43,6 +43,20 @@ object StreamingQueries {
     * query's checkpoint at start, which is exactly how a production
     * job would pin it. Scoped here: set for the stream start, restored
     * after (batch plans in the same session are unaffected).
+    *
+    * SINGLE-BATCH CONTRACT: the batch-SQL oracle equivalence of the
+    * lateness-sensitive rows (s04's join state eviction, s05's
+    * 0-second-lateness sessionizer) holds when the whole fixture lands
+    * in one micro-batch — out-of-order rows WITHIN a batch are sorted
+    * by the state operators before their watermark advances, but rows
+    * arriving in a LATER batch than their timestamp's watermark would
+    * be dropped, which no batch oracle reproduces. The fixture is one
+    * file and the file source admits whole files per batch, so this
+    * holds structurally; `maxFilesPerTrigger` is pinned high anyway so
+    * a future multi-file fixture fails loudly here (the pin) instead
+    * of silently diverging. A production deployment replaying history
+    * into these queries would use a watermark delay covering its
+    * actual disorder, not 0 seconds.
     */
   private def runStream(s: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
@@ -52,6 +66,7 @@ object StreamingQueries {
       // out the events file from the shared sf dir
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1000000") // single-batch pin, see above
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"

@@ -302,7 +302,12 @@ object VectorQueries {
     ivfDiskCache.getOrElseUpdate((s, dir), {
       val (_, _, assigned) = ivfIndex(s, dir)
       val wh = s.conf.get("spark.sql.warehouse.dir")
-      val path = s"$wh/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+      // full-strength content hash of the dataset path: a 32-bit
+      // hashCode could collide across datasets sharing a warehouse and
+      // silently serve one dataset's layout for another
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"$wh/graft_ivf_$md"
       assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })

@@ -180,6 +180,18 @@ class DamdsSpec extends AnyFunSuite {
     assert(Damds.cooledTemp(1e-300, 1e-6, 0.95) == 0.0)
   }
 
+  test("mm refuses a driver gather beyond maxGatherDoubles") {
+    // N=30M x d=3 is ~90M doubles through the driver per CG step —
+    // past the documented parity cap; must fail fast with the
+    // redesign pointer, not OOM mid-anneal
+    val empty = spark.sparkContext
+      .emptyRDD[(graft.damds.DamdsKernels.WeightBlock, Array[Double])]
+    val e = intercept[IllegalArgumentException] {
+      graft.damds.Damds.mm(spark, empty, Array(0.0), d = 3, n = 30000000)
+    }
+    assert(e.getMessage.contains("maxGatherDoubles"))
+  }
+
   test("full annealed run improves the embedding (I3/N9)") {
     val rnd = new scala.util.Random(17)
     val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
