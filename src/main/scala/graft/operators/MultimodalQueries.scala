@@ -79,9 +79,10 @@ object MultimodalQueries {
         count(lit(1)).as("n_copies"))
 
   /** x05: audio decode + windowed RMS / zero-crossing features over the
-    * payloads declared as audio (rows-only: stub decode; kernel
-    * invariants covered in MultimodalSpec). One mapPartitions pass,
-    * window rows flatMapped out, per-media rollup is the only shuffle.
+    * payloads declared as audio (pinned-golden gated like x02, with the
+    * same independent cross-check; kernel invariants in
+    * MultimodalSpec). One mapPartitions pass, window rows flatMapped
+    * out, per-media rollup is the only shuffle.
     */
   private def x05(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
@@ -105,6 +106,6 @@ object MultimodalQueries {
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
     Q("x03_frame_sample", x03, Some(x03Sql)),
-    Q("x04_media_dedup", x04, None),
+    Q("x04_media_dedup", x04, Some(GoldenOracles.x04)),
     Q("x05_audio_features", x05, Some(GoldenOracles.x05)))
 }

@@ -538,7 +538,7 @@ object RelationalQueries {
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
     Q("q30_bucketed_join", q30, Some(q30Sql)),
-    Q("q31_approx_stats", q31, None),
+    Q("q31_approx_stats", q31, Some(GoldenOracles.q31)),
     Q("q26_percentiles", q26, Some(q26Sql)),
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 /** Training-data text pipeline over the `documents` table: exact dedup,
   * token/quality/language analysis (DuckDB-oracle-checked), and the
   * hash-based near-dup family (MinHash LSH, SimHash, fingerprints —
-  * rows-only checks, since DuckDB lacks xxhash64).
+  * DuckDB lacks xxhash64, so these are gated by pinned goldens
+  * (GoldenOracles, verified partition-count-invariant) with the
+  * algorithm itself cross-engine-checked via the d10–d12 md5 siblings).
   */
 object TextQueries {
 
@@ -156,7 +158,7 @@ object TextQueries {
       |JOIN sz sb ON pairs.id_b = sb.doc_id
       |WHERE common >= 2""".stripMargin
 
-  // ---- rows-only (no DuckDB oracle: xxhash64-based) ----
+  // ---- xxhash64-based production paths (pinned-golden gated) ----
 
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -199,7 +201,7 @@ object TextQueries {
 
   // ---- d10–d12: md5 siblings of the xxhash64 near-dup family ----
   // The production paths (d06/d07/d08) hash with xxhash64, which DuckDB
-  // cannot reproduce, so they are rows-only for the driver. These
+  // cannot reproduce, so their driver gates are pinned goldens. These
   // variants run the SAME banding/blocking/fingerprint logic with an
   // md5-derived hash both engines compute identically — so the LSH
   // plumbing (band slicing, bucket join, slot-agreement estimate,
@@ -437,9 +439,9 @@ object TextQueries {
     Q("d03_quality_scores", d03, Some(d03Sql)),
     Q("d04_lang_id", d04, Some(d04Sql)),
     Q("d05_ngram_jaccard", d05, Some(d05Sql)),
-    Q("d06_minhash_lsh", d06MinhashLsh, None),
-    Q("d07_simhash", d07Simhash, None),
-    Q("d08_fingerprints", d08Fingerprint, None),
+    Q("d06_minhash_lsh", d06MinhashLsh, Some(GoldenOracles.d06)),
+    Q("d07_simhash", d07Simhash, Some(GoldenOracles.d07)),
+    Q("d08_fingerprints", d08Fingerprint, Some(GoldenOracles.d08)),
     Q("d09_curation_pipeline", d09, Some(d09Sql)),
     Q("d10_minhash_lsh_md5", d10MinhashMd5, Some(d10Sql)),
     Q("d11_simhash_md5", d11SimhashMd5, Some(d11Sql)),

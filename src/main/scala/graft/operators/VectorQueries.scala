@@ -372,7 +372,7 @@ object VectorQueries {
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
     Q("v03_cosine_dup_exact", v03, Some(v03Sql)),
     Q("v04_cosine_dup_lsh", v04, Some(v04Sql)),
-    Q("v05_knn_ivf", v05, None),
+    Q("v05_knn_ivf", v05, Some(GoldenOracles.v05)),
     Q("v06_knn_ivf_disk", v06, Some(v01Sql)),
     Q("v07_quantize_int8", v07, Some(v07Sql)))
 }
