@@ -34,6 +34,44 @@ object KernelProps extends Properties("graft.kernels") {
         FixedPoint.InvShortMax
     }
 
+  // ---- bounded top-k heap (the ANN top-k aggregation buffer) ----
+  private val scoredRows: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(
+      Gen.oneOf(Gen.chooseNum(-1.0, 1.0), Gen.oneOf(0.0, -0.0, 7.5, -7.5)),
+      Gen.chooseNum(0L, 50L)))
+
+  private def refTopK(rows: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    rows.sortWith { case ((n1, v1), (n2, v2)) =>
+      val c = java.lang.Double.compare(n1, n2)
+      c < 0 || (c == 0 && v1 < v2)
+    }.take(k)
+
+  property("TopKBuffer insert stream == sort-take reference (ties, -0.0)") =
+    forAll(scoredRows, Gen.chooseNum(1, 12)) { (rows, k) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      rows.foreach { case (n, v) => buf.insert(n, v) }
+      val got = buf.sortedRows().map { r =>
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        (row.getDouble(0), row.getLong(1))
+      }.toSeq
+      got == refTopK(rows, k)
+    }
+
+  property("TopKBuffer merge of arbitrary partitions == global top-k") =
+    forAll(scoredRows, Gen.chooseNum(1, 10), Gen.chooseNum(1, 8)) {
+      (rows, k, parts) =>
+        val bufs = Array.fill(parts)(new graft.functions.TopKBuffer(k))
+        rows.zipWithIndex.foreach { case ((n, v), i) =>
+          bufs(i % parts).insert(n, v)
+        }
+        val merged = bufs.reduceLeft { (a, b) => a.merge(b); a }
+        val got = merged.sortedRows().map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getDouble(0), row.getLong(1))
+        }.toSeq
+        got == refTopK(rows, k)
+    }
+
   // ---- N1 GEMM ----
   private val smallDims = Gen.chooseNum(1, 12)
   property("gemm by the identity returns A") =
