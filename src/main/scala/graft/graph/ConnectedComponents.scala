@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by min-label propagation — the clustering step
+  * a dedup pipeline runs between near-dup PAIRS and "keep one document
+  * per cluster": every node ends up labeled with the smallest node id
+  * reachable from it, so the label doubles as the deterministic keeper.
+  *
+  * Spark-first shape (the reference's I1/I2 driver-loop pattern applied
+  * to a graph): labels live in a DataFrame partitioned by node id; each
+  * round is one join (edge × label) + one min-aggregation — two
+  * shuffles — and the driver only sees a change COUNT, never the
+  * labels. Rounds needed = component diameter, and near-dup clusters
+  * are shallow (a dup cluster's LSH graph is dense), so convergence is
+  * a handful of rounds. At billion-node scale with adversarial
+  * diameters the alternation trick (large-star/small-star) bounds
+  * rounds at O(log n); min-propagation is the right default for dedup
+  * workloads and keeps every round a plain equi-join.
+  */
+object ConnectedComponents {
+
+  /** `nodes`: one column `id`; `edges`: columns `id_a`, `id_b`
+    * (undirected, any orientation). Returns (id, label) with label =
+    * min id of the component. Nodes absent from `edges` keep
+    * themselves. Fails if `maxIter` rounds don't reach a fixpoint
+    * (diameter larger than expected — raise maxIter consciously rather
+    * than silently returning half-propagated labels).
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("dst"), col("id_b").as("src"))
+      .union(edges.select(col("id_b").as("dst"), col("id_a").as("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round, NOT persist: an iterative DataFrame's
+    // logical plan otherwise embeds every previous round, and planning
+    // alone goes superlinear by round ~15 (observed: a 40-round chain
+    // never finished). Checkpointing pins the round's rows and resets
+    // the plan to a leaf — the same reason the reference's bulk
+    // iteration materializes its superstep barrier.
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // smallest label among each node's neighbors this round
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxIter rounds; " +
+        "component diameter exceeds the bound — raise maxIter")
+    labels
+  }
+}

@@ -158,6 +158,52 @@ object TextQueries {
       |JOIN sz sb ON pairs.id_b = sb.doc_id
       |WHERE common >= 2""".stripMargin
 
+  // ---- d14: dedup clusters (connected components over dup pairs) ----
+  // The step between near-dup PAIRS and an actually deduplicated
+  // corpus: group pairs into components and elect min-id keepers.
+  // Edges are the d05 exact-Jaccard pairs at >= 0.2 (SQL-reproducible,
+  // so the whole clustering is oracle-checked via a DuckDB recursive
+  // transitive closure); the production pipeline would feed d06's LSH
+  // pairs into the same operator.
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = d05(s, dir).filter($"jaccard" >= 0.2).select($"id_a", $"id_b")
+    val nodes = Tables(s, dir, "documents").filter($"doc_id" < 100)
+      .select($"doc_id".as("id"))
+    val labels = graft.graph.ConnectedComponents.run(nodes, edges)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"id".as("doc_id"), $"label".as("keeper"), $"cluster_size")
+  }
+  private val d14Sql =
+    """WITH RECURSIVE
+      |  t AS (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |        FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0),
+      |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+      |        FROM t WHERE len(toks) >= 3),
+      |  sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+      |  pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      |            FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |            GROUP BY 1, 2),
+      |  e AS (SELECT id_a, id_b
+      |        FROM pairs JOIN sz sa ON pairs.id_a = sa.doc_id
+      |                   JOIN sz sb ON pairs.id_b = sb.doc_id
+      |        WHERE common >= 2
+      |          AND CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2),
+      |  nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+      |  sym AS (SELECT id_a AS src, id_b AS dst FROM e
+      |          UNION ALL SELECT id_b, id_a FROM e),
+      |  r AS (SELECT id, id AS lab FROM nodes
+      |        UNION
+      |        SELECT sym.src AS id, r.lab FROM sym JOIN r ON r.id = sym.dst),
+      |  lbl AS (SELECT id, min(lab) AS keeper FROM r GROUP BY id),
+      |  szc AS (SELECT keeper, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+      |SELECT lbl.id AS doc_id, lbl.keeper, szc.cluster_size
+      |FROM lbl JOIN szc USING (keeper)""".stripMargin
+
   // ---- xxhash64-based production paths (pinned-golden gated) ----
 
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -446,5 +492,6 @@ object TextQueries {
     Q("d10_minhash_lsh_md5", d10MinhashMd5, Some(d10Sql)),
     Q("d11_simhash_md5", d11SimhashMd5, Some(d11Sql)),
     Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)),
-    Q("d13_repetition_ratio", d13, Some(d13Sql)))
+    Q("d13_repetition_ratio", d13, Some(d13Sql)),
+    Q("d14_dedup_clusters", d14, Some(d14Sql)))
 }
