@@ -204,6 +204,34 @@ object TextQueries {
       |SELECT lbl.id AS doc_id, lbl.keeper, szc.cluster_size
       |FROM lbl JOIN szc USING (keeper)""".stripMargin
 
+  // ---- d15: deterministic hash-based train/val/test split ----
+  // The split every training pipeline needs, done the way that
+  // survives scale: bucket = first md5 byte of the DOCUMENT ID, split
+  // by fixed hex thresholds ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈
+  // 90%). Pure shuffle-free projection; hash-of-id (never random())
+  // means re-runs, backfills and late-arriving data always land in
+  // the same split — no train/val leakage across pipeline runs — and
+  // both engines compute the identical md5 hex, so the assignment is
+  // exactly oracle-checked, not statistically.
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    Tables(s, dir, "documents")
+      .select($"doc_id", bucket.as("bucket"),
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+  }
+  private val d15Sql =
+    """SELECT doc_id,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |         THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   // ---- xxhash64-based production paths (pinned-golden gated) ----
 
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -493,5 +521,6 @@ object TextQueries {
     Q("d11_simhash_md5", d11SimhashMd5, Some(d11Sql)),
     Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)),
     Q("d13_repetition_ratio", d13, Some(d13Sql)),
-    Q("d14_dedup_clusters", d14, Some(d14Sql)))
+    Q("d14_dedup_clusters", d14, Some(d14Sql)),
+    Q("d15_hash_split", d15, Some(d15Sql)))
 }

@@ -106,4 +106,19 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(fp(0)._2 == fp(1)._2 && fp(0)._3 == fp(1)._3)
   }
+
+  test("d15 hash split: deterministic, exhaustive, ~80/10/10 proportions") {
+    import spark.implicits._
+    val q = graft.operators.TextQueries.all.find(_.name == "d15_hash_split").get
+    val a = q.fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    val b = q.fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1))) // rerun-stable
+    assert(a.map(_._1).distinct.length == a.length) // one split per doc
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(frac("train") - 204.0 / 256) < 0.06, frac.toString)
+    assert(math.abs(frac("val") - 26.0 / 256) < 0.04, frac.toString)
+    assert(math.abs(frac("test") - 26.0 / 256) < 0.04, frac.toString)
+  }
 }
