@@ -232,6 +232,43 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  // ---- d16: sequence packing into context-length bins ----
+  // Pretraining-data packing: assign documents to fixed token-budget
+  // bins (greedy stream chunking — a doc opens a new bin once the
+  // running total crosses the budget; docs are never split, so bins
+  // may overflow by one doc, the standard packing-with-overflow
+  // contract). SHARDED on purpose: the running sum is a window
+  // PARTITIONED by a hash shard and ordered within it, so the packing
+  // parallelizes — a single global ORDER BY window would serialize the
+  // corpus through one task at 100 TB. Bins are globally identified by
+  // (shard, bin); both engines compute the identical integer window
+  // math, so the assignment is exactly oracle-checked.
+  private val packBudget = 1024 // tokens per bin
+  private val packShards = 8
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(s, dir, "documents")
+      .select($"doc_id", pmod($"doc_id", lit(packShards)).as("shard"),
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        (($"cum" - $"n_tokens") / packBudget).cast("long").as("bin"))
+  }
+  private val d16Sql =
+    s"""WITH t AS (SELECT doc_id, doc_id % $packShards AS shard,
+       |  CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+       |    AS BIGINT) AS n_tokens
+       |FROM documents),
+       |  c AS (SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $packBudget) AS BIGINT) AS bin
+       |FROM c""".stripMargin
+
   // ---- xxhash64-based production paths (pinned-golden gated) ----
 
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -522,5 +559,6 @@ object TextQueries {
     Q("d12_fingerprints_md5", d12FingerprintMd5, Some(d12Sql)),
     Q("d13_repetition_ratio", d13, Some(d13Sql)),
     Q("d14_dedup_clusters", d14, Some(d14Sql)),
-    Q("d15_hash_split", d15, Some(d15Sql)))
+    Q("d15_hash_split", d15, Some(d15Sql)),
+    Q("d16_sequence_pack", d16, Some(d16Sql)))
 }

@@ -121,4 +121,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(frac("val") - 26.0 / 256) < 0.04, frac.toString)
     assert(math.abs(frac("test") - 26.0 / 256) < 0.04, frac.toString)
   }
+
+  test("d16 packing equals a sequential greedy reference per shard") {
+    import spark.implicits._
+    val q = graft.operators.TextQueries.all.find(_.name == "d16_sequence_pack").get
+    val rows = q.fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"shard", $"n_tokens", $"bin")
+      .as[(Long, Long, Long, Long)].collect()
+    val budget = 1024L
+    // independent sequential replay of greedy stream chunking
+    val ref = rows.groupBy(_._2).toSeq.flatMap { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).toSeq.map { case (id, _, n, _) =>
+        val bin = cum / budget
+        cum += n
+        (id, bin)
+      }
+    }.toMap
+    rows.foreach { case (id, _, _, bin) =>
+      assert(bin == ref(id), s"doc $id: got bin $bin, reference ${ref(id)}")
+    }
+    // sanity: packing actually happens (bins hold multiple docs)
+    assert(rows.groupBy(r => (r._2, r._4)).values.exists(_.size > 1))
+  }
 }
