@@ -33,13 +33,19 @@ object ConnectedComponents {
     val sym = edges.select(col("id_a").as("dst"), col("id_b").as("src"))
       .union(edges.select(col("id_b").as("dst"), col("id_a").as("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // iterate ONLY over edge endpoints: in a dedup graph almost every
+    // node is isolated (no near-dup pair), and an isolated node's label
+    // is trivially itself — carrying them through every round's join
+    // would multiply the iterated state by |V|/|V_endpoints| (easily
+    // 100× at corpus scale) for no information
+    val endpoints = sym.select(col("src").as("id")).distinct()
     // localCheckpoint per round, NOT persist: an iterative DataFrame's
     // logical plan otherwise embeds every previous round, and planning
     // alone goes superlinear by round ~15 (observed: a 40-round chain
     // never finished). Checkpointing pins the round's rows and resets
     // the plan to a leaf — the same reason the reference's bulk
     // iteration materializes its superstep barrier.
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labels = endpoints.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var it = 0
     var converged = false
@@ -48,13 +54,14 @@ object ConnectedComponents {
       val nbr = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      // carry the previous label through the checkpoint so the change
+      // count is a scan of the pinned rows, not a third join+shuffle
       val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") < col("old")).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       it += 1
     }
@@ -62,6 +69,8 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIter rounds; " +
         "component diameter exceeds the bound — raise maxIter")
-    labels
+    // isolated nodes label themselves; one left join re-attaches them
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 }
