@@ -269,6 +269,188 @@ object TextQueries {
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $packBudget) AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  // ---- d17: TF-IDF top terms per document ----
+  // Corpus-relative term salience over word trigrams (the unigram vocab
+  // of the synthetic corpus is ~31 words present in every doc, which
+  // would make idf constant): tf = occurrence count in the doc, smoothed
+  // idf = ln((N+1)/(df+1)) + 1, top-5 terms per doc by (tfidf desc,
+  // term). Scale shape: one explode → hash agg on (doc, term) (map-side
+  // partials absorb the per-doc repeats), df from a second hash agg over
+  // the already-distinct (doc, term) pairs, N as a broadcast scalar, and
+  // the per-doc top-5 via a window PARTITIONED BY doc_id — a
+  // high-cardinality partition key, so every task sorts only its own
+  // docs' few thousand terms. Ranking uses the ROUNDED score so the
+  // cross-engine order is decided on the exact compared value, with the
+  // term string as total tiebreak.
+  private val tfidfTopN = 5
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("term"))
+    val tf = grams.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val n = grams.agg(countDistinct($"doc_id").as("n_docs"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf",
+        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= tfidfTopN)
+      .select($"doc_id", $"rank", $"term", $"tf", $"tfidf")
+  }
+  private val d17Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  g AS (SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS term
+       |    FROM t WHERE len(toks) >= 3),
+       |  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+       |  n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM g),
+       |  df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |  sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+       |      round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+       |    FROM tf JOIN df USING (term) CROSS JOIN n),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS rn FROM sc)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, tfidf
+       |FROM r WHERE rn <= $tfidfTopN""".stripMargin
+
+  // ---- d18: cross-document boilerplate n-gram coverage ----
+  // The RefinedWeb/CCNet-style boilerplate signal: a word 5-gram that
+  // appears in >= 2 DISTINCT documents is template text (headers,
+  // navigation, license blocks), and a document is scored by the
+  // fraction of its distinct 5-grams that are boilerplate. Scale shape:
+  // explode distinct-per-doc grams once, hash-agg gram → doc-frequency,
+  // semi-join the boilerplate gram set back on the gram hash (shuffle
+  // on the gram, never all-pairs), and a final per-doc hash agg. The
+  // removal step of the pipeline is the same join with a NOT filter.
+  private val bpMinDocs = 2
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
+    val bp = sh.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= bpMinDocs).select($"sh")
+    val nBp = sh.join(bp, "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_boilerplate"))
+    sh.groupBy($"doc_id").agg(count(lit(1)).as("total_5grams"))
+      .join(nBp, Seq("doc_id"), "left")
+      .select($"doc_id", $"total_5grams",
+        coalesce($"n_boilerplate", lit(0L)).as("n_boilerplate"))
+      .withColumn("bp_ratio",
+        round($"n_boilerplate".cast("double") / $"total_5grams", 6))
+  }
+  private val d18Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 4),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |           || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS sh
+       |    FROM t WHERE len(toks) >= 5),
+       |  bp AS (SELECT sh FROM (SELECT sh, COUNT(*) AS n FROM s GROUP BY 1)
+       |         WHERE n >= $bpMinDocs),
+       |  nbp AS (SELECT doc_id, COUNT(*) AS n_boilerplate
+       |          FROM s JOIN bp USING (sh) GROUP BY 1),
+       |  tot AS (SELECT doc_id, COUNT(*) AS total_5grams FROM s GROUP BY 1)
+       |SELECT tot.doc_id, tot.total_5grams,
+       |  COALESCE(nbp.n_boilerplate, 0) AS n_boilerplate,
+       |  round(CAST(COALESCE(nbp.n_boilerplate, 0) AS DOUBLE)
+       |    / tot.total_5grams, 6) AS bp_ratio
+       |FROM tot LEFT JOIN nbp ON tot.doc_id = nbp.doc_id""".stripMargin
+
+  // ---- d19: deterministic stratified sampling by source ----
+  // Data-mixing the way a 100 TB pipeline has to do it: per-stratum
+  // keep-rates (here: high-quality sources srcN, N<5 keep 230/256 ≈
+  // 90%, mid 128/256 = 50%, tail 64/256 = 25%) applied via a hash of
+  // the DOCUMENT ID — never random() — so re-runs, backfills and
+  // late-arriving shards always sample the same rows, and the oracle
+  // can check the exact membership, not a statistic. Pure shuffle-free
+  // projection + filter; composes with d15 (hash split) because the
+  // two decisions use independent hash bytes of the same id.
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcnum = substring($"source", 4, 8).cast("int")
+    val rate = when(srcnum < 5, 230).when(srcnum < 10, 128)
+      .otherwise(64).as("rate_256")
+    val bucket = conv(substring(
+      md5($"doc_id".cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int").as("bucket")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", bucket, rate)
+      .filter($"bucket" < $"rate_256")
+  }
+  private val d19Sql =
+    """SELECT doc_id, source, bucket, rate_256 FROM (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+      |      AS bucket,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 230
+      |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 128
+      |         ELSE 64 END AS rate_256
+      |  FROM documents) t
+      |WHERE bucket < rate_256""".stripMargin
+
+  // ---- d20: unigram log-probability quality score ----
+  // The perplexity-shaped quality signal (CCNet buckets docs by LM
+  // score; the in-corpus unigram LM is its degenerate, fully
+  // SQL-checkable form): p(t) = corpus count / corpus total, doc score
+  // = mean log p over the doc's tokens. Scale shape: the vocabulary
+  // table is tiny (it is a LANGUAGE artifact, not a corpus artifact),
+  // so the term join is broadcast-shaped; the per-doc mean is exact
+  // cross-engine because per-term log-probs are rounded to 6 decimals,
+  // lifted to DECIMAL, and summed EXACTLY (order-independent) — the
+  // one double division at the end is IEEE-identical in both engines.
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = vocab.agg(sum($"cnt").as("total"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select($"term",
+        round(log($"cnt".cast("double") / $"total"), 6)
+          .cast("decimal(18,6)").as("logp"))
+    tf.join(broadcast(lp), "term")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        sum($"tf" * $"logp").cast("double").as("sum_logp"))
+      .withColumn("avg_logp", round($"sum_logp" / $"n_tokens", 6))
+  }
+  private val d20Sql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |  g AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+      |  vocab AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+      |  tot AS (SELECT SUM(cnt) AS total FROM vocab),
+      |  lp AS (SELECT term,
+      |      CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6))
+      |        AS logp
+      |    FROM vocab CROSS JOIN tot),
+      |  agg AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+      |      CAST(SUM(tf.tf * lp.logp) AS DOUBLE) AS sum_logp
+      |    FROM tf JOIN lp USING (term) GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_logp,
+      |  round(sum_logp / n_tokens, 6) AS avg_logp
+      |FROM agg""".stripMargin
+
   // ---- xxhash64-based production paths (pinned-golden gated) ----
 
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -560,5 +742,9 @@ object TextQueries {
     Q("d13_repetition_ratio", d13, Some(d13Sql)),
     Q("d14_dedup_clusters", d14, Some(d14Sql)),
     Q("d15_hash_split", d15, Some(d15Sql)),
-    Q("d16_sequence_pack", d16, Some(d16Sql)))
+    Q("d16_sequence_pack", d16, Some(d16Sql)),
+    Q("d17_tfidf_topterms", d17, Some(d17Sql)),
+    Q("d18_boilerplate", d18, Some(d18Sql)),
+    Q("d19_stratified_sample", d19, Some(d19Sql)),
+    Q("d20_unigram_logprob", d20, Some(d20Sql)))
 }
