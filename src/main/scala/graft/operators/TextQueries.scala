@@ -379,15 +379,19 @@ object TextQueries {
   // the DOCUMENT ID — never random() — so re-runs, backfills and
   // late-arriving shards always sample the same rows, and the oracle
   // can check the exact membership, not a statistic. Pure shuffle-free
-  // projection + filter; composes with d15 (hash split) because the
-  // two decisions use independent hash bytes of the same id.
+  // projection + filter; composes with d15 (hash split) because d19
+  // salts its hash input (doc_id || ':sample') — d15 hashes the bare
+  // id — so the two keep/drop decisions are statistically independent
+  // (same-byte-of-same-hash would correlate them perfectly: sampling
+  // would then keep whole splits and drop others).
   private def d19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val srcnum = substring($"source", 4, 8).cast("int")
     val rate = when(srcnum < 5, 230).when(srcnum < 10, 128)
       .otherwise(64).as("rate_256")
     val bucket = conv(substring(
-      md5($"doc_id".cast("string").cast("binary")), 1, 2), 16, 10)
+      md5(concat($"doc_id".cast("string"), lit(":sample"))
+        .cast("binary")), 1, 2), 16, 10)
       .cast("int").as("bucket")
     Tables(s, dir, "documents")
       .select($"doc_id", $"source", bucket, rate)
@@ -396,8 +400,8 @@ object TextQueries {
   private val d19Sql =
     """SELECT doc_id, source, bucket, rate_256 FROM (
       |  SELECT doc_id, source,
-      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
-      |      AS bucket,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 2)
+      |      AS INT) AS bucket,
       |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 230
       |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 128
       |         ELSE 64 END AS rate_256
@@ -408,12 +412,18 @@ object TextQueries {
   // The perplexity-shaped quality signal (CCNet buckets docs by LM
   // score; the in-corpus unigram LM is its degenerate, fully
   // SQL-checkable form): p(t) = corpus count / corpus total, doc score
-  // = mean log p over the doc's tokens. Scale shape: the vocabulary
-  // table is tiny (it is a LANGUAGE artifact, not a corpus artifact),
-  // so the term join is broadcast-shaped; the per-doc mean is exact
+  // = mean log p over the doc's tokens. Scale shape: the LM is CAPPED
+  // at the top-M terms by corpus count (Heaps' law makes the raw
+  // whitespace vocabulary of a web corpus grow without bound — typos,
+  // URLs, IDs — so broadcasting the full vocab would OOM the driver at
+  // 100 TB); terms outside the cap score the OOV floor log(1/total).
+  // Top-M plans as TakeOrderedAndProject (distributed partial top-k,
+  // no global sort), so the only broadcasts are the M-row LM and two
+  // scalar rows — bounded by construction. The per-doc mean is exact
   // cross-engine because per-term log-probs are rounded to 6 decimals,
   // lifted to DECIMAL, and summed EXACTLY (order-independent) — the
   // one double division at the end is IEEE-identical in both engines.
+  private[graft] val d20VocabCap = 1000
   private def d20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = Tables(s, dir, "documents")
@@ -422,31 +432,46 @@ object TextQueries {
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
     val tot = vocab.agg(sum($"cnt").as("total"))
-    val lp = vocab.crossJoin(broadcast(tot))
+    // deterministic cap: ties broken by term so both engines pick the
+    // identical M-term LM
+    val topm = vocab.orderBy($"cnt".desc, $"term".asc).limit(d20VocabCap)
+    val lp = topm.crossJoin(broadcast(tot))
       .select($"term",
         round(log($"cnt".cast("double") / $"total"), 6)
           .cast("decimal(18,6)").as("logp"))
-    tf.join(broadcast(lp), "term")
+    val oov = tot.select(
+      round(log(lit(1.0) / $"total"), 6)
+        .cast("decimal(18,6)").as("oov_logp"))
+    tf.join(broadcast(lp), Seq("term"), "left")
+      .crossJoin(broadcast(oov))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_tokens"),
-        sum($"tf" * $"logp").cast("double").as("sum_logp"))
+        sum($"tf" * coalesce($"logp", $"oov_logp"))
+          .cast("double").as("sum_logp"))
       .withColumn("avg_logp", round($"sum_logp" / $"n_tokens", 6))
   }
   private val d20Sql =
-    """WITH t AS (SELECT doc_id,
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+    s"""WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
       |  FROM documents WHERE length(trim(text)) > 0),
       |  g AS (SELECT doc_id, unnest(toks) AS term FROM t),
       |  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
       |  vocab AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
       |  tot AS (SELECT SUM(cnt) AS total FROM vocab),
+      |  topm AS (SELECT term, cnt FROM (
+      |      SELECT term, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+      |      FROM vocab) WHERE rk <= $d20VocabCap),
       |  lp AS (SELECT term,
       |      CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6))
       |        AS logp
-      |    FROM vocab CROSS JOIN tot),
+      |    FROM topm CROSS JOIN tot),
+      |  oov AS (SELECT CAST(round(ln(1.0 / total), 6) AS DECIMAL(18,6))
+      |      AS oov_logp FROM tot),
       |  agg AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
-      |      CAST(SUM(tf.tf * lp.logp) AS DOUBLE) AS sum_logp
-      |    FROM tf JOIN lp USING (term) GROUP BY 1)
+      |      CAST(SUM(tf.tf * COALESCE(lp.logp, oov.oov_logp)) AS DOUBLE)
+      |        AS sum_logp
+      |    FROM tf LEFT JOIN lp USING (term) CROSS JOIN oov GROUP BY 1)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_logp,
       |  round(sum_logp / n_tokens, 6) AS avg_logp
       |FROM agg""".stripMargin

@@ -121,6 +121,34 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d20 broadcasts are bounded: no BroadcastExchange over an unbounded aggregate") {
+    // the LM join must never broadcast the raw vocabulary (unbounded
+    // under Heaps' law); every broadcast side must be capped by a
+    // limit (top-M LM) or be a scalar aggregate (corpus total / OOV)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+      val plan = Catalog.queries("d20_unigram_logprob")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, s"expected broadcast joins in d20:\n$plan")
+      bcasts.foreach { b =>
+        val bounded = b.child.collectFirst {
+          case _: TakeOrderedAndProjectExec => true
+          case _: GlobalLimitExec => true
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+        }.getOrElse(false)
+        assert(bounded,
+          s"unbounded broadcast side (no limit / scalar agg):\n$b")
+      }
+      assert(plan.collectFirst {
+        case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"top-M vocab cap should plan as TakeOrderedAndProject:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only

@@ -122,6 +122,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 26.0 / 256) < 0.04, frac.toString)
   }
 
+  test("d19 sampling is independent of the d15 split decision") {
+    import spark.implicits._
+    // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.
+    // If the two shared a hash byte, sampling at rate 230 would keep
+    // exactly train+val and ZERO test docs. Independence means every
+    // split is represented in the sample, and each stratum's sampled
+    // split mix roughly matches the split priors.
+    val split = graft.operators.TextQueries.all
+      .find(_.name == "d15_hash_split").get
+      .fn(spark, graft.TestSpark.sf001).select($"doc_id", $"split")
+    val sample = graft.operators.TextQueries.all
+      .find(_.name == "d19_stratified_sample").get
+      .fn(spark, graft.TestSpark.sf001).select($"doc_id")
+    val mix = sample.join(split, "doc_id")
+      .groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(mix.keySet == Set("train", "val", "test"), mix.toString)
+    val n = mix.values.sum.toDouble
+    assert(math.abs(mix("train") / n - 204.0 / 256) < 0.08, mix.toString)
+  }
+
   test("d16 packing equals a sequential greedy reference per shard") {
     import spark.implicits._
     val q = graft.operators.TextQueries.all.find(_.name == "d16_sequence_pack").get
