@@ -103,17 +103,25 @@ object VectorQueries {
   private def v02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val sig = e.withColumn("codes",
-      VectorOps.bandCodes($"v", planes, bitsPerBand))
-    val banded = sig
-      .select($"vec_id", $"v", posexplode($"codes").as(Seq("band", "code")))
+    // id-only through the band join (the discipline lshDupPairs/v04
+    // already follow): the 24× posexplode and the candidate-dedup
+    // shuffle carry (id, band, code) rows only — never the 64-dim
+    // vectors, which would multiply the exchanged bytes by the band
+    // count. Vectors are joined back exactly once per surviving
+    // candidate for the exact rescoring.
+    val banded = e
+      .select($"vec_id", posexplode(
+        VectorOps.bandCodes($"v", planes, bitsPerBand))
+        .as(Seq("band", "code")))
     val qb = banded.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"band", $"code")
+      .select($"vec_id".as("qid"), $"band", $"code")
     val cands = banded.join(qb,
         Seq("band", "code")).filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id", $"qv", $"v")
+      .select($"qid", $"vec_id")
       .dropDuplicates("qid", "vec_id")
-    val scored = cands
+    val qv = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val scored = cands.join(e, "vec_id").join(broadcast(qv), "qid")
       .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
     VectorOps.topKPerQuery(scored, topK)
       .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))

@@ -75,6 +75,29 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v02 ANN candidate exchanges ship ids only, never vectors") {
+    // v02's scale contract: the 24×-replicated band rows and the
+    // candidate-dedup shuffle carry (id, band, code)/(qid, vec_id)
+    // only; the 64-dim vectors cross at most one exchange, once per
+    // vector, on the rescore join — never per band or per candidate
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.ArrayType
+      val plan = Catalog.queries("v02_knn_ann_lsh")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      shuffles.foreach { e =>
+        val names = e.output.map(_.name).toSet
+        val isCandidate = names.contains("band") || names.contains("code") ||
+          (names.contains("qid") && names.contains("vec_id"))
+        if (isCandidate)
+          assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"candidate exchange carries an array column: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v05 candidate scan is pruned to the probed cell set") {
     val opt = Catalog.queries("v05_knn_ivf")(spark, TestSpark.sf0001)
       .queryExecution.optimizedPlan.toString
