@@ -4,32 +4,51 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Connected components by min-label propagation — the clustering step
-  * a dedup pipeline runs between near-dup PAIRS and "keep one document
-  * per cluster": every node ends up labeled with the smallest node id
-  * reachable from it, so the label doubles as the deterministic keeper.
+/** Connected components — the clustering step a dedup pipeline runs
+  * between near-dup PAIRS and "keep one document per cluster": every
+  * node ends up labeled with the smallest node id reachable from it,
+  * so the label doubles as the deterministic keeper.
   *
-  * Spark-first shape (the reference's I1/I2 driver-loop pattern applied
-  * to a graph): labels live in a DataFrame partitioned by node id; each
-  * round is one join (edge × label) + one min-aggregation — two
-  * shuffles — and the driver only sees a change COUNT, never the
-  * labels. Rounds needed = component diameter, and near-dup clusters
-  * are shallow (a dup cluster's LSH graph is dense), so convergence is
-  * a handful of rounds. At billion-node scale with adversarial
-  * diameters the alternation trick (large-star/small-star) bounds
-  * rounds at O(log n); min-propagation is the right default for dedup
-  * workloads and keeps every round a plain equi-join.
+  * Two algorithms behind one `run` entry point, selectable by flag:
+  *
+  *  - min-label propagation (default): labels live in a DataFrame
+  *    partitioned by node id; each round is one join (edge × label) +
+  *    one min-aggregation — two shuffles — and the driver only sees a
+  *    change COUNT, never the labels. Rounds needed = component
+  *    diameter; near-dup clusters are shallow (a dup cluster's LSH
+  *    graph is dense), so convergence is a handful of rounds and every
+  *    round is a plain equi-join.
+  *  - alternating large-star/small-star (`useStar = true`): re-points
+  *    edges at neighborhood minima each round, halving tree heights,
+  *    so rounds grow logarithmically in the component size instead of
+  *    linearly in its diameter — the robustness path for adversarial
+  *    graphs (long chains) at billion-node scale.
+  *
+  * Edges are intersected with `nodes` up front (one semi-join per
+  * endpoint): an id appearing only in `edges` would otherwise win the
+  * min-label race and become a ghost keeper for its component.
   */
 object ConnectedComponents {
 
   /** `nodes`: one column `id`; `edges`: columns `id_a`, `id_b`
-    * (undirected, any orientation). Returns (id, label) with label =
-    * min id of the component. Nodes absent from `edges` keep
-    * themselves. Fails if `maxIter` rounds don't reach a fixpoint
-    * (diameter larger than expected — raise maxIter consciously rather
-    * than silently returning half-propagated labels).
+    * (undirected, any orientation; endpoints outside `nodes` are
+    * dropped). Returns (id, label) with label = min id of the
+    * component. Nodes absent from `edges` keep themselves. Fails if
+    * `maxIter` rounds don't reach a fixpoint (raise maxIter consciously
+    * rather than silently returning half-propagated labels).
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      useStar: Boolean = false): DataFrame = {
+    val ids = nodes.select(col("id"))
+    val valid = edges
+      .join(ids.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    if (useStar) runStar(nodes, valid, maxIter)
+    else runPropagate(nodes, valid, maxIter)
+  }
+
+  private def runPropagate(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
     val sym = edges.select(col("id_a").as("dst"), col("id_b").as("src"))
       .union(edges.select(col("id_b").as("dst"), col("id_a").as("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -70,6 +89,66 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds; " +
         "component diameter exceeds the bound — raise maxIter")
     // isolated nodes label themselves; one left join re-attaches them
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Alternating algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round applies
+    *
+    *  - large-star: every node re-points its LARGER neighbors at the
+    *    minimum of its neighborhood (including itself);
+    *  - small-star: every node re-points its smaller neighbors (and
+    *    itself) at the minimum of its smaller neighborhood.
+    *
+    * Both steps keep edges canonical (child > parent) and monotonically
+    * shrink tree heights, so the edge set converges to per-component
+    * stars rooted at the minima in logarithmically many rounds — a path
+    * graph that costs min-propagation `diameter` rounds converges here
+    * in ~log₂(diameter). Each round is two groupBy-min shuffles + two
+    * joins over the EDGE set only (nodes never iterate), with the same
+    * localCheckpoint-per-round plan-reset discipline as the
+    * propagation path.
+    */
+  private def runStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    var e = edges
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIter) {
+      // large-star over the symmetrized adjacency: m = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-points to m
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .join(sym.groupBy("u").agg(min(col("v")).as("mn")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // small-star over the (already canonical u > v) edges: m =
+      // min(Γ⁻(u)); smaller neighbors and u itself re-point to m
+      val ss = ls
+        .join(ls.groupBy("u").agg(min(col("v")).as("m")), "u")
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .distinct()
+      val next = ss.localCheckpoint(true)
+      // fixpoint = identical edge set (both sides distinct, so two
+      // empty anti-differences ⇔ equality)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      it += 1
+    }
+    require(converged,
+      s"star connected components did not converge in $maxIter rounds " +
+        "— raise maxIter")
+    // fixpoint is a star forest: every edge is (child, component-min)
+    val labels = e.select(col("u").as("id"), col("v").as("label"))
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }

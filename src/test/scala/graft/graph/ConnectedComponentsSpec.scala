@@ -35,6 +35,50 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == unionFind(n, edges))
   }
 
+  test("star algorithm equals union-find on the same random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b } ++
+      (100L until 140L).map(i => (i, i + 1))
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val got = ConnectedComponents
+      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 15, useStar = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(n, edges))
+  }
+
+  test("star converges logarithmically on a path where propagation needs diameter rounds") {
+    import spark.implicits._
+    val n = 128
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L until n).toDF("id")
+    // min-propagation moves labels one hop per round: 12 rounds cannot
+    // close a 127-hop path...
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(nodes, chain, maxIter = 12)
+    }
+    // ...the alternating star algorithm halves tree heights per round
+    // and finishes well inside the same budget
+    val got = ConnectedComponents.run(nodes, chain, maxIter = 12, useStar = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("ghost ids appearing only in edges never become labels") {
+    import spark.implicits._
+    val nodes = Seq(5L, 6L, 7L).toDF("id")
+    // edge (0,5): 0 is not a node — without the endpoint semi-join its
+    // smaller id would win the min race and label the {5,6} component
+    val edges = Seq((0L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    for (star <- Seq(false, true)) {
+      val got = ConnectedComponents.run(nodes, edges, useStar = star)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L), s"useStar=$star: $got")
+    }
+  }
+
   test("singletons keep themselves; maxIter too small fails loudly") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
