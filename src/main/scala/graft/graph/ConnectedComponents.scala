@@ -118,18 +118,40 @@ object ConnectedComponents {
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // Fixpoint detection: every round's edge set is DISTINCT and
+    // canonical, so set equality reduces to cardinality + an
+    // order-independent digest — ONE aggregation job per round, with
+    // the previous round's stats carried on the driver, instead of two
+    // shuffle-heavy exceptAll anti-joins over the full edge set (which
+    // roughly doubled round cost at billion-edge scale). Two
+    // independently-seeded 64-bit xor digests make a silent collision
+    // (different sets, equal count and both digests) a ~2⁻¹²⁸ event.
+    def edgeStats(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(17L), col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var eStats = edgeStats(e)
     var it = 0
-    var converged = e.isEmpty
+    var converged = eStats._1 == 0L
     while (!converged && it < maxIter) {
       // large-star over the symmetrized adjacency: m = min(Γ(u) ∪ {u});
-      // every neighbor v > u re-points to m
+      // every neighbor v > u re-points to m. `sym` and `ls` are each
+      // consumed twice (self-join with their own groupBy-min), so both
+      // are pinned for the round instead of being recomputed through
+      // the shuffle on each side of the join.
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val ls = sym
         .join(sym.groupBy("u").agg(min(col("v")).as("mn")), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // small-star over the (already canonical u > v) edges: m =
       // min(Γ⁻(u)); smaller neighbors and u itself re-point to m
       val ss = ls
@@ -138,10 +160,12 @@ object ConnectedComponents {
           col("m").as("v"))
         .distinct()
       val next = ss.localCheckpoint(true)
-      // fixpoint = identical edge set (both sides distinct, so two
-      // empty anti-differences ⇔ equality)
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      sym.unpersist()
+      ls.unpersist()
+      val nStats = edgeStats(next)
+      converged = nStats == eStats
       e = next
+      eStats = nStats
       it += 1
     }
     require(converged,

@@ -165,12 +165,24 @@ object TextQueries {
   // so the whole clustering is oracle-checked via a DuckDB recursive
   // transitive closure); the production pipeline would feed d06's LSH
   // pairs into the same operator.
-  private def d14(s: SparkSession, dir: String): DataFrame = {
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, useStar = false)
+
+  // d21: identical contract through the alternating large-star/
+  // small-star path (the O(log n)-round robustness variant) — same
+  // oracle SQL as d14, so both CC algorithms are hash-gated against the
+  // DuckDB recursive closure, not just spec'd equal to each other.
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, useStar = true)
+
+  private def dedupClusters(s: SparkSession, dir: String,
+      useStar: Boolean): DataFrame = {
     import s.implicits._
     val edges = d05(s, dir).filter($"jaccard" >= 0.2).select($"id_a", $"id_b")
     val nodes = Tables(s, dir, "documents").filter($"doc_id" < 100)
       .select($"doc_id".as("id"))
-    val labels = graft.graph.ConnectedComponents.run(nodes, edges)
+    val labels = graft.graph.ConnectedComponents.run(nodes, edges,
+      useStar = useStar)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select($"id".as("doc_id"), $"label".as("keeper"), $"cluster_size")
@@ -771,5 +783,6 @@ object TextQueries {
     Q("d17_tfidf_topterms", d17, Some(d17Sql)),
     Q("d18_boilerplate", d18, Some(d18Sql)),
     Q("d19_stratified_sample", d19, Some(d19Sql)),
-    Q("d20_unigram_logprob", d20, Some(d20Sql)))
+    Q("d20_unigram_logprob", d20, Some(d20Sql)),
+    Q("d21_dedup_clusters_star", d21, Some(d14Sql)))
 }

@@ -79,6 +79,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("d21 (star) dedup clusters equal d14 (propagation) on sf0.001") {
+    val viaProp = graft.SparkEntry
+      .queries("d14_dedup_clusters")(spark, TestSpark.sf0001).collect().toSet
+    val viaStar = graft.SparkEntry
+      .queries("d21_dedup_clusters_star")(spark, TestSpark.sf0001).collect().toSet
+    assert(viaProp == viaStar)
+    assert(viaProp.nonEmpty)
+  }
+
   test("singletons keep themselves; maxIter too small fails loudly") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")

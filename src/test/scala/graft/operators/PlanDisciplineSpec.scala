@@ -157,18 +157,60 @@ class PlanDisciplineSpec extends AnyFunSuite {
         .queryExecution.executedPlan
       val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
       assert(bcasts.nonEmpty, s"expected broadcast joins in d20:\n$plan")
+      // the bound must hold at the broadcast side's ROOT: walk only
+      // through unary row-non-expanding nodes (project/filter/codegen
+      // wrappers) before requiring the limit / scalar agg — a
+      // collectFirst over the whole subtree would accept a join of a
+      // limited side with an unbounded one
+      import org.apache.spark.sql.execution.{ExpandExec, GenerateExec, SparkPlan}
+      def boundedRoot(p: SparkPlan): Boolean = p match {
+        case _: TakeOrderedAndProjectExec => true
+        case _: GlobalLimitExec => true
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+        case _: GenerateExec | _: ExpandExec => false
+        case u if u.children.size == 1 => boundedRoot(u.children.head)
+        // a join is bounded only if BOTH inputs are (|out| ≤ |l|·|r|);
+        // a limited side joined to an unbounded one must fail here
+        case j if j.children.size == 2 => j.children.forall(boundedRoot)
+        case _ => false
+      }
       bcasts.foreach { b =>
-        val bounded = b.child.collectFirst {
-          case _: TakeOrderedAndProjectExec => true
-          case _: GlobalLimitExec => true
-          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
-        }.getOrElse(false)
-        assert(bounded,
-          s"unbounded broadcast side (no limit / scalar agg):\n$b")
+        assert(boundedRoot(b.child),
+          s"unbounded broadcast side (no limit / scalar agg at its root):\n$b")
       }
       assert(plan.collectFirst {
         case t: TakeOrderedAndProjectExec => t }.nonEmpty,
         s"top-M vocab cap should plan as TakeOrderedAndProject:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d16 packing has no global sort: window partitioned by shard only") {
+    // the running token sum must be a window PARTITIONED BY the hash
+    // shard — a global ORDER BY window plans as an Exchange
+    // rangepartitioning and serializes the corpus through one task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d16_sequence_pack")
+      assert(!p.contains("rangepartitioning"),
+        s"global sort (rangepartitioning) in the packing plan:\n$p")
+      assert(p.contains("hashpartitioning(shard"),
+        s"window not partitioned by shard:\n$p")
+      assert(p.contains("Window"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d18 boilerplate shuffles on the gram key, never all-pairs") {
+    // the doc-frequency agg and the boilerplate semi-join back must
+    // both key on the gram (sh) — the scale contract is one shuffle per
+    // gram occurrence, no cartesian/nested-loop pairing of documents
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d18_boilerplate")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in the boilerplate plan:\n$p")
+      assert(p.contains("hashpartitioning(sh"),
+        s"no gram-key shuffle in the boilerplate plan:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
