@@ -40,7 +40,10 @@ object Damds {
       exactCG: Boolean = false,
       maxStressLoops: Int = -1,
       maxTempLoops: Int = -1,
-      sammonFactor: Double = 0.0) // > 0 enables Sammon weighting (N11)
+      sammonFactor: Double = 0.0, // > 0 enables Sammon weighting (N11)
+      // N×d above which `run` keeps X distributed (DamdsDistributed)
+      // instead of gathering it to the driver every CG step
+      maxGatherDoubles: Long = Damds.maxGatherDoubles)
 
   final case class State(
       tCur: Double, tMin: Double,
@@ -87,12 +90,13 @@ object Damds {
     * driver per CG step — 64M doubles = 512 MB, past which the
     * parallelism-1 gather contract stops being sane. The reference's
     * DAMDS has exactly this gather (its reduceGroup at parallelism 1,
-    * SURVEY §2.4 A4/O9), so up to the cap we keep parity; beyond it,
-    * fail fast with the redesign pointer instead of OOMing the driver:
-    * keep X partitioned as row blocks co-located with V, replace the
-    * gather+broadcast pair with a per-block exchange of only the
-    * columns each block touches (allreduce-style), and let CG's dot
-    * products run as distributed treeReduce.
+    * SURVEY §2.4 A4/O9), so up to the cap we keep parity. Beyond it
+    * `run` dispatches to `DamdsDistributed`: X stays partitioned as row
+    * blocks co-located with V, the gather+broadcast pair becomes a
+    * shuffle allgather, CG's vector updates are per-block map jobs and
+    * its dot products distributed treeReduces. `mm` itself (the
+    * gathered kernel) still fail-fasts past the cap rather than OOM the
+    * driver.
     */
   val maxGatherDoubles: Long = 64L * 1024 * 1024
 
@@ -168,6 +172,8 @@ object Damds {
     */
   def run(spark: SparkSession, rawBlocks: Dataset[DamdsBlock],
       initX: Array[Double], n: Int, cfg: Config): RunResult = {
+    if (n.toLong * cfg.targetDim > cfg.maxGatherDoubles)
+      return runViaDistributed(spark, rawBlocks, initX, n, cfg)
     val d = cfg.targetDim
     val st = statistics(rawBlocks)
     val invs = 1.0 / st.sumSq
@@ -229,5 +235,27 @@ object Damds {
       blocks.unpersist()
       vblocks.unpersist()
     }
+  }
+
+  /** Past the gather cap: run the anneal with X distributed
+    * (DamdsDistributed) and touch the driver with an N×d array exactly
+    * twice — splitting the caller's init and assembling the final
+    * result (both bounded by the array the caller already holds) —
+    * instead of once per CG step. For a fully driver-free pipeline call
+    * `DamdsDistributed.run` with block-structured init directly.
+    */
+  private def runViaDistributed(spark: SparkSession,
+      rawBlocks: Dataset[DamdsBlock], initX: Array[Double], n: Int,
+      cfg: Config): RunResult = {
+    val d = cfg.targetDim
+    val meta = rawBlocks.rdd
+      .map(b => DamdsDistributed.BlockMeta(b.index, b.start, b.blockRows))
+      .collect().sortBy(_.index).toSeq
+    val part = new org.apache.spark.HashPartitioner(meta.size)
+    val init = DamdsDistributed.split(spark, initX, meta, d, part)
+    val r = DamdsDistributed.run(spark, rawBlocks, init, n, cfg)
+    val x = DamdsDistributed.gather(r.xBlocks, r.meta, n, d)
+    r.xBlocks.unpersist(false)
+    RunResult(x, r.state, r.stressLog)
   }
 }

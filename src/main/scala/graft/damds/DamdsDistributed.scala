@@ -1,0 +1,256 @@
+package graft.damds
+
+import graft.damds.DamdsKernels._
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed-X DA-MDS: the annealed SMACOF loop of `Damds.run` with
+  * the N×d embedding (and the CG solver's p/r vectors) kept as row
+  * blocks co-located with the V/distance blocks, never gathered to the
+  * driver.
+  *
+  * The reference gathers X through a parallelism-1 reduceGroup every CG
+  * step (damds/CG.java:289-331, `setParallelism(1)` at :331) and
+  * re-broadcasts it; `Damds.mm`/`Damds.bc` mirror that contract up to
+  * `maxGatherDoubles` and fail fast beyond it. This path removes the
+  * driver from the data plane entirely:
+  *
+  *  - **allgather instead of gather+broadcast**: each X/p block is
+  *    shipped once to every block's partition through one shuffle and
+  *    assembled into the full N×d array locally — the same total
+  *    volume a broadcast would move (every task needs all of X because
+  *    V and B(Z) are dense), but peer-to-peer, with no single node
+  *    holding an assembly role and no driver-memory cap;
+  *  - **CG vector updates are per-block map jobs**: x += αp, r −= αAp,
+  *    p = r + βp run on co-partitioned (x, p, r) blocks (narrow joins,
+  *    no shuffle) — only the SCALARS α, β, rᵀr cross the driver, via
+  *    `treeReduce` over per-block partial dots (A9);
+  *  - **plan-reset discipline**: each CG step's state is
+  *    localCheckpoint-pinned, so lineage stays O(1) per step instead of
+  *    accumulating one join chain per iteration (same reason the CC
+  *    rounds checkpoint — task serialization goes superlinear
+  *    otherwise).
+  *
+  * `Damds.run` auto-dispatches here when N×d exceeds
+  * `cfg.maxGatherDoubles`; call `run` directly (with block-structured
+  * init) to keep the driver out of the loop end to end.
+  */
+object DamdsDistributed {
+
+  /** (index, start, blockRows) for every block — O(#blocks) driver
+    * state, never O(N×d). */
+  final case class BlockMeta(index: Int, start: Int, blockRows: Int)
+
+  final case class RunResultD(
+      xBlocks: RDD[(Int, Array[Double])],
+      meta: Seq[BlockMeta],
+      state: Damds.State,
+      stressLog: Seq[Double])
+
+  private def pinned[T](rdd: RDD[T]): RDD[T] = {
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
+    rdd
+  }
+
+  /** Shuffle-based allgather: every destination block key receives each
+    * source block once and assembles the full flat N×d array locally.
+    * One shuffle of nb·(N×d) doubles per call — identical volume to the
+    * reference's broadcast of the gathered X, without the gather. */
+  private[damds] def allgather(x: RDD[(Int, Array[Double])], nb: Int,
+      part: HashPartitioner, starts: Map[Int, Int], n: Int, d: Int)
+      : RDD[(Int, Array[Double])] = {
+    x.flatMap { case (i, a) =>
+      Iterator.range(0, nb).map(j => (j, (i, a)))
+    }.groupByKey(part).mapValues { pieces =>
+      val out = new Array[Double](n * d)
+      pieces.foreach { case (i, a) =>
+        System.arraycopy(a, 0, out, starts(i) * d, a.length)
+      }
+      out
+    }
+  }
+
+  /** Split a driver-resident flat N×d array into co-partitioned row
+    * blocks (entry/test convenience — at true scale initialize blocks
+    * directly, e.g. seeded per block). */
+  def split(spark: SparkSession, x: Array[Double], meta: Seq[BlockMeta],
+      d: Int, part: HashPartitioner): RDD[(Int, Array[Double])] =
+    spark.sparkContext.parallelize(
+      meta.map(m => (m.index,
+        java.util.Arrays.copyOfRange(x, m.start * d,
+          (m.start + m.blockRows) * d))),
+      meta.size).partitionBy(part)
+
+  /** Driver-side assemble of the final embedding (one-time, bounded by
+    * the caller's own memory budget — the iterations never do this). */
+  def gather(xb: RDD[(Int, Array[Double])], meta: Seq[BlockMeta],
+      n: Int, d: Int): Array[Double] = {
+    val starts = meta.map(m => m.index -> m.start).toMap
+    val out = new Array[Double](n * d)
+    xb.collect().foreach { case (i, a) =>
+      System.arraycopy(a, 0, out, starts(i) * d, a.length)
+    }
+    out
+  }
+
+  /** N10/I2 with distributed vectors: same loop structure and break
+    * semantics as `Damds.cg` (reference CG.java:74-153 — the break flag
+    * is evaluated mid-body and honored at the loop close, so the final
+    * iteration still completes its r/p updates). Scalars differ from
+    * the gathered path only in floating summation order (per-block
+    * partials + treeReduce vs one driver loop). */
+  private[damds] def cg(
+      vb: RDD[(Int, (WeightBlock, Array[Double]))],
+      x0: RDD[(Int, Array[Double])],
+      bcB: RDD[(Int, Array[Double])],
+      nb: Int, part: HashPartitioner, starts: Map[Int, Int],
+      n: Int, d: Int, cgIter: Int, cgThreshold: Double, exactCG: Boolean)
+      : (RDD[(Int, Array[Double])], Int) = {
+    def mmD(p: RDD[(Int, Array[Double])]): RDD[(Int, Array[Double])] =
+      vb.join(allgather(p, nb, part, starts, n, d), part)
+        .mapValues { case ((w, v), pAll) => mmBlock(w, v, pAll, d) }
+    // state: (x, p, r) blocks, co-partitioned with vb; every join below
+    // is narrow (same partitioner), the only shuffle per step is the
+    // allgather inside mmD
+    val mmr = mmD(x0)
+    var state = pinned(x0.join(bcB, part).join(mmr, part).mapValues {
+      case ((xA, bcA), mmA) =>
+        val p = new Array[Double](bcA.length)
+        var i = 0
+        while (i < bcA.length) { p(i) = bcA(i) - mmA(i); i += 1 }
+        (xA, p, p.clone())
+    })
+    var rTr = state.values.map(t => selfDot(t._3)).treeReduce(_ + _, 2)
+    val testEnd = rTr * cgThreshold
+    var cgCount = 0
+    var break = false
+    while (cgCount < cgIter && !break) {
+      val ap = mmD(state.mapValues(_._2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cgCount += 1
+      val pAp = state.join(ap, part).values
+        .map { case ((_, p, _), apA) => dot(p, apA) }.treeReduce(_ + _, 2)
+      val alpha = rTr / pAp
+      if (rTr < testEnd && !exactCG) break = true
+      val updated = state.join(ap, part).mapValues {
+        case ((xA, pA, rA), apA) =>
+          val x1 = xA.clone(); val r1 = rA.clone()
+          var i = 0
+          while (i < x1.length) { x1(i) += alpha * pA(i); i += 1 }
+          i = 0
+          while (i < r1.length) { r1(i) -= alpha * apA(i); i += 1 }
+          (x1, pA, r1)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      val rTr1 = updated.values.map(t => selfDot(t._3)).treeReduce(_ + _, 2)
+      val beta = rTr1 / rTr
+      rTr = rTr1
+      val prev = state
+      state = pinned(updated.mapValues { case (x1, pA, r1) =>
+        val p1 = new Array[Double](pA.length)
+        var i = 0
+        while (i < p1.length) { p1(i) = r1(i) + beta * pA(i); i += 1 }
+        (x1, p1, r1)
+      })
+      // materialize the checkpoint before releasing its inputs
+      state.count()
+      prev.unpersist(false)
+      updated.unpersist(false)
+      ap.unpersist(false)
+    }
+    // hand back a pinned x-only RDD and release the (x, p, r) state so
+    // a long anneal doesn't accumulate one checkpointed triple per solve
+    val xOut = pinned(state.mapValues(_._1))
+    xOut.count()
+    state.unpersist(false)
+    (xOut, cgCount)
+  }
+
+  /** Full annealed run (I3) with X distributed: `Damds.run`'s control
+    * flow (temperature loop → stress loop → CG) where every N×d operand
+    * lives as co-partitioned row blocks. */
+  def run(spark: SparkSession, rawBlocks: Dataset[DamdsBlock],
+      initX: RDD[(Int, Array[Double])], n: Int, cfg: Damds.Config)
+      : RunResultD = {
+    val d = cfg.targetDim
+    val st = Damds.statistics(rawBlocks)
+    val invs = 1.0 / st.sumSq
+    val repaired = Damds.updateDistances(rawBlocks, st.positiveMin)
+    val blocks = (
+      if (cfg.sammonFactor > 0.0)
+        repaired.map(b => b.copy(sammonFactor = cfg.sammonFactor,
+          avgDist = st.sum / st.count))(repaired.encoder)
+      else repaired
+    )
+    val meta = blocks.rdd
+      .map(b => BlockMeta(b.index, b.start, b.blockRows)).collect()
+      .sortBy(_.index).toSeq
+    val nb = meta.size
+    val starts = meta.map(m => m.index -> m.start).toMap
+    val part = new HashPartitioner(nb)
+    val blocksK = blocks.rdd.map(b => (b.index, b)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vbK = blocksK.mapValues(b => (weightView(b), vArray(b)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def stressD(x: RDD[(Int, Array[Double])], tCur: Double): Double =
+      blocksK.join(allgather(x, nb, part, starts, n, d), part).values
+        .map { case (b, xAll) => stressSigma(b, xAll, d, tCur) }
+        .treeReduce(_ + _, 2) * invs
+
+    def bcD(x: RDD[(Int, Array[Double])], tCur: Double)
+        : RDD[(Int, Array[Double])] =
+      blocksK.join(allgather(x, nb, part, starts, n, d), part)
+        .mapValues { case (b, xAll) => bcBlock(b, xAll, d, tCur) }
+
+    try {
+      val tMax = st.vmax / math.sqrt(2.0 * d)
+      var state = Damds.State(
+        tCur = cfg.alpha * tMax,
+        tMin = cfg.tMinFactor * st.positiveMin / math.sqrt(2.0 * d),
+        stress = 0.0, preStress = 0.0, tItr = 0, stressItr = 0, cgCount = 0)
+      var xb = pinned(initX.partitionBy(part).mapValues(identity))
+      xb.count()
+      val log = scala.collection.mutable.ArrayBuffer[Double]()
+      var done = false
+      while (!done) {
+        state = state.copy(preStress = stressD(xb, state.tCur))
+        var diffStress = cfg.threshold + 1
+        var stressIterations = 0
+        var continueStress = true
+        while (continueStress &&
+            (diffStress >= cfg.threshold || cfg.maxStressLoops > 0)) {
+          val bcB = bcD(xb, state.tCur)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val (newX, cgc) = cg(vbK, xb, bcB, nb, part, starts, n, d,
+            cfg.cgIter, cfg.cgThreshold, cfg.exactCG)
+          val prevX = xb
+          xb = newX // already pinned + materialized by cg
+          prevX.unpersist(false)
+          bcB.unpersist(false)
+          val post = stressD(xb, state.tCur)
+          diffStress = state.preStress - post
+          state = state.copy(stress = post, preStress = post,
+            stressItr = state.stressItr + 1, cgCount = state.cgCount + cgc)
+          log += post
+          stressIterations += 1
+          if (cfg.maxStressLoops >= 0 && stressIterations == cfg.maxStressLoops)
+            continueStress = false
+        }
+        if (cfg.maxTempLoops >= 0) {
+          if (state.tItr == cfg.maxTempLoops) done = true
+        } else if (state.tCur == 0) done = true
+        if (!done) {
+          state = state.copy(tItr = state.tItr + 1,
+            tCur = Damds.cooledTemp(state.tCur, state.tMin, cfg.alpha))
+        }
+      }
+      RunResultD(xb, meta, state, log.toSeq)
+    } finally {
+      blocksK.unpersist()
+      vbK.unpersist()
+    }
+  }
+}

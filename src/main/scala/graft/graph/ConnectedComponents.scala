@@ -36,13 +36,27 @@ object ConnectedComponents {
     * component. Nodes absent from `edges` keep themselves. Fails if
     * `maxIter` rounds don't reach a fixpoint (raise maxIter consciously
     * rather than silently returning half-propagated labels).
+    *
+    * `strictGhosts = true` fails fast when any edge endpoint is outside
+    * `nodes` instead of dropping the edge. The silent drop is right for
+    * the dedup contract (a ghost id must never become a keeper), but it
+    * also disconnects two valid nodes whose only path transits a ghost
+    * — a caller merging externally-sourced edge sets should opt into
+    * the loud mode to distinguish "ghost keeper prevented" from
+    * "connectivity silently lost through a ghost node".
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20,
-      useStar: Boolean = false): DataFrame = {
+      useStar: Boolean = false, strictGhosts: Boolean = false): DataFrame = {
     val ids = nodes.select(col("id"))
     val valid = edges
       .join(ids.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    if (strictGhosts) {
+      val ghost = edges.count() - valid.count()
+      require(ghost == 0L,
+        s"$ghost edge(s) have an endpoint outside `nodes` " +
+          "(strictGhosts): clean the edge set or drop strict mode")
+    }
     if (useStar) runStar(nodes, valid, maxIter)
     else runPropagate(nodes, valid, maxIter)
   }

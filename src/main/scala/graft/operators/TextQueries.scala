@@ -291,9 +291,9 @@ object TextQueries {
   // the already-distinct (doc, term) pairs, N as a broadcast scalar, and
   // the per-doc top-5 via a window PARTITIONED BY doc_id — a
   // high-cardinality partition key, so every task sorts only its own
-  // docs' few thousand terms. Ranking uses the ROUNDED score so the
-  // cross-engine order is decided on the exact compared value, with the
-  // term string as total tiebreak.
+  // docs' few thousand terms. Ranking uses a score whose only rounding
+  // happens on the O(1)-sized idf before any multiply (see below), with
+  // the term string as total tiebreak.
   private val tfidfTopN = 5
   private def d17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -307,9 +307,17 @@ object TextQueries {
     val tf = grams.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val n = grams.agg(countDistinct($"doc_id").as("n_docs"))
     val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // cross-engine determinism: the ONE transcendental (ln) is rounded
+    // to 6dp while still O(1)-sized, BEFORE the tf multiply — rounding
+    // after the multiply would amplify a 1-ulp ln divergence by up to
+    // tf and let it cross a rounding boundary at larger corpora. From
+    // there the arithmetic is exact: DECIMAL idf × integer tf, cast to
+    // double (both engines IEEE-round the identical decimal, so the
+    // ranked value is bit-equal)
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
       .select($"doc_id", $"term", $"tf",
-        round($"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0), 6)
+        ($"tf" * round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0, 6)
+          .cast("decimal(18,6)")).cast("double")
           .as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
@@ -329,7 +337,8 @@ object TextQueries {
        |  n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM g),
        |  df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
        |  sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-       |      round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+       |      CAST(tf.tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6)
+       |        AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
        |    FROM tf JOIN df USING (term) CROSS JOIN n),
        |  r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY tfidf DESC, term) AS rn FROM sc)
@@ -436,7 +445,16 @@ object TextQueries {
   // lifted to DECIMAL, and summed EXACTLY (order-independent) — the
   // one double division at the end is IEEE-identical in both engines.
   private[graft] val d20VocabCap = 1000
-  private def d20(s: SparkSession, dir: String): DataFrame = {
+  private def d20(s: SparkSession, dir: String): DataFrame =
+    d20WithCap(s, dir, d20VocabCap)
+
+  // cap is a dial: the oracle-gated query pins it at d20VocabCap so
+  // both engines agree on the LM, but the plan shape (distributed
+  // partial top-M, broadcast bounded by M) must hold at the
+  // production-sized 1e5–1e6 too — PlanDisciplineSpec instantiates a
+  // large-cap variant to prove the TakeOrderedAndProject survives
+  private[graft] def d20WithCap(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     import s.implicits._
     val tok = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
@@ -446,7 +464,7 @@ object TextQueries {
     val tot = vocab.agg(sum($"cnt").as("total"))
     // deterministic cap: ties broken by term so both engines pick the
     // identical M-term LM
-    val topm = vocab.orderBy($"cnt".desc, $"term".asc).limit(d20VocabCap)
+    val topm = vocab.orderBy($"cnt".desc, $"term".asc).limit(cap)
     val lp = topm.crossJoin(broadcast(tot))
       .select($"term",
         round(log($"cnt".cast("double") / $"total"), 6)

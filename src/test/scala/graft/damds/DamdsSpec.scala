@@ -192,6 +192,61 @@ class DamdsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxGatherDoubles"))
   }
 
+  test("distributed CG solves V*X = B to the same solution as the gathered CG") {
+    val d = 2
+    val rnd = new scala.util.Random(7)
+    val b = Array.fill(n * d)(rnd.nextGaussian())
+    val x0 = Array.fill(n * d)(0.0)
+    val blocks = blocksDs(4)
+    val vblocks = blocks.rdd.map(bl =>
+      (WeightBlock(bl.index, bl.start, bl.blockRows, bl.n, bl.weight),
+        vArray(bl)))
+    val (want, _) = Damds.cg(spark, vblocks, x0, b, d, n,
+      cgIter = 200, cgThreshold = 1e-14, exactCG = false)
+    val meta = mkBlocks(4).map(bl =>
+      DamdsDistributed.BlockMeta(bl.index, bl.start, bl.blockRows))
+    val part = new org.apache.spark.HashPartitioner(meta.size)
+    val starts = meta.map(m => m.index -> m.start).toMap
+    val vbK = blocks.rdd.map(bl => (bl.index,
+      (WeightBlock(bl.index, bl.start, bl.blockRows, bl.n, bl.weight),
+        vArray(bl)))).partitionBy(part)
+    val (gotB, iters) = DamdsDistributed.cg(vbK,
+      DamdsDistributed.split(spark, x0, meta, d, part),
+      DamdsDistributed.split(spark, b, meta, d, part),
+      meta.size, part, starts, n, d,
+      cgIter = 200, cgThreshold = 1e-14, exactCG = false)
+    assert(iters > 0)
+    val got = DamdsDistributed.gather(gotB, meta, n, d)
+    // both paths solve the same SPD system to 1e-14 residual; they may
+    // take different step counts (treeReduce vs driver-loop dot order)
+    // but must land on the same solution
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-7, s"$g vs $w")
+    }
+  }
+
+  test("run dispatches to distributed X above the gather cap and matches the gathered path") {
+    val rnd = new scala.util.Random(23)
+    val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
+    // exactCG pins the CG iteration count so both paths execute the
+    // identical superstep schedule; remaining divergence is float
+    // summation order in the dots (per-block partials vs driver loop)
+    val cfgBase = Damds.Config(targetDim = 2, alpha = 0.3, cgIter = 15,
+      exactCG = true, maxStressLoops = 2, maxTempLoops = 2)
+    val viaGather = Damds.run(spark, blocksDs(4), initX, n, cfgBase)
+    // N×d = 96 doubles > 64 = cap → auto-routes through DamdsDistributed
+    val viaDist = Damds.run(spark, blocksDs(4), initX, n,
+      cfgBase.copy(maxGatherDoubles = 64L))
+    assert(viaDist.state.cgCount == viaGather.state.cgCount)
+    assert(viaDist.state.stressItr == viaGather.state.stressItr)
+    viaDist.x.zip(viaGather.x).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+    }
+    viaDist.stressLog.zip(viaGather.stressLog).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"stress $g vs $w")
+    }
+  }
+
   test("full annealed run improves the embedding (I3/N9)") {
     val rnd = new scala.util.Random(17)
     val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)

@@ -77,6 +77,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L), s"useStar=$star: $got")
     }
+    // strict mode: the same ghost edge fails loudly instead of being
+    // silently dropped (connectivity through a ghost is a data bug for
+    // callers merging external edge sets)
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(nodes, edges, strictGhosts = true)
+    }
+    assert(e.getMessage.contains("strictGhosts"))
+    // a clean edge set passes strict mode
+    val ok = ConnectedComponents.run(nodes,
+      Seq((5L, 6L)).toDF("id_a", "id_b"), strictGhosts = true)
+      .as[(Long, Long)].collect().toMap
+    assert(ok == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
   test("d21 (star) dedup clusters equal d14 (propagation) on sf0.001") {

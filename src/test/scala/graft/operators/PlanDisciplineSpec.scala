@@ -181,6 +181,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(plan.collectFirst {
         case t: TakeOrderedAndProjectExec => t }.nonEmpty,
         s"top-M vocab cap should plan as TakeOrderedAndProject:\n$plan")
+      // the cap is a dial: at a production-shaped M (200k) the top-M
+      // must STILL plan as a distributed partial top-k, not degrade to
+      // a global sort + limit
+      val big = TextQueries.d20WithCap(spark, TestSpark.sf0001, 200000)
+        .queryExecution.executedPlan
+      assert(big.collectFirst {
+        case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"200k-cap top-M lost its TakeOrderedAndProject shape:\n$big")
+      assert(!big.toString.contains("rangepartitioning"),
+        s"200k-cap top-M degraded to a global sort:\n$big")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
