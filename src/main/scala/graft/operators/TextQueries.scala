@@ -781,6 +781,102 @@ object TextQueries {
       |  1.0 - CAST(distinct_5grams AS DOUBLE) / total_5grams AS rep_ratio
       |FROM f""".stripMargin
 
+  // ---- d22: PII scrub (email / IPv4 / phone redaction) ----
+  // The redaction pass every public-web training pipeline runs before
+  // tokenization. Pure codegen'd projection — regexp count + chained
+  // regexp_replace — so it composes with the d09 curation gate at zero
+  // shuffle cost. The synthetic corpus contains no natural PII, so the
+  // query first derives a DETERMINISTIC contact line from doc_id
+  // (both engines construct the identical string); the oracle then
+  // checks actual redaction arithmetic and the scrubbed text's md5,
+  // not a vacuous all-zero count.
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val piiPhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example.com ip 10."),
+      pmod($"doc_id", lit(256)).cast("string"), lit(".0.1 phone 555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+    Tables(s, dir, "documents")
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        regexp_count($"raw", lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(piiIpRe)).cast("long").as("n_ips"),
+        regexp_count($"raw", lit(piiPhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"raw",
+          piiEmailRe, "<EMAIL>"), piiIpRe, "<IP>"), piiPhoneRe, "<PHONE>")
+          .cast("binary")).as("scrub_md5"))
+  }
+  private val d22Sql =
+    """WITH r AS (SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.0.1 phone 555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+      |FROM r""".stripMargin
+
+  // ---- d23: benchmark-contamination screen ----
+  // The eval-set decontamination check (GPT-3/PaLM-style n-gram
+  // overlap): the "benchmark" is the distinct 5-gram set of a held-out
+  // doc slice (doc_id < 20); every remaining doc is scored by the
+  // fraction of its distinct 5-grams that collide with it. Scale shape
+  // is d18's: one explode, gram-key semi-join (the eval gram set also
+  // broadcasts when small), per-doc hash agg — never all-pairs, and a
+  // removal pass is the same join with the filter inverted.
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
+    val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
+    val rest = sh.filter($"doc_id" >= 20)
+    val hits = rest.join(evalSet, Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    rest.groupBy($"doc_id").agg(count(lit(1)).as("total_5grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"total_5grams",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round($"n_contaminated".cast("double") / $"total_5grams", 6))
+  }
+  private val d23Sql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(toks) - 4),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      |           || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS sh
+      |    FROM t WHERE len(toks) >= 5),
+      |  ev AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20),
+      |  rest AS (SELECT * FROM s WHERE doc_id >= 20),
+      |  hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+      |           FROM rest JOIN ev USING (sh) GROUP BY 1),
+      |  tot AS (SELECT doc_id, COUNT(*) AS total_5grams FROM rest GROUP BY 1)
+      |SELECT tot.doc_id, tot.total_5grams,
+      |  COALESCE(hits.n_contaminated, 0) AS n_contaminated,
+      |  round(CAST(COALESCE(hits.n_contaminated, 0) AS DOUBLE)
+      |    / tot.total_5grams, 6) AS contamination
+      |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -802,5 +898,7 @@ object TextQueries {
     Q("d18_boilerplate", d18, Some(d18Sql)),
     Q("d19_stratified_sample", d19, Some(d19Sql)),
     Q("d20_unigram_logprob", d20, Some(d20Sql)),
-    Q("d21_dedup_clusters_star", d21, Some(d14Sql)))
+    Q("d21_dedup_clusters_star", d21, Some(d14Sql)),
+    Q("d22_pii_scrub", d22, Some(d22Sql)),
+    Q("d23_contamination", d23, Some(d23Sql)))
 }
