@@ -184,14 +184,21 @@ object DamdsDistributed {
           avgDist = st.sum / st.count))(repaired.encoder)
       else repaired
     )
-    val meta = blocks.rdd
-      .map(b => BlockMeta(b.index, b.start, b.blockRows)).collect()
+    // key the blocks first and read the (tiny) metadata through the
+    // persisted RDD — collecting meta from the raw Dataset would run
+    // the whole decode chain one extra time
+    val keyed = blocks.rdd.map(b => (b.index, b))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val meta = keyed
+      .map { case (i, b) => BlockMeta(i, b.start, b.blockRows) }.collect()
       .sortBy(_.index).toSeq
     val nb = meta.size
     val starts = meta.map(m => m.index -> m.start).toMap
     val part = new HashPartitioner(nb)
-    val blocksK = blocks.rdd.map(b => (b.index, b)).partitionBy(part)
+    val blocksK = keyed.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    blocksK.count()
+    keyed.unpersist(false)
     val vbK = blocksK.mapValues(b => (weightView(b), vArray(b)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

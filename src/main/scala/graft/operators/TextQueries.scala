@@ -877,6 +877,39 @@ object TextQueries {
       |    / tot.total_5grams, 6) AS contamination
       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id""".stripMargin
 
+  // ---- d24: deterministic global shuffle order for training ----
+  // Pretraining needs a reproducible random-looking data order. Done
+  // the way that survives 100 TB: shard = md5 byte of the (epoch-
+  // salted) doc id, position WITHIN the shard by the full hash — a
+  // window partitioned by shard (d16's no-global-sort discipline).
+  // (shard, pos) IS the global order: consumers read shards in index
+  // order, so no rangepartitioning/total sort ever runs. Hash-of-id
+  // (never random()) means re-runs and backfills reproduce the exact
+  // order, and a different epoch salt reshuffles without touching the
+  // data. Every assignment is oracle-exact, not statistical.
+  private val shuffleShards = 16
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5(concat($"doc_id".cast("string"), lit(":ep1")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"h", $"doc_id")
+    Tables(s, dir, "documents")
+      .select($"doc_id", h.as("h"))
+      .withColumn("shard",
+        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
+          lit(shuffleShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+  }
+  private val d24Sql =
+    s"""SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ep1') AS h,
+       |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 2)
+       |          AS INT) % $shuffleShards AS shard
+       |      FROM documents) t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -900,5 +933,6 @@ object TextQueries {
     Q("d20_unigram_logprob", d20, Some(d20Sql)),
     Q("d21_dedup_clusters_star", d21, Some(d14Sql)),
     Q("d22_pii_scrub", d22, Some(d22Sql)),
-    Q("d23_contamination", d23, Some(d23Sql)))
+    Q("d23_contamination", d23, Some(d23Sql)),
+    Q("d24_shuffle_order", d24, Some(d24Sql)))
 }
