@@ -247,6 +247,24 @@ class DamdsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed dispatch matches the gathered path under Sammon weighting") {
+    // pins the weightView dist-retention path through the distributed
+    // engine: Sammon mode divides weights by the cell distance, so a
+    // block that dropped its dist array would silently fall back to
+    // constant weights
+    val rnd = new scala.util.Random(29)
+    val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
+    val cfgBase = Damds.Config(targetDim = 2, alpha = 0.3, cgIter = 10,
+      exactCG = true, maxStressLoops = 1, maxTempLoops = 1,
+      sammonFactor = 0.001)
+    val viaGather = Damds.run(spark, blocksDs(3), initX, n, cfgBase)
+    val viaDist = Damds.run(spark, blocksDs(3), initX, n,
+      cfgBase.copy(maxGatherDoubles = 64L))
+    viaDist.x.zip(viaGather.x).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+    }
+  }
+
   test("full annealed run improves the embedding (I3/N9)") {
     val rnd = new scala.util.Random(17)
     val initX = Array.fill(n * 2)(rnd.nextDouble() * 0.1)
