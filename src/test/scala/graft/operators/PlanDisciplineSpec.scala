@@ -98,6 +98,26 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v08 PQ search never shuffles a vector: codes-only exchanges") {
+    // PQ's whole point at 100 TB: after the one-pass encode, the ADC
+    // scan and shortlist move 8-byte codes and scalar scores only; the
+    // float vectors reach the exact rerank via broadcast joins (query
+    // set + shortlisted ids), never through a shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val plan = Catalog.queries("v08_knn_pq_adc")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      shuffles.foreach { e =>
+        assert(!e.output.exists(a => a.dataType == ArrayType(DoubleType, false)
+            || a.dataType == ArrayType(DoubleType, true)),
+          s"PQ shuffle carries a double-array column: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v05 candidate scan is pruned to the probed cell set") {
     val opt = Catalog.queries("v05_knn_ivf")(spark, TestSpark.sf0001)
       .queryExecution.optimizedPlan.toString

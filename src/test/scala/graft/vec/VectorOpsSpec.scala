@@ -163,4 +163,105 @@ class VectorOpsSpec extends AnyFunSuite {
     info(s"injected near-dup recall = $recall (${(found & wanted).size}/${wanted.size})")
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
+
+  test("PQ-ADC ANN recall@10 >= 0.7 vs exact top-k (shortlist 64 of 500)") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val pq = graft.operators.VectorQueries.all.find(_.name == "v08_knn_pq_adc").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = pq.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (e & a).size.toDouble / e.size
+    info(s"PQ-ADC recall@10 = $recall (${(e & a).size}/${e.size})")
+    // 16 centroids per 8-dim subspace on a near-uniform corpus is the
+    // hostile case for PQ; clustered real embeddings quantize far
+    // tighter at the same code budget
+    assert(recall >= 0.7, s"recall $recall below 0.7")
+  }
+
+  test("PQ-ADC end-to-end matches an independent driver-side reimplementation") {
+    import spark.implicits._
+    // non-circular check of the v08 golden: retrain the codebooks with
+    // an inline Lloyd's (not KMeans.fitLocal), re-encode, re-score via
+    // ADC lookups, shortlist, and exact-rerank — all in plain Scala —
+    // and require the identical (qid, rank, vec_id) answer
+    val M = 8; val SUB = 8; val K = 16; val L = 64
+    val nQ = 5; val topK = 10
+    val all = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val sample = all.filter(_._1 < 4096L)
+    def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+      var cur = pts.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.ofDim[Double](k, pts.head.length)
+        val counts = new Array[Long](k)
+        pts.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          for (c <- 0 until k) {
+            var dd = 0.0
+            for (j <- v.indices) { val t = v(j) - cur(c)(j); dd += t * t }
+            if (dd < bd) { bd = dd; best = c }
+          }
+          for (j <- v.indices) sums(best)(j) += v(j)
+          counts(best) += 1
+        }
+        cur = Array.tabulate(k)(c =>
+          if (counts(c) > 0) Array.tabulate(pts.head.length)(j => sums(c)(j) / counts(c))
+          else cur(c))
+      }
+      cur
+    }
+    val books = Array.tabulate(M)(j =>
+      lloyd(sample.map(_._2.slice(j * SUB, (j + 1) * SUB)), K, 3))
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(M) { j =>
+      val s = v.slice(j * SUB, (j + 1) * SUB)
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until K) {
+        var dd = 0.0
+        for (i <- 0 until SUB) { val t = s(i) - books(j)(c)(i); dd += t * t }
+        if (dd < bd) { bd = dd; best = c }
+      }
+      best
+    }
+    val codes = all.map { case (id, v) => (id, encode(v)) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until nQ).flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val dlut = Array.tabulate(M, K) { (j, c) =>
+        val qs = qv.slice(j * SUB, (j + 1) * SUB)
+        qs.indices.map(i => qs(i) * books(j)(c)(i)).sum
+      }
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val short = codes.filter(_._1 != qid).map { case (id, cs) =>
+        val num = (0 until M).map(j => dlut(j)(cs(j))).sum
+        val rn = math.sqrt((0 until M).map(j =>
+          books(j)(cs(j)).map(x => x * x).sum).sum)
+        (id, num / (qn * rn))
+      }.sortBy { case (id, s) => (-s, id) }.take(L).map(_._1).toSet
+      all.filter { case (id, _) => short.contains(id) }
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(topK)
+        .zipWithIndex.map { case ((id, s), r) => (qid, (r + 1).toLong, id, s) }
+    }.toSet
+    val pq = graft.operators.VectorQueries.all.find(_.name == "v08_knn_pq_adc").get
+    val got = pq.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"PQ answer diverges from reimplementation:\n" +
+        s"extra=${got.map(t => (t._1, t._2, t._3)) -- expected.map(t => (t._1, t._2, t._3))}\n" +
+        s"missing=${expected.map(t => (t._1, t._2, t._3)) -- got.map(t => (t._1, t._2, t._3))}")
+    val expByKey = expected.map(t => ((t._1, t._3), t._4)).toMap
+    got.foreach { case (qid, _, id, cos) =>
+      assert(math.abs(cos - expByKey((qid, id))) < 1e-6,
+        s"cosine mismatch for ($qid,$id): $cos vs ${expByKey((qid, id))}")
+    }
+  }
 }
