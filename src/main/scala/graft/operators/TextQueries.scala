@@ -910,6 +910,47 @@ object TextQueries {
        |          AS INT) % $shuffleShards AS shard
        |      FROM documents) t""".stripMargin
 
+  // ---- d25: token-window exact substring dedup (chunk keepers) ----
+  // Exact dedup below document granularity (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", ACL 2022): documents
+  // are cut into fixed W-token windows, every window occurrence is
+  // keyed by its text, and the GLOBAL first occurrence (lowest
+  // (doc_id, chunk_idx), integer-encoded so the argmin is one BIGINT
+  // min) is the keeper — every other occurrence is a duplicate span a
+  // curation pass would drop. Output is the per-document audit (chunk
+  // count, duplicate-chunk count, dup ratio) that drives the drop/keep
+  // decision. Scale shape: explode → one hash agg keyed by the
+  // high-cardinality chunk text → one gram-key join back → per-doc agg;
+  // never all-pairs, no window, no sort (the d18 discipline). W is a
+  // dial — 4 here so the 31-word fixture vocabulary yields real
+  // collisions (non-vacuous oracle, the d22 rule); production corpora
+  // use 50–100-token windows with byte-identical semantics.
+  private val d25W = 4
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text", d25W)
+  private val d25Sql =
+    s"""WITH base AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |ex AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, CAST(ceil(len(toks) / $d25W.0) AS INT) - 1))
+       |      AS chunk_idx
+       |  FROM base),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |    array_to_string(toks[(chunk_idx * $d25W + 1):(chunk_idx * $d25W + $d25W)], ' ')
+       |      AS chunk
+       |  FROM ex),
+       |k AS (SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS keeper
+       |  FROM ch GROUP BY 1),
+       |j AS (SELECT ch.doc_id, ch.chunk_idx, k.keeper
+       |  FROM ch JOIN k USING (chunk))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> keeper
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx <> keeper
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+       |FROM j GROUP BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -934,5 +975,6 @@ object TextQueries {
     Q("d21_dedup_clusters_star", d21, Some(d14Sql)),
     Q("d22_pii_scrub", d22, Some(d22Sql)),
     Q("d23_contamination", d23, Some(d23Sql)),
-    Q("d24_shuffle_order", d24, Some(d24Sql)))
+    Q("d24_shuffle_order", d24, Some(d24Sql)),
+    Q("d25_chunk_dedup", d25, Some(d25Sql)))
 }

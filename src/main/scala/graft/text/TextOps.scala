@@ -140,4 +140,34 @@ object TextOps {
         expr("array_min(transform(sh, t -> xxhash64(t)))").as("min_shingle_hash"),
         expr("array_max(transform(sh, t -> xxhash64(t)))").as("max_shingle_hash"))
   }
+
+  /** Token-window exact substring dedup (Lee et al., ACL 2022, at
+    * chunk granularity): cut each doc into fixed w-token windows, elect
+    * the GLOBAL first occurrence of each window text (lowest (doc,
+    * idx), integer-encoded so the argmin is one BIGINT min) as keeper,
+    * and report the per-doc duplicate-span audit. One explode, one
+    * hash agg keyed by the high-cardinality chunk text, one chunk-key
+    * join back, one per-doc agg — never all-pairs, no window/sort.
+    * `idCol` must be a non-negative integer id; chunk_idx must fit in
+    * the 1e6 encode slot (docs up to 1M·w tokens).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val ch = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $w.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val keeper = ch.groupBy(col("chunk"))
+      .agg(min(col(idCol) * 1000000L + col("chunk_idx")).as("keeper"))
+    ch.join(keeper, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col(idCol) * 1000000L + col("chunk_idx") =!= col("keeper"), 1L)
+          .otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+  }
 }

@@ -165,4 +165,39 @@ class TextOpsSpec extends AnyFunSuite {
     // sanity: packing actually happens (bins hold multiple docs)
     assert(rows.groupBy(r => (r._2, r._4)).values.exists(_.size > 1))
   }
+
+  test("chunkDedup: injected exact copy is fully flagged, keeper untouched") {
+    import spark.implicits._
+    // doc 0 and its exact copy (doc 10): every chunk of the copy is a
+    // duplicate of the original's keeper chunks; doc 20 is made of
+    // words no other doc uses, so nothing in it can be flagged
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (20L, "iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.chunkDedup(docs, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 0L, 0.0)), s"keeper doc flagged: ${out(0L)}")
+    assert(out(10L) == ((10L, 2L, 2L, 1.0)), s"copy not fully flagged: ${out(10L)}")
+    assert(out(20L) == ((20L, 2L, 0L, 0.0)), s"unique doc flagged: ${out(20L)}")
+    // within-doc repetition: the second occurrence inside the SAME doc
+    // is a duplicate of the first (keeper = lowest chunk_idx)
+    val rep = Seq((5L, "a b c d a b c d")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.chunkDedup(rep, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r == ((5L, 2L, 1L, 0.5)), s"within-doc repeat not flagged: $r")
+  }
+
+  test("chunkDedup shuffles on the chunk key, never all-pairs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Catalog.queries("d25_chunk_dedup")
+      val p = q(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+      assert(p.contains("hashpartitioning(chunk"), s"no chunk-key shuffle:\n$p")
+      assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
