@@ -951,6 +951,51 @@ object TextQueries {
        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---- d26: source-mixture epoch weighting (training mixtures) ----
+  // Composing a pretraining mixture means each source gets a sampling
+  // weight w (epochs of repetition): every doc is emitted floor(w)
+  // times, plus once more with probability frac(w) — decided by a
+  // salted hash of the doc id (NEVER rand(): re-runs, backfills and
+  // the oracle reproduce the exact replica set; ':mix' salt keeps it
+  // independent of d15's split and d19's sample byte, the d19 lesson).
+  // w < 1 downsamples, w > 1 upsamples — both shuffle-free: one
+  // projection + one explode, rows move only where they already live.
+  // Weights here derive from the source number (w ∈ {0.5, 1.25, 2.0,
+  // 2.75}) so the dial covers both regimes at every scale factor; a
+  // production run would broadcast-join a literal weight table — the
+  // arithmetic is identical. All math is double ('e0' literals on the
+  // oracle side) over exactly-representable weights and a 24-bit hash
+  // fraction, so the tie comparison is bit-identical cross-engine.
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcNum = regexp_extract($"source", "([0-9]+)$", 1).cast("int")
+    val w = lit(0.5) + pmod(srcNum, lit(4)).cast("double") * lit(0.75)
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix"))
+      .cast("binary")), 1, 6), 16, 10).cast("double") / lit(16777216.0)
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (floor(w) + when(w - floor(w) > u, 1.0).otherwise(0.0))
+          .cast("int").as("n_epochs"))
+      .filter($"n_epochs" >= 1)
+      .select($"doc_id", $"source",
+        explode(expr("sequence(cast(1 as bigint), cast(n_epochs as bigint))"))
+          .as("epoch"))
+  }
+  private val d26Sql =
+    """WITH t AS (SELECT doc_id, source,
+      |    0.5e0 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4)
+      |      * 0.75e0 AS w,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6)
+      |      AS INT) / 16777216.0e0 AS u
+      |  FROM documents),
+      |n AS (SELECT doc_id, source,
+      |    CAST(floor(w) + CASE WHEN w - floor(w) > u THEN 1 ELSE 0 END AS INT)
+      |      AS n_epochs
+      |  FROM t)
+      |SELECT doc_id, source,
+      |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+      |FROM n WHERE n_epochs >= 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -976,5 +1021,6 @@ object TextQueries {
     Q("d22_pii_scrub", d22, Some(d22Sql)),
     Q("d23_contamination", d23, Some(d23Sql)),
     Q("d24_shuffle_order", d24, Some(d24Sql)),
-    Q("d25_chunk_dedup", d25, Some(d25Sql)))
+    Q("d25_chunk_dedup", d25, Some(d25Sql)),
+    Q("d26_mixture_epochs", d26, Some(d26Sql)))
 }

@@ -200,4 +200,34 @@ class TextOpsSpec extends AnyFunSuite {
       assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("d26 mixture epochs: expansion tracks the weight, plan has no exchange") {
+    import spark.implicits._
+    val out = graft.operators.Catalog.queries("d26_mixture_epochs")(
+      spark, TestSpark.sf001)
+    val rows = out.select($"doc_id", $"source", $"epoch")
+      .as[(Long, String, Long)].collect()
+    // every doc's replicas are epochs 1..n with no gaps
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val es = rs.map(_._3).sorted.toSeq
+      assert(es == (1L to es.size), s"doc $id epochs not 1..n: $es")
+    }
+    // per weight class (srcnum % 4 -> w in {0.5, 1.25, 2.0, 2.75}):
+    // replica count / doc count converges to w (hash-fraction sampling)
+    val docsPerClass = spark.read
+      .parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select(regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 4)
+      .as[Int].collect().groupBy(identity).view.mapValues(_.size).toMap
+    val w = Map(0 -> 0.5, 1 -> 1.25, 2 -> 2.0, 3 -> 2.75)
+    rows.groupBy(r => r._2.replaceAll("[^0-9]", "").toInt % 4)
+      .foreach { case (c, rs) =>
+        val factor = rs.size.toDouble / docsPerClass(c)
+        assert(math.abs(factor - w(c)) < 0.25,
+          s"class $c expansion $factor, want ~${w(c)}")
+      }
+    // one projection + one explode: replication happens where the rows
+    // live — a shuffle here would move the corpus to copy it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture expansion shuffles:\n$plan")
+  }
 }
