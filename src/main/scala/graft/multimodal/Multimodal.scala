@@ -188,6 +188,85 @@ object Multimodal {
     }.toDF("media_id", "frame", "width", "height", "channels", "pixels")
   }
 
+  // ---- content-defined chunking (CDC) over opaque payloads ----
+  // Gear-hash CDC (Xia et al., "FastCDC", USENIX ATC 2016 — the
+  // rolling-hash family behind storage dedup in restic/borg/LBFS): a
+  // boundary is declared where the rolling hash of the last bytes
+  // masks to zero, so chunk boundaries are a function of CONTENT, not
+  // offset — two payloads sharing a byte range chunk it identically
+  // even at different offsets (the resync property fixed-block dedup
+  // lacks; asserted in MultimodalSpec with shifted payloads). The gear
+  // table is a deterministic splitmix64 stream, so chunking is a pure
+  // function of the bytes: re-runs, backfills, and the pinned golden
+  // all reproduce it exactly.
+
+  /** 256-entry gear table from a fixed splitmix64 stream. */
+  private val gearTable: Array[Long] = {
+    var x = 0x243f6a8885a308d3L // fixed seed; NOT derived from runtime
+    Array.fill(256) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** FNV-1a 64-bit over a byte range — the chunk's content address. */
+  def fnv64(bytes: Array[Byte], from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xff).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Chunk boundaries as (offset, len): cut when the gear hash masks
+    * to zero after `minSize` bytes, force a cut at `maxSize`; the tail
+    * (possibly < minSize) is its own chunk. Driver-side kernel shared
+    * by the distributed pass and the spec's reference replay. */
+  def cdcBoundaries(payload: Array[Byte], minSize: Int, maxSize: Int,
+      maskBits: Int): Array[(Int, Int)] = {
+    require(minSize >= 1 && maxSize >= minSize && maskBits >= 1)
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h << 1) + gearTable(payload(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len == maxSize) {
+        out += ((start, len)); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < payload.length) out += ((start, payload.length - start))
+    out.toArray
+  }
+
+  /** Distributed CDC pass: one mapPartitions over the payloads, chunk
+    * rows emitted in place (no shuffle; chunking is per-record). Output
+    * (media_id, chunk_idx, offset, len, hash) is the content-address
+    * table a dedup store ingests. */
+  def cdcChunks(media: Dataset[MediaRecord], minSize: Int, maxSize: Int,
+      maskBits: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        cdcBoundaries(r.payload, minSize, maxSize, maskBits).iterator
+          .zipWithIndex.map { case ((off, len), i) =>
+            (r.media_id, i, off, len, fnv64(r.payload, off, len))
+          }
+      }
+    }.toDF("media_id", "chunk_idx", "offset", "len", "hash")
+  }
+
   /** Audio feature extraction: RMS energy + zero-crossing rate per
     * fixed-length window (the MFCC slot with a real codec).
     */

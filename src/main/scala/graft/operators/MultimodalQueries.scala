@@ -102,10 +102,114 @@ object MultimodalQueries {
       |  CAST(3 * 8 * 8 * 3 AS BIGINT) AS bytes
       |FROM documents""".stripMargin
 
+  /** x06: fixed-block content-addressable dedup audit — the storage
+    * dedup a 100 TB media lake runs before anything decodes. Payloads
+    * are cut into fixed B-byte blocks (byte substrings; the bytes stay
+    * opaque), keyed by md5, and the GLOBAL first occurrence (lowest
+    * (media_id, block_idx), BIGINT-encoded) keeps each block — the
+    * per-media audit reports duplicate blocks and reclaimable bytes.
+    * d25's explode → key-agg → key-join shape applied to binary.
+    * B = 16 so the fixture's 31-word payload soup yields real
+    * collisions (712 dup blocks at sf0.01 — the non-vacuous-oracle
+    * rule); production stores use 4–64 KiB blocks, same plan. The
+    * DuckDB mirror substrings the VARCHAR text (fixture payloads are
+    * ASCII at every SF, so char offsets ARE byte offsets — the x01
+    * md5(text) ≡ md5(bytes) equivalence this oracle family rests on).
+    * Fixed blocks are alignment-sensitive; the shift-robust CDC
+    * variant is x07.
+    */
+  private val x06B = 16
+  private def x06(s: SparkSession, dir: String): DataFrame = {
+    val bl = media(s, dir).toDF()
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("media_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(octet_length(payload) / $x06B.0) as int) - 1),
+           |  i -> struct(md5(substring(payload, i * $x06B + 1, $x06B)) as h,
+           |    cast(octet_length(substring(payload, i * $x06B + 1, $x06B)) as bigint) as blen))"""
+          .stripMargin)).as(Seq("bi", "b")))
+      .select(col("media_id"), col("bi"), col("b.h").as("h"),
+        col("b.blen").as("blen"))
+    val keeper = bl.groupBy(col("h"))
+      .agg(min(col("media_id") * 1000000L + col("bi")).as("keeper"))
+    bl.join(keeper, "h")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"), 1L)
+          .otherwise(0L)).as("n_dup_blocks"),
+        sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"),
+          col("blen")).otherwise(0L)).as("dup_bytes"))
+  }
+  private val x06Sql =
+    s"""WITH ex AS (SELECT doc_id AS media_id, text,
+       |    unnest(generate_series(0,
+       |      CAST(ceil(length(text) / $x06B.0) AS INT) - 1)) AS bi
+       |  FROM documents WHERE length(text) > 0),
+       |bl AS (SELECT media_id, bi,
+       |    md5(substring(text, bi * $x06B + 1, $x06B)) AS h,
+       |    CAST(length(substring(text, bi * $x06B + 1, $x06B)) AS BIGINT)
+       |      AS blen
+       |  FROM ex),
+       |k AS (SELECT h, min(media_id * 1000000 + bi) AS keeper
+       |  FROM bl GROUP BY 1),
+       |j AS (SELECT bl.media_id, bl.bi, bl.blen, k.keeper
+       |  FROM bl JOIN k USING (h))
+       |SELECT media_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
+       |    THEN blen ELSE 0 END) AS BIGINT) AS dup_bytes
+       |FROM j GROUP BY media_id""".stripMargin
+
+  /** x07: content-defined (Gear-hash) chunking audit — the
+    * shift-robust sibling of x06: boundaries are a function of the
+    * BYTES (rolling gear hash masks to zero), so shared content
+    * chunks identically at any offset. One mapPartitions pass, chunk
+    * rows emitted in place; the per-media rollup (chunk count, bytes,
+    * and an order-sensitive FNV fold of the chunk hashes) is the only
+    * shuffle. The rolling-hash stream is per-record deterministic but
+    * not SQL-expressible, so the oracle is a pinned golden
+    * (GoldenOracles.x07, cross-checked against an independent non-JVM
+    * reimplementation of gear + FNV before pinning — the x02 rule);
+    * chunking invariants (exact tiling, size bounds, determinism,
+    * shifted-payload resync vs fixed blocks) are in MultimodalSpec.
+    */
+  private val x07Min = 16
+  private val x07Max = 64
+  private val x07MaskBits = 5
+  private def x07(s: SparkSession, dir: String): DataFrame = {
+    // chunking is per-record, so the whole per-media audit folds inside
+    // the same partition pass — ZERO shuffles (ANSI SQL would also
+    // reject the wrap-around FNV multiply; in the kernel i64 wrap is
+    // the defined semantics). chunks_sig is an order-sensitive FNV-1a
+    // fold over the chunk-hash sequence: it pins boundaries AND order,
+    // not just the stats.
+    val m = media(s, dir)
+    val sp = m.sparkSession
+    import sp.implicits._
+    m.mapPartitions { it =>
+      it.map { r =>
+        val bs = Multimodal.cdcBoundaries(r.payload, x07Min, x07Max, x07MaskBits)
+        var sig = 0xcbf29ce484222325L
+        var total = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        bs.foreach { case (off, len) =>
+          sig = (sig ^ Multimodal.fnv64(r.payload, off, len)) * 0x100000001b3L
+          total += len
+          mn = math.min(mn, len); mx = math.max(mx, len)
+        }
+        (r.media_id, bs.length.toLong, total, mn, mx, sig)
+      }
+    }.toDF("media_id", "n_chunks", "total_bytes", "min_len", "max_len",
+      "chunks_sig")
+  }
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
     Q("x03_frame_sample", x03, Some(x03Sql)),
     Q("x04_media_dedup", x04, Some(GoldenOracles.x04)),
-    Q("x05_audio_features", x05, Some(GoldenOracles.x05)))
+    Q("x05_audio_features", x05, Some(GoldenOracles.x05)),
+    Q("x06_block_dedup", x06, Some(x06Sql)),
+    Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)))
 }

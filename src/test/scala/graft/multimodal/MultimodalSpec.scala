@@ -108,4 +108,79 @@ class MultimodalSpec extends AnyFunSuite {
       zcr >= 0.0 && zcr <= 1.0 && r.getAs[Float]("rms") >= 0f
     })
   }
+
+  test("cdcBoundaries: exact tiling, size bounds, pure function of bytes") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 15, 16, 64, 65, 1000, 4096)) {
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val bs = Multimodal.cdcBoundaries(payload, 16, 64, 5)
+      // chunks tile the payload exactly, in order, no gaps or overlap
+      assert(bs.map(_._2).sum == n, s"n=$n: lengths don't sum to payload")
+      var off = 0
+      bs.foreach { case (o, l) =>
+        assert(o == off, s"n=$n: gap/overlap at $o (expected $off)")
+        off += l
+      }
+      // every chunk obeys [min, max] except a short tail
+      bs.zipWithIndex.foreach { case ((_, l), i) =>
+        assert(l <= 64, s"n=$n chunk $i len $l > max")
+        assert(l >= 16 || i == bs.length - 1, s"n=$n chunk $i len $l < min")
+      }
+      // deterministic
+      assert(bs.sameElements(Multimodal.cdcBoundaries(payload, 16, 64, 5)))
+    }
+  }
+
+  test("CDC resyncs after a shift; fixed blocks do not") {
+    // THE content-defined property: prepend 1 byte and the chunking
+    // re-synchronizes after the first boundary, so almost all chunk
+    // hashes survive; fixed-size blocks all shift and share ~nothing
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(8192)(rnd.nextInt(256).toByte)
+    val shifted = (Array(0x42.toByte) ++ payload)
+    def hashes(p: Array[Byte]) =
+      Multimodal.cdcBoundaries(p, 16, 64, 5)
+        .map { case (o, l) => Multimodal.fnv64(p, o, l) }.toSet
+    val a = hashes(payload); val b = hashes(shifted)
+    val cdcShared = (a & b).size.toDouble / a.size
+    def blockHashes(p: Array[Byte]) =
+      p.grouped(16).zipWithIndex
+        .map { case (bl, _) => Multimodal.fnv64(bl, 0, bl.length) }.toSet
+    val fa = blockHashes(payload); val fb = blockHashes(shifted)
+    val fixedShared = (fa & fb).size.toDouble / fa.size
+    info(s"shared after 1-byte shift: cdc=$cdcShared fixed=$fixedShared")
+    assert(cdcShared >= 0.9, s"CDC lost resync: $cdcShared")
+    assert(fixedShared <= 0.1, s"fixed blocks unexpectedly shift-robust: $fixedShared")
+  }
+
+  test("x07 audit: chunks_sig pins order and x06/x07 agree on total bytes") {
+    import graft.TestSpark
+    val x06 = graft.operators.Catalog.queries("x06_block_dedup")(
+      spark, TestSpark.sf0001)
+    val x07 = graft.operators.Catalog.queries("x07_cdc_chunks")(
+      spark, TestSpark.sf0001)
+    // both audits account for every payload byte
+    val bl = x06.agg(sum($"n_blocks")).head().getLong(0)
+    val tot07 = x07.agg(sum($"total_bytes")).head().getLong(0)
+    val totBytes = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .agg(sum(octet_length($"text".cast("binary")))).head().getLong(0)
+    assert(tot07 == totBytes, s"x07 bytes $tot07 != corpus $totBytes")
+    assert(bl > 0 && x07.count() > 0)
+    // reversing a payload's chunk order must change its sig: the fold
+    // is order-sensitive (two media with permuted identical chunk sets
+    // must not collide)
+    val p1 = "abcdefgh".getBytes ++ Array.fill(60)(1.toByte) ++
+      "zyxwvuts".getBytes ++ Array.fill(60)(2.toByte)
+    val p2 = "zyxwvuts".getBytes ++ Array.fill(60)(2.toByte) ++
+      "abcdefgh".getBytes ++ Array.fill(60)(1.toByte)
+    def sig(p: Array[Byte]): Long = {
+      var s = 0xcbf29ce484222325L
+      Multimodal.cdcBoundaries(p, 16, 64, 5).foreach { case (o, l) =>
+        s = (s ^ Multimodal.fnv64(p, o, l)) * 0x100000001b3L
+      }
+      s
+    }
+    assert(sig(p1) != sig(p2), "order-insensitive chunks_sig")
+  }
 }
