@@ -500,6 +500,162 @@ object VectorQueries {
   private def v08(s: SparkSession, dir: String): DataFrame =
     pqSearch(s, dir, pqShortlist)
 
+  // ---- v09: IVF + residual PQ (IVFADC) — the composed 100 TB layout ----
+  // The canonical billion-scale ANN architecture (Jégou et al. 2011;
+  // FAISS IVFADC): vectors are L2-NORMALIZED (so L2 order ≡ cosine
+  // order: ‖a−b‖² = 2−2·cos for unit vectors, making the ADC metric
+  // and the final cosine rerank agree), coarse-quantized into cells
+  // (v05's IVF — the pruning axis), and the RESIDUAL v̂ − c(cell) is
+  // PQ-encoded (v08's codes — the compression axis). Residual encoding
+  // is what makes the composition better than either part: residuals
+  // concentrate near 0, so the same 8-byte budget quantizes far
+  // tighter than raw-vector PQ. A probe ranks cells by driver math,
+  // visits nprobe of them (the corpus scan is cell-pruned), scores
+  // candidates by ADC — dist² ≈ ‖q−c‖² − 2·Σⱼ LUTⱼ[codeⱼ] + Σⱼ‖cⱼₖ‖²,
+  // three lookup terms, no vector arithmetic — shortlists on the
+  // bounded heap, and exact-reranks by cosine on the original vectors
+  // joined back BY ID. Deterministic end to end (driver-side training,
+  // index-order folds, id-tiebroken heaps): the registered pruned row
+  // is golden-pinned; the probe-all-cells + full-shortlist path must
+  // EQUAL v01 exactly (VectorOpsSpec — the non-circular gate), recall
+  // and codes-only-shuffle plan asserts cover the pruned path.
+  private val ivfPqCells = 16
+  private val ivfPqNprobe = 4
+  private val ivfPqShortlist = 64
+
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Array[Array[Double]], Array[Array[Array[Double]]],
+        Array[(Long, Array[Double])], DataFrame)]
+
+  /** Coarse centroids (over normalized vectors), residual codebooks,
+    * the training sample, and the encoded corpus (vec_id, cell, codes,
+    * term3 = Σⱼ‖c_{j,codeⱼ}‖²) — the durable IVFADC index. */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]],
+        Array[(Long, Array[Double])], DataFrame) = {
+    ivfPqCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      ivfPqCache.remove(k).foreach { case (_, _, _, df) =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+    ivfPqCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val sample = e.filter($"vec_id" < sampleN)
+        .select($"vec_id", $"v").collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray))
+        .sortBy(_._1)
+      def normalize(v: Array[Double]): Array[Double] = {
+        val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-30)
+        v.map(_ / n)
+      }
+      val sn = sample.map { case (id, v) => (id, normalize(v)) }
+      val cents = KMeans.fitLocal(sn.map(_._2),
+        sn.take(ivfPqCells).map(_._2), maxIter = 3).centroids
+      def nearestCell(v: Array[Double]): Int = {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var dd = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - cents(c)(j); dd += t * t; j += 1 }
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        best
+      }
+      val residuals = sn.map { case (_, v) =>
+        val c = cents(nearestCell(v))
+        Array.tabulate(v.length)(j => v(j) - c(j))
+      }
+      val books = Array.tabulate(pqM) { j =>
+        val sub = residuals.map(_.slice(j * pqSub, (j + 1) * pqSub))
+        KMeans.fitLocal(sub, sub.take(pqK), maxIter = 3).centroids
+      }
+      val snLut: Seq[Seq[Double]] =
+        books.toIndexedSeq.map(_.toIndexedSeq.map(c => c.map(x => x * x).sum))
+      // distributed one-pass encode: normalize → coarse cell → residual
+      // (per-row centroid lookup from the broadcast literal) → per-
+      // subspace argmin codes → ADC term3; all codegen'd column ops
+      val centsLit = typedLit(cents.toIndexedSeq.map(_.toIndexedSeq))
+      val vn = expr("transform(v, x -> x / greatest(sqrt(aggregate(" +
+        "transform(v, y -> y * y), cast(0.0 as double), (a, b) -> a + b)), " +
+        "1e-30d))")
+      val withCell = e.select($"vec_id", vn.as("vn"))
+        .select($"vec_id", $"vn",
+          KMeans.assign($"vn", cents).getField("cid").as("cell"))
+        .select($"vec_id", $"cell",
+          zip_with($"vn", element_at(centsLit, $"cell" + 1),
+            (a, b) => a - b).as("resid"))
+      val codeCols = (0 until pqM).map { j =>
+        KMeans.assign(slice($"resid", j * pqSub + 1, pqSub), books(j))
+          .getField("cid").as(s"c$j")
+      }
+      val coded = withCell
+        .select(($"vec_id" +: $"cell" +: codeCols): _*)
+        .select($"vec_id", $"cell",
+          array((0 until pqM).map(j => col(s"c$j")): _*).as("codes"))
+        .select($"vec_id", $"cell", $"codes",
+          (0 until pqM).map(j =>
+            element_at(typedLit(snLut(j)), element_at($"codes", j + 1) + 1))
+            .reduce(_ + _).as("term3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cents, books, sample, coded)
+    })
+  }
+
+  /** IVFADC probe (test hook: nprobe/shortlist dials). Cell ranking
+    * and per-(query, cell) LUTs are pure driver math; the distributed
+    * work is one cell-pruned codes scan + the shortlist heap + the
+    * id-keyed rerank join. */
+  private[graft] def ivfPqSearch(s: SparkSession, dir: String,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    import s.implicits._
+    val (cents, books, sample, coded) = ivfPqIndex(s, dir)
+    val qRows = sample.filter(_._1 < nQueries).flatMap { case (qid, qv) =>
+      val n = math.max(math.sqrt(qv.map(x => x * x).sum), 1e-30)
+      val qn = qv.map(_ / n)
+      val ranked = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe)
+      ranked.map { case (qc2, cell) =>
+        val c = cents(cell)
+        val qr = Array.tabulate(qn.length)(j => qn(j) - c(j))
+        val dlut: Seq[Seq[Double]] = (0 until pqM).map { j =>
+          val qs = qr.slice(j * pqSub, (j + 1) * pqSub)
+          books(j).toIndexedSeq.map(b =>
+            qs.zip(b).map { case (a, x) => a * x }.sum)
+        }
+        (qid, cell, qc2, dlut)
+      }
+    }.toSeq
+    val probes = qRows.toDF("qid", "cell", "qc2", "dlut")
+    val probedCells = qRows.map(_._2).distinct
+    val approx = coded.filter($"cell".isin(probedCells: _*))
+      .join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (-($"qc2"
+          - lit(2.0) * (0 until pqM).map(j =>
+            element_at(element_at($"dlut", j + 1),
+              element_at($"codes", j + 1) + 1)).reduce(_ + _)
+          + $"term3")).as("score"))
+    val short = VectorOps.topKPerQuery(approx, shortlist)
+      .select($"qid", $"vec_id")
+    val e = embeddings(s, dir)
+    val qv = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val scored = e.join(broadcast(short), "vec_id")
+      .join(broadcast(qv), "qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(scored, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+
+  private def v09(s: SparkSession, dir: String): DataFrame =
+    ivfPqSearch(s, dir, ivfPqNprobe, ivfPqShortlist)
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -508,5 +664,6 @@ object VectorQueries {
     Q("v05_knn_ivf", v05, Some(GoldenOracles.v05)),
     Q("v06_knn_ivf_disk", v06, Some(v01Sql)),
     Q("v07_quantize_int8", v07, Some(v07Sql)),
-    Q("v08_knn_pq_adc", v08, Some(GoldenOracles.v08)))
+    Q("v08_knn_pq_adc", v08, Some(GoldenOracles.v08)),
+    Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)))
 }

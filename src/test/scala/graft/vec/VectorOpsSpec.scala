@@ -264,4 +264,34 @@ class VectorOpsSpec extends AnyFunSuite {
         s"cosine mismatch for ($qid,$id): $cos vs ${expByKey((qid, id))}")
     }
   }
+
+  test("IVFADC probed at all cells with full shortlist equals exact top-k") {
+    import spark.implicits._
+    // the v06-style non-circular gate for the composed layout: probing
+    // every cell with an uncut shortlist leaves only the LUT algebra,
+    // residual encode, and rerank plumbing between the index and the
+    // exact answer — any error in them breaks this equality
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"rank", $"vec_id").as[(Long, Long, Long)].collect().toSet
+    val full = graft.operators.VectorQueries
+      .ivfPqSearch(spark, TestSpark.sf0001, nprobe = 16, shortlist = 1000)
+      .select($"qid", $"rank", $"vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(full == e, s"IVFADC full probe diverges from exact: ${(full -- e) ++ (e -- full)}")
+  }
+
+  test("IVFADC pruned recall@10 >= 0.6 vs exact (nprobe=4, shortlist=64)") {
+    import spark.implicits._
+    val exact = graft.operators.VectorQueries.all.find(_.name == "v01_knn_exact").get
+    val ivfpq = graft.operators.VectorQueries.all.find(_.name == "v09_knn_ivfpq").get
+    val e = exact.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = ivfpq.fn(spark, TestSpark.sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (e & a).size.toDouble / e.size
+    info(s"IVFADC recall@10 = $recall (${(e & a).size}/${e.size})")
+    // nprobe/cells = 1/4 bounds recall on the near-uniform fixture as
+    // in v05; residual PQ recovers most of what raw PQ loses
+    assert(recall >= 0.6, s"recall $recall below 0.6")
+  }
 }
