@@ -118,6 +118,42 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v09 IVFADC: cell-pruned scan, codes-only exchanges") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val qe = Catalog.queries("v09_knn_ivfpq")(spark, TestSpark.sf0001)
+        .queryExecution
+      // the probe reads only the nprobe cells (IN-list pruning before
+      // the candidate join, as v05)
+      val opt = qe.optimizedPlan.toString
+      assert(opt.contains("cell") && (opt.contains("IN (") || opt.contains("INSET")),
+        s"no cell IN-list pruning in the IVFADC probe:\n$opt")
+      // vectors never shuffle: ADC moves (vec_id, cell, codes, term3)
+      // and scalar scores only; the rerank vectors arrive by broadcast
+      qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+        .foreach { e =>
+          assert(!e.output.exists(a =>
+              a.dataType == ArrayType(DoubleType, false) ||
+              a.dataType == ArrayType(DoubleType, true)),
+            s"IVFADC shuffle carries a double-array column: ${e.output}")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("x06 block dedup shuffles on the block hash, never all-pairs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Catalog.queries("x06_block_dedup")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$p")
+      assert(p.contains("hashpartitioning(h"), s"no block-hash shuffle:\n$p")
+      assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v05 candidate scan is pruned to the probed cell set") {
     val opt = Catalog.queries("v05_knn_ivf")(spark, TestSpark.sf0001)
       .queryExecution.optimizedPlan.toString
