@@ -951,6 +951,38 @@ object TextQueries {
        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---- d27: chunk dedup APPLIED — the deduplicated corpus ----
+  // d25 is the audit; this is the action: non-keeper chunk occurrences
+  // drop and each document is reassembled from its surviving chunks
+  // (original order). Fully-owned-elsewhere documents disappear —
+  // dedup at w-chunk granularity. The oracle reproduces keeper
+  // election AND reassembly (string_agg ORDER BY chunk_idx), so the
+  // emitted corpus text is hash-checked character-for-character.
+  private def d27(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDedupApply(Tables(s, dir, "documents"), "doc_id", "text",
+      d25W)
+  private val d27Sql =
+    s"""WITH base AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |ex AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, CAST(ceil(len(toks) / $d25W.0) AS INT) - 1))
+       |      AS chunk_idx
+       |  FROM base),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |    array_to_string(toks[(chunk_idx * $d25W + 1):(chunk_idx * $d25W + $d25W)], ' ')
+       |      AS chunk
+       |  FROM ex),
+       |k AS (SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS keeper
+       |  FROM ch GROUP BY 1),
+       |kept AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk
+       |  FROM ch JOIN k USING (chunk)
+       |  WHERE ch.doc_id * 1000000 + ch.chunk_idx = k.keeper)
+       |SELECT doc_id,
+       |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+       |  CAST(count(*) AS BIGINT) AS n_kept
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   // ---- d26: source-mixture epoch weighting (training mixtures) ----
   // Composing a pretraining mixture means each source gets a sampling
   // weight w (epochs of repetition): every doc is emitted floor(w)
@@ -1022,5 +1054,6 @@ object TextQueries {
     Q("d23_contamination", d23, Some(d23Sql)),
     Q("d24_shuffle_order", d24, Some(d24Sql)),
     Q("d25_chunk_dedup", d25, Some(d25Sql)),
-    Q("d26_mixture_epochs", d26, Some(d26Sql)))
+    Q("d26_mixture_epochs", d26, Some(d26Sql)),
+    Q("d27_chunk_dedup_apply", d27, Some(d27Sql)))
 }

@@ -151,7 +151,10 @@ object TextOps {
     * `idCol` must be a non-negative integer id; chunk_idx must fit in
     * the 1e6 encode slot (docs up to 1M·w tokens).
     */
-  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+  /** Shared frame for the chunk-dedup family: every chunk occurrence
+    * (id, chunk_idx, chunk) joined with its chunk's global keeper
+    * encoding. One explode, one chunk-key agg, one chunk-key join. */
+  private def chunkKeepers(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     val ch = docs
       .filter(length(trim(col(textCol))) > 0)
@@ -163,11 +166,37 @@ object TextOps {
     val keeper = ch.groupBy(col("chunk"))
       .agg(min(col(idCol) * 1000000L + col("chunk_idx")).as("keeper"))
     ch.join(keeper, "chunk")
+  }
+
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    chunkKeepers(docs, idCol, textCol, w)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col(idCol) * 1000000L + col("chunk_idx") =!= col("keeper"), 1L)
           .otherwise(0L)).as("n_dup_chunks"))
       .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+  }
+
+  /** The APPLY form of [[chunkDedup]]: drop every non-keeper chunk
+    * occurrence and reassemble what survives of each document (kept
+    * chunks in original order, space-joined). A document whose every
+    * chunk is owned elsewhere disappears — that IS the dedup decision
+    * at w-chunk granularity. Reassembly is a per-doc sort of its own
+    * ≤ len/w chunks (bounded by document size, the d16/d17 per-doc
+    * assumption) — no global sort.
+    */
+  def chunkDedupApply(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    chunkKeepers(docs, idCol, textCol, w)
+      .filter(col(idCol) * 1000000L + col("chunk_idx") === col("keeper"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
   }
 }

@@ -230,4 +230,27 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mixture expansion shuffles:\n$plan")
   }
+
+  test("chunkDedupApply: copies vanish, unique docs reassemble verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // full copy
+      (20L, "iota kappa lambda mu nu xi omicron pi"),
+      (30L, "alpha beta gamma delta rho sigma tau upsilon") // half copy
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.chunkDedupApply(docs, "doc_id", "text", 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // the full copy disappears entirely
+    assert(!out.contains(10L), s"full copy survived: ${out.get(10L)}")
+    // unique docs reassemble to their exact normalized text
+    assert(out(0L)._2 == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(20L)._2 == "iota kappa lambda mu nu xi omicron pi")
+    // the half copy keeps only its unique second chunk
+    assert(out(30L) == ((30L, "rho sigma tau upsilon", 1L)), s"${out(30L)}")
+    // conservation: kept chunks across the corpus == distinct chunks
+    // (doc0's two + doc20's two + doc30's unique second = 5)
+    val kept = out.values.map(_._3).sum
+    assert(kept == 5, s"kept $kept != distinct chunk count 5")
+  }
 }
