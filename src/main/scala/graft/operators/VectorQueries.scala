@@ -656,6 +656,55 @@ object VectorQueries {
   private def v09(s: SparkSession, dir: String): DataFrame =
     ivfPqSearch(s, dir, ivfPqNprobe, ivfPqShortlist)
 
+  // ---- v10: semantic dedup end-to-end (SemDeDup-shaped) ----
+  // The embedding-space analogue of the d05→d14 text pipeline, composed
+  // from two already-oracle-checked engines: v04's LSH-blocked
+  // exact-verified cosine pairs (≥ τ) become edges, connected
+  // components group transitive near-dup chains, and the min-id member
+  // of each component is the keeper — the per-vector keep/drop decision
+  // a semantic-dedup pass (SemDeDup, Abbas et al. 2023, at
+  // production scale with cluster-restricted pairing) feeds into
+  // curation. Every stage is SQL-reproducible (banding via literal
+  // planes, cosine verify, recursive transitive closure), so the WHOLE
+  // pipeline — not just its parts — is hash-gated against DuckDB.
+  // Scale: id-only band join (v04), edge-endpoint-restricted label
+  // propagation (d14); no stage is all-pairs.
+  private def v10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val pairs = VectorOps.lshDupPairs(e, "vec_id", planes,
+      bitsPerBand = 8, dupTau).select($"id_a", $"id_b")
+    val nodes = e.select($"vec_id".as("id"))
+    val labels = graft.graph.ConnectedComponents.run(nodes, pairs)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"id".as("vec_id"), $"label".as("keeper"), $"cluster_size",
+        ($"id" === $"label").cast("long").as("is_keeper"))
+  }
+  private lazy val v10Sql = {
+    val cos = VectorOps.cosineSql("va.v", "vb.v")
+    s"""WITH RECURSIVE ${lshCodesSql(planes, 8)},
+       |  bpairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |             FROM codes a JOIN codes b
+       |               ON a.band = b.band AND a.code = b.code
+       |              AND a.vec_id < b.vec_id),
+       |  ed AS (SELECT p.id_a, p.id_b
+       |         FROM bpairs p JOIN e va ON va.vec_id = p.id_a
+       |                       JOIN e vb ON vb.vec_id = p.id_b
+       |         WHERE $cos >= ${fmtD(dupTau)}),
+       |  nodes AS (SELECT vec_id AS id FROM embeddings),
+       |  sym AS (SELECT id_a AS src, id_b AS dst FROM ed
+       |          UNION ALL SELECT id_b, id_a FROM ed),
+       |  r AS (SELECT id, id AS lab FROM nodes
+       |        UNION
+       |        SELECT sym.src AS id, r.lab FROM sym JOIN r ON r.id = sym.dst),
+       |  lbl AS (SELECT id, min(lab) AS keeper FROM r GROUP BY id),
+       |  szc AS (SELECT keeper, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+       |SELECT lbl.id AS vec_id, lbl.keeper, szc.cluster_size,
+       |  CAST(lbl.id = lbl.keeper AS BIGINT) AS is_keeper
+       |FROM lbl JOIN szc USING (keeper)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -665,5 +714,6 @@ object VectorQueries {
     Q("v06_knn_ivf_disk", v06, Some(v01Sql)),
     Q("v07_quantize_int8", v07, Some(v07Sql)),
     Q("v08_knn_pq_adc", v08, Some(GoldenOracles.v08)),
-    Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)))
+    Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)),
+    Q("v10_semantic_dedup", v10, Some(v10Sql)))
 }

@@ -294,4 +294,36 @@ class VectorOpsSpec extends AnyFunSuite {
     // in v05; residual PQ recovers most of what raw PQ loses
     assert(recall >= 0.6, s"recall $recall below 0.6")
   }
+
+  test("semantic dedup groups transitive near-dup chains under one keeper") {
+    import spark.implicits._
+    // A ≈ B ≈ C by construction (successive small perturbations): even
+    // if A–C alone misses τ, transitivity must put all three in one
+    // component with the lowest id as keeper — the SemDeDup contract
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val rnd = new scala.util.Random(13)
+    def perturb(v: Seq[Double]): Seq[Double] = {
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x + rnd.nextGaussian() * 0.03 * norm / 8)
+    }
+    val chains = base.take(20).flatMap { case (id, v) =>
+      val b = perturb(v); val c = perturb(b)
+      Seq((id + 200000L, b), (id + 300000L, c))
+    }
+    val df = (base ++ chains).toSeq.toDF("vec_id", "v")
+    val planes = VectorOps.hyperplanes(96, dim = 64, seed = 42L)
+    val pairs = VectorOps.lshDupPairs(df, "vec_id", planes,
+      bitsPerBand = 8, tau = 0.9).select($"id_a", $"id_b")
+    val labels = graft.graph.ConnectedComponents.run(
+      df.select($"vec_id".as("id")), pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { id =>
+      assert(labels(id + 200000L) == id && labels(id + 300000L) == id,
+        s"chain of $id not unified: ${labels(id + 200000L)}, ${labels(id + 300000L)}")
+    }
+    // untouched vectors stay their own keeper (τ=0.9 has no natural dups)
+    assert(base.drop(20).forall { case (id, _) => labels(id) == id })
+  }
 }
