@@ -286,14 +286,19 @@ object TextQueries {
   // of the synthetic corpus is ~31 words present in every doc, which
   // would make idf constant): tf = occurrence count in the doc, smoothed
   // idf = ln((N+1)/(df+1)) + 1, top-5 terms per doc by (tfidf desc,
-  // term). Scale shape: one explode → hash agg on (doc, term) (map-side
-  // partials absorb the per-doc repeats), df from a second hash agg over
-  // the already-distinct (doc, term) pairs, N as a broadcast scalar, and
-  // the per-doc top-5 via a window PARTITIONED BY doc_id — a
-  // high-cardinality partition key, so every task sorts only its own
-  // docs' few thousand terms. Ranking uses a score whose only rounding
-  // happens on the O(1)-sized idf before any multiply (see below), with
-  // the term string as total tiebreak.
+  // term). Scale shape — ONE corpus pass: one explode → hash agg on
+  // (doc, term) (map-side partials absorb the per-doc repeats), df as
+  // a COUNT window over the term-partitioned tf rows (df per term =
+  // number of distinct docs holding it = tf's row count per term —
+  // reusing the aggregated rows instead of re-exploding the corpus for
+  // a second agg: the previous three-branch plan scanned and exploded
+  // the corpus three times, for tf, df and N), N as a broadcast scalar
+  // off the raw documents scan (no explode), and the per-doc top-5 via
+  // a window PARTITIONED BY doc_id — both window keys are
+  // high-cardinality, so every task sorts only its own slice. Ranking
+  // uses a score whose only rounding happens on the O(1)-sized idf
+  // before any multiply (see below), with the term string as total
+  // tiebreak.
   private val tfidfTopN = 5
   private def d17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -305,8 +310,13 @@ object TextQueries {
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("term"))
     val tf = grams.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val n = grams.agg(countDistinct($"doc_id").as("n_docs"))
-    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // N without touching the gram explode: docs with >= 3 tokens (ids
+    // are unique, so countDistinct over grams degenerates to a count)
+    val n = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .filter(size(TextOps.tokens($"text")) >= 3)
+      .agg(count(lit(1)).as("n_docs"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
     // cross-engine determinism: the ONE transcendental (ln) is rounded
     // to 6dp while still O(1)-sized, BEFORE the tf multiply — rounding
     // after the multiply would amplify a 1-ulp ln divergence by up to
@@ -314,7 +324,8 @@ object TextQueries {
     // there the arithmetic is exact: DECIMAL idf × integer tf, cast to
     // double (both engines IEEE-round the identical decimal, so the
     // ranked value is bit-equal)
-    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .select($"doc_id", $"term", $"tf",
         ($"tf" * round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0, 6)
           .cast("decimal(18,6)")).cast("double")
