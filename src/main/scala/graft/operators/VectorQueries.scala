@@ -611,8 +611,14 @@ object VectorQueries {
     * id-keyed rerank join. */
   private[graft] def ivfPqSearch(s: SparkSession, dir: String,
       nprobe: Int, shortlist: Int): DataFrame = {
+    val (_, _, _, coded) = ivfPqIndex(s, dir)
+    ivfPqProbe(s, dir, coded, nprobe, shortlist)
+  }
+
+  private def ivfPqProbe(s: SparkSession, dir: String, coded: DataFrame,
+      nprobe: Int, shortlist: Int): DataFrame = {
     import s.implicits._
-    val (cents, books, sample, coded) = ivfPqIndex(s, dir)
+    val (cents, books, sample, _) = ivfPqIndex(s, dir)
     val qRows = sample.filter(_._1 < nQueries).flatMap { case (qid, qv) =>
       val n = math.max(math.sqrt(qv.map(x => x * x).sum), 1e-30)
       val qn = qv.map(_ / n)
@@ -655,6 +661,42 @@ object VectorQueries {
 
   private def v09(s: SparkSession, dir: String): DataFrame =
     ivfPqSearch(s, dir, ivfPqNprobe, ivfPqShortlist)
+
+  // ---- v11: IVFADC written to disk, probed with file-level pruning ----
+  // The durable form of v09 (as v06 is of v05): the encoded corpus —
+  // (vec_id, cell, codes, term3), 8-byte codes instead of 512-byte
+  // vectors — is written ONCE per dataset `partitionBy(cell)`. This is
+  // the on-disk FAISS-IVFADC shape for a 100 TB corpus: the index is
+  // ~1.6% the size of the raw embeddings, and a probe's cell IN-list
+  // becomes a real PartitionFilter, skipping (cells − nprobe)/cells of
+  // the files before a byte is read (plan-asserted). Probe results are
+  // identical to v09's (same dials, deterministic pipeline), so the
+  // same pinned golden gates the write → partition-prune → scan → ADC
+  // → rerank roundtrip end to end.
+  private val ivfPqDiskCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def ivfPqDiskPath(s: SparkSession, dir: String): String = {
+    ivfPqDiskCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(ivfPqDiskCache.remove)
+    ivfPqDiskCache.getOrElseUpdate((s, dir), {
+      val (_, _, _, coded) = ivfPqIndex(s, dir)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"$wh/graft_ivfpq_$md"
+      coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+  }
+
+  private[graft] def ivfPqDiskSearch(s: SparkSession, dir: String,
+      nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqProbe(s, dir, s.read.parquet(ivfPqDiskPath(s, dir)),
+      nprobe, shortlist)
+
+  private def v11(s: SparkSession, dir: String): DataFrame =
+    ivfPqDiskSearch(s, dir, ivfPqNprobe, ivfPqShortlist)
 
   // ---- v10: semantic dedup end-to-end (SemDeDup-shaped) ----
   // The embedding-space analogue of the d05→d14 text pipeline, composed
@@ -722,5 +764,6 @@ object VectorQueries {
     Q("v07_quantize_int8", v07, Some(v07Sql)),
     Q("v08_knn_pq_adc", v08, Some(GoldenOracles.v08)),
     Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)),
-    Q("v10_semantic_dedup", v10, Some(v10Sql)))
+    Q("v10_semantic_dedup", v10, Some(v10Sql)),
+    Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)))
 }

@@ -177,6 +177,28 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"no cell PartitionFilters on the ivf scan:\n$scanLine")
   }
 
+  test("v11 IVFADC disk probe prunes cell partitions at the file level") {
+    // same contract as v06, over the composed codes layout: the scan of
+    // the partitionBy(cell) IVFADC index must carry a non-empty cell
+    // PartitionFilters — and the probe must equal the in-memory v09
+    val p = VectorQueries.ivfPqDiskSearch(spark, TestSpark.sf0001,
+        nprobe = 2, shortlist = 64)
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft_ivfpq_"))
+      .getOrElse(fail(s"no ivfpq FileScan in plan:\n$p"))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1)).getOrElse("")
+    assert(pf.contains("cell") && pf.trim.nonEmpty,
+      s"no cell PartitionFilters on the ivfpq scan:\n$scanLine")
+    val mem = Catalog.queries("v09_knn_ivfpq")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSet
+    val disk = Catalog.queries("v11_knn_ivfpq_disk")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSet
+    assert(disk == mem, s"disk IVFADC diverges from in-memory: " +
+      s"${(disk -- mem) ++ (mem -- disk)}")
+  }
+
   test("q29 as-of join is a single shuffle on the key, no range join") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
