@@ -244,6 +244,34 @@ object StreamingQueries {
       |  MIN(CASE WHEN value > 0.0 THEN value END) AS positive_min
       |FROM events""".stripMargin
 
+  // ---- s08: the training-mixture expansion as a stream ----
+  // d26's epoch weighting is stateless (projection + explode), so it
+  // lifts onto a document stream unchanged — the shape of a curation
+  // job that upsamples/downsamples documents AS THEY ARRIVE (append
+  // mode, no state stores, no watermark). The batch d26 oracle gates
+  // the streamed output exactly.
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.mixtureExpand(raw).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -251,5 +279,6 @@ object StreamingQueries {
     Q("s04_stream_interval_join", s04, Some(s04Sql)),
     Q("s05_stream_sessionize_state", s05, Some(s05Sql)),
     Q("s06_stream_enrich", s06, Some(s06Sql)),
-    Q("s07_stream_stats", s07, Some(s07Sql)))
+    Q("s07_stream_stats", s07, Some(s07Sql)),
+    Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)))
 }

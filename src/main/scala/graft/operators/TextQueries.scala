@@ -1009,22 +1009,29 @@ object TextQueries {
   // arithmetic is identical. All math is double ('e0' literals on the
   // oracle side) over exactly-representable weights and a 24-bit hash
   // fraction, so the tie comparison is bit-identical cross-engine.
-  private def d26(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val srcNum = regexp_extract($"source", "([0-9]+)$", 1).cast("int")
+  /** The d26 transform on an arbitrary (doc_id, source) frame —
+    * STATELESS (projection + explode), so it applies unchanged to a
+    * streaming input: s08 runs it inside readStream → writeStream and
+    * the same batch oracle gates the streamed output. */
+  private[operators] def mixtureExpand(docs: DataFrame): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
     val w = lit(0.5) + pmod(srcNum, lit(4)).cast("double") * lit(0.75)
-    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix"))
-      .cast("binary")), 1, 6), 16, 10).cast("double") / lit(16777216.0)
-    Tables(s, dir, "documents")
-      .select($"doc_id", $"source",
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":mix")).cast("binary")), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
+    docs
+      .select(col("doc_id"), col("source"),
         (floor(w) + when(w - floor(w) > u, 1.0).otherwise(0.0))
           .cast("int").as("n_epochs"))
-      .filter($"n_epochs" >= 1)
-      .select($"doc_id", $"source",
+      .filter(col("n_epochs") >= 1)
+      .select(col("doc_id"), col("source"),
         explode(expr("sequence(cast(1 as bigint), cast(n_epochs as bigint))"))
           .as("epoch"))
   }
-  private val d26Sql =
+
+  private def d26(s: SparkSession, dir: String): DataFrame =
+    mixtureExpand(Tables(s, dir, "documents"))
+  private[operators] val d26Sql =
     """WITH t AS (SELECT doc_id, source,
       |    0.5e0 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4)
       |      * 0.75e0 AS w,
