@@ -151,4 +151,46 @@ object KernelProps extends Properties("graft.kernels") {
       }
       cid >= 0 && cid < k && all.forall(d2 <= _) && d2 == all(cid)
     }
+
+  // ---- content-defined chunking (x07 kernel) ----
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+
+  property("cdcBoundaries tile the payload with [min,max]-bounded chunks") =
+    forAll(payloadGen, Gen.chooseNum(4, 32), Gen.chooseNum(2, 8)) {
+      (p, min, bits) =>
+        val max = min * 4
+        val bs = graft.multimodal.Multimodal.cdcBoundaries(p, min, max, bits)
+        val tiled = bs.map(_._2).sum == p.length &&
+          bs.scanLeft(0) { case (off, (o, l)) => { assert(o == off); o + l } }
+            .last == p.length
+        val bounded = bs.zipWithIndex.forall { case ((_, l), i) =>
+          l <= max && (l >= min || i == bs.length - 1)
+        }
+        tiled && bounded
+    }
+
+  property("cdc boundaries are prefix-stable: appending bytes never moves them") =
+    forAll(payloadGen, Gen.chooseNum(1, 64)) { (p, extraN) =>
+      // content-defined cuts depend only on bytes up to the cut, so the
+      // chunking of `p` and of `p ++ extra` agree on every boundary
+      // except p's final (possibly partial, possibly still-open) chunk
+      val extra = Array.fill(extraN)(0x5a.toByte)
+      val a = graft.multimodal.Multimodal.cdcBoundaries(p, 16, 64, 5)
+      val b = graft.multimodal.Multimodal.cdcBoundaries(p ++ extra, 16, 64, 5)
+      val aClosed = a.dropRight(1) // the tail chunk may extend/split
+      b.take(aClosed.length).sameElements(aClosed)
+    }
+
+  property("fnv64 matches the FNV-1a reference on any range") =
+    forAll(payloadGen) { p =>
+      val from = 0
+      var h = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+      p.foreach { b =>
+        h ^= (b & 0xff).toLong
+        h *= java.lang.Long.parseUnsignedLong("100000001b3", 16)
+      }
+      graft.multimodal.Multimodal.fnv64(p, from, p.length) == h
+    }
 }
