@@ -223,6 +223,19 @@ object VectorQueries {
   // The only distributed work is the one-pass cell assignment, cached
   // (= the corpus written partitioned by cell).
   private val sampleN = 4096L
+
+  /** The shared bounded deterministic training sample (id-sorted) every
+    * index family (IVF, PQ, IVFADC) trains its quantizers on. */
+  private def collectSample(s: SparkSession, dir: String)
+      : Array[(Long, Array[Double])] = {
+    import s.implicits._
+    embeddings(s, dir).filter($"vec_id" < sampleN)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("v").toArray))
+      .sortBy(_._1)
+  }
+
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)]
 
@@ -239,11 +252,7 @@ object VectorQueries {
     ivfCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val e = embeddings(s, dir)
-      val sample = e.filter($"vec_id" < sampleN)
-        .select($"vec_id", $"v").collect()
-        .map(r => (r.getAs[Long]("vec_id"),
-          r.getAs[scala.collection.Seq[Double]]("v").toArray))
-        .sortBy(_._1)
+      val sample = collectSample(s, dir)
       val init = sample.take(ivfCells).map(_._2) // lowest-id seeding, as initFromLowestIds
       val cents = KMeans.fitLocal(sample.map(_._2), init, maxIter = 3).centroids
       val assigned = e.select($"vec_id", $"v",
@@ -430,11 +439,7 @@ object VectorQueries {
     pqCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val e = embeddings(s, dir)
-      val sample = e.filter($"vec_id" < sampleN)
-        .select($"vec_id", $"v").collect()
-        .map(r => (r.getAs[Long]("vec_id"),
-          r.getAs[scala.collection.Seq[Double]]("v").toArray))
-        .sortBy(_._1)
+      val sample = collectSample(s, dir)
       val books: Array[Array[Array[Double]]] = Array.tabulate(pqM) { j =>
         val sub = sample.map(_._2.slice(j * pqSub, (j + 1) * pqSub))
         KMeans.fitLocal(sub, sub.take(pqK), maxIter = 3).centroids
@@ -542,11 +547,7 @@ object VectorQueries {
     ivfPqCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val e = embeddings(s, dir)
-      val sample = e.filter($"vec_id" < sampleN)
-        .select($"vec_id", $"v").collect()
-        .map(r => (r.getAs[Long]("vec_id"),
-          r.getAs[scala.collection.Seq[Double]]("v").toArray))
-        .sortBy(_._1)
+      val sample = collectSample(s, dir)
       def normalize(v: Array[Double]): Array[Double] = {
         val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-30)
         v.map(_ / n)
