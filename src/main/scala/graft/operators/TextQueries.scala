@@ -994,6 +994,58 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_kept
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ---- d28: per-source quality-budget pruning (curation curriculum) ----
+  // The data-pruning step a token-budgeted pretraining mix runs per
+  // source: rank documents by quality (d03's stopword ratio, doc_id
+  // tiebreak) and keep the best until the source's token budget fills.
+  // Budgets are enforced per (source, hash-shard) — d16's discipline:
+  // a window partitioned by source alone is a near-global sort per
+  // source at 100 TB (20 sources ≠ 20 000 tasks), while the salted
+  // shard key makes each window a bounded slice and the shard count
+  // the parallelism dial, at the cost of enforcing B/shards per shard
+  // (how production budget-samplers actually apportion). Every row
+  // carries its running total, so the keep/drop frontier is
+  // oracle-exact, not statistical.
+  private val d28Shards = 8
+  private val d28Budget = 100L // tokens per (source, shard)
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5(concat($"doc_id".cast("string"), lit(":cur")).cast("binary"))
+    val base = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"), h.as("h"))
+      .select($"doc_id", $"source",
+        size($"toks").cast("long").as("n_tokens"),
+        (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
+        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
+          lit(d28Shards)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"shard").orderBy($"q".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"shard", $"n_tokens", $"q",
+        $"cum_tokens", ($"cum_tokens" <= d28Budget).cast("long").as("kept"))
+  }
+  private val d28Sql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |b AS (SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(${duckHitCount("toks", stopEn)} AS DOUBLE) / len(toks) AS q,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 2)
+       |      AS INT) % $d28Shards AS shard
+       |  FROM t),
+       |w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source, shard
+       |    ORDER BY q DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM b)
+       |SELECT doc_id, source, shard, n_tokens, q,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST(cum <= $d28Budget AS BIGINT) AS kept
+       |FROM w""".stripMargin
+
   // ---- d26: source-mixture epoch weighting (training mixtures) ----
   // Composing a pretraining mixture means each source gets a sampling
   // weight w (epochs of repetition): every doc is emitted floor(w)
@@ -1073,5 +1125,6 @@ object TextQueries {
     Q("d24_shuffle_order", d24, Some(d24Sql)),
     Q("d25_chunk_dedup", d25, Some(d25Sql)),
     Q("d26_mixture_epochs", d26, Some(d26Sql)),
-    Q("d27_chunk_dedup_apply", d27, Some(d27Sql)))
+    Q("d27_chunk_dedup_apply", d27, Some(d27Sql)),
+    Q("d28_quality_budget", d28, Some(d28Sql)))
 }

@@ -253,4 +253,24 @@ class TextOpsSpec extends AnyFunSuite {
     val kept = out.values.map(_._3).sum
     assert(kept == 5, s"kept $kept != distinct chunk count 5")
   }
+
+  test("d28 budget pruning keeps exactly the quality-ranked prefix per shard") {
+    import spark.implicits._
+    val rows = graft.operators.Catalog.queries("d28_quality_budget")(
+      spark, TestSpark.sf001)
+      .select($"source", $"shard", $"doc_id", $"n_tokens", $"q",
+        $"cum_tokens", $"kept")
+      .as[(String, Int, Long, Long, Double, Long, Long)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      // independent sequential replay of the budgeted greedy keep
+      var cum = 0L
+      g.sortBy(r => (-r._5, r._3)).foreach { case (_, _, id, n, _, cumGot, kept) =>
+        cum += n
+        assert(cumGot == cum, s"doc $id running total $cumGot != $cum")
+        assert(kept == (if (cum <= 100L) 1L else 0L), s"doc $id keep decision")
+      }
+    }
+    // the budget actually bites somewhere and spares somewhere
+    assert(rows.exists(_._7 == 1L) && rows.exists(_._7 == 0L))
+  }
 }
