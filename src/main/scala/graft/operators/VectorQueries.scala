@@ -580,10 +580,13 @@ object VectorQueries {
       // (per-row centroid lookup from the broadcast literal) → per-
       // subspace argmin codes → ADC term3; all codegen'd column ops
       val centsLit = typedLit(cents.toIndexedSeq.map(_.toIndexedSeq))
-      val vn = expr("transform(v, x -> x / greatest(sqrt(aggregate(" +
-        "transform(v, y -> y * y), cast(0.0 as double), (a, b) -> a + b)), " +
-        "1e-30d))")
-      val withCell = e.select($"vec_id", vn.as("vn"))
+      // norm hoisted to its own column: an aggregate INSIDE the
+      // transform lambda would re-fold the whole vector per element
+      // (O(d²) per row on the encode hot path)
+      val withCell = e
+        .select($"vec_id", $"v",
+          greatest(sqrt(VectorOps.dot($"v", $"v")), lit(1e-30)).as("nrm"))
+        .select($"vec_id", transform($"v", x => x / $"nrm").as("vn"))
         .select($"vec_id", $"vn",
           KMeans.assign($"vn", cents).getField("cid").as("cell"))
         .select($"vec_id", $"cell",
