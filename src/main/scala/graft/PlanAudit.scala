@@ -5,11 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Plan-audit tool: prints the formatted physical plan of selected
   * queries so shuffle/pushdown/broadcast regressions are visible in
   * review. Usage: runMain graft.PlanAudit [sfDir] [query ...]
+  *
+  * `--summary` sweeps EVERY registered query and prints one audit line
+  * each (scan / exchange / generate / all-pairs-join / global-sort
+  * node counts) — the cheap way to spot a query whose plan re-scans
+  * the corpus for each branch (how d17's triple explode was caught) or
+  * quietly grew a cartesian.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val summary = args.drop(1).contains("--summary")
+    val names = if (summary) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_join_agg", "q10_topk",
         "d01_dedup_exact", "d06_minhash_lsh", "v01_knn_exact",
         "v04_cosine_dup_lsh", "m01_kmeans_assign")
@@ -21,7 +29,22 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- names) {
+    if (summary) {
+      println(f"${"query"}%-28s scans exch gen bnlj cart sort")
+      for (n <- names) {
+        try {
+          val p = SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          def c(pat: String) = p.linesIterator.count(_.contains(pat))
+          println(f"$n%-28s ${c("FileScan") + c("Scan graft")}%5d " +
+            f"${c("Exchange hashpartitioning")}%4d ${c("Generate")}%3d " +
+            f"${c("BroadcastNestedLoopJoin")}%4d ${c("CartesianProduct")}%4d " +
+            f"${c("rangepartitioning")}%4d")
+        } catch {
+          case e: Throwable => println(f"$n%-28s FAILED: ${e.getMessage}")
+        }
+      }
+    } else for (n <- names) {
       println(s"\n===================== $n =====================")
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
