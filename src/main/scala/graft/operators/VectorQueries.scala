@@ -758,6 +758,53 @@ object VectorQueries {
        |FROM lbl JOIN szc USING (keeper)""".stripMargin
   }
 
+  // ---- v12: label-purity audit (nearest-exemplar confusion) ----
+  // The embedding-QA pass a labeled corpus gets before training on the
+  // labels: take one deterministic exemplar per label (the embedding of
+  // the label's LOWEST vec_id — no training, so the whole audit is
+  // SQL-reproducible), classify every vector to its nearest exemplar
+  // (the native N6 argmin, lowest-label tiebreak), and emit the
+  // (label, pred, n) confusion counts — diagonal mass = how separable
+  // the label structure is in embedding space. Scale shape: a ≤ |labels|
+  // driver gather for the exemplars, one shuffle-free codegen'd argmin
+  // projection over the corpus, one confusion-matrix hash agg
+  // (|labels|² cells at most).
+  private def v12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"), $"label")
+    val exRows = e.groupBy($"label").agg(min($"vec_id").as("vid"))
+      .join(e.select($"vec_id".as("vid"), $"v".as("ev")), "vid")
+      .select($"label", $"ev").collect() // bounded: one row per label
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Double]]("ev").toArray))
+      .sortBy(_._1)
+    val labels = exRows.map(_._1).toIndexedSeq
+    e.select($"label",
+        KMeans.assign($"v", exRows.map(_._2)).getField("cid").as("cid"))
+      .select($"label",
+        element_at(typedLit(labels), $"cid" + 1).as("pred"))
+      .groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
+  }
+  private val v12Sql = {
+    val d2 = VectorOps.sqdistSql("e.v", "ex.ev")
+    s"""WITH e AS (SELECT vec_id, label,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings),
+       |  mex AS (SELECT label AS ex_label, min(vec_id) AS vid
+       |    FROM e GROUP BY 1),
+       |  ex AS (SELECT m.ex_label, e.v AS ev
+       |    FROM mex m JOIN e ON e.vec_id = m.vid),
+       |  d AS (SELECT e.vec_id, e.label, ex.ex_label, $d2 AS d2
+       |    FROM e CROSS JOIN ex),
+       |  p AS (SELECT vec_id, label, ex_label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, ex_label)
+       |        AS rn
+       |    FROM d)
+       |SELECT label, ex_label AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -769,5 +816,6 @@ object VectorQueries {
     Q("v08_knn_pq_adc", v08, Some(GoldenOracles.v08)),
     Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)),
     Q("v10_semantic_dedup", v10, Some(v10Sql)),
-    Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)))
+    Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)),
+    Q("v12_label_purity", v12, Some(v12Sql)))
 }

@@ -326,4 +326,27 @@ class VectorOpsSpec extends AnyFunSuite {
     // untouched vectors stay their own keeper (τ=0.9 has no natural dups)
     assert(base.drop(20).forall { case (id, _) => labels(id) == id })
   }
+
+  test("v12 label purity: exemplars self-classify, counts conserve, one shuffle") {
+    import spark.implicits._
+    val out = graft.operators.Catalog.queries("v12_label_purity")(
+      spark, TestSpark.sf0001)
+    val cells = out.select($"label", $"pred", $"n")
+      .as[(Int, Int, Long)].collect()
+    // counts conserve the corpus
+    val total = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet").count()
+    assert(cells.map(_._3).sum == total)
+    // every label's exemplar is at distance 0 from itself, so each
+    // label must place at least one vector (the exemplar) on the
+    // diagonal
+    val diag = cells.filter(c => c._1 == c._2).map(_._1).toSet
+    assert(diag == cells.map(_._1).toSet,
+      s"labels missing from the diagonal: ${cells.map(_._1).toSet -- diag}")
+    // shuffle-free argmin projection: the ONLY exchange is the
+    // confusion-matrix aggregation
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly 1 exchange (confusion agg):\n$p")
+  }
 }
