@@ -994,6 +994,50 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_kept
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ---- d29: language-ID accuracy audit (predicted vs labeled lang) ----
+  // The fixture's `lang` column is ground truth d04 never looked at:
+  // this query closes the loop with the (labeled, predicted) confusion
+  // counts — the calibration artifact a language-filter pass ships with
+  // (v12's audit shape, applied to the lang-id heuristic). On the
+  // synthetic corpus every doc draws from the same latin word soup, so
+  // the matrix concentrates on predicted='en' for all labels — exactly
+  // what the audit is built to expose. One scan, codegen'd projection,
+  // one |langs|×|langs|-bounded hash agg.
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"lang", TextOps.tokens($"text").as("toks"))
+      .select($"lang",
+        expr(hitCount("toks", stopEn)).cast("long").as("en_hits"),
+        expr(hitCount("toks", stopFr)).cast("long").as("fr_hits"),
+        expr(hitCount("toks", stopEs)).cast("long").as("es_hits"),
+        expr(hitCount("toks", stopDe)).cast("long").as("de_hits"))
+      .withColumn("predicted",
+        when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits" &&
+          $"en_hits" >= $"de_hits", "en")
+          .when($"fr_hits" >= $"es_hits" && $"fr_hits" >= $"de_hits", "fr")
+          .when($"es_hits" >= $"de_hits", "es")
+          .otherwise("de"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+  }
+  private val d29Sql =
+    s"""SELECT lang, CASE
+       |    WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |    WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+       |    WHEN es_hits >= de_hits THEN 'es'
+       |    ELSE 'de' END AS predicted,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT lang,
+       |        CAST(${duckHitCount("toks", stopEn)} AS BIGINT) AS en_hits,
+       |        CAST(${duckHitCount("toks", stopFr)} AS BIGINT) AS fr_hits,
+       |        CAST(${duckHitCount("toks", stopEs)} AS BIGINT) AS es_hits,
+       |        CAST(${duckHitCount("toks", stopDe)} AS BIGINT) AS de_hits
+       |      FROM (SELECT lang,
+       |              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |            FROM documents WHERE length(trim(text)) > 0) x) t
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- d28: per-source quality-budget pruning (curation curriculum) ----
   // The data-pruning step a token-budgeted pretraining mix runs per
   // source: rank documents by quality (d03's stopword ratio, doc_id
@@ -1126,5 +1170,6 @@ object TextQueries {
     Q("d25_chunk_dedup", d25, Some(d25Sql)),
     Q("d26_mixture_epochs", d26, Some(d26Sql)),
     Q("d27_chunk_dedup_apply", d27, Some(d27Sql)),
-    Q("d28_quality_budget", d28, Some(d28Sql)))
+    Q("d28_quality_budget", d28, Some(d28Sql)),
+    Q("d29_langid_confusion", d29, Some(d29Sql)))
 }
