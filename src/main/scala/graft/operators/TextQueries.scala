@@ -994,6 +994,86 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_kept
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ---- d30: end-to-end curation manifest (the composed pipeline) ----
+  // The capstone composition — what a user actually runs: gate → chunk
+  // dedup APPLIED (d25/d27: non-keeper spans dropped, docs reassembled,
+  // fully-owned docs gone) → per-source quality budget on the DEDUPED
+  // text (d28's sharded frontier — dedup first, then budget, so
+  // duplicate spans can't buy budget) → mixture epoch expansion (d26)
+  // of the surviving set. Output is the training-set manifest (doc_id,
+  // source, n_tokens, epoch). Every stage is one of the
+  // individually-oracle-checked operators; this row hash-gates their
+  // COMPOSITION as a single DuckDB CTE chain, end to end.
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val clean = TextOps.chunkDedupApply(docs, "doc_id", "text", d25W)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+    val h = md5(concat($"doc_id".cast("string"), lit(":cur")).cast("binary"))
+    val scored = clean
+      .select($"doc_id", $"source", TextOps.tokens($"clean_text").as("toks"),
+        h.as("h"))
+      .select($"doc_id", $"source",
+        size($"toks").cast("long").as("n_tokens"),
+        (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
+        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
+          lit(d28Shards)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"shard").orderBy($"q".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kept = scored.withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= d28Budget)
+      .select($"doc_id", $"source", $"n_tokens")
+    mixtureExpand(kept).join(kept.select($"doc_id", $"n_tokens"), "doc_id")
+      .select($"doc_id", $"source", $"n_tokens", $"epoch")
+  }
+  private lazy val d30Sql =
+    s"""WITH base AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |ex AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, CAST(ceil(len(toks) / $d25W.0) AS INT) - 1))
+       |      AS chunk_idx
+       |  FROM base),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |    array_to_string(toks[(chunk_idx * $d25W + 1):(chunk_idx * $d25W + $d25W)], ' ')
+       |      AS chunk
+       |  FROM ex),
+       |k AS (SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS keeper
+       |  FROM ch GROUP BY 1),
+       |clean AS (SELECT ch.doc_id,
+       |    string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx) AS clean_text
+       |  FROM ch JOIN k USING (chunk)
+       |  WHERE ch.doc_id * 1000000 + ch.chunk_idx = k.keeper
+       |  GROUP BY ch.doc_id),
+       |sc AS (SELECT c.doc_id, d.source,
+       |    CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       |    CAST(${duckHitCount("ctoks", stopEn)} AS DOUBLE) / len(ctoks) AS q,
+       |    CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':cur'), 1, 2)
+       |      AS INT) % $d28Shards AS shard
+       |  FROM (SELECT doc_id, clean_text,
+       |          string_split(clean_text, ' ') AS ctoks FROM clean) c
+       |  JOIN documents d ON d.doc_id = c.doc_id),
+       |w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source, shard
+       |    ORDER BY q DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc),
+       |kept AS (SELECT doc_id, source, n_tokens FROM w WHERE cum <= $d28Budget),
+       |mx AS (SELECT doc_id, source, n_tokens,
+       |    0.5e0 + (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 4)
+       |      * 0.75e0 AS wgt,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6)
+       |      AS INT) / 16777216.0e0 AS u
+       |  FROM kept),
+       |ne AS (SELECT doc_id, source, n_tokens,
+       |    CAST(floor(wgt) + CASE WHEN wgt - floor(wgt) > u THEN 1 ELSE 0 END
+       |      AS INT) AS n_epochs
+       |  FROM mx)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+       |FROM ne WHERE n_epochs >= 1""".stripMargin
+
   // ---- d29: language-ID accuracy audit (predicted vs labeled lang) ----
   // The fixture's `lang` column is ground truth d04 never looked at:
   // this query closes the loop with the (labeled, predicted) confusion
@@ -1171,5 +1251,6 @@ object TextQueries {
     Q("d26_mixture_epochs", d26, Some(d26Sql)),
     Q("d27_chunk_dedup_apply", d27, Some(d27Sql)),
     Q("d28_quality_budget", d28, Some(d28Sql)),
-    Q("d29_langid_confusion", d29, Some(d29Sql)))
+    Q("d29_langid_confusion", d29, Some(d29Sql)),
+    Q("d30_curation_manifest", d30, Some(d30Sql)))
 }
