@@ -33,4 +33,20 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"bad oracle SQL: $bad")
   }
+
+  test("oracle SQL carries no uninitialized-constant artifacts") {
+    // a Scala val interpolating a NOT-YET-INITIALIZED numeric constant
+    // (declaration-order hazard in a large object) silently bakes a 0
+    // into the SQL — d30's budget once rendered as `cum <= 0` and its
+    // shard modulus as `% 0`, zeroing the oracle while the Spark side
+    // (a def, evaluated at call time) used the real dials. These
+    // degenerate fragments have no legitimate use in any oracle here.
+    val suspicious = Seq("% 0 ", "% 0)", "% 0\n", "<= 0)", ">= 0)",
+      "* 0e0", "/ 0.0", "generate_series(1, 0)")
+    val bad = Catalog.oracleSql.collect {
+      case (n, sql) if suspicious.exists(sql.contains) =>
+        n -> suspicious.filter(sql.contains)
+    }
+    assert(bad.isEmpty, s"zero-constant artifacts (forward-reference?): $bad")
+  }
 }
