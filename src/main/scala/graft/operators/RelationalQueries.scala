@@ -534,9 +534,46 @@ object RelationalQueries {
         $"price_p50_p99"(0).as("price_p50"), $"price_p50_p99"(1).as("price_p99"))
   }
 
+  // ---- q34: skew-salted equi-join (driver-visible proof of
+  // Skew.saltedJoin) ----
+  // The join-side sibling of q28: a deliberately hot join key (every
+  // even l_partkey folds into key 0 — half the fact table on one key)
+  // joined to a replicable dim through the salt-and-replicate plan.
+  // AQE's skew handling only splits sort-merge partitions; this is the
+  // shape for a broadcast-infeasible dim where a single hot key would
+  // otherwise pin one task. Salting is result-invisible (SkewSpec) and
+  // the oracle is the PLAIN join+agg; sums go through DECIMAL so which
+  // salt a row lands on cannot move the total.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables(s, dir, "lineitem").select(
+      when($"l_partkey" % 2 === 0, 0L).otherwise($"l_partkey" % 32).as("k"),
+      dec($"l_quantity").as("qty"))
+    val dim = Tables(s, dir, "supplier")
+      .groupBy(($"s_suppkey" % 32).as("k"))
+      .agg(sum(dec($"s_acctbal")).as("bal"))
+    Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy($"k")
+      .agg(sum($"qty").cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        max($"bal").cast("double").as("bal"))
+  }
+  private val q34Sql =
+    """WITH f AS (SELECT CASE WHEN l_partkey % 2 = 0 THEN 0
+      |             ELSE l_partkey % 32 END AS k,
+      |           CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      |           FROM lineitem),
+      |     d AS (SELECT s_suppkey % 32 AS k,
+      |             SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS bal
+      |           FROM supplier GROUP BY 1)
+      |SELECT f.k, CAST(SUM(f.qty) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt, CAST(MAX(d.bal) AS DOUBLE) AS bal
+      |FROM f JOIN d USING (k) GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
+    Q("q34_salted_join", q34, Some(q34Sql)),
     Q("q30_bucketed_join", q30, Some(q30Sql)),
     Q("q31_approx_stats", q31, Some(GoldenOracles.q31)),
     Q("q26_percentiles", q26, Some(q26Sql)),

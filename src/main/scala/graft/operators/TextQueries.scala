@@ -1222,6 +1222,49 @@ object TextQueries {
       |  CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
       |FROM n WHERE n_epochs >= 1""".stripMargin
 
+  // ---- d31: n-gram novelty (first-occurrence fraction per doc) ----
+  // The growth-curve signal behind "is new data still adding new
+  // content?": for each doc, the fraction of its distinct 3-gram
+  // shingles whose FIRST corpus occurrence (min doc_id — at production
+  // scale, min ingest timestamp) is this doc. Near-dup and boilerplate
+  // docs score near 0; genuinely novel docs near 1 — a per-doc filter
+  // signal and, summed by ingest order, the corpus novelty curve.
+  // Scale shape: explode → gram-key hash agg (min) → gram-key join
+  // back → per-doc agg; every shuffle is keyed by the high-cardinality
+  // gram or doc_id, never all-pairs. The 6dp rounding uses the
+  // floor(x·1e6 + 0.5) form (v07's rule: same IEEE op sequence in both
+  // engines; round() half-cases diverge cross-engine and small-integer
+  // ratios DO hit them, unlike d20's log sums).
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
+      .select($"doc_id", $"n_grams", $"novel",
+        (floor($"novel" / $"n_grams" * 1e6 + 0.5) / 1e6).as("novelty"))
+  }
+  private val d31Sql =
+    """WITH t AS (SELECT doc_id,
+      |             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |     s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |             generate_series(1, len(toks) - 2),
+      |             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+      |           FROM t WHERE len(toks) >= 3),
+      |     f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1)
+      |SELECT s.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS novel,
+      |  floor(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
+      |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1252,5 +1295,6 @@ object TextQueries {
     Q("d27_chunk_dedup_apply", d27, Some(d27Sql)),
     Q("d28_quality_budget", d28, Some(d28Sql)),
     Q("d29_langid_confusion", d29, Some(d29Sql)),
-    Q("d30_curation_manifest", d30, Some(d30Sql)))
+    Q("d30_curation_manifest", d30, Some(d30Sql)),
+    Q("d31_ngram_novelty", d31, Some(d31Sql)))
 }

@@ -805,6 +805,59 @@ object VectorQueries {
        |FROM p WHERE rn = 1 GROUP BY 1, 2""".stripMargin
   }
 
+  // ---- v13: ANN recall@k evaluation (the LSH path measured against
+  // exact ground truth) ----
+  // The eval every production ANN deployment runs before trusting an
+  // index: per query, recall@10 = |ANN top-10 ∩ exact top-10| / 10,
+  // composing two already-oracle-checked engines (v01 exact, v02 LSH)
+  // so the ENTIRE measurement — both searches and the overlap count —
+  // is cross-engine hash-gated, not just asserted in a spec. At scale
+  // this runs over a bounded query sample while the corpus-side work
+  // stays v02's banded shape; the exact side is the expensive
+  // ground-truth pass you run once per index build. 6dp rounding uses
+  // the floor(x·1e6 + 0.5) form (hits/k ratios of small integers sit
+  // exactly on round() half-cases).
+  private def v13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = v01(s, dir).select($"qid", $"vec_id")
+    val ann = v02(s, dir).select($"qid", $"vec_id", lit(1L).as("hit"))
+    exact.join(ann, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"qid", $"k", $"hits",
+        (floor($"hits" / $"k" * 1e6 + 0.5) / 1e6).as("recall"))
+  }
+  private lazy val v13Sql = {
+    val cosX = VectorOps.cosineSql("t.v", "q.qv")
+    val cosA = VectorOps.cosineSql("cv.v", "qv.v")
+    s"""WITH ${lshCodesSql(planes, bitsPerBand)},
+       |  qx AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |  dx AS (SELECT q.qid, t.vec_id, $cosX AS score
+       |         FROM e t CROSS JOIN qx q WHERE t.vec_id <> q.qid),
+       |  rx AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, vec_id) AS rn FROM dx),
+       |  ex10 AS (SELECT qid, vec_id FROM rx WHERE rn <= $topK),
+       |  qb AS (SELECT vec_id AS qid, band, code FROM codes
+       |         WHERE vec_id < $nQueries),
+       |  cand AS (SELECT DISTINCT q.qid, c.vec_id
+       |           FROM codes c JOIN qb q ON c.band = q.band AND c.code = q.code
+       |           WHERE c.vec_id <> q.qid),
+       |  sc AS (SELECT cand.qid, cand.vec_id, $cosA AS score
+       |         FROM cand JOIN e cv ON cv.vec_id = cand.vec_id
+       |                   JOIN e qv ON qv.vec_id = cand.qid),
+       |  ra AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY score DESC, vec_id) AS rn FROM sc),
+       |  ann10 AS (SELECT qid, vec_id FROM ra WHERE rn <= $topK)
+       |SELECT ex10.qid, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  floor(CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall
+       |FROM ex10 LEFT JOIN ann10 ON ann10.qid = ex10.qid
+       |  AND ann10.vec_id = ex10.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -817,5 +870,6 @@ object VectorQueries {
     Q("v09_knn_ivfpq", v09, Some(GoldenOracles.v09)),
     Q("v10_semantic_dedup", v10, Some(v10Sql)),
     Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)),
-    Q("v12_label_purity", v12, Some(v12Sql)))
+    Q("v12_label_purity", v12, Some(v12Sql)),
+    Q("v13_ann_recall", v13, Some(v13Sql)))
 }

@@ -302,6 +302,28 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d31 novelty shuffles on the gram key, never all-pairs") {
+    // first-occurrence needs one gram-keyed agg and one gram-keyed join
+    // back; any document-pairing join would be quadratic at corpus scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d31_ngram_novelty")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in the novelty plan:\n$p")
+      assert(p.contains("hashpartitioning(sh"),
+        s"no gram-key shuffle in the novelty plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q34 join keys carry the salt through the physical plan") {
+    // the salted join must key on (k, _salt) — if Catalyst ever
+    // simplified the salt away the hot key would re-collapse onto one
+    // task at scale
+    val p = plan("q34_salted_join")
+    assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only

@@ -37,6 +37,26 @@ class SkewAndStatsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("q34 salted join query equals its unsalted form") {
+    import spark.implicits._
+    def fact = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select(
+        when($"l_partkey" % 2 === 0, 0L).otherwise($"l_partkey" % 32).as("k"),
+        $"l_quantity".cast("decimal(18,2)").as("qty"))
+    def dim = spark.read.parquet(s"${TestSpark.sf0001}/supplier.parquet")
+      .groupBy(($"s_suppkey" % 32).as("k"))
+      .agg(sum($"s_acctbal".cast("decimal(18,2)")).as("bal"))
+    val plain = fact.join(dim, "k").groupBy($"k")
+      .agg(sum($"qty").cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"), max($"bal").cast("double").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val salted = Catalog.queries("q34_salted_join")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(plain == salted)
+  }
+
   test("q31 sketch aggregations stay within error bounds of the exact answers") {
     import spark.implicits._
     val approx = Catalog.queries("q31_approx_stats")(spark, TestSpark.sf0001)

@@ -122,6 +122,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 26.0 / 256) < 0.04, frac.toString)
   }
 
+  test("d31 novelty: first doc scores 1, bounds hold, dup text scores 0") {
+    import spark.implicits._
+    val q = graft.operators.TextQueries.all.find(_.name == "d31_ngram_novelty").get
+    val rows = q.fn(spark, graft.TestSpark.sf0001)
+      .select($"doc_id", $"n_grams", $"novel", $"novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((id, n, novel, ratio) <- rows) {
+      assert(novel >= 0 && novel <= n, s"doc $id")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+    }
+    // the lowest doc_id in the output is, by min-first_doc construction,
+    // the first occurrence of every one of its grams
+    val first = rows.minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 1.0, first.toString)
+    // a verbatim copy of an earlier doc contributes zero novel grams
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val copied = docs.select($"doc_id", $"text")
+      .union(docs.filter($"doc_id" === 0)
+        .select(lit(999999L).as("doc_id"), $"text"))
+    val sh = copied
+      .select($"doc_id", graft.text.TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(graft.text.TextOps.shingles("toks", 3)).as("sh"))
+    val firstSeen = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    val copyNovel = sh.join(firstSeen, "sh")
+      .filter($"doc_id" === 999999L)
+      .agg(sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
+      .as[Long].head()
+    assert(copyNovel == 0L)
+  }
+
   test("d19 sampling is independent of the d15 split decision") {
     import spark.implicits._
     // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.

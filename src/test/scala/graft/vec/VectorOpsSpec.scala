@@ -99,6 +99,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
+  test("v13 recall query equals the set-overlap of v01 and v02") {
+    import spark.implicits._
+    def rows(name: String) = graft.operators.VectorQueries.all
+      .find(_.name == name).get.fn(spark, TestSpark.sf0001)
+    val e = rows("v01_knn_exact")
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = rows("v02_knn_ann_lsh")
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val v13 = rows("v13_ann_recall")
+      .select($"qid", $"k", $"hits", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(v13.map(_._1).toSet == e.map(_._1).toSet) // every query present
+    for ((qid, k, hits, recall) <- v13) {
+      val ex = e.filter(_._1 == qid)
+      assert(k == ex.size)
+      assert(hits == (ex & a).size, s"qid $qid")
+      assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+    }
+  }
+
   test("cosine near-dup LSH has precision 1 vs the exact slice (v04 vs v03)") {
     import spark.implicits._
     val exact = graft.operators.VectorQueries.all.find(_.name == "v03_cosine_dup_exact").get
