@@ -1265,6 +1265,53 @@ object TextQueries {
       |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
       |FROM s JOIN f USING (sh) GROUP BY 1""".stripMargin
 
+  // ---- d32: vocabulary growth curve (Heaps-law audit) ----
+  // The corpus-level companion of d31: bucket documents by ingest order
+  // (doc_id div `vocabBucket`; at production scale, ingest date) and
+  // count tokens per bucket, terms FIRST seen per bucket, and the
+  // cumulative vocabulary — the Heaps-law curve whose flattening says
+  // new data has stopped adding new language. Scale shape: one
+  // term-key agg for first occurrences, two bounded bucket aggs; the
+  // only window is the cumulative sum over ONE ROW PER BUCKET (a
+  // date-bounded handful at any corpus size), so the global-order
+  // window is over driver-scale cardinality, never the corpus.
+  private val vocabBucket = 50
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+    val perBucket = toks
+      .groupBy(($"doc_id" / vocabBucket).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = toks.groupBy($"term").agg(min($"doc_id").as("first_doc"))
+      .groupBy(($"first_doc" / vocabBucket).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(Long.MinValue, 0)
+    perBucket.join(newTerms, Seq("bucket"), "left")
+      .select($"bucket", $"n_tokens",
+        coalesce($"new_terms", lit(0L)).as("new_terms"))
+      .withColumn("cum_vocab", sum($"new_terms").over(w))
+  }
+  private val d32Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |           FROM documents WHERE length(trim(text)) > 0),
+       |  tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |  pb AS (SELECT doc_id // $vocabBucket AS bucket, COUNT(*) AS n_tokens
+       |         FROM tok GROUP BY 1),
+       |  ft AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+       |  nt AS (SELECT first_doc // $vocabBucket AS bucket,
+       |           COUNT(*) AS new_terms
+       |         FROM ft GROUP BY 1)
+       |SELECT pb.bucket, pb.n_tokens,
+       |  CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
+       |  CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY pb.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_vocab
+       |FROM pb LEFT JOIN nt USING (bucket)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1296,5 +1343,6 @@ object TextQueries {
     Q("d28_quality_budget", d28, Some(d28Sql)),
     Q("d29_langid_confusion", d29, Some(d29Sql)),
     Q("d30_curation_manifest", d30, Some(d30Sql)),
-    Q("d31_ngram_novelty", d31, Some(d31Sql)))
+    Q("d31_ngram_novelty", d31, Some(d31Sql)),
+    Q("d32_vocab_growth", d32, Some(d32Sql)))
 }

@@ -154,6 +154,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(copyNovel == 0L)
   }
 
+  test("d32 vocab growth: conservation, monotone cumulative, bucket coverage") {
+    import spark.implicits._
+    val q = graft.operators.TextQueries.all.find(_.name == "d32_vocab_growth").get
+    val rows = q.fn(spark, graft.TestSpark.sf001)
+      .select($"bucket", $"n_tokens", $"new_terms", $"cum_vocab")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cumulative = running sum of new_terms, monotone non-decreasing
+    var run = 0L
+    for ((_, _, nt, cum) <- rows) { run += nt; assert(cum == run) }
+    // total new terms across buckets = corpus-wide distinct vocabulary
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf001}/documents.parquet")
+      .filter(length(trim($"text")) > 0)
+    val vocab = docs
+      .select(explode(graft.text.TextOps.tokens($"text")).as("term"))
+      .select(countDistinct($"term")).as[Long].head()
+    assert(rows.map(_._3).sum == vocab)
+    // token conservation across buckets
+    val totalToks = docs
+      .select(sum(size(graft.text.TextOps.tokens($"text")))).as[Long].head()
+    assert(rows.map(_._2).sum == totalToks)
+  }
+
   test("d19 sampling is independent of the d15 split decision") {
     import spark.implicits._
     // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.
