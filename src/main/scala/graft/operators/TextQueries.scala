@@ -1237,12 +1237,15 @@ object TextQueries {
   // ratios DO hit them, unlike d20's log sums).
   private def d31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables(s, dir, "documents")
+    // ONE corpus pass (d17's window trick): first occurrence is a
+    // min-window over the gram key on the exploded rows — same gram-key
+    // shuffle as an agg + join-back, one fewer corpus scan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
+    Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
-    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-    sh.join(first, "sh")
+      .withColumn("first_doc", min($"doc_id").over(w))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
@@ -1278,21 +1281,22 @@ object TextQueries {
   private val vocabBucket = 50
   private def d32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables(s, dir, "documents")
+    // ONE corpus pass: first occurrence via a min-window over the term
+    // key; a row with doc_id == first_doc IS a first-occurrence row, so
+    // new-terms-per-bucket is a filtered distinct count in the same
+    // bucket agg that counts tokens (no second scan, no join)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(Long.MinValue, 0)
+    Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-    val perBucket = toks
+      .withColumn("first_doc", min($"doc_id").over(wTerm))
       .groupBy(($"doc_id" / vocabBucket).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val newTerms = toks.groupBy($"term").agg(min($"doc_id").as("first_doc"))
-      .groupBy(($"first_doc" / vocabBucket).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("new_terms"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
-      .rowsBetween(Long.MinValue, 0)
-    perBucket.join(newTerms, Seq("bucket"), "left")
-      .select($"bucket", $"n_tokens",
-        coalesce($"new_terms", lit(0L)).as("new_terms"))
-      .withColumn("cum_vocab", sum($"new_terms").over(w))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(when($"doc_id" === $"first_doc", $"term"))
+          .as("new_terms"))
+      .withColumn("cum_vocab", sum($"new_terms").over(wCum))
   }
   private val d32Sql =
     s"""WITH t AS (SELECT doc_id,
