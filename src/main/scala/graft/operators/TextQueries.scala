@@ -1316,6 +1316,34 @@ object TextQueries {
        |    AS cum_vocab
        |FROM pb LEFT JOIN nt USING (bucket)""".stripMargin
 
+  // ---- d33: decontamination APPLY (the cleaned training corpus) ----
+  // d23 scores; this emits. The training corpus after removal: the
+  // eval slice itself is excluded by definition, any doc whose d23
+  // contamination reaches `decontamTau` is dropped, and docs the screen
+  // cannot score (blank / fewer than 5 tokens — no 5-grams, no overlap
+  // evidence) are kept. Same screen-vs-apply pairing as d25/d27. The
+  // kept text is identity-checked by md5 so the oracle gates the
+  // emitted corpus, not just the verdict bits. Scale shape: d23's
+  // gram-key semi-join + one anti-join on doc_id — never all-pairs.
+  private val decontamTau = 0.05
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val contaminated = d23(s, dir)
+      .filter($"contamination" >= decontamTau).select($"doc_id")
+    Tables(s, dir, "documents")
+      .filter($"doc_id" >= 20)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source",
+        md5($"text".cast("binary")).as("text_md5"))
+  }
+  // composed as plain concatenation: running stripMargin over the
+  // interpolated d23Sql would eat the leading pipe of its `||` concats
+  private val d33Sql =
+    s"WITH sc AS (\n$d23Sql)\n" + s"""SELECT d.doc_id, d.source, md5(d.text) AS text_md5
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |WHERE d.doc_id >= 20
+       |  AND (sc.doc_id IS NULL OR sc.contamination < $decontamTau)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1348,5 +1376,6 @@ object TextQueries {
     Q("d29_langid_confusion", d29, Some(d29Sql)),
     Q("d30_curation_manifest", d30, Some(d30Sql)),
     Q("d31_ngram_novelty", d31, Some(d31Sql)),
-    Q("d32_vocab_growth", d32, Some(d32Sql)))
+    Q("d32_vocab_growth", d32, Some(d32Sql)),
+    Q("d33_decontam_apply", d33, Some(d33Sql)))
 }

@@ -177,6 +177,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == totalToks)
   }
 
+  test("d33 drops exactly the docs d23 scores at/above tau, keeps text intact") {
+    import spark.implicits._
+    def q(n: String) = graft.operators.TextQueries.all.find(_.name == n).get
+    val scored = q("d23_contamination").fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"contamination").as[(Long, Double)].collect().toMap
+    val kept = q("d33_decontam_apply").fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"text_md5").as[(Long, String)].collect().toMap
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf001}/documents.parquet")
+      .select($"doc_id", md5($"text".cast("binary")).as("m"))
+      .as[(Long, String)].collect().toMap
+    val dropped = scored.filter(_._2 >= 0.05).keySet
+    assert(dropped.forall(id => !kept.contains(id)))
+    // every non-eval doc not dropped is kept — including unscoreable ones
+    val expected = docs.keySet.filter(_ >= 20) -- dropped
+    assert(kept.keySet == expected)
+    // the emitted corpus is the original text, byte-identical
+    kept.foreach { case (id, m) => assert(m == docs(id), s"doc $id") }
+  }
+
   test("d19 sampling is independent of the d15 split decision") {
     import spark.implicits._
     // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.
