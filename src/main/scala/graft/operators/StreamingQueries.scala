@@ -272,6 +272,48 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s09: streaming LSH near-dup candidates (dedup-on-arrival) ----
+  // The curation job that finds near-duplicates AS DOCUMENTS ARRIVE:
+  // minhash signatures and band codes are stateless projections
+  // (TextQueries.mhSigs/mhBandedOf — the same expression trees d10 runs
+  // in batch), and candidate pairs come from a stream-stream SELF-JOIN
+  // on (band, bucket) — the banded join state IS the signature store a
+  // production dedup-against-history service keeps (a watermark on
+  // ingest time would bound it to the disorder horizon; the fixture has
+  // no ingest time, and AvailableNow makes it one batch). Band matches
+  // land in the sink; the n_bands/est_jaccard rollup runs in batch over
+  // the sink (the s04 pattern), so the oracle is EXACTLY d10's SQL —
+  // the streamed path must reproduce the batch LSH dedup bit-for-bit.
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter(col("doc_id") < TextQueries.oracleSliceN)
+    val banded = TextQueries.mhBandedOf(TextQueries.mhSigs(raw))
+    val matches = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+        $"x.doc" < $"y.doc")
+      .select($"x.doc".as("id_a"), $"y.doc".as("id_b"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try {
+      val q = matches.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    TextQueries.mhPairsRollup(s.table(name), TextQueries.mhSliceSigs(s, dir))
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -280,5 +322,6 @@ object StreamingQueries {
     Q("s05_stream_sessionize_state", s05, Some(s05Sql)),
     Q("s06_stream_enrich", s06, Some(s06Sql)),
     Q("s07_stream_stats", s07, Some(s07Sql)),
-    Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)))
+    Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)),
+    Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)))
 }

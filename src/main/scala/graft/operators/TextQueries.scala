@@ -574,37 +574,62 @@ object TextQueries {
   // HOFs cost ~7 ms/doc, so the checked universe is capped at the
   // sf0.01 gate's document universe; the unbounded production paths
   // remain d06/d07 (native xxhash64 expressions)
-  private val oracleSliceN = 300
+  private[operators] val oracleSliceN = 300
 
-  private def d10MinhashMd5(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val r = mhK / mhBands
-    val sigs = Tables(s, dir, "documents")
-      .filter($"doc_id" < oracleSliceN)
-      .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
+  /** md5-minhash signatures (the d10 oracle-family hash): pure column
+    * ops, so the same expression tree runs over a batch scan OR a
+    * document readStream (s09). Input needs (doc_id, text). */
+  private[operators] def mhSigs(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh", TextOps.shingles("toks", 3))
-      .select($"doc_id", expr(
+      .select(col("doc_id"), expr(
         s"""transform(sequence(0, ${mhK - 1}), i ->
            |  array_min(transform(sh, x ->
            |    md5(cast(concat(cast(i as string), ' ', x) as binary)))))"""
           .stripMargin).as("sig"))
-    val banded = sigs.select($"doc_id".as("doc"), posexplode(expr(
+
+  /** Banded bucket codes from signatures: (doc, band, bucket) — also a
+    * stateless projection, streamable. */
+  private[operators] def mhBandedOf(sigs: DataFrame): DataFrame = {
+    val r = mhK / mhBands
+    sigs.select(col("doc_id").as("doc"), posexplode(expr(
       s"""transform(sequence(0, ${mhBands - 1}), b ->
          |  md5(cast(concat(cast(b as string), '|',
          |    concat_ws('|', slice(sig, b * $r + 1, $r))) as binary)))"""
         .stripMargin)).as(Seq("band", "bucket")))
-    val cands = banded.as("x").join(banded.as("y"),
-        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
-        $"x.doc" < $"y.doc")
-      .groupBy($"x.doc".as("id_a"), $"y.doc".as("id_b"))
+  }
+
+  /** Band-match rollup → (id_a, id_b, n_bands, est_jaccard ≥ 0.2):
+    * shared by batch d10 and the streamed s09 (which lands raw band
+    * matches in the sink and rolls them up here). */
+  private[operators] def mhPairsRollup(bandMatches: DataFrame,
+      sigs: DataFrame): DataFrame = {
+    val cands = bandMatches
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands"))
     TextOps.estimateJaccard(cands, sigs, "doc_id", mhK)
-      .filter($"est_jaccard" >= 0.2)
-      .select($"id_a", $"id_b", $"n_bands", $"est_jaccard")
+      .filter(col("est_jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("est_jaccard"))
   }
-  private val d10Sql =
+
+  /** The oracle slice both d10 and its streamed sibling s09 run over. */
+  private[operators] def mhSliceSigs(s: SparkSession, dir: String): DataFrame =
+    mhSigs(Tables(s, dir, "documents").filter(col("doc_id") < oracleSliceN))
+
+  private def d10MinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mhSliceSigs(s, dir)
+    val banded = mhBandedOf(sigs)
+    val matches = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+        $"x.doc" < $"y.doc")
+      .select($"x.doc".as("id_a"), $"y.doc".as("id_b"))
+    mhPairsRollup(matches, sigs)
+  }
+  private[operators] val d10Sql =
     s"""WITH t AS (SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE doc_id < $oracleSliceN AND length(trim(text)) > 0),

@@ -153,6 +153,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == fixture.size)
   }
 
+  test("s09 streamed LSH pairs equal the batch d10 pairs on sf0.001") {
+    import graft.operators.Catalog
+    def rows(name: String) = Catalog.queries(name)(spark, TestSpark.sf0001)
+      .select($"id_a", $"id_b", $"n_bands", $"est_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows("s09_stream_lsh_pairs") == rows("d10_minhash_lsh_md5"))
+  }
+
   test("runningStats (update mode) converges to the batch statistics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
