@@ -1369,6 +1369,62 @@ object TextQueries {
        |WHERE d.doc_id >= 20
        |  AND (sc.doc_id IS NULL OR sc.contamination < $decontamTau)""".stripMargin
 
+  // ---- d34: incremental dedup against the keeper ledger ----
+  // The form dedup actually takes at 100 TB: the corpus is never
+  // re-deduplicated — a NEW BATCH (here doc_id >= `ledgerSplit`) is
+  // checked against the LEDGER the history already produced (the
+  // sig → min-keeper table over doc_id < `ledgerSplit`), so the cost
+  // is |batch| + a sig-key ledger probe, independent of corpus size.
+  // The signature is the WORD-SET (sorted distinct tokens) — a
+  // bag-of-words dedup key under which the fixture has real collisions
+  // (the exact-text d01 key has none, which would leave the dup
+  // branches oracle-vacuous). Verdicts: `dup_of_history` (sig already
+  // in the ledger — keeper is the historical one), `dup_in_batch`
+  // (sig new, but another batch doc with a lower id owns it),
+  // `new_keeper` (this doc extends the ledger). Batch-internal keepers
+  // use d01's min-id election, so appending the new_keeper rows IS the
+  // next ledger state — the backfill-stable update rule d15/d24 use
+  // for splits/order.
+  private val ledgerSplit = 400
+  private[graft] def bowSig(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(TextOps.tokens(c)))).cast("binary"))
+  private def d34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", bowSig($"text").as("sig"))
+    val ledger = sigs.filter($"doc_id" < ledgerSplit)
+      .groupBy($"sig").agg(min($"doc_id").as("hist_keeper"))
+    val batch = sigs.filter($"doc_id" >= ledgerSplit)
+    val batchMin = batch.groupBy($"sig").agg(min($"doc_id").as("batch_keeper"))
+    batch.join(ledger, Seq("sig"), "left")
+      .join(batchMin, "sig")
+      .select($"doc_id", $"sig",
+        when($"hist_keeper".isNotNull, lit("dup_of_history"))
+          .when($"doc_id" =!= $"batch_keeper", lit("dup_in_batch"))
+          .otherwise(lit("new_keeper")).as("status"),
+        coalesce($"hist_keeper", $"batch_keeper").as("keeper"))
+  }
+  private val d34Sql =
+    s"""WITH sigs AS (SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS sig
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  ledger AS (SELECT sig, MIN(doc_id) AS hist_keeper
+       |    FROM sigs WHERE doc_id < $ledgerSplit GROUP BY 1),
+       |  batch AS (SELECT * FROM sigs WHERE doc_id >= $ledgerSplit),
+       |  bm AS (SELECT sig, MIN(doc_id) AS batch_keeper
+       |    FROM batch GROUP BY 1)
+       |SELECT b.doc_id, b.sig,
+       |  CASE WHEN l.hist_keeper IS NOT NULL THEN 'dup_of_history'
+       |       WHEN b.doc_id <> bm.batch_keeper THEN 'dup_in_batch'
+       |       ELSE 'new_keeper' END AS status,
+       |  COALESCE(l.hist_keeper, bm.batch_keeper) AS keeper
+       |FROM batch b LEFT JOIN ledger l ON b.sig = l.sig
+       |JOIN bm ON b.sig = bm.sig""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1402,5 +1458,6 @@ object TextQueries {
     Q("d30_curation_manifest", d30, Some(d30Sql)),
     Q("d31_ngram_novelty", d31, Some(d31Sql)),
     Q("d32_vocab_growth", d32, Some(d32Sql)),
-    Q("d33_decontam_apply", d33, Some(d33Sql)))
+    Q("d33_decontam_apply", d33, Some(d33Sql)),
+    Q("d34_incremental_dedup", d34, Some(d34Sql)))
 }

@@ -196,6 +196,42 @@ class TextOpsSpec extends AnyFunSuite {
     kept.foreach { case (id, m) => assert(m == docs(id), s"doc $id") }
   }
 
+  test("d34 incremental dedup composes to the full-corpus ledger") {
+    import spark.implicits._
+    def q(n: String) = graft.operators.TextQueries.all.find(_.name == n).get
+    // the ground truth an offline full-corpus dedup would produce,
+    // under the same word-set signature
+    val full = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", graft.operators.TextQueries.bowSig($"text").as("sig"))
+      .groupBy($"sig").agg(min($"doc_id").as("keeper"))
+      .as[(String, Long)].collect().toMap
+    val inc = q("d34_incremental_dedup").fn(spark, graft.TestSpark.sf0001)
+      .select($"doc_id", $"sig", $"status", $"keeper")
+      .as[(Long, String, String, Long)].collect()
+    assert(inc.nonEmpty && inc.forall(_._1 >= 400))
+    // all three verdicts are actually exercised by the fixture
+    assert(inc.map(_._3).toSet ==
+      Set("dup_of_history", "dup_in_batch", "new_keeper"))
+    // every batch doc resolves to exactly the full-corpus keeper
+    inc.foreach { case (doc, sig, _, keeper) =>
+      assert(keeper == full(sig), s"doc $doc") }
+    // the ledger update (new_keeper rows) is exactly the set of sigs
+    // whose full-corpus keeper lives in the batch
+    val newKeepers = inc.filter(_._3 == "new_keeper")
+      .map(r => (r._2, r._4)).toSet
+    assert(newKeepers == full.filter(_._2 >= 400).toSet)
+    // statuses partition the batch correctly
+    inc.foreach { case (doc, sig, status, keeper) =>
+      status match {
+        case "dup_of_history" => assert(keeper < 400)
+        case "dup_in_batch" => assert(keeper >= 400 && keeper < doc)
+        case "new_keeper" => assert(keeper == doc)
+      }
+    }
+  }
+
   test("d19 sampling is independent of the d15 split decision") {
     import spark.implicits._
     // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.
