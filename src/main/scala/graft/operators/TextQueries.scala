@@ -883,13 +883,16 @@ object TextQueries {
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
     val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
-    val rest = sh.filter($"doc_id" >= 20)
-    val hits = rest.join(evalSet, Seq("sh"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-    rest.groupBy($"doc_id").agg(count(lit(1)).as("total_5grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select($"doc_id", $"total_5grams",
-        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+      .withColumn("hit", lit(1L))
+    // one gram-key left join + one per-doc agg: the eval set is
+    // distinct on sh, so the join is row-preserving and total/hit
+    // counts fold in a single pass (the semi-join + second rollup form
+    // re-scanned the exploded grams)
+    sh.filter($"doc_id" >= 20)
+      .join(evalSet, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_5grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
       .withColumn("contamination",
         round($"n_contaminated".cast("double") / $"total_5grams", 6))
   }
@@ -1392,15 +1395,21 @@ object TextQueries {
       array_sort(array_distinct(TextOps.tokens(c)))).cast("binary"))
   private def d34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Tables(s, dir, "documents")
+    // ONE corpus pass: both the historical and batch-internal minima
+    // are conditional min-windows over the sig key (the d31 shape) —
+    // the ledger "probe" is the same sig-key shuffle the agg+join form
+    // pays, minus two extra corpus scans. In the deployed incremental
+    // form the ledger is a materialized table and only the batch
+    // scans; here both sides derive from one fixture read.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
+    Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", bowSig($"text").as("sig"))
-    val ledger = sigs.filter($"doc_id" < ledgerSplit)
-      .groupBy($"sig").agg(min($"doc_id").as("hist_keeper"))
-    val batch = sigs.filter($"doc_id" >= ledgerSplit)
-    val batchMin = batch.groupBy($"sig").agg(min($"doc_id").as("batch_keeper"))
-    batch.join(ledger, Seq("sig"), "left")
-      .join(batchMin, "sig")
+      .withColumn("hist_keeper",
+        min(when($"doc_id" < ledgerSplit, $"doc_id")).over(w))
+      .withColumn("batch_keeper",
+        min(when($"doc_id" >= ledgerSplit, $"doc_id")).over(w))
+      .filter($"doc_id" >= ledgerSplit)
       .select($"doc_id", $"sig",
         when($"hist_keeper".isNotNull, lit("dup_of_history"))
           .when($"doc_id" =!= $"batch_keeper", lit("dup_in_batch"))
