@@ -244,4 +244,118 @@ object KMeans {
     points.select(col(idCol), col("v"))
       .orderBy(col(idCol)).limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+
+  /** k-means|| initialization (Bahmani et al., "Scalable K-Means++",
+    * VLDB 2012) — the distributed seeding a 1000-executor fit actually
+    * needs: sequential k-means++ makes k full passes; this makes
+    * `rounds` passes, each oversampling an expected `l` candidates with
+    * probability ∝ cost (squared distance to the nearest current
+    * candidate), then reduces the bounded candidate set to k centers by
+    * a weighted Lloyd on the driver.
+    *
+    * Deterministic by construction — the property that makes an init
+    * auditable and re-runnable (the paper samples with rand()):
+    *  - the per-point coin is u = md5(id:round)/2²⁴ (the d26/d15 hash
+    *    trick), so membership is a pure function of the id and round;
+    *  - per-point costs snap to the 6dp grid and the total folds
+    *    through DECIMAL (exact, order-independent), so the sampling
+    *    threshold l·cost/total is bit-identical under ANY partitioning
+    *    — a raw double sum would let executor count flip a coin that
+    *    sits within 1 ulp of its threshold;
+    *  - candidates accumulate in (round, id) order and the final
+    *    weighted Lloyd seeds from the top-k weights (count of corpus
+    *    points owned, lowest-index tiebreak).
+    * Driver memory holds only the ~(1 + rounds·l) candidates; each
+    * round is one codegen'd cost projection + a filter — no shuffle at
+    * all until the single weight count at the end.
+    */
+  def scalableInit(points: DataFrame, idCol: String, k: Int,
+      rounds: Int = 3, l: Double = 0.0, lloydIter: Int = 10)
+      : Array[Array[Double]] = {
+    val ell = if (l > 0) l else 2.0 * k
+    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    cand += points.select(col(idCol).cast("long").as("id"), col("v"))
+      .orderBy(col("id")).limit(1).collect()(0)
+      .getAs[scala.collection.Seq[Double]]("v").toArray
+    var r = 1
+    while (r <= rounds) {
+      val centers = cand.toArray
+      val costed = points.select(col(idCol).cast("long").as("id"), col("v"),
+        (floor(assign(col("v"), centers).getField("dist2") * 1e6 + 0.5)
+          / 1e6).as("cost"))
+      val total = costed
+        .agg(sum(col("cost").cast(
+          org.apache.spark.sql.types.DecimalType(28, 6))))
+        .head().getDecimal(0).doubleValue()
+      if (total <= 0.0) {
+        r = rounds + 1 // every point sits on a candidate — done
+      } else {
+        val u = conv(substring(md5(concat(col("id").cast("string"),
+          lit(s":kmpp:$r")).cast("binary")), 1, 6), 16, 10)
+          .cast("double") / lit(16777216.0)
+        cand ++= costed
+          .filter(u * lit(total) < lit(ell) * col("cost"))
+          .select(col("id"), col("v")).collect()
+          .sortBy(_.getAs[Long]("id"))
+          .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+        r += 1
+      }
+    }
+    val centers = cand.toArray
+    val owned = points
+      .select(assign(col("v"), centers).getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+      .map(row => row.getAs[Int]("cid") -> row.getAs[Long]("n")).toMap
+    val weights = Array.tabulate(centers.length)(i =>
+      owned.getOrElse(i, 0L).toDouble)
+    weightedFitLocal(centers, weights, k, lloydIter)
+  }
+
+  /** Weighted Lloyd on a driver-local candidate set (the k-means||
+    * reduction step): seeds from the k heaviest candidates
+    * (lowest-index tiebreak), assigns with the same strict-< rule as
+    * `fitLocal`, recomputes weighted means; empty clusters keep their
+    * centroid. Candidates with zero weight still participate as points
+    * (they pull nothing). */
+  def weightedFitLocal(pts: Array[Array[Double]], weights: Array[Double],
+      k: Int, maxIter: Int): Array[Array[Double]] = {
+    require(pts.length >= k, s"${pts.length} candidates < k=$k")
+    val d = pts.head.length
+    val seed = pts.indices.sortBy(i => (-weights(i), i)).take(k)
+    var cur = seed.map(pts(_).clone()).toArray
+    var it = 0
+    while (it < maxIter) {
+      val sums = Array.ofDim[Double](k, d)
+      val wsum = new Array[Double](k)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = v(j) - cur(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        val w = weights(p)
+        var j = 0
+        while (j < d) { sums(best)(j) += w * v(j); j += 1 }
+        wsum(best) += w
+        p += 1
+      }
+      val next = cur.map(_.clone())
+      var c = 0
+      while (c < k) {
+        if (wsum(c) > 0) {
+          var j = 0
+          while (j < d) { next(c)(j) = sums(c)(j) / wsum(c); j += 1 }
+        }
+        c += 1
+      }
+      cur = next
+      it += 1
+    }
+    cur
+  }
 }

@@ -187,10 +187,32 @@ object MlQueries {
         round(avg($"x"), 4).as("mean_x"), round(avg($"y"), 4).as("mean_y"))
   }
 
+  /** m05: k-means|| scalable initialization (Bahmani et al., VLDB'12)
+    * — the distributed seeding a 1000-executor fit needs (the
+    * reference, and m01–m04, seed from the k lowest ids; sequential
+    * k-means++ would make k full passes). Hash-deterministic
+    * end-to-end (md5-coin sampling, DECIMAL-folded totals, top-weight
+    * Lloyd reduction — see KMeans.scalableInit), so its sf0.01 output
+    * is a constant: pinned golden (GoldenOracles.m05), verified
+    * bit-identical across 8 vs 32 cores before pinning. Quality and
+    * determinism invariants in KMeansSpec.
+    */
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val init = KMeans.scalableInit(embeddings(s, dir), "vec_id", k,
+      rounds = 3)
+    val rows = for {
+      (c, cid) <- init.zipWithIndex
+      (x, dim) <- c.zipWithIndex
+    } yield (cid.toLong, dim.toLong, KMeans.snap6(x))
+    s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "x")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, Some(m03Sql)),
     Q("m04_kmeans_step_block", m04, Some(m04Sql)),
+    Q("m05_kmeans_scalable_init", m05, Some(GoldenOracles.m05)),
     Q("g01_gaussian_generator", g01, Some(GoldenOracles.g01)))
 }

@@ -111,6 +111,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.iters == b.iters && a.converged == b.converged)
   }
 
+  test("scalableInit (k-means||) beats lowest-id seeding on clustered data") {
+    import spark.implicits._
+    // gaussian fixture with real cluster structure: 4 well-separated
+    // means, so a cost-aware init must beat "first 4 points" seeding
+    val (_, pts, _) = graft.sources.PointSources.gaussianPoints(
+      seed = 7L, numPoints = 4000, k = 4, d = 2)
+    val df = spark.createDataset(pts.toIndexedSeq.zipWithIndex
+      .map { case (p, i) => (i.toLong, p.toSeq) })
+      .toDF("vec_id", "v")
+    def cost(cents: Array[Array[Double]]): Double =
+      df.select(KMeans.assign($"v", cents).getField("dist2").as("d2"))
+        .agg(sum($"d2")).head().getDouble(0)
+    val scalable = KMeans.scalableInit(df, "vec_id", k = 4, rounds = 3)
+    val lowest = KMeans.initFromLowestIds(df, "vec_id", k = 4)
+    assert(scalable.length == 4)
+    val (cs, cl) = (cost(scalable), cost(lowest))
+    info(f"k-means|| cost $cs%.1f vs lowest-id $cl%.1f")
+    assert(cs < cl, s"scalable $cs not better than lowest-id $cl")
+    // determinism: a second run is bit-identical
+    val again = KMeans.scalableInit(df, "vec_id", k = 4, rounds = 3)
+    assert(scalable.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("assignment column is deterministic argmin with cid tiebreak") {
     import spark.implicits._
     val pts = Seq(Seq(0.0, 0.0)).toDF("v")
