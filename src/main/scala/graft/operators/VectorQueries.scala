@@ -858,6 +858,60 @@ object VectorQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---- v14: kNN graph via LSH blocking (every vector's top-k) ----
+  // The batch kNN-GRAPH build downstream pipelines consume (SemDeDup
+  // clustering, label propagation, graph-based outlier pruning): every
+  // vector gets its top-`graphK` nearest neighbors among its LSH band
+  // candidates. v02 answers a bounded query set; this is the
+  // all-vectors form, and the scale shape is v04's: 8-bit bands keep
+  // the candidate set near-linear, the band self-join carries IDS
+  // ONLY, vectors join back once per surviving candidate pair (each
+  // unordered pair scored once, then mirrored into both directions),
+  // and per-vector top-k is the bounded-heap aggregate — no window
+  // over the corpus, no all-pairs stage anywhere. The banding is
+  // reproduced in the oracle via literal hyperplanes (v02's rule), so
+  // graph edges are cross-engine-gated, recall aside.
+  private val graphK = 5
+  private def v14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val banded = e.select($"vec_id", posexplode(
+        VectorOps.bandCodes($"v", planes, 8)).as(Seq("band", "code")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
+        $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("id_a"), $"y.vec_id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val scored = pairs
+      .join(e.select($"vec_id".as("id_a"), $"v".as("va")), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), "id_b")
+      .select($"id_a", $"id_b", VectorOps.cosine($"va", $"vb").as("score"))
+    val directed = scored.select($"id_a".as("qid"), $"id_b".as("vec_id"), $"score")
+      .union(scored.select($"id_b".as("qid"), $"id_a".as("vec_id"), $"score"))
+    VectorOps.topKPerQuery(directed, graphK)
+      .select($"qid".as("vec_id"), $"rank", $"vec_id".as("nbr"),
+        round($"score", 6).as("cosine"))
+  }
+  private lazy val v14Sql = {
+    val cos = VectorOps.cosineSql("va.v", "vb.v")
+    s"""WITH ${lshCodesSql(planes, 8)},
+       |  pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |            FROM codes a JOIN codes b
+       |              ON a.band = b.band AND a.code = b.code
+       |             AND a.vec_id < b.vec_id),
+       |  scored AS (SELECT p.id_a, p.id_b, $cos AS score
+       |             FROM pairs p JOIN e va ON va.vec_id = p.id_a
+       |                          JOIN e vb ON vb.vec_id = p.id_b),
+       |  directed AS (SELECT id_a AS vid, id_b AS nbr, score FROM scored
+       |               UNION ALL
+       |               SELECT id_b, id_a, score FROM scored),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY vid
+       |          ORDER BY score DESC, nbr) AS rn FROM directed)
+       |SELECT vid AS vec_id, CAST(rn AS BIGINT) AS rank, nbr,
+       |  round(score, 6) AS cosine
+       |FROM r WHERE rn <= $graphK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -871,5 +925,6 @@ object VectorQueries {
     Q("v10_semantic_dedup", v10, Some(v10Sql)),
     Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)),
     Q("v12_label_purity", v12, Some(v12Sql)),
-    Q("v13_ann_recall", v13, Some(v13Sql)))
+    Q("v13_ann_recall", v13, Some(v13Sql)),
+    Q("v14_knn_graph", v14, Some(v14Sql)))
 }

@@ -59,7 +59,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     try {
       import org.apache.spark.sql.execution.exchange.Exchange
       import org.apache.spark.sql.types.ArrayType
-      for (name <- Seq("v04_cosine_dup_lsh", "d06_minhash_lsh")) {
+      for (name <- Seq("v04_cosine_dup_lsh", "d06_minhash_lsh",
+          "v14_knn_graph")) {
         val plan = Catalog.queries(name)(spark, TestSpark.sf0001)
           .queryExecution.executedPlan
         val bandEx = plan.collect {
