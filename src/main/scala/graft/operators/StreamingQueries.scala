@@ -314,6 +314,49 @@ object StreamingQueries {
     TextQueries.mhPairsRollup(s.table(name), TextQueries.mhSliceSigs(s, dir))
   }
 
+  // ---- s10: streaming incremental dedup against a static ledger ----
+  // d34's deployed form: documents ARRIVE as a stream, each computes
+  // its word-set signature (stateless projection) and probes the
+  // keeper ledger the history already materialized — a stream-STATIC
+  // left join (the s06 enrich shape: the ledger broadcasts per
+  // micro-batch, no streaming state at all). Batch-internal keeper
+  // election needs cross-row state, so it rolls up in batch over the
+  // sink (the s04/s09 pattern). The oracle is d34's SQL exactly: the
+  // streamed path must reproduce the batch incremental dedup
+  // bit-for-bit.
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ledger = graft.Tables(s, dir, "documents")
+      .filter($"doc_id" < TextQueries.ledgerSplit)
+      .filter(length(trim($"text")) > 0)
+      .select(TextQueries.bowSig($"text").as("sig"),
+        $"doc_id")
+      .groupBy($"sig").agg(min($"doc_id").as("hist_keeper"))
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter($"doc_id" >= TextQueries.ledgerSplit)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextQueries.bowSig($"text").as("sig"))
+      .join(ledger, Seq("sig"), "left")
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = raw.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
+    s.table(name)
+      .withColumn("batch_keeper", min($"doc_id").over(w))
+      .select($"doc_id", $"sig",
+        when($"hist_keeper".isNotNull, lit("dup_of_history"))
+          .when($"doc_id" =!= $"batch_keeper", lit("dup_in_batch"))
+          .otherwise(lit("new_keeper")).as("status"),
+        coalesce($"hist_keeper", $"batch_keeper").as("keeper"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -323,5 +366,6 @@ object StreamingQueries {
     Q("s06_stream_enrich", s06, Some(s06Sql)),
     Q("s07_stream_stats", s07, Some(s07Sql)),
     Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)),
-    Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)))
+    Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)),
+    Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)))
 }

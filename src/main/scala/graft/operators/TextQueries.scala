@@ -1388,7 +1388,7 @@ object TextQueries {
   // use d01's min-id election, so appending the new_keeper rows IS the
   // next ledger state — the backfill-stable update rule d15/d24 use
   // for splits/order.
-  private val ledgerSplit = 400
+  private[operators] val ledgerSplit = 400
   private[graft] def bowSig(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     md5(concat_ws(" ",
@@ -1416,7 +1416,7 @@ object TextQueries {
           .otherwise(lit("new_keeper")).as("status"),
         coalesce($"hist_keeper", $"batch_keeper").as("keeper"))
   }
-  private val d34Sql =
+  private[operators] val d34Sql =
     s"""WITH sigs AS (SELECT doc_id,
        |    md5(array_to_string(list_sort(list_distinct(
        |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS sig

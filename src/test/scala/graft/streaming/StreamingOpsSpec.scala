@@ -161,6 +161,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows("s09_stream_lsh_pairs") == rows("d10_minhash_lsh_md5"))
   }
 
+  test("s10 streamed incremental dedup equals batch d34 on sf0.001") {
+    import graft.operators.Catalog
+    def rows(name: String) = Catalog.queries(name)(spark, TestSpark.sf0001)
+      .select($"doc_id", $"sig", $"status", $"keeper")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows("s10_stream_incremental_dedup") == rows("d34_incremental_dedup"))
+  }
+
   test("runningStats (update mode) converges to the batch statistics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
