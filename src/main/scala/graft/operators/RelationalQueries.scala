@@ -570,10 +570,89 @@ object RelationalQueries {
       |  COUNT(*) AS cnt, CAST(MAX(d.bal) AS DOUBLE) AS bal
       |FROM f JOIN d USING (k) GROUP BY 1""".stripMargin
 
+  // ---- q35: runtime bloom-filter pruned join ----
+  // The shuffle-join prefilter a 100 TB fact join lives on when the dim
+  // side is too big to broadcast but carries a selective predicate:
+  // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+  // filtered creation side and applies might_contain on the fact scan,
+  // so most fact rows drop BEFORE the shuffle instead of after the
+  // join. Thresholds are scoped per-query the way a production job
+  // pins them (fixture scans are far below the 10GB application-side
+  // default; broadcast is disabled to force the shuffle-join shape the
+  // rule targets). Bloom filtering is result-invisible — the oracle is
+  // the plain join+agg — and the injection itself is plan-asserted in
+  // PlanDisciplineSpec.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val l = Tables(s, dir, "lineitem").select($"l_orderkey", dec($"l_quantity").as("qty"))
+      val o = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      // eager materialization: the bloom shape is planned under the
+      // scoped confs, not at the caller's later action time
+      val rows = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sum_qty"))
+        .collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sum_qty",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  /** The bloom-shaped plan itself, unexecuted (PlanDisciplineSpec hook:
+    * asserting on q35's output plan would see only the collected local
+    * rows). */
+  private[operators] def q35Plan(s: SparkSession, dir: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    import s.implicits._
+    val scoped = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val l = Tables(s, dir, "lineitem").select($"l_orderkey", dec($"l_quantity").as("qty"))
+      val o = Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderpriority")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sum_qty"))
+        .queryExecution.executedPlan
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+  private val q35Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
     Q("q34_salted_join", q34, Some(q34Sql)),
+    Q("q35_bloom_join", q35, Some(q35Sql)),
     Q("q30_bucketed_join", q30, Some(q30Sql)),
     Q("q31_approx_stats", q31, Some(GoldenOracles.q31)),
     Q("q26_percentiles", q26, Some(q26Sql)),

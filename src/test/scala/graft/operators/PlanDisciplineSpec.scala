@@ -325,6 +325,13 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
   }
 
+  test("q35 injects a runtime bloom filter on the fact side") {
+    val p = RelationalQueries.q35Plan(spark, TestSpark.sf0001).toString
+    assert(p.toLowerCase.contains("bloomfilter") ||
+      p.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter in the plan:\n$p")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only
