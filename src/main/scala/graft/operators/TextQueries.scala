@@ -1434,6 +1434,55 @@ object TextQueries {
        |FROM batch b LEFT JOIN ledger l ON b.sig = l.sig
        |JOIN bm ON b.sig = bm.sig""".stripMargin
 
+  // ---- d35: partitioned corpus lake (source-pruned scans) ----
+  // The disk layout a multi-source 100 TB text corpus is stored in:
+  // written ONCE per dataset `partitionBy(source)` (the index-build
+  // cost a fleet of per-source jobs amortizes — v06's rule applied to
+  // text), so any source-filtered job reads only its directory via a
+  // real PartitionFilter — no bytes of the other sources are touched
+  // (plan-asserted in PlanDisciplineSpec). The registered row computes
+  // one source's quality profile off the pruned scan; the oracle is
+  // plain SQL over the unpartitioned table, so the write → prune →
+  // scan roundtrip is hash-gated end to end.
+  private val corpusLakeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[operators] def corpusLakePath(s: SparkSession, dir: String): String = {
+    corpusLakeCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(corpusLakeCache.remove)
+    corpusLakeCache.getOrElseUpdate((s, dir), {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"$wh/graft_corpus_$md"
+      Tables(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      path
+    })
+  }
+
+  private[operators] def d35Probe(s: SparkSession, dir: String,
+      source: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(corpusLakePath(s, dir))
+      .filter($"source" === source)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks")).cast("bigint").as("n_tokens"),
+        max($"doc_id").as("max_doc_id"))
+  }
+
+  private def d35(s: SparkSession, dir: String): DataFrame =
+    d35Probe(s, dir, "src0")
+  private val d35Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens,
+      |  MAX(doc_id) AS max_doc_id
+      |FROM documents WHERE source = 'src0' AND length(trim(text)) > 0
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1468,5 +1517,6 @@ object TextQueries {
     Q("d31_ngram_novelty", d31, Some(d31Sql)),
     Q("d32_vocab_growth", d32, Some(d32Sql)),
     Q("d33_decontam_apply", d33, Some(d33Sql)),
-    Q("d34_incremental_dedup", d34, Some(d34Sql)))
+    Q("d34_incremental_dedup", d34, Some(d34Sql)),
+    Q("d35_partitioned_corpus", d35, Some(d35Sql)))
 }

@@ -325,6 +325,20 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("_salt"), s"salt column absent from the plan:\n$p")
   }
 
+  test("d35 corpus-lake probe prunes source partitions at the file level") {
+    // the scan of the partitionBy(source) corpus must carry a non-empty
+    // source PartitionFilters — other sources' files are never opened
+    val p = TextQueries.d35Probe(spark, TestSpark.sf0001, "src1")
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft_corpus_"))
+      .getOrElse(fail(s"no corpus FileScan in plan:\n$p"))
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1)).getOrElse("")
+    assert(pf.contains("source") && pf.trim.nonEmpty,
+      s"no source PartitionFilters on the corpus scan:\n$scanLine")
+  }
+
   test("q35 injects a runtime bloom filter on the fact side") {
     val p = RelationalQueries.q35Plan(spark, TestSpark.sf0001).toString
     assert(p.toLowerCase.contains("bloomfilter") ||
