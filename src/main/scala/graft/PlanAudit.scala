@@ -20,7 +20,8 @@ object PlanAudit {
       else if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_join_agg", "q10_topk",
         "d01_dedup_exact", "d06_minhash_lsh", "v01_knn_exact",
-        "v04_cosine_dup_lsh", "m01_kmeans_assign")
+        "v04_cosine_dup_lsh", "m01_kmeans_assign", "v14_knn_graph",
+        "d34_incremental_dedup", "d35_partitioned_corpus")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
