@@ -204,6 +204,70 @@ object MultimodalQueries {
       "chunks_sig")
   }
 
+  /** x08: media near-dup pairs by shared content blocks — the
+    * between-media sibling of x06's within-store audit: two payloads
+    * sharing ≥ 2 distinct 16-byte blocks are near-dup candidates,
+    * scored by block-set Jaccard. Scale discipline is d05/d18's:
+    * the self-join keys on the block hash (ids only), and BOILERPLATE
+    * blocks — hash df > `x08MaxDf` medias — are pruned from pairing
+    * first (the stopword rule for content blocks), so a block shared
+    * by everything cannot quadratically pair the corpus. Jaccard uses
+    * the full distinct-block set sizes; `common` counts the pruned
+    * shared blocks — the oracle mirrors both exactly. 6dp rounding is
+    * the floor form (small-integer ratios hit round() half-cases).
+    * Production swaps the aligned blocks for x07's CDC chunks (shift-
+    * robust) — same plan from the hash column on.
+    */
+  private val x08MaxDf = 50
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    val bl = media(s, dir).toDF()
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("media_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, cast(ceil(octet_length(payload) / $x06B.0) as int) - 1),
+           |  i -> md5(substring(payload, i * $x06B + 1, $x06B))))"""
+          .stripMargin)).as("h"))
+    val shareable = bl.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= x08MaxDf)
+      .select(col("h"))
+    val shared = bl.join(shareable, "h")
+    val pairs = shared.as("x").join(shared.as("y"),
+        col("x.h") === col("y.h") && col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = bl.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("common") >= 2)
+      .select(col("id_a"), col("id_b"), col("common"),
+        (floor(col("common") / (col("na") + col("nb") - col("common"))
+          * 1e6 + 0.5) / 1e6).as("jaccard"))
+  }
+  private val x08Sql =
+    s"""WITH ex AS (SELECT doc_id AS media_id, text,
+       |    unnest(generate_series(0,
+       |      CAST(ceil(length(text) / $x06B.0) AS INT) - 1)) AS bi
+       |  FROM documents WHERE length(text) > 0),
+       |bl AS (SELECT DISTINCT media_id,
+       |    md5(substring(text, bi * $x06B + 1, $x06B)) AS h
+       |  FROM ex),
+       |sh AS (SELECT h FROM bl GROUP BY h
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $x08MaxDf),
+       |s2 AS (SELECT bl.media_id, bl.h FROM bl JOIN sh USING (h)),
+       |pairs AS (SELECT x.media_id AS id_a, y.media_id AS id_b,
+       |    COUNT(*) AS common
+       |  FROM s2 x JOIN s2 y ON x.h = y.h AND x.media_id < y.media_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT media_id, COUNT(*) AS n FROM bl GROUP BY 1)
+       |SELECT p.id_a, p.id_b, p.common,
+       |  floor(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+       |    * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM pairs p JOIN sz sa ON p.id_a = sa.media_id
+       |JOIN sz sb ON p.id_b = sb.media_id
+       |WHERE p.common >= 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
@@ -211,5 +275,6 @@ object MultimodalQueries {
     Q("x04_media_dedup", x04, Some(GoldenOracles.x04)),
     Q("x05_audio_features", x05, Some(GoldenOracles.x05)),
     Q("x06_block_dedup", x06, Some(x06Sql)),
-    Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)))
+    Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)),
+    Q("x08_block_neardup", x08, Some(x08Sql)))
 }
