@@ -273,42 +273,56 @@ object KMeans {
       rounds: Int = 3, l: Double = 0.0, lloydIter: Int = 10)
       : Array[Array[Double]] = {
     val ell = if (l > 0) l else 2.0 * k
-    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    cand += points.select(col(idCol).cast("long").as("id"), col("v"))
-      .orderBy(col("id")).limit(1).collect()(0)
-      .getAs[scala.collection.Seq[Double]]("v").toArray
-    var r = 1
-    while (r <= rounds) {
-      val centers = cand.toArray
-      val costed = points.select(col(idCol).cast("long").as("id"), col("v"),
-        (floor(assign(col("v"), centers).getField("dist2") * 1e6 + 0.5)
-          / 1e6).as("cost"))
-      val total = costed
-        .agg(sum(col("cost").cast(
-          org.apache.spark.sql.types.DecimalType(28, 6))))
-        .head().getDecimal(0).doubleValue()
-      if (total <= 0.0) {
-        r = rounds + 1 // every point sits on a candidate — done
-      } else {
-        val u = conv(substring(md5(concat(col("id").cast("string"),
-          lit(s":kmpp:$r")).cast("binary")), 1, 6), 16, 10)
-          .cast("double") / lit(16777216.0)
-        cand ++= costed
-          .filter(u * lit(total) < lit(ell) * col("cost"))
-          .select(col("id"), col("v")).collect()
-          .sortBy(_.getAs[Long]("id"))
-          .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-        r += 1
+    // one projection, persisted across the 2·rounds+2 actions below
+    // (each round runs a total agg + a candidate collect) — same
+    // discipline as fit/fitBlock
+    val pts = points.select(col(idCol).cast("long").as("id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      cand += pts.orderBy(col("id")).limit(1).collect()(0)
+        .getAs[scala.collection.Seq[Double]]("v").toArray
+      var r = 1
+      while (r <= rounds) {
+        val centers = cand.toArray
+        val costed = pts.select(col("id"), col("v"),
+          (floor(assign(col("v"), centers).getField("dist2") * 1e6 + 0.5)
+            / 1e6).as("cost"))
+        val total = costed
+          .agg(sum(col("cost").cast(
+            org.apache.spark.sql.types.DecimalType(28, 6))))
+          .head().getDecimal(0).doubleValue()
+        if (total <= 0.0) {
+          r = rounds + 1 // every point sits on a candidate — done
+        } else {
+          val u = conv(substring(md5(concat(col("id").cast("string"),
+            lit(s":kmpp:$r")).cast("binary")), 1, 6), 16, 10)
+            .cast("double") / lit(16777216.0)
+          cand ++= costed
+            .filter(u * lit(total) < lit(ell) * col("cost"))
+            .select(col("id"), col("v")).collect()
+            .sortBy(_.getAs[Long]("id"))
+            .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+          r += 1
+        }
       }
-    }
-    val centers = cand.toArray
-    val owned = points
-      .select(assign(col("v"), centers).getField("cid").as("cid"))
-      .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
-      .map(row => row.getAs[Int]("cid") -> row.getAs[Long]("n")).toMap
-    val weights = Array.tabulate(centers.length)(i =>
-      owned.getOrElse(i, 0L).toDouble)
-    weightedFitLocal(centers, weights, k, lloydIter)
+      // degenerate corpora (all points identical, or fewer distinct
+      // points than k) can leave < k candidates; pad from the lowest
+      // ids — duplicate seeds then mirror initFromLowestIds's behavior
+      // on the same data instead of crashing the reduction
+      if (cand.size < k)
+        cand ++= pts.orderBy(col("id")).limit(k).collect()
+          .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+          .take(k - cand.size)
+      val centers = cand.toArray
+      val owned = pts
+        .select(assign(col("v"), centers).getField("cid").as("cid"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n")).collect()
+        .map(row => row.getAs[Int]("cid") -> row.getAs[Long]("n")).toMap
+      val weights = Array.tabulate(centers.length)(i =>
+        owned.getOrElse(i, 0L).toDouble)
+      weightedFitLocal(centers, weights, k, lloydIter)
+    } finally pts.unpersist()
   }
 
   /** Weighted Lloyd on a driver-local candidate set (the k-means||

@@ -582,25 +582,42 @@ object RelationalQueries {
   // rule targets). Bloom filtering is result-invisible — the oracle is
   // the plain join+agg — and the injection itself is plan-asserted in
   // PlanDisciplineSpec.
-  private def q35(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Scoped-conf runner shared by q35's two entry points: sets the
+    * bloom thresholds + no-broadcast shape, runs `body` (which must
+    * force planning/execution INSIDE the scope), restores priors. */
+  private def withBloomConfs[T](s: SparkSession)(body: => T): T = {
     val scoped = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
     scoped.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val l = Tables(s, dir, "lineitem").select($"l_orderkey", dec($"l_quantity").as("qty"))
-      val o = Tables(s, dir, "orders")
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_orderpriority")
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The one query DAG both q35 and its plan assert run. */
+  private def q35Frame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", dec($"l_quantity").as("qty"))
+    val o = Tables(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sum_qty"))
+  }
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    withBloomConfs(s) {
       // eager materialization: the bloom shape is planned under the
-      // scoped confs, not at the caller's later action time
-      val rows = l.join(o, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sum_qty"))
-        .collect()
+      // scoped confs, not at the caller's later action time; the
+      // collected rows are bounded (one per priority value)
+      val rows = q35Frame(s, dir).collect()
       s.createDataFrame(
         s.sparkContext.parallelize(rows.toIndexedSeq, 1),
         org.apache.spark.sql.types.StructType(Seq(
@@ -610,37 +627,14 @@ object RelationalQueries {
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("sum_qty",
             org.apache.spark.sql.types.DoubleType))))
-    } finally prior.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
     }
-  }
+
   /** The bloom-shaped plan itself, unexecuted (PlanDisciplineSpec hook:
     * asserting on q35's output plan would see only the collected local
-    * rows). */
+    * rows). Same DAG as q35 by construction. */
   private[operators] def q35Plan(s: SparkSession, dir: String)
-      : org.apache.spark.sql.execution.SparkPlan = {
-    import s.implicits._
-    val scoped = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
-    scoped.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val l = Tables(s, dir, "lineitem").select($"l_orderkey", dec($"l_quantity").as("qty"))
-      val o = Tables(s, dir, "orders")
-        .filter($"o_orderpriority" === "1-URGENT")
-        .select($"o_orderkey", $"o_orderpriority")
-      l.join(o, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum($"qty").cast("double").as("sum_qty"))
-        .queryExecution.executedPlan
-    } finally prior.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      : org.apache.spark.sql.execution.SparkPlan =
+    withBloomConfs(s) { q35Frame(s, dir).queryExecution.executedPlan }
   private val q35Sql =
     """SELECT o_orderpriority, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

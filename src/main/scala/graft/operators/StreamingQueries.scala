@@ -348,13 +348,8 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
-    s.table(name)
-      .withColumn("batch_keeper", min($"doc_id").over(w))
-      .select($"doc_id", $"sig",
-        when($"hist_keeper".isNotNull, lit("dup_of_history"))
-          .when($"doc_id" =!= $"batch_keeper", lit("dup_in_batch"))
-          .otherwise(lit("new_keeper")).as("status"),
-        coalesce($"hist_keeper", $"batch_keeper").as("keeper"))
+    TextQueries.ledgerVerdict(s.table(name)
+      .withColumn("batch_keeper", min($"doc_id").over(w)))
   }
 
   val all: Seq[Q] = Seq(

@@ -1393,6 +1393,16 @@ object TextQueries {
       : org.apache.spark.sql.Column =
     md5(concat_ws(" ",
       array_sort(array_distinct(TextOps.tokens(c)))).cast("binary"))
+  /** The d34/s10 verdict projection over rows carrying (doc_id, sig,
+    * hist_keeper nullable, batch_keeper) — one rule, both the batch
+    * and streamed incremental-dedup paths. */
+  private[operators] def ledgerVerdict(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("sig"),
+      when(col("hist_keeper").isNotNull, lit("dup_of_history"))
+        .when(col("doc_id") =!= col("batch_keeper"), lit("dup_in_batch"))
+        .otherwise(lit("new_keeper")).as("status"),
+      coalesce(col("hist_keeper"), col("batch_keeper")).as("keeper"))
+
   private def d34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE corpus pass: both the historical and batch-internal minima
@@ -1402,19 +1412,14 @@ object TextQueries {
     // form the ledger is a materialized table and only the batch
     // scans; here both sides derive from one fixture read.
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
-    Tables(s, dir, "documents")
+    ledgerVerdict(Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", bowSig($"text").as("sig"))
       .withColumn("hist_keeper",
         min(when($"doc_id" < ledgerSplit, $"doc_id")).over(w))
       .withColumn("batch_keeper",
         min(when($"doc_id" >= ledgerSplit, $"doc_id")).over(w))
-      .filter($"doc_id" >= ledgerSplit)
-      .select($"doc_id", $"sig",
-        when($"hist_keeper".isNotNull, lit("dup_of_history"))
-          .when($"doc_id" =!= $"batch_keeper", lit("dup_in_batch"))
-          .otherwise(lit("new_keeper")).as("status"),
-        coalesce($"hist_keeper", $"batch_keeper").as("keeper"))
+      .filter($"doc_id" >= ledgerSplit))
   }
   private[operators] val d34Sql =
     s"""WITH sigs AS (SELECT doc_id,
@@ -1447,7 +1452,11 @@ object TextQueries {
   private val corpusLakeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private[operators] def corpusLakePath(s: SparkSession, dir: String): String = {
+  // synchronized: TrieMap.getOrElseUpdate may run the thunk in two
+  // racing threads, and two concurrent overwrite-writes to the same
+  // lake path corrupt each other's in-flight files
+  private[operators] def corpusLakePath(s: SparkSession, dir: String)
+      : String = corpusLakeCache.synchronized {
     corpusLakeCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(corpusLakeCache.remove)
     corpusLakeCache.getOrElseUpdate((s, dir), {

@@ -313,7 +313,11 @@ object VectorQueries {
   private val ivfDiskCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private[operators] def ivfDiskPath(s: SparkSession, dir: String): String = {
+  // synchronized: two racing first callers would both run the
+  // overwrite-write to the same layout path (TrieMap.getOrElseUpdate
+  // only putIfAbsent's the RESULT, it does not serialize the thunk)
+  private[operators] def ivfDiskPath(s: SparkSession, dir: String)
+      : String = ivfDiskCache.synchronized {
     ivfDiskCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(ivfDiskCache.remove)
     ivfDiskCache.getOrElseUpdate((s, dir), {
@@ -680,7 +684,9 @@ object VectorQueries {
   private val ivfPqDiskCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private[graft] def ivfPqDiskPath(s: SparkSession, dir: String): String = {
+  // synchronized for the same write-race reason as ivfDiskPath
+  private[graft] def ivfPqDiskPath(s: SparkSession, dir: String)
+      : String = ivfPqDiskCache.synchronized {
     ivfPqDiskCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(ivfPqDiskCache.remove)
     ivfPqDiskCache.getOrElseUpdate((s, dir), {
@@ -827,36 +833,22 @@ object VectorQueries {
       .select($"qid", $"k", $"hits",
         (floor($"hits" / $"k" * 1e6 + 0.5) / 1e6).as("recall"))
   }
-  private lazy val v13Sql = {
-    val cosX = VectorOps.cosineSql("t.v", "q.qv")
-    val cosA = VectorOps.cosineSql("cv.v", "qv.v")
-    s"""WITH ${lshCodesSql(planes, bitsPerBand)},
-       |  qx AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
-       |  dx AS (SELECT q.qid, t.vec_id, $cosX AS score
-       |         FROM e t CROSS JOIN qx q WHERE t.vec_id <> q.qid),
-       |  rx AS (SELECT *, row_number() OVER (PARTITION BY qid
-       |           ORDER BY score DESC, vec_id) AS rn FROM dx),
-       |  ex10 AS (SELECT qid, vec_id FROM rx WHERE rn <= $topK),
-       |  qb AS (SELECT vec_id AS qid, band, code FROM codes
-       |         WHERE vec_id < $nQueries),
-       |  cand AS (SELECT DISTINCT q.qid, c.vec_id
-       |           FROM codes c JOIN qb q ON c.band = q.band AND c.code = q.code
-       |           WHERE c.vec_id <> q.qid),
-       |  sc AS (SELECT cand.qid, cand.vec_id, $cosA AS score
-       |         FROM cand JOIN e cv ON cv.vec_id = cand.vec_id
-       |                   JOIN e qv ON qv.vec_id = cand.qid),
-       |  ra AS (SELECT *, row_number() OVER (PARTITION BY qid
-       |           ORDER BY score DESC, vec_id) AS rn FROM sc),
-       |  ann10 AS (SELECT qid, vec_id FROM ra WHERE rn <= $topK)
-       |SELECT ex10.qid, CAST(COUNT(*) AS BIGINT) AS k,
-       |  CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS hits,
-       |  floor(CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall
-       |FROM ex10 LEFT JOIN ann10 ON ann10.qid = ex10.qid
-       |  AND ann10.vec_id = ex10.vec_id
-       |GROUP BY 1""".stripMargin
-  }
+  // composed from the SIBLING ORACLES (v01Sql/v02Sql as derived
+  // tables) exactly as the Scala side composes v01()/v02() — a future
+  // tiebreak/rescore change to either sibling flows into the recall
+  // ground truth automatically. Plain concatenation: stripMargin over
+  // interpolated multi-line SQL would eat any line-leading pipes.
+  private lazy val v13Sql =
+    s"WITH ex10 AS (SELECT qid, vec_id FROM (\n$v01Sql\n) e1),\n" +
+      s"ann10 AS (SELECT qid, vec_id FROM (\n$v02Sql\n) a1)\n" +
+      s"""SELECT ex10.qid, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  floor(CAST(SUM(CASE WHEN ann10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM ex10 LEFT JOIN ann10 ON ann10.qid = ex10.qid
+         |  AND ann10.vec_id = ex10.vec_id
+         |GROUP BY 1""".stripMargin
 
   // ---- v14: kNN graph via LSH blocking (every vector's top-k) ----
   // The batch kNN-GRAPH build downstream pipelines consume (SemDeDup

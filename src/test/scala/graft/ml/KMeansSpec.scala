@@ -134,6 +134,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(scalable.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("scalableInit degrades gracefully on degenerate all-identical data") {
+    import spark.implicits._
+    // every point identical: round-1 total cost is 0, so sampling adds
+    // nothing — the candidate pool pads from the lowest ids instead of
+    // crashing the weighted reduction (initFromLowestIds parity)
+    val df = spark.createDataset((0L until 50L)
+      .map(i => (i, Seq(1.0, 2.0, 3.0)))).toDF("vec_id", "v")
+    val init = KMeans.scalableInit(df, "vec_id", k = 4, rounds = 2)
+    assert(init.length == 4)
+    init.foreach(c => assert(c.toSeq == Seq(1.0, 2.0, 3.0)))
+  }
+
   test("assignment column is deterministic argmin with cid tiebreak") {
     import spark.implicits._
     val pts = Seq(Seq(0.0, 0.0)).toDF("v")
