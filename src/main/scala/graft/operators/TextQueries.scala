@@ -1492,6 +1492,50 @@ object TextQueries {
       |FROM documents WHERE source = 'src0' AND length(trim(text)) > 0
       |GROUP BY 1""".stripMargin
 
+  // ---- d36: context-window chunking with overlap ----
+  // The complement of d16's bin packing: d16 packs whole docs into
+  // fixed token budgets; this SPLITS long documents into overlapping
+  // W-token training windows at stride S (overlap W−S carries context
+  // across boundaries — the standard pretraining chunker). Pure
+  // projection + explode, zero shuffles; each chunk's text is
+  // md5-gated so the emitted windows, not just their counts, are
+  // cross-engine checked. Chunk count per doc is ⌊(n−1)/S⌋+1: every
+  // token is covered, the last window may run short.
+  private val chunkW = 64
+  private val chunkS = 48
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("n"), $"toks")
+      .select($"doc_id", $"n", $"toks", explode(expr(
+        s"sequence(cast(0 as bigint), cast(floor((n - 1) / $chunkS) as bigint))"))
+        .as("ci"))
+      .select($"doc_id", $"ci".as("chunk_idx"),
+        ($"ci" * chunkS).as("start"),
+        least(lit(chunkW), $"n" - $"ci" * chunkS).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", expr(
+          s"slice(toks, cast(ci * $chunkS + 1 as int), " +
+            s"cast(least($chunkW, n - ci * $chunkS) as int))"))
+          .cast("binary")).as("chunk_md5"))
+  }
+  private val d36Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  x AS (SELECT doc_id, len(toks) AS n, toks,
+       |      unnest(generate_series(0,
+       |        CAST(floor((len(toks) - 1) / $chunkS) AS BIGINT))) AS ci
+       |    FROM t)
+       |SELECT doc_id, ci AS chunk_idx, ci * $chunkS AS start,
+       |  CAST(least($chunkW, n - ci * $chunkS) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(
+       |    toks[CAST(ci * $chunkS + 1 AS INT) :
+       |         CAST(ci * $chunkS + least($chunkW, n - ci * $chunkS) AS INT)],
+       |    ' ')) AS chunk_md5
+       |FROM x""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1527,5 +1571,6 @@ object TextQueries {
     Q("d32_vocab_growth", d32, Some(d32Sql)),
     Q("d33_decontam_apply", d33, Some(d33Sql)),
     Q("d34_incremental_dedup", d34, Some(d34Sql)),
-    Q("d35_partitioned_corpus", d35, Some(d35Sql)))
+    Q("d35_partitioned_corpus", d35, Some(d35Sql)),
+    Q("d36_context_chunks", d36, Some(d36Sql)))
 }
