@@ -352,6 +352,26 @@ object StreamingQueries {
       .withColumn("batch_keeper", min($"doc_id").over(w)))
   }
 
+  // ---- s11: context-window chunking on arrival ----
+  // d36's chunker is stateless (projection + explode), so it lifts
+  // onto the document stream unchanged — the curate-on-arrival form
+  // of pretraining chunking (append mode, no state stores, no
+  // watermark; the s08 pattern). Gated by d36's batch oracle exactly.
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.contextChunks(raw).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -362,5 +382,6 @@ object StreamingQueries {
     Q("s07_stream_stats", s07, Some(s07Sql)),
     Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)),
     Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)),
-    Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)))
+    Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)),
+    Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)))
 }

@@ -1503,24 +1503,30 @@ object TextQueries {
   // token is covered, the last window may run short.
   private val chunkW = 64
   private val chunkS = 48
-  private def d36(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id", size($"toks").as("n"), $"toks")
-      .select($"doc_id", $"n", $"toks", explode(expr(
+
+  /** The chunking transform itself — stateless column ops only, so the
+    * same expression tree runs over a batch scan or a document
+    * readStream (s11). Input needs (doc_id, text). */
+  private[operators] def contextChunks(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"), col("n"), col("toks"), explode(expr(
         s"sequence(cast(0 as bigint), cast(floor((n - 1) / $chunkS) as bigint))"))
         .as("ci"))
-      .select($"doc_id", $"ci".as("chunk_idx"),
-        ($"ci" * chunkS).as("start"),
-        least(lit(chunkW), $"n" - $"ci" * chunkS).cast("long").as("chunk_len"),
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        (col("ci") * chunkS).as("start"),
+        least(lit(chunkW), col("n") - col("ci") * chunkS)
+          .cast("long").as("chunk_len"),
         md5(concat_ws(" ", expr(
           s"slice(toks, cast(ci * $chunkS + 1 as int), " +
             s"cast(least($chunkW, n - ci * $chunkS) as int))"))
           .cast("binary")).as("chunk_md5"))
-  }
-  private val d36Sql =
+
+  private def d36(s: SparkSession, dir: String): DataFrame =
+    contextChunks(Tables(s, dir, "documents"))
+  private[operators] val d36Sql =
     s"""WITH t AS (SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
