@@ -904,6 +904,45 @@ object VectorQueries {
        |FROM r WHERE rn <= $graphK""".stripMargin
   }
 
+  // ---- v15: embedding outlier pruning (distance-ranked per cluster) ----
+  // The embedding-QA pass before training: assign every vector to its
+  // nearest coarse centroid (the N6 argmin — shuffle-free projection)
+  // and flag each cluster's `outlierN` FARTHEST members — mislabeled /
+  // out-of-distribution candidates a curation pipeline drops or routes
+  // to review. Scale shape: per-cluster top-N runs on the bounded-heap
+  // aggregate (a window PARTITION BY the k cluster ids would serialize
+  // the corpus through k tasks). Raw-distance ordering is bit-safe
+  // cross-engine (index-order folds both sides — the v01 rule).
+  private val outlierN = 5
+  private val outlierCells = 8
+  private def v15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cents = KMeans.initFromLowestIds(e, "vec_id", outlierCells)
+    val scored = e
+      .select($"vec_id", KMeans.assign($"v", cents).as("a"))
+      .select($"a.cid".cast("long").as("qid"), $"vec_id",
+        $"a.dist2".as("score"))
+    VectorOps.topKPerQuery(scored, outlierN)
+      .select($"qid".as("cid"), $"rank", $"vec_id",
+        round($"score", 6).as("dist2"))
+  }
+  private val v15Sql = {
+    val d2 = VectorOps.sqdistSql("e.embedding", "c.cv")
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < $outlierCells),
+       |  d AS (SELECT e.vec_id, c.cid, $d2 AS dist2
+       |        FROM embeddings e CROSS JOIN c),
+       |  a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY dist2, cid) AS rn FROM d),
+       |  asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY cid
+       |          ORDER BY dist2 DESC, vec_id) AS orn FROM asg)
+       |SELECT cid, CAST(orn AS BIGINT) AS rank, vec_id,
+       |  round(dist2, 6) AS dist2
+       |FROM r WHERE orn <= $outlierN""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -918,5 +957,6 @@ object VectorQueries {
     Q("v11_knn_ivfpq_disk", v11, Some(GoldenOracles.v09)),
     Q("v12_label_purity", v12, Some(v12Sql)),
     Q("v13_ann_recall", v13, Some(v13Sql)),
-    Q("v14_knn_graph", v14, Some(v14Sql)))
+    Q("v14_knn_graph", v14, Some(v14Sql)),
+    Q("v15_outlier_prune", v15, Some(v15Sql)))
 }
