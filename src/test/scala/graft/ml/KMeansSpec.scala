@@ -134,6 +134,19 @@ class KMeansSpec extends AnyFunSuite {
     assert(scalable.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("scalableInit is partition-invariant (the golden-pinning premise)") {
+    import spark.implicits._
+    // the DECIMAL-folded total + snapped per-row costs make the
+    // sampling threshold independent of partial-sum order; assert it
+    // by running the same init under very different partitionings
+    val base = points()
+    val a = KMeans.scalableInit(base.repartition(3), "vec_id", k = 4,
+      rounds = 2)
+    val b = KMeans.scalableInit(base.repartition(17), "vec_id", k = 4,
+      rounds = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("scalableInit degrades gracefully on degenerate all-identical data") {
     import spark.implicits._
     // every point identical: round-1 total cost is 0, so sampling adds
