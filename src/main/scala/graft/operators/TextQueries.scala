@@ -1542,6 +1542,56 @@ object TextQueries {
        |    ' ')) AS chunk_md5
        |FROM x""".stripMargin
 
+  // ---- d37: leakage-safe split (near-dup clusters stay together) ----
+  // The leakage guard d15 alone cannot give: hashing DOCUMENT ids
+  // sends two near-duplicates to different splits, so the eval set
+  // sees paraphrases of training data (the contamination mode
+  // dedup-before-split papers warn about). Near-dup here = word-set
+  // identity (d34's bowSig — the signal with real collisions in this
+  // corpus at every SF; the <100-slice shingle-jaccard graph is all
+  // singletons at the gate scale, which would leave the guard
+  // oracle-vacuous). Clusters come from the same ConnectedComponents
+  // operator the d14/v10 pipelines use, fed doc→group-min star edges;
+  // the split coin is the md5 of the CLUSTER KEEPER, so every member
+  // of a near-dup cluster lands in one split by construction and
+  // singletons reduce exactly to d15's rule on their own id. Same
+  // 'cc'/'e6' thresholds (≈ 80/10/10).
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", bowSig($"text").as("sig"))
+    val minPerSig = sigs.groupBy($"sig").agg(min($"doc_id").as("m"))
+    val edges = sigs.join(minPerSig, "sig")
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("id_a"), $"doc_id".as("id_b"))
+    val labels = graft.graph.ConnectedComponents.run(
+      sigs.select($"doc_id".as("id")), edges)
+    val bucket = substring(md5($"label".cast("string").cast("binary")), 1, 2)
+    labels.select($"id".as("doc_id"), $"label".as("keeper"),
+      bucket.as("bucket"),
+      when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test").as("split"))
+  }
+  // sig-equality edges close into exactly the sig groups, so the
+  // oracle is the direct group-min form — result-identical to the CC
+  // run by construction
+  private val d37Sql =
+    """WITH sigs AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ')) AS sig
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |  k AS (SELECT sig, MIN(doc_id) AS keeper FROM sigs GROUP BY 1)
+      |SELECT s.doc_id, k.keeper,
+      |  substring(md5(CAST(k.keeper AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substring(md5(CAST(k.keeper AS VARCHAR)), 1, 2) < 'cc'
+      |         THEN 'train'
+      |       WHEN substring(md5(CAST(k.keeper AS VARCHAR)), 1, 2) < 'e6'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM sigs s JOIN k USING (sig)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1578,5 +1628,6 @@ object TextQueries {
     Q("d33_decontam_apply", d33, Some(d33Sql)),
     Q("d34_incremental_dedup", d34, Some(d34Sql)),
     Q("d35_partitioned_corpus", d35, Some(d35Sql)),
-    Q("d36_context_chunks", d36, Some(d36Sql)))
+    Q("d36_context_chunks", d36, Some(d36Sql)),
+    Q("d37_leakage_safe_split", d37, Some(d37Sql)))
 }

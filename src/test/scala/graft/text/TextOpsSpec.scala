@@ -232,6 +232,26 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d37 keeps near-dup clusters in one split where d15 would separate them") {
+    import spark.implicits._
+    def q(n: String) = graft.operators.TextQueries.all.find(_.name == n).get
+    val rows = q("d37_leakage_safe_split").fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"keeper", $"split")
+      .as[(Long, Long, String)].collect()
+    // coherence: one split per cluster
+    rows.groupBy(_._2).foreach { case (k, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster $k") }
+    // the guard is non-vacuous: some dup doc's OWN-ID d15 split differs
+    // from its cluster split — exactly the leakage d15 alone permits
+    val d15Split = q("d15_hash_split").fn(spark, graft.TestSpark.sf001)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val dups = rows.filter(r => r._1 != r._2)
+    assert(dups.nonEmpty)
+    assert(dups.exists(r => d15Split(r._1) != r._3),
+      "no dup doc would have leaked under the id-hash split — fixture " +
+        "no longer exercises the guard")
+  }
+
   test("d19 sampling is independent of the d15 split decision") {
     import spark.implicits._
     // d19 salts its hash (doc_id || ':sample'); d15 hashes the bare id.
