@@ -37,16 +37,25 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
 
-  /** Run `body` (which must do its schema resolution eagerly) with the
-    * nanosAsLong flag set, restoring the prior value after. */
-  def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+  /** Run `body` (which must plan/execute eagerly — conf scope ends at
+    * return) with the given session confs set, restoring priors after.
+    * The one save/set/restore implementation every scoped-conf query
+    * shares: the Some/None restore branch is easy to get subtly wrong
+    * per copy, and a wrong branch leaks conf state across queries in
+    * the shared session. */
+  def withConfs[A](spark: SparkSession, pairs: Seq[(String, String)])
+      (body: => A): A = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Run `body` (which must do its schema resolution eagerly) with the
+    * nanosAsLong flag set, restoring the prior value after. */
+  def withNanosAsLong[A](spark: SparkSession)(body: => A): A =
+    withConfs(spark, Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true"))(body)
 }

@@ -311,9 +311,7 @@ object KMeans {
       // ids — duplicate seeds then mirror initFromLowestIds's behavior
       // on the same data instead of crashing the reduction
       if (cand.size < k)
-        cand ++= pts.orderBy(col("id")).limit(k).collect()
-          .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-          .take(k - cand.size)
+        cand ++= initFromLowestIds(pts, "id", k).take(k - cand.size)
       val centers = cand.toArray
       val owned = pts
         .select(assign(col("v"), centers).getField("cid").as("cid"))

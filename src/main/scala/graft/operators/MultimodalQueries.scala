@@ -119,14 +119,35 @@ object MultimodalQueries {
     * variant is x07.
     */
   private val x06B = 16
+
+  /** The fixed-block struct array expression x06 and x08 both cut
+    * payloads with — one definition of "a block" for the whole
+    * block-dedup family (Scala side; the SQL mirror is
+    * `blockExSqlCtes`). */
+  private val blockStructsExpr =
+    s"""transform(sequence(0, cast(ceil(octet_length(payload) / $x06B.0) as int) - 1),
+       |  i -> struct(md5(substring(payload, i * $x06B + 1, $x06B)) as h,
+       |    cast(octet_length(substring(payload, i * $x06B + 1, $x06B)) as bigint) as blen))"""
+      .stripMargin
+
+  /** The shared DuckDB `ex`/`bl` CTE text cutting documents into the
+    * same fixed blocks (the ASCII char≡byte offset contract from x01). */
+  private val blockExSqlCtes =
+    s"""ex AS (SELECT doc_id AS media_id, text,
+       |    unnest(generate_series(0,
+       |      CAST(ceil(length(text) / $x06B.0) AS INT) - 1)) AS bi
+       |  FROM documents WHERE length(text) > 0),
+       |bl AS (SELECT media_id, bi,
+       |    md5(substring(text, bi * $x06B + 1, $x06B)) AS h,
+       |    CAST(length(substring(text, bi * $x06B + 1, $x06B)) AS BIGINT)
+       |      AS blen
+       |  FROM ex)""".stripMargin
+
   private def x06(s: SparkSession, dir: String): DataFrame = {
     val bl = media(s, dir).toDF()
       .filter(octet_length(col("payload")) > 0)
-      .select(col("media_id"), posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(octet_length(payload) / $x06B.0) as int) - 1),
-           |  i -> struct(md5(substring(payload, i * $x06B + 1, $x06B)) as h,
-           |    cast(octet_length(substring(payload, i * $x06B + 1, $x06B)) as bigint) as blen))"""
-          .stripMargin)).as(Seq("bi", "b")))
+      .select(col("media_id"),
+        posexplode(expr(blockStructsExpr)).as(Seq("bi", "b")))
       .select(col("media_id"), col("bi"), col("b.h").as("h"),
         col("b.blen").as("blen"))
     val keeper = bl.groupBy(col("h"))
@@ -139,26 +160,20 @@ object MultimodalQueries {
         sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"),
           col("blen")).otherwise(0L)).as("dup_bytes"))
   }
+  // composed by concatenation: stripMargin over the interpolated CTE
+  // block would strip its inner margins twice
   private val x06Sql =
-    s"""WITH ex AS (SELECT doc_id AS media_id, text,
-       |    unnest(generate_series(0,
-       |      CAST(ceil(length(text) / $x06B.0) AS INT) - 1)) AS bi
-       |  FROM documents WHERE length(text) > 0),
-       |bl AS (SELECT media_id, bi,
-       |    md5(substring(text, bi * $x06B + 1, $x06B)) AS h,
-       |    CAST(length(substring(text, bi * $x06B + 1, $x06B)) AS BIGINT)
-       |      AS blen
-       |  FROM ex),
-       |k AS (SELECT h, min(media_id * 1000000 + bi) AS keeper
-       |  FROM bl GROUP BY 1),
-       |j AS (SELECT bl.media_id, bl.bi, bl.blen, k.keeper
-       |  FROM bl JOIN k USING (h))
-       |SELECT media_id, CAST(count(*) AS BIGINT) AS n_blocks,
-       |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
-       |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
-       |    THEN blen ELSE 0 END) AS BIGINT) AS dup_bytes
-       |FROM j GROUP BY media_id""".stripMargin
+    s"WITH $blockExSqlCtes,\n" +
+      """k AS (SELECT h, min(media_id * 1000000 + bi) AS keeper
+        |  FROM bl GROUP BY 1),
+        |j AS (SELECT bl.media_id, bl.bi, bl.blen, k.keeper
+        |  FROM bl JOIN k USING (h))
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+        |  CAST(sum(CASE WHEN media_id * 1000000 + bi <> keeper
+        |    THEN blen ELSE 0 END) AS BIGINT) AS dup_bytes
+        |FROM j GROUP BY media_id""".stripMargin
 
   /** x07: content-defined (Gear-hash) chunking audit — the
     * shift-robust sibling of x06: boundaries are a function of the
@@ -223,10 +238,7 @@ object MultimodalQueries {
     val bl = media(s, dir).toDF()
       .filter(octet_length(col("payload")) > 0)
       .select(col("media_id"), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(0, cast(ceil(octet_length(payload) / $x06B.0) as int) - 1),
-           |  i -> md5(substring(payload, i * $x06B + 1, $x06B))))"""
-          .stripMargin)).as("h"))
+        s"array_distinct(transform($blockStructsExpr, b -> b.h))")).as("h"))
     val shareable = bl.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= x08MaxDf)
@@ -246,27 +258,22 @@ object MultimodalQueries {
           * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
   private val x08Sql =
-    s"""WITH ex AS (SELECT doc_id AS media_id, text,
-       |    unnest(generate_series(0,
-       |      CAST(ceil(length(text) / $x06B.0) AS INT) - 1)) AS bi
-       |  FROM documents WHERE length(text) > 0),
-       |bl AS (SELECT DISTINCT media_id,
-       |    md5(substring(text, bi * $x06B + 1, $x06B)) AS h
-       |  FROM ex),
-       |sh AS (SELECT h FROM bl GROUP BY h
-       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $x08MaxDf),
-       |s2 AS (SELECT bl.media_id, bl.h FROM bl JOIN sh USING (h)),
-       |pairs AS (SELECT x.media_id AS id_a, y.media_id AS id_b,
-       |    COUNT(*) AS common
-       |  FROM s2 x JOIN s2 y ON x.h = y.h AND x.media_id < y.media_id
-       |  GROUP BY 1, 2),
-       |sz AS (SELECT media_id, COUNT(*) AS n FROM bl GROUP BY 1)
-       |SELECT p.id_a, p.id_b, p.common,
-       |  floor(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
-       |    * 1e6 + 0.5) / 1e6 AS jaccard
-       |FROM pairs p JOIN sz sa ON p.id_a = sa.media_id
-       |JOIN sz sb ON p.id_b = sb.media_id
-       |WHERE p.common >= 2""".stripMargin
+    s"WITH $blockExSqlCtes,\n" +
+      s"""bd AS (SELECT DISTINCT media_id, h FROM bl),
+         |sh AS (SELECT h FROM bd GROUP BY h
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $x08MaxDf),
+         |s2 AS (SELECT bd.media_id, bd.h FROM bd JOIN sh USING (h)),
+         |pairs AS (SELECT x.media_id AS id_a, y.media_id AS id_b,
+         |    COUNT(*) AS common
+         |  FROM s2 x JOIN s2 y ON x.h = y.h AND x.media_id < y.media_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT media_id, COUNT(*) AS n FROM bd GROUP BY 1)
+         |SELECT p.id_a, p.id_b, p.common,
+         |  floor(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+         |    * 1e6 + 0.5) / 1e6 AS jaccard
+         |FROM pairs p JOIN sz sa ON p.id_a = sa.media_id
+         |JOIN sz sb ON p.id_b = sb.media_id
+         |WHERE p.common >= 2""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),

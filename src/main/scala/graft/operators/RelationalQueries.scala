@@ -582,22 +582,14 @@ object RelationalQueries {
   // rule targets). Bloom filtering is result-invisible — the oracle is
   // the plain join+agg — and the injection itself is plan-asserted in
   // PlanDisciplineSpec.
-  /** Scoped-conf runner shared by q35's two entry points: sets the
-    * bloom thresholds + no-broadcast shape, runs `body` (which must
-    * force planning/execution INSIDE the scope), restores priors. */
-  private def withBloomConfs[T](s: SparkSession)(body: => T): T = {
-    val scoped = Seq(
+  /** Scoped-conf runner shared by q35's two entry points: the bloom
+    * thresholds + no-broadcast shape; `body` must force
+    * planning/execution inside the scope. */
+  private def withBloomConfs[T](s: SparkSession)(body: => T): T =
+    Tables.withConfs(s, Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
-    scoped.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prior.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))(body)
 
   /** The one query DAG both q35 and its plan assert run. */
   private def q35Frame(s: SparkSession, dir: String): DataFrame = {
@@ -616,23 +608,18 @@ object RelationalQueries {
     withBloomConfs(s) {
       // eager materialization: the bloom shape is planned under the
       // scoped confs, not at the caller's later action time; the
-      // collected rows are bounded (one per priority value)
-      val rows = q35Frame(s, dir).collect()
+      // collected rows are bounded (one per priority value). Schema
+      // comes from the frame itself so it cannot drift from the DAG.
+      val frame = q35Frame(s, dir)
       s.createDataFrame(
-        s.sparkContext.parallelize(rows.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("o_orderpriority",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("sum_qty",
-            org.apache.spark.sql.types.DoubleType))))
+        s.sparkContext.parallelize(frame.collect().toIndexedSeq, 1),
+        frame.schema)
     }
 
-  /** The bloom-shaped plan itself, unexecuted (PlanDisciplineSpec hook:
-    * asserting on q35's output plan would see only the collected local
-    * rows). Same DAG as q35 by construction. */
-  private[operators] def q35Plan(s: SparkSession, dir: String)
+  /** The bloom-shaped plan itself, unexecuted (hook for
+    * PlanDisciplineSpec and PlanAudit: q35's registered output plan is
+    * only the collected local rows). Same DAG as q35 by construction. */
+  private[graft] def q35Plan(s: SparkSession, dir: String)
       : org.apache.spark.sql.execution.SparkPlan =
     withBloomConfs(s) { q35Frame(s, dir).queryExecution.executedPlan }
   private val q35Sql =

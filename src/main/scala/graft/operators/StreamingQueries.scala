@@ -70,19 +70,14 @@ object StreamingQueries {
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-      val key = "spark.sql.shuffle.partitions"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "8")
-      try {
+      graft.Tables.withConfs(s,
+          Seq("spark.sql.shuffle.partitions" -> "8")) {
         val q = transform(raw).writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
       }
       s.table(name)
     }
@@ -297,19 +292,14 @@ object StreamingQueries {
         $"x.doc" < $"y.doc")
       .select($"x.doc".as("id_a"), $"y.doc".as("id_b"))
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val key = "spark.sql.shuffle.partitions"
-    val prior = s.conf.getOption(key)
-    s.conf.set(key, "8")
-    try {
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
       val q = matches.writeStream
         .format("memory").queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
     TextQueries.mhPairsRollup(s.table(name), TextQueries.mhSliceSigs(s, dir))
   }
