@@ -27,6 +27,17 @@ import org.apache.spark.storage.StorageLevel
   * Edges are intersected with `nodes` up front (one semi-join per
   * endpoint): an id appearing only in `edges` would otherwise win the
   * min-label race and become a ghost keeper for its component.
+  *
+  * A third, bounded engine sits in front of both: when the (validated)
+  * edge set is small enough to gather — `maxLocalEdges`, the same
+  * bounded-driver-gather discipline as `Damds.maxGatherDoubles` — the
+  * components are solved by driver union-find in one pass and shipped
+  * back as a local relation. A near-dup graph is almost always in this
+  * regime even when the corpus is not: edges exist only where documents
+  * collide in a band, so a 100 TB corpus with a few million near-dup
+  * pairs still fits the gather while the PAIR GENERATION stays fully
+  * distributed. The distributed rounds only earn their ~0.3 s/round
+  * shuffle overhead past that bound, where the dispatch sends them.
   */
 object ConnectedComponents {
 
@@ -44,21 +55,90 @@ object ConnectedComponents {
     * — a caller merging externally-sourced edge sets should opt into
     * the loud mode to distinguish "ghost keeper prevented" from
     * "connectivity silently lost through a ghost node".
+    *
+    * `maxLocalEdges` bounds the driver union-find dispatch: a validated
+    * edge set at or under it (counted with one aggregation — noise next
+    * to even a single distributed round) is solved on the driver; above
+    * it, or when set to 0 (how the algorithm specs pin the engine under
+    * test), the star/propagation rounds run. The default gathers at
+    * most 2²⁰ edges — two longs each, ~16 MB — the same order as the
+    * other bounded gathers in this repo (centroids, PQ codebooks,
+    * k-means‖ candidates).
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20,
-      useStar: Boolean = false, strictGhosts: Boolean = false): DataFrame = {
+      useStar: Boolean = false, strictGhosts: Boolean = false,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     val ids = nodes.select(col("id"))
+    // pinned across the dispatch: the upstream edge computation (e.g.
+    // v10's LSH band join + cosine verify, the expensive stage) must
+    // run ONCE, not once for the dispatch count and again for the
+    // engine. Every engine cuts its own lineage from this immediately
+    // (collect / localCheckpoint), so unpersisting on exit is safe.
     val valid = edges
       .join(ids.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-    if (strictGhosts) {
-      val ghost = edges.count() - valid.count()
-      require(ghost == 0L,
-        s"$ghost edge(s) have an endpoint outside `nodes` " +
-          "(strictGhosts): clean the edge set or drop strict mode")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (strictGhosts) {
+        val ghost = edges.count() - valid.count()
+        require(ghost == 0L,
+          s"$ghost edge(s) have an endpoint outside `nodes` " +
+            "(strictGhosts): clean the edge set or drop strict mode")
+      }
+      if (maxLocalEdges > 0L && valid.count() <= maxLocalEdges)
+        runLocal(nodes, valid)
+      else if (useStar) runStar(nodes, valid, maxIter)
+      else runPropagate(nodes, valid, maxIter)
+    } finally valid.unpersist()
+  }
+
+  /** Driver union-find over a gathered edge set (dispatch target below
+    * `maxLocalEdges`). Union always attaches the larger root under the
+    * smaller, so every set's root IS its minimum id and `find` yields
+    * the label directly; path compression keeps the walk amortized
+    * near-constant. The result is a pure function of the edge SET
+    * (order-independent), so labels are identical to the distributed
+    * engines' — v10's cross-engine oracle gates this path end-to-end,
+    * d14/d21 gate the two distributed ones.
+    */
+  private def runLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val idType = nodes.schema("id").dataType
+    val gathered = edges
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect()
+    if (gathered.isEmpty)
+      return nodes.select(col("id"), col("id").as("label"))
+    val parent = new java.util.HashMap[Long, Long](gathered.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = p
+        p = gp
+      }
+      x
     }
-    if (useStar) runStar(nodes, valid, maxIter)
-    else runPropagate(nodes, valid, maxIter)
+    gathered.foreach { r =>
+      val ra = find(r.getLong(0))
+      val rb = find(r.getLong(1))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val endpoints = new java.util.TreeSet[java.lang.Long]()
+    gathered.foreach { r =>
+      endpoints.add(r.getLong(0)); endpoints.add(r.getLong(1))
+    }
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val labels = endpoints.iterator().asScala
+      .map(id => (id.longValue(), find(id.longValue()))).toSeq
+      .toDF("id", "label")
+      .select(col("id").cast(idType), col("label").cast(idType))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   private def runPropagate(nodes: DataFrame, edges: DataFrame,

@@ -181,8 +181,12 @@ object TextQueries {
     val edges = d05(s, dir).filter($"jaccard" >= 0.2).select($"id_a", $"id_b")
     val nodes = Tables(s, dir, "documents").filter($"doc_id" < 100)
       .select($"doc_id".as("id"))
+    // maxLocalEdges = 0 pins the DISTRIBUTED engine named by the flag:
+    // d14/d21 exist to hash-gate propagation and star against the
+    // recursive-closure oracle (the driver union-find dispatch is
+    // gated separately through v10, which runs at the default bound)
     val labels = graft.graph.ConnectedComponents.run(nodes, edges,
-      useStar = useStar)
+      useStar = useStar, maxLocalEdges = 0L)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select($"id".as("doc_id"), $"label".as("keeper"), $"cluster_size")
@@ -1499,8 +1503,14 @@ object TextQueries {
   // across boundaries — the standard pretraining chunker). Pure
   // projection + explode, zero shuffles; each chunk's text is
   // md5-gated so the emitted windows, not just their counts, are
-  // cross-engine checked. Chunk count per doc is ⌊(n−1)/S⌋+1: every
-  // token is covered, the last window may run short.
+  // cross-engine checked. Chunk count per doc is 1 + max(0,
+  // ⌈(n−W)/S⌉): every token is covered, the last window may run
+  // short, and a window is only emitted when it EXTENDS past the
+  // previous one's end — the naive ⌊(n−1)/S⌋+1 count emits a final
+  // window fully contained in its predecessor whenever the tail is
+  // shorter than the overlap W−S, over-representing document tails in
+  // the training mix (ADVICE r9). The ceil is integer-only,
+  // (n−W+S−1) div S, so both engines compute it exactly.
   private val chunkW = 64
   private val chunkS = 48
 
@@ -1513,7 +1523,8 @@ object TextQueries {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
       .select(col("doc_id"), col("n"), col("toks"), explode(expr(
-        s"sequence(cast(0 as bigint), cast(floor((n - 1) / $chunkS) as bigint))"))
+        s"sequence(cast(0 as bigint), " +
+          s"greatest(cast(0 as bigint), (n - $chunkW + ${chunkS - 1}) div $chunkS))"))
         .as("ci"))
       .select(col("doc_id"), col("ci").as("chunk_idx"),
         (col("ci") * chunkS).as("start"),
@@ -1531,8 +1542,8 @@ object TextQueries {
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
        |  x AS (SELECT doc_id, len(toks) AS n, toks,
-       |      unnest(generate_series(0,
-       |        CAST(floor((len(toks) - 1) / $chunkS) AS BIGINT))) AS ci
+       |      unnest(generate_series(0, greatest(CAST(0 AS BIGINT),
+       |        (len(toks) - $chunkW + ${chunkS - 1}) // $chunkS))) AS ci
        |    FROM t)
        |SELECT doc_id, ci AS chunk_idx, ci * $chunkS AS start,
        |  CAST(least($chunkW, n - ci * $chunkS) AS BIGINT) AS chunk_len,

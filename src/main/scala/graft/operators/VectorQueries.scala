@@ -727,12 +727,18 @@ object VectorQueries {
     val pairs = VectorOps.lshDupPairs(e, "vec_id", planes,
       bitsPerBand = 8, dupTau).select($"id_a", $"id_b")
     val nodes = e.select($"vec_id".as("id"))
-    // τ = 0.3 on a near-uniform corpus yields LARGE components with
-    // long chains; min-label propagation pays one round per component
-    // diameter, so this query runs the alternating large-star/
-    // small-star variant (O(log n) rounds — Kiveris et al.), which
-    // d21 proved hash-identical to propagation against the recursive-
-    // closure oracle. Measured here: 6.8 s → ~3 s at sf0.1.
+    // The dup graph is tiny even when the corpus is not (sf0.1: 3,097
+    // pairs over 1,905 endpoints, one dense 1,887-node component), so
+    // the default bounded-gather dispatch solves it by driver
+    // union-find — measured at sf0.1 the CC stage drops from 3.3-5.3 s
+    // of distributed round overhead (star and propagation alike; ~10
+    // shuffle-rounds against 3 k edges) to noise, and this oracle gate
+    // is what proves the LOCAL engine end-to-end (d14/d21 pin the two
+    // distributed engines). `useStar = true` names the engine a
+    // past-the-bound edge set runs: alternating large-star/small-star
+    // (O(log n) rounds — Kiveris et al.), robust to the long chains a
+    // τ = 0.3 near-uniform corpus produces, where propagation would pay
+    // one round per component diameter.
     val labels = graft.graph.ConnectedComponents.run(nodes, pairs,
       useStar = true)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
@@ -864,7 +870,15 @@ object VectorQueries {
   // reproduced in the oracle via literal hyperplanes (v02's rule), so
   // graph edges are cross-engine-gated, recall aside.
   private val graphK = 5
-  private def v14(s: SparkSession, dir: String): DataFrame = {
+  private def v14(s: SparkSession, dir: String): DataFrame =
+    knnGraph(s, dir, graphK)
+
+  /** v14's engine with the neighbor count as a dial — the registered
+    * query pins `graphK`; ProductionDialsSpec re-runs it at the
+    * production k on the 10× fixture to prove the plan shape is
+    * k-independent. */
+  private[graft] def knnGraph(s: SparkSession, dir: String, k: Int)
+      : DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
     val banded = e.select($"vec_id", posexplode(
@@ -880,7 +894,7 @@ object VectorQueries {
       .select($"id_a", $"id_b", VectorOps.cosine($"va", $"vb").as("score"))
     val directed = scored.select($"id_a".as("qid"), $"id_b".as("vec_id"), $"score")
       .union(scored.select($"id_b".as("qid"), $"id_a".as("vec_id"), $"score"))
-    VectorOps.topKPerQuery(directed, graphK)
+    VectorOps.topKPerQuery(directed, k)
       .select($"qid".as("vec_id"), $"rank", $"vec_id".as("nbr"),
         round($"score", 6).as("cosine"))
   }

@@ -20,6 +20,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  // all three engines — propagation, star, and the bounded driver
+  // union-find dispatch — must label the same graph identically;
+  // maxLocalEdges = 0 pins the distributed engine under test, the
+  // default bound exercises the local one
   test("labels equal union-find on a random graph (chains force rounds)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -30,7 +34,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (100L until 140L).map(i => (i, i + 1))
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val got = ConnectedComponents
-      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 60)
+      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 60,
+        maxLocalEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == unionFind(n, edges))
   }
@@ -44,7 +49,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (100L until 140L).map(i => (i, i + 1))
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val got = ConnectedComponents
-      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 15, useStar = true)
+      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 15, useStar = true,
+        maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(n, edges))
+  }
+
+  test("driver union-find dispatch equals union-find on the same random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b } ++
+      (100L until 140L).map(i => (i, i + 1))
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    // default maxLocalEdges ≫ 100 edges → the local engine runs; a
+    // 127-hop chain that needs 12 star rounds is one driver pass here
+    val got = ConnectedComponents
+      .run(nodes, edges.toDF("id_a", "id_b"), maxIter = 1)
       .as[(Long, Long)].collect().toMap
     assert(got == unionFind(n, edges))
   }
@@ -57,11 +79,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // min-propagation moves labels one hop per round: 12 rounds cannot
     // close a 127-hop path...
     intercept[IllegalArgumentException] {
-      ConnectedComponents.run(nodes, chain, maxIter = 12)
+      ConnectedComponents.run(nodes, chain, maxIter = 12, maxLocalEdges = 0L)
     }
     // ...the alternating star algorithm halves tree heights per round
     // and finishes well inside the same budget
-    val got = ConnectedComponents.run(nodes, chain, maxIter = 12, useStar = true)
+    val got = ConnectedComponents.run(nodes, chain, maxIter = 12,
+      useStar = true, maxLocalEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == (0L until n).map(_ -> 0L).toMap)
   }
@@ -72,10 +95,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // edge (0,5): 0 is not a node — without the endpoint semi-join its
     // smaller id would win the min race and label the {5,6} component
     val edges = Seq((0L, 5L), (5L, 6L)).toDF("id_a", "id_b")
-    for (star <- Seq(false, true)) {
-      val got = ConnectedComponents.run(nodes, edges, useStar = star)
+    // (engine, bound): propagation, star, and the local dispatch all
+    // see the same pre-validated edge set
+    for ((star, bound) <- Seq((false, 0L), (true, 0L), (false, 1L << 20))) {
+      val got = ConnectedComponents.run(nodes, edges, useStar = star,
+        maxLocalEdges = bound)
         .as[(Long, Long)].collect().toMap
-      assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L), s"useStar=$star: $got")
+      assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L),
+        s"useStar=$star bound=$bound: $got")
     }
     // strict mode: the same ghost edge fails loudly instead of being
     // silently dropped (connectivity through a ghost is a data bug for
@@ -111,7 +138,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainNodes = (0L to 10L).toDF("id")
     val e = intercept[IllegalArgumentException] {
-      ConnectedComponents.run(chainNodes, chain, maxIter = 2)
+      ConnectedComponents.run(chainNodes, chain, maxIter = 2,
+        maxLocalEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
