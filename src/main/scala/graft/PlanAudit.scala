@@ -34,13 +34,9 @@ object PlanAudit {
       println(f"${"query"}%-28s scans exch gen bnlj cart sort")
       for (n <- names) {
         try {
-          // q35 materializes eagerly under scoped confs, so its
-          // registered output plan is just the local rows — audit the
-          // real bloom-shaped DAG via its plan hook instead
-          val p = (if (n == "q35_bloom_join")
-              operators.RelationalQueries.q35Plan(spark, sfDir)
-            else SparkEntry.queries(n)(spark, sfDir)
-              .queryExecution.executedPlan).toString
+          // Catalog.auditPlan dispatches eager queries (q35) to their
+          // registered plan hook — the real DAG, not the local rows
+          val p = operators.Catalog.auditPlan(spark, sfDir, n).toString
           def c(pat: String) = p.linesIterator.count(_.contains(pat))
           println(f"$n%-28s ${c("FileScan") + c("Scan graft")}%5d " +
             f"${c("Exchange hashpartitioning")}%4d ${c("Generate")}%3d " +
@@ -53,9 +49,8 @@ object PlanAudit {
     } else for (n <- names) {
       println(s"\n===================== $n =====================")
       try {
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        println(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        // same eager-query dispatch as --summary: print the real DAG
+        println(operators.Catalog.auditPlan(spark, sfDir, n).toString)
       } catch {
         case e: Throwable => println(s"FAILED: ${e.getMessage}")
       }

@@ -279,19 +279,28 @@ object KMeans {
     val pts = points.select(col(idCol).cast("long").as("id"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val first = pts.orderBy(col("id")).limit(1).collect()
+      require(first.nonEmpty,
+        "scalableInit: points frame is empty (or fully filtered) — " +
+          "cannot seed a first candidate")
       val cand = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-      cand += pts.orderBy(col("id")).limit(1).collect()(0)
-        .getAs[scala.collection.Seq[Double]]("v").toArray
+      cand += first(0).getAs[scala.collection.Seq[Double]]("v").toArray
       var r = 1
       while (r <= rounds) {
         val centers = cand.toArray
         val costed = pts.select(col("id"), col("v"),
           (floor(assign(col("v"), centers).getField("dist2") * 1e6 + 0.5)
             / 1e6).as("cost"))
-        val total = costed
+        // a null decimal sum is ANSI-off overflow of DECIMAL(28,6) —
+        // fail with the cause, not an NPE at doubleValue()
+        val totalDec = costed
           .agg(sum(col("cost").cast(
             org.apache.spark.sql.types.DecimalType(28, 6))))
-          .head().getDecimal(0).doubleValue()
+          .head().getDecimal(0)
+        require(totalDec != null,
+          "scalableInit: cost total overflowed DECIMAL(28,6) — " +
+            "scale the input or raise the fold precision")
+        val total = totalDec.doubleValue()
         if (total <= 0.0) {
           r = rounds + 1 // every point sits on a candidate — done
         } else {

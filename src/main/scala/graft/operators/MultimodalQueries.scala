@@ -226,9 +226,13 @@ object MultimodalQueries {
     * the self-join keys on the block hash (ids only), and BOILERPLATE
     * blocks — hash df > `x08MaxDf` medias — are pruned from pairing
     * first (the stopword rule for content blocks), so a block shared
-    * by everything cannot quadratically pair the corpus. Jaccard uses
-    * the full distinct-block set sizes; `common` counts the pruned
-    * shared blocks — the oracle mirrors both exactly. 6dp rounding is
+    * by everything cannot quadratically pair the corpus. The score is
+    * named `pruned_jaccard` because it is NOT block-set Jaccard: the
+    * numerator counts only pruned shared blocks (2 ≤ df ≤ `x08MaxDf`)
+    * while the denominator uses full distinct-block set sizes, so
+    * pairs sharing high-df blocks score below the textbook metric —
+    * deliberate (boilerplate must not certify similarity), and the
+    * oracle mirrors it exactly. 6dp rounding is
     * the floor form (small-integer ratios hit round() half-cases).
     * Production swaps the aligned blocks for x07's CDC chunks (shift-
     * robust) — same plan from the hash column on.
@@ -255,7 +259,7 @@ object MultimodalQueries {
       .filter(col("common") >= 2)
       .select(col("id_a"), col("id_b"), col("common"),
         (floor(col("common") / (col("na") + col("nb") - col("common"))
-          * 1e6 + 0.5) / 1e6).as("jaccard"))
+          * 1e6 + 0.5) / 1e6).as("pruned_jaccard"))
   }
   private val x08Sql =
     s"WITH $blockExSqlCtes,\n" +
@@ -270,7 +274,7 @@ object MultimodalQueries {
          |sz AS (SELECT media_id, COUNT(*) AS n FROM bd GROUP BY 1)
          |SELECT p.id_a, p.id_b, p.common,
          |  floor(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
-         |    * 1e6 + 0.5) / 1e6 AS jaccard
+         |    * 1e6 + 0.5) / 1e6 AS pruned_jaccard
          |FROM pairs p JOIN sz sa ON p.id_a = sa.media_id
          |JOIN sz sb ON p.id_b = sb.media_id
          |WHERE p.common >= 2""".stripMargin

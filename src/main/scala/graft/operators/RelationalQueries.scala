@@ -633,7 +633,7 @@ object RelationalQueries {
     Q("q27_correlated_subquery", q27, Some(q27Sql)),
     Q("q28_salted_agg", q28, Some(q28Sql)),
     Q("q34_salted_join", q34, Some(q34Sql)),
-    Q("q35_bloom_join", q35, Some(q35Sql)),
+    Q("q35_bloom_join", q35, Some(q35Sql), planFn = Some(q35Plan)),
     Q("q30_bucketed_join", q30, Some(q30Sql)),
     Q("q31_approx_stats", q31, Some(GoldenOracles.q31)),
     Q("q26_percentiles", q26, Some(q26Sql)),

@@ -340,7 +340,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
   }
 
   test("q35 injects a runtime bloom filter on the fact side") {
-    val p = RelationalQueries.q35Plan(spark, TestSpark.sf0001).toString
+    // via the Catalog plan hook — the path every plan consumer takes
+    val p = Catalog.auditPlan(spark, TestSpark.sf0001, "q35_bloom_join")
+      .toString
     assert(p.toLowerCase.contains("bloomfilter") ||
       p.toLowerCase.contains("might_contain"),
       s"no runtime bloom filter in the plan:\n$p")
