@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object MlQueries {
 
-  private val k = 8
+  private[operators] val k = 8
 
   private def embeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -89,7 +89,7 @@ object MlQueries {
   // means agree exactly at every step (same index-order distance
   // folds, same lowest-cid tiebreak, same empty-cluster-keeps-old
   // rule via the LEFT JOIN COALESCE).
-  private val m03Iters = 5
+  private[operators] val m03Iters = 5
   private def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
@@ -101,7 +101,7 @@ object MlQueries {
     } yield (cid.toLong, dim.toLong, x)
     s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "mean")
   }
-  private val m03Sql = {
+  private[operators] val m03Sql = {
     val d2 = VectorOps.sqdistSql("e.v", "c.cv")
     val steps = (1 to m03Iters).map { i =>
       val p = i - 1

@@ -167,7 +167,7 @@ object StreamingQueries {
     runStream(s, dir, { raw =>
       StreamingOps.sessionize(
         raw.select($"user_id", $"ts").as[StreamingOps.TEvt],
-        lateness = "0 seconds").toDF
+        lateness = "0 seconds").toDF()
     }, mode = "append")
       .select($"user_id", $"session_id", $"startMicros".as("start_us"),
         $"endMicros".as("end_us"), $"n_events")
@@ -362,6 +362,45 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
+  // The §2.8 north-star extension: iterative ML driven by a stream.
+  // Centroids are DRIVER state (k×d doubles — the same scalars-only
+  // driver role the batch loop has); each micro-batch refines them
+  // with `m03Iters` fixed-point Lloyd steps over the batch via
+  // foreachBatch — the mini-batch K-Means update rule, seeded from the
+  // first batch's lowest ids. State across batches is the centroid
+  // array itself, not a state store: k-means state is k×d, not O(rows),
+  // so foreachBatch + driver array is the production shape (a restart
+  // would persist it in the checkpoint dir alongside the offsets).
+  // On the single-batch fixture (one file, AvailableNow — the suite's
+  // single-batch contract) the refinement IS batch m03 exactly, so the
+  // oracle is m03's unrolled-CTE SQL: the streamed path must reproduce
+  // the batch K-Means trajectory bit-for-bit.
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // schema from the batch footer: the file stream source needs it
+    // declared, and hand-writing it would drift if the fixture changes
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val model = new StreamingOps.StreamingKMeansModel(null)
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = StreamingOps.kmeansRefineStream(raw, model,
+        idCol = "vec_id", seedK = MlQueries.k, iters = MlQueries.m03Iters)
+      q.awaitTermination()
+    }
+    require(model.centroids != null, "streaming K-Means saw no data")
+    val rows = for {
+      (c, cid) <- model.centroids.zipWithIndex.toSeq
+      (x, dim) <- c.zipWithIndex
+    } yield (cid.toLong, dim.toLong, x)
+    s.createDataFrame(rows).toDF("cid", "dim", "mean")
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -373,5 +412,6 @@ object StreamingQueries {
     Q("s08_stream_mixture", s08, Some(TextQueries.d26Sql)),
     Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)),
     Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)),
-    Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)))
+    Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)),
+    Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)))
 }

@@ -189,4 +189,31 @@ object StreamingOps {
         }
       }
       .start()
+
+  /** The full-refinement sibling of `kmeansStream`: each micro-batch
+    * runs `iters` fixed-point Lloyd steps (snap6 after every step —
+    * the m03 trajectory discipline) from the current centroids, and
+    * the model adopts the result outright (decay = 1 at the
+    * trajectory level). Seeds from the batch's `idCol`-lowest rows
+    * when the model starts empty (`centroids == null`), so the first
+    * arrival defines the deterministic init exactly as the batch loop
+    * does. On a single-batch bounded input this IS batch
+    * `KMeans.fit` — the equivalence s12's oracle gates. `points` needs
+    * (`idCol`, v). */
+  def kmeansRefineStream(points: DataFrame, model: StreamingKMeansModel,
+      idCol: String, seedK: Int, iters: Int): StreamingQuery =
+    points.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val init =
+            if (model.centroids != null) model.centroids
+            else KMeans.initFromLowestIds(batch, idCol, seedK)
+          model.centroids = KMeans.fit(batch, init, maxIter = iters,
+            postStep = _.map(_.map(KMeans.snap6))).centroids
+          model.batches += 1L
+        }
+      }
+      .start()
 }

@@ -169,6 +169,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows("s10_stream_incremental_dedup") == rows("d34_incremental_dedup"))
   }
 
+  test("s12 streamed K-Means equals the batch m03 loop on sf0.001") {
+    import graft.operators.Catalog
+    def rows(name: String) = Catalog.queries(name)(spark, TestSpark.sf0001)
+      .select($"cid", $"dim", $"mean")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows("s12_stream_kmeans") == rows("m03_kmeans_loop"))
+  }
+
+  test("kmeansRefineStream seeds from the first batch and refines per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    val b1 = Seq((0L, Array(0.0, 0.0)), (1L, Array(4.0, 4.0)),
+      (2L, Array(0.2, 0.0)), (3L, Array(4.2, 4.0)))
+    val b2 = Seq((10L, Array(0.4, 0.2)), (11L, Array(4.4, 4.2)),
+      (12L, Array(0.6, 0.2)), (13L, Array(4.6, 4.2)))
+    val model = new StreamingOps.StreamingKMeansModel(null)
+    mem.addData(b1: _*)
+    val pts = mem.toDF().toDF("vec_id", "v")
+    val q1 = StreamingOps.kmeansRefineStream(pts, model,
+      idCol = "vec_id", seedK = 2, iters = 3)
+    q1.awaitTermination()
+    assert(model.batches == 1L)
+    // batch 1: seeds (0,0)/(4,4) from lowest ids, converges to the
+    // two cluster means
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      Seq(Seq(0.1, 0.0), Seq(4.1, 4.0)))
+    mem.addData(b2: _*)
+    // AvailableNow terminates per call; a second start (no checkpoint,
+    // so the MemoryStream replays everything) REFINES the carried
+    // centroids over the union rather than reseeding from lowest ids —
+    // the refined means are the 8-point cluster means, which seeding
+    // from scratch would also reach here, so the carried-state proof is
+    // `batches` advancing without a reseed plus the exact means
+    val q2 = StreamingOps.kmeansRefineStream(pts, model,
+      idCol = "vec_id", seedK = 2, iters = 3)
+    q2.awaitTermination()
+    assert(model.batches == 2L)
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      Seq(Seq(0.3, 0.1), Seq(4.3, 4.1)))
+  }
+
   test("runningStats (update mode) converges to the batch statistics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
