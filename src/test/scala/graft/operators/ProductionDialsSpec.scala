@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle gates run operators at oracle-friendly dials (w = 4
+  * token chunks, graphK = 5) on the gate fixture; production runs them
+  * at the published dials on far more data. These cases re-run the
+  * engines at the production dials on the 10× fixture and pin that the
+  * PLAN SHAPE is dial-independent: the same shuffle keys, id-only
+  * exchanges, no window-over-corpus — so cranking a dial can never
+  * quietly change the scale class of the operator (VERDICT r9 item 5).
+  */
+class ProductionDialsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf01 = "/root/testdata/sf0.1"
+
+  /** Run `body` with AQE off: exchanges only appear in the pre-AQE
+    * executedPlan (the existing PlanDisciplineSpec discipline). */
+  private def noAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Hash-shuffle key column-name signature of a plan (set of sorted
+    * key-name lists, expr-ids stripped) — "no new exchange types"
+    * compares these across dials. */
+  private def shuffleSig(df: DataFrame): Set[Seq[String]] =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            hp.expressions.map(_.references.map(_.name).toSeq.sorted.mkString(","))
+              .sorted.toSeq
+          case other => Seq(other.getClass.getSimpleName)
+        }
+    }.toSet
+
+  test("d25/d27 chunk dedup at the production window (w≈50) keeps the w=4 plan shape") {
+    val docs = Tables(spark, sf01, "documents")
+    val prod = graft.text.TextOps.chunkDedup(docs, "doc_id", "text", 50)
+    noAqe {
+      val gate = graft.text.TextOps.chunkDedup(docs, "doc_id", "text", 4)
+      assert(shuffleSig(prod) == shuffleSig(gate),
+        s"w=50 changed the shuffle keys: ${shuffleSig(prod)} vs ${shuffleSig(gate)}")
+      val p = prod.queryExecution.executedPlan.toString
+      assert(p.contains("hashpartitioning(chunk"), s"no chunk-key shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"all-pairs stage at w=50:\n$p")
+    }
+    // and the apply form, executed: w=50 on real text yields few
+    // duplicate windows (Lee et al.'s regime) but must stay consistent
+    val out = prod.collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks")))
+    val applied = graft.text.TextOps.chunkDedupApply(docs, "doc_id", "text", 50)
+    noAqe {
+      val ap = applied.queryExecution.executedPlan.toString
+      assert(!ap.contains("rangepartitioning"),
+        s"apply form grew a global sort at w=50:\n$ap")
+    }
+    assert(applied.count() > 0)
+  }
+
+  test("v14 kNN graph at production k=10 on sf0.1 keeps id-only exchanges") {
+    val prod = VectorQueries.knnGraph(spark, sf01, 10)
+    noAqe {
+      val gate = VectorQueries.knnGraph(spark, sf01, 5)
+      assert(shuffleSig(prod) == shuffleSig(gate),
+        s"k=10 changed the shuffle keys: ${shuffleSig(prod)} vs ${shuffleSig(gate)}")
+      // the v04 discipline at the production dial: no shuffle carries a
+      // vector column, and per-vector top-k is the bounded-heap agg,
+      // not a window over the corpus
+      val shuffles = prod.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.typeName.startsWith("array")),
+          s"exchange carries an array column at k=10: ${e.output}")
+      }
+      assert(!prod.queryExecution.executedPlan.toString.contains("Window"),
+        "per-vector top-k planned as a window at k=10")
+    }
+    val byVec = prod.groupBy("vec_id").count().collect()
+    assert(byVec.nonEmpty && byVec.forall(_.getAs[Long]("count") <= 10))
+  }
+
+  test("CC cluster-size count partial-aggregates before the label exchange (skew pin)") {
+    // d14/d21/v10 all count cluster sizes with groupBy(label).count —
+    // hash-agg partials upstream of the exchange keep a giant dup
+    // cluster from serializing through one task. A rewrite to
+    // count().over(Window.partitionBy(label)) would pass the oracle
+    // and break at scale; pin the partial-agg shape for all three.
+    for (name <- Seq("d14_dedup_clusters", "d21_dedup_clusters_star",
+        "v10_semantic_dedup")) {
+      val p = Catalog.auditPlan(spark, graft.TestSpark.sf0001, name).toString
+      assert(!p.contains("Window"),
+        s"$name: cluster-size count planned as a window:\n$p")
+      assert("HashAggregate\\(keys=\\[label[#\\d]*L?\\], functions=\\[partial_count"
+        .r.findFirstIn(p).isDefined,
+        s"$name: no partial_count before the label exchange:\n$p")
+    }
+  }
+}
