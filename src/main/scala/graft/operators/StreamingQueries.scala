@@ -362,6 +362,28 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s13: quality-classifier filtering on arrival ----
+  // d38's hashing-trick scorer is stateless (one projection, no
+  // explode), so it lifts onto the document stream unchanged — the
+  // filter-on-arrival form of quality curation (append mode, no state
+  // stores, no watermark; the s08/s11 pattern). Gated by d38's batch
+  // oracle exactly: the streamed verdicts must reproduce the batch
+  // classifier bit-for-bit.
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.qualityClassify(raw).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -413,5 +435,6 @@ object StreamingQueries {
     Q("s09_stream_lsh_pairs", s09, Some(TextQueries.d10Sql)),
     Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)),
     Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)),
-    Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)))
+    Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)),
+    Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)))
 }

@@ -1453,25 +1453,13 @@ object TextQueries {
   // one source's quality profile off the pruned scan; the oracle is
   // plain SQL over the unpartitioned table, so the write → prune →
   // scan roundtrip is hash-gated end to end.
-  private val corpusLakeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  // per-key slot locking + stale-session dir GC — see DiskLayoutCache
+  private val corpusLake = new DiskLayoutCache("graft_corpus")
 
-  // synchronized: TrieMap.getOrElseUpdate may run the thunk in two
-  // racing threads, and two concurrent overwrite-writes to the same
-  // lake path corrupt each other's in-flight files
   private[operators] def corpusLakePath(s: SparkSession, dir: String)
-      : String = corpusLakeCache.synchronized {
-    corpusLakeCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(corpusLakeCache.remove)
-    corpusLakeCache.getOrElseUpdate((s, dir), {
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = s"$wh/graft_corpus_$md"
-      Tables(s, dir, "documents")
-        .write.mode("overwrite").partitionBy("source").parquet(path)
-      path
-    })
+      : String = corpusLake.getOrBuild(s, dir) { path =>
+    Tables(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("source").parquet(path)
   }
 
   private[operators] def d35Probe(s: SparkSession, dir: String,
@@ -1603,6 +1591,84 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM sigs s JOIN k USING (sig)""".stripMargin
 
+  // ---- d38: hashed-n-gram linear quality classifier ----
+  // The fastText/CCNet-shaped quality FILTER production pipelines run
+  // (a linear model over hashed bag-of-n-gram features — the hashing
+  // trick): every document's unigrams + bigrams hash into `qcBuckets`
+  // weight slots and the document's score is the mean bucket weight,
+  // thresholded into the keep/drop verdict. A shipped model is just a
+  // different weight table; here weights are md5-derived constants of
+  // the bucket id, so the WHOLE scoring path — tokenize, gram, hash,
+  // look up, reduce, threshold — is cross-engine checkable.
+  //
+  // Scale shape: ONE codegen'd projection, ZERO shuffles (the gram
+  // walk is a HOF aggregate over the token array — no explode, no
+  // gram-key exchange; PlanDisciplineSpec pins Exchange-free). That is
+  // the property that matters at 100 TB: classifier scoring is a
+  // map-only pass a scan can pipeline, unlike the gram-key shuffles
+  // the dedup/novelty queries genuinely need.
+  //
+  // Exactness: each bucket weight is k/2^24 − 0.5 (k a 24-bit md5
+  // slice) — a dyadic double at grain 2^-24 — so gram-weight sums of
+  // any realistic length are EXACT in IEEE double regardless of
+  // association order (≤ 2^29 terms before the grain can round), and
+  // Spark's index-order fold equals DuckDB's unnest+SUM bit-for-bit
+  // with no decimal-fold scaffolding. The one inexact op is the final
+  // mean (a single division, identical operands both engines), snapped
+  // floor-form; the keep flag compares the SNAPPED value so the
+  // threshold can't straddle a ulp.
+  private val qcBuckets = 4096
+
+  /** The classifier transform itself — stateless column ops only, so
+    * the same expression tree runs over a batch scan or a document
+    * readStream (s13, the d36/s11 pattern). Input needs
+    * (doc_id, text). */
+  private[operators] def qualityClassify(docs: DataFrame): DataFrame = {
+    val bucketOf = (g: String) =>
+      s"pmod(cast(conv(substring(md5(cast($g as binary)), 1, 6), 16, 10) " +
+        s"as long), $qcBuckets)"
+    val weightOf = (g: String) =>
+      s"(cast(conv(substring(md5(cast(concat('qw:', cast(${bucketOf(g)} " +
+        "as string)) as binary)), 1, 6), 16, 10) as double) / 16777216.0 - 0.5)"
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("grams", expr(
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1])) " +
+          "ELSE cast(array() as array<string>) END)"))
+      .withColumn("wsum", expr(
+        s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        (floor(col("wsum") / size(col("grams")) * 1e6 + 0.5) / 1e6).as("qscore"))
+      .withColumn("keep", (col("qscore") >= 0.0).cast("long"))
+  }
+
+  private def d38(s: SparkSession, dir: String): DataFrame =
+    qualityClassify(Tables(s, dir, "documents"))
+  private[operators] val d38Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT doc_id, list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS grams FROM t),
+       |x AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gr FROM g),
+       |ws AS (SELECT doc_id, n_grams,
+       |    SUM(CAST('0x' || substr(md5('qw:' || CAST(
+       |          CAST('0x' || substr(md5(gr), 1, 6) AS INT) % $qcBuckets
+       |        AS VARCHAR)), 1, 6) AS INT) / 16777216.0e0 - 0.5e0) AS s
+       |  FROM x GROUP BY doc_id, n_grams),
+       |q AS (SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |    floor(s / n_grams * 1e6 + 0.5) / 1e6 AS qscore
+       |  FROM ws)
+       |SELECT doc_id, n_grams, qscore,
+       |  CAST(CASE WHEN qscore >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM q""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1640,5 +1706,6 @@ object TextQueries {
     Q("d34_incremental_dedup", d34, Some(d34Sql)),
     Q("d35_partitioned_corpus", d35, Some(d35Sql)),
     Q("d36_context_chunks", d36, Some(d36Sql)),
-    Q("d37_leakage_safe_split", d37, Some(d37Sql)))
+    Q("d37_leakage_safe_split", d37, Some(d37Sql)),
+    Q("d38_quality_classifier", d38, Some(d38Sql)))
 }

@@ -310,28 +310,13 @@ object VectorQueries {
   // brute-force top-k and the row is DuckDB-oracle-checked end to end
   // (layout, probe plumbing, scoring); the pruned nprobe=2 path and its
   // PartitionFilters are asserted in PlanDisciplineSpec/VectorQueriesSpec.
-  private val ivfDiskCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  // per-key slot locking + stale-session dir GC — see DiskLayoutCache
+  private val ivfDisk = new DiskLayoutCache("graft_ivf")
 
-  // synchronized: two racing first callers would both run the
-  // overwrite-write to the same layout path (TrieMap.getOrElseUpdate
-  // only putIfAbsent's the RESULT, it does not serialize the thunk)
   private[operators] def ivfDiskPath(s: SparkSession, dir: String)
-      : String = ivfDiskCache.synchronized {
-    ivfDiskCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(ivfDiskCache.remove)
-    ivfDiskCache.getOrElseUpdate((s, dir), {
-      val (_, _, assigned) = ivfIndex(s, dir)
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      // full-strength content hash of the dataset path: a 32-bit
-      // hashCode could collide across datasets sharing a warehouse and
-      // silently serve one dataset's layout for another
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = s"$wh/graft_ivf_$md"
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+      : String = ivfDisk.getOrBuild(s, dir) { path =>
+    val (_, _, assigned) = ivfIndex(s, dir)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   /** Probe the disk layout with an arbitrary nprobe (test hook for the
@@ -681,23 +666,13 @@ object VectorQueries {
   // identical to v09's (same dials, deterministic pipeline), so the
   // same pinned golden gates the write → partition-prune → scan → ADC
   // → rerank roundtrip end to end.
-  private val ivfPqDiskCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  // per-key slot locking + stale-session dir GC — see DiskLayoutCache
+  private val ivfPqDisk = new DiskLayoutCache("graft_ivfpq")
 
-  // synchronized for the same write-race reason as ivfDiskPath
   private[graft] def ivfPqDiskPath(s: SparkSession, dir: String)
-      : String = ivfPqDiskCache.synchronized {
-    ivfPqDiskCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(ivfPqDiskCache.remove)
-    ivfPqDiskCache.getOrElseUpdate((s, dir), {
-      val (_, _, _, coded) = ivfPqIndex(s, dir)
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = s"$wh/graft_ivfpq_$md"
-      coded.write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+      : String = ivfPqDisk.getOrBuild(s, dir) { path =>
+    val (_, _, _, coded) = ivfPqIndex(s, dir)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   private[graft] def ivfPqDiskSearch(s: SparkSession, dir: String,

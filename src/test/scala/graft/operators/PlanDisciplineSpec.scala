@@ -51,6 +51,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment should not shuffle:\n$p")
   }
 
+  test("d38 quality classifier scores in one projection: no Exchange, no Generate") {
+    // the hashing-trick scorer's scale contract: gram walk as a HOF
+    // aggregate over the token array — a map-only pass a scan can
+    // pipeline. An explode+groupBy rewrite would pass the oracle and
+    // put a gram-key shuffle on every scored corpus.
+    val p = plan("d38_quality_classifier")
+    assert(!p.contains("Exchange"), s"classifier scoring shuffles:\n$p")
+    assert(!p.contains("Generate"), s"classifier scoring explodes:\n$p")
+  }
+
   test("v04/d06 LSH band exchanges ship ids only, never vectors/signatures") {
     // the scale contract of the banded designs: the only shuffles keyed
     // on (band, bucket/code) carry ids — vector/signature arrays are
