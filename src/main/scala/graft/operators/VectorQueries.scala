@@ -932,6 +932,75 @@ object VectorQueries {
        |FROM r WHERE orn <= $outlierN""".stripMargin
   }
 
+  // ---- v16: matryoshka truncation recall ----
+  // The dimension/quality dial modern embedding pipelines ship with
+  // (Matryoshka Representation Learning, Kusupati et al. 2022): search
+  // on the first n components of the stored vector — n·cost of the
+  // 64-dim scan for the candidate pass — and measure what recall@k
+  // survives each truncation against the full-dim exact answer. The
+  // v13 measurement discipline applied to the truncation ladder:
+  // truncated search, exact ground truth, and the overlap count are
+  // ALL cross-engine (truncated cosine = the same index-order fold
+  // over the first n components both sides), so the whole cost/recall
+  // curve is hash-gated. Scale shape is v01's: broadcast query set,
+  // one corpus scan per rung (a production run fuses the rungs into
+  // one pass; the per-rung form keeps each rung's plan auditable),
+  // bounded-heap top-k. hits/k snaps floor-form (v13's rule).
+  private val mrlDims = Seq(8, 16, 32)
+  private def v16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val exact = v01(s, dir).select($"qid", $"vec_id")
+    val truncated = mrlDims.map { n =>
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          VectorOps.cosine(slice($"v", 1, n), slice($"qv", 1, n)).as("score"))
+      VectorOps.topKPerQuery(scored, topK)
+        .select(lit(n.toLong).as("trunc_dim"), $"qid", $"vec_id",
+          lit(1L).as("hit"))
+    }.reduce(_ unionAll _)
+    val exDims = mrlDims.map(n =>
+      exact.select(lit(n.toLong).as("trunc_dim"), $"qid", $"vec_id"))
+      .reduce(_ unionAll _)
+    exDims.join(truncated, Seq("trunc_dim", "qid", "vec_id"), "left")
+      .groupBy($"trunc_dim", $"qid")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"trunc_dim", $"qid", $"k", $"hits",
+        (floor($"hits" / $"k" * 1e6 + 0.5) / 1e6).as("recall"))
+  }
+  // composed from v01Sql as a derived table (the v13 rule) plus one
+  // truncated-search CTE chain per rung; plain + concatenation
+  // (stripMargin over interpolated multi-line SQL eats leading pipes)
+  private lazy val v16Sql = {
+    val per = mrlDims.map { n =>
+      val cos = VectorOps.cosineSqlN("e.embedding", "q.qv", n)
+      s"d$n AS (SELECT q.qid, e.vec_id, $cos AS score\n" +
+        s"  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),\n" +
+        s"r$n AS (SELECT *, row_number() OVER (PARTITION BY qid\n" +
+        s"  ORDER BY score DESC, vec_id) AS rn FROM d$n),\n" +
+        s"t$n AS (SELECT CAST($n AS BIGINT) AS trunc_dim, qid, vec_id\n" +
+        s"  FROM r$n WHERE rn <= $topK)"
+    }.mkString(",\n")
+    val unions = mrlDims.map(n => s"SELECT * FROM t$n").mkString(" UNION ALL ")
+    val exD = mrlDims.map(n =>
+      s"SELECT CAST($n AS BIGINT) AS trunc_dim, qid, vec_id FROM ex")
+      .mkString(" UNION ALL ")
+    s"WITH q AS (SELECT vec_id AS qid, embedding AS qv\n" +
+      s"  FROM embeddings WHERE vec_id < $nQueries),\n" +
+      s"ex AS (SELECT qid, vec_id FROM (\n$v01Sql\n) e1),\n" +
+      per + ",\n" +
+      s"tr AS ($unions),\nexd AS ($exD)\n" +
+      s"SELECT exd.trunc_dim, exd.qid, CAST(COUNT(*) AS BIGINT) AS k,\n" +
+      s"  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,\n" +
+      s"  floor(CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)\n" +
+      s"    / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall\n" +
+      s"FROM exd LEFT JOIN tr ON tr.trunc_dim = exd.trunc_dim\n" +
+      s"  AND tr.qid = exd.qid AND tr.vec_id = exd.vec_id\n" +
+      s"GROUP BY 1, 2"
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -947,5 +1016,6 @@ object VectorQueries {
     Q("v12_label_purity", v12, Some(v12Sql)),
     Q("v13_ann_recall", v13, Some(v13Sql)),
     Q("v14_knn_graph", v14, Some(v14Sql)),
-    Q("v15_outlier_prune", v15, Some(v15Sql)))
+    Q("v15_outlier_prune", v15, Some(v15Sql)),
+    Q("v16_matryoshka_recall", v16, Some(v16Sql)))
 }

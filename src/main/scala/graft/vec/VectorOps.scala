@@ -57,6 +57,17 @@ object VectorOps {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** `dotSql` over the first `n` components only (the matryoshka
+    * truncation fold — identical index order/precision to a Spark
+    * fold over `slice(a, 1, n)`). */
+  def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (s, v) -> s + v)"
+
+  /** DuckDB SQL for cosine over the first `n` components. */
+  def cosineSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)})))"
+
   // ---- random-hyperplane LSH (sign of projection; SRP/Charikar) ----
 
   /** Deterministic Gaussian hyperplanes: `planes` rows × `dim` cols. */
