@@ -932,6 +932,76 @@ object VectorQueries {
        |FROM r WHERE orn <= $outlierN""".stripMargin
   }
 
+  // ---- v17: hard-negative mining (cross-label near neighbors) ----
+  // Contrastive-training data prep (DPR/Contriever-style retrievers):
+  // for every vector, its `negK` most-similar vectors carrying a
+  // DIFFERENT label — close in embedding space, wrong by supervision —
+  // the hard negatives an in-batch-negatives trainer is starved of.
+  // The engine is v14's banded kNN (id-only band self-join, vectors
+  // joined back once per surviving pair) with the label carried
+  // through the candidate join and MISMATCH filtered BEFORE scoring —
+  // same-label pairs never reach the cosine, so at production scale
+  // the dominant same-class candidate mass costs a predicate, not a
+  // 64-dim fold. Labels ride the (id, label) projections, not the
+  // band explosion, so exchanges stay narrow. Cross-engine: banding
+  // via literal hyperplanes (v02's rule), per-vector top-k on the
+  // bounded heap, lowest-id tiebreak — the whole mining pass is
+  // hash-gated, not sampled.
+  private val negK = 5
+  private def v17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val el = Tables(s, dir, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"), $"label")
+    val banded = el.select($"vec_id", posexplode(
+        VectorOps.bandCodes($"v", planes, 8)).as(Seq("band", "code")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
+        $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("id_a"), $"y.vec_id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val scored = pairs
+      .join(el.select($"vec_id".as("id_a"), $"v".as("va"),
+        $"label".as("la")), "id_a")
+      .join(el.select($"vec_id".as("id_b"), $"v".as("vb"),
+        $"label".as("lb")), "id_b")
+      .filter($"la" =!= $"lb")
+      .select($"id_a", $"id_b", $"la", $"lb",
+        VectorOps.cosine($"va", $"vb").as("score"))
+    val directed = scored
+      .select($"id_a".as("qid"), $"id_b".as("vec_id"), $"score")
+      .union(scored.select($"id_b".as("qid"), $"id_a".as("vec_id"), $"score"))
+    VectorOps.topKPerQuery(directed, negK)
+      .join(el.select($"vec_id", $"label".as("neg_label")), "vec_id")
+      .select($"qid".as("vec_id"), $"rank", $"vec_id".as("neg_id"),
+        $"neg_label", round($"score", 6).as("cosine"))
+  }
+  private lazy val v17Sql = {
+    val cos = VectorOps.cosineSql("va.v", "vb.v")
+    s"""WITH ${lshCodesSql(planes, 8)},
+       |  lab AS (SELECT vec_id, label FROM embeddings),
+       |  pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |            FROM codes a JOIN codes b
+       |              ON a.band = b.band AND a.code = b.code
+       |             AND a.vec_id < b.vec_id),
+       |  scored AS (SELECT p.id_a, p.id_b, $cos AS score
+       |             FROM pairs p
+       |             JOIN e va ON va.vec_id = p.id_a
+       |             JOIN e vb ON vb.vec_id = p.id_b
+       |             JOIN lab xa ON xa.vec_id = p.id_a
+       |             JOIN lab xb ON xb.vec_id = p.id_b
+       |             WHERE xa.label <> xb.label),
+       |  directed AS (SELECT id_a AS vid, id_b AS nbr, score FROM scored
+       |               UNION ALL
+       |               SELECT id_b, id_a, score FROM scored),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY vid
+       |          ORDER BY score DESC, nbr) AS rn FROM directed)
+       |SELECT r.vid AS vec_id, CAST(r.rn AS BIGINT) AS rank,
+       |  r.nbr AS neg_id, nl.label AS neg_label,
+       |  round(r.score, 6) AS cosine
+       |FROM r JOIN lab nl ON nl.vec_id = r.nbr
+       |WHERE r.rn <= $negK""".stripMargin
+  }
+
   // ---- v16: matryoshka truncation recall ----
   // The dimension/quality dial modern embedding pipelines ship with
   // (Matryoshka Representation Learning, Kusupati et al. 2022): search
@@ -1017,5 +1087,6 @@ object VectorQueries {
     Q("v13_ann_recall", v13, Some(v13Sql)),
     Q("v14_knn_graph", v14, Some(v14Sql)),
     Q("v15_outlier_prune", v15, Some(v15Sql)),
-    Q("v16_matryoshka_recall", v16, Some(v16Sql)))
+    Q("v16_matryoshka_recall", v16, Some(v16Sql)),
+    Q("v17_hard_negatives", v17, Some(v17Sql)))
 }
