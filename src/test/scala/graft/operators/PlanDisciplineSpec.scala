@@ -70,7 +70,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
       import org.apache.spark.sql.execution.exchange.Exchange
       import org.apache.spark.sql.types.ArrayType
       for (name <- Seq("v04_cosine_dup_lsh", "d06_minhash_lsh",
-          "v14_knn_graph")) {
+          "v14_knn_graph", "v17_hard_negatives")) {
         val plan = Catalog.queries(name)(spark, TestSpark.sf0001)
           .queryExecution.executedPlan
         val bandEx = plan.collect {
