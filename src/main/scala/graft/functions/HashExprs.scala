@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims.{column, expression}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -266,6 +266,47 @@ final case class SignLshExpr(child: Expression, planes: Array[Double],
 }
 
 object VecKernels {
+  /** a·b, left fold in index order — value-identical to the HOF form
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` on equal-length
+    * double arrays (same IEEE op sequence, so the same bits — the
+    * cross-engine-oracle requirement). Fails fast on a length
+    * mismatch, which the HOF chain would instead swallow to NULL:
+    * every caller compares co-schema'd vectors, where a mismatch is a
+    * data bug worth a loud error. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot over mismatched lengths: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** cosine(a, b) = a·b / (√(a·a)·√(b·b)) — the three dots are
+    * separate index-order folds fused into one pass (per-sum order is
+    * unchanged, so every partial is bit-identical to three `dot`
+    * calls), then the identical sqrt/multiply/divide tail as the HOF
+    * rendering and the DuckDB oracle. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine over mismatched lengths: $n vs ${b.numElements()}")
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb))
+  }
+
   /** Nearest-centroid scan (N5+N6): squared-L2 against every centroid
     * (flat row-major k×d matrix), strictly-less update ⇒ lowest cid on
     * ties — value-identical to the HOF
@@ -331,6 +372,53 @@ final case class NearestCentroidExpr(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
+}
+
+/** Shared type check for the binary vector kernels. */
+private[functions] trait VecBinaryExpr extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = ArrayType(org.apache.spark.sql.types.DoubleType)
+    if (Seq(left, right).forall(c => DataType.equalsStructurally(
+        c.dataType, want, ignoreNullability = true)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<double>, array<double>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+}
+
+/** graft_dot(a, b) → double: index-order a·b in one codegen'd loop —
+  * replaces the interpreted `aggregate(zip_with(...))` HOF chain
+  * (which allocates a zipped array per row and stays outside
+  * WholeStageCodegen) on the ANN/dedup scoring hot paths. Value- and
+  * bit-identical to the HOF form (VecExprsSpec). */
+final case class DotExpr(left: Expression, right: Expression)
+    extends VecBinaryExpr {
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotExpr = copy(left = newLeft, right = newRight)
+}
+
+/** graft_cosine(a, b) → double: the three index-order dots fused into
+  * one pass + the identical sqrt/divide tail as the HOF rendering and
+  * the DuckDB oracle. One codegen'd loop per scored pair instead of
+  * three interpreted HOF folds with six array allocations. */
+final case class CosineExpr(left: Expression, right: Expression)
+    extends VecBinaryExpr {
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
 }
 
 object TextKernels {
@@ -410,6 +498,10 @@ object GraftFunctions {
       centroids.head.length))
   def normTokens(text: Column): Column =
     column(NormTokensExpr(expression(text)))
+  def dot(a: Column, b: Column): Column =
+    column(DotExpr(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    column(CosineExpr(expression(a), expression(b)))
   /** Bounded top-k aggregate: k smallest (ns, vid) pairs, ascending. */
   def boundedTopK(ns: Column, vid: Column, k: Int): Column =
     column(BoundedTopKAgg(expression(ns), expression(vid), k)

@@ -18,8 +18,18 @@ object VectorOps {
     * front, so all arithmetic below is pure double). */
   def toDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Σ a_i · b_i, left fold in index order. */
+  /** Σ a_i · b_i, left fold in index order. Native codegen'd kernel
+    * (graft.functions.DotExpr) — bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` (pinned in
+    * VecExprsSpec), which allocated a zipped array per row and ran
+    * interpreted outside WholeStageCodegen on every ANN/dedup scoring
+    * path. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot(a, b)
+
+  /** The pre-native HOF rendering of `dot` — kept as the independent
+    * in-engine oracle the native kernel is spec'd against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
 
   /** Σ (a_i − b_i)², left fold in index order (squared L2 — N5). */
@@ -28,9 +38,18 @@ object VectorOps {
       transform(zip_with(a, b, (x, y) => x - y), d => d * d),
       lit(0.0), (s, v) => s + v)
 
-  /** Cosine similarity a·b / (|a|·|b|). */
+  /** Cosine similarity a·b / (|a|·|b|). Native fused kernel
+    * (graft.functions.CosineExpr): one codegen'd pass computes the
+    * three index-order dots, then the same sqrt/divide tail — bit-
+    * identical to `dotHof`-composed cosine (VecExprsSpec) and to the
+    * DuckDB oracle rendering. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.GraftFunctions.cosine(a, b)
+
+  /** HOF-composed cosine — the independent in-engine oracle for the
+    * fused kernel. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Σ a_i · h_i against a driver-side constant hyperplane. */
   def dotLit(a: Column, h: Array[Double]): Column =
