@@ -1012,31 +1012,49 @@ object VectorQueries {
   // truncated search, exact ground truth, and the overlap count are
   // ALL cross-engine (truncated cosine = the same index-order fold
   // over the first n components both sides), so the whole cost/recall
-  // curve is hash-gated. Scale shape is v01's: broadcast query set,
-  // one corpus scan per rung (a production run fuses the rungs into
-  // one pass; the per-rung form keeps each rung's plan auditable),
-  // bounded-heap top-k. hits/k snaps floor-form (v13's rule).
+  // curve is hash-gated. Scale shape: ONE corpus pass — every rung's
+  // cosine plus the full-dim ground truth are computed in the same
+  // projection over the same broadcast-query join (a per-rung rewrite
+  // would rescan the corpus once per rung), per-(rung, query) top-k
+  // on a composite-keyed bounded heap, and recall is a self-join-free
+  // rollup of the heap output (per-candidate rung-membership flags,
+  // so the corpus lineage is never walked twice). Plan-asserted
+  // single-scan in PlanDisciplineSpec. hits/k snaps floor-form
+  // (v13's rule).
   private val mrlDims = Seq(8, 16, 32)
   private def v16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"))
-    val exact = v01(s, dir).select($"qid", $"vec_id")
-    val truncated = mrlDims.map { n =>
-      val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          VectorOps.cosine(slice($"v", 1, n), slice($"qv", 1, n)).as("score"))
-      VectorOps.topKPerQuery(scored, topK)
-        .select(lit(n.toLong).as("trunc_dim"), $"qid", $"vec_id",
-          lit(1L).as("hit"))
-    }.reduce(_ unionAll _)
-    val exDims = mrlDims.map(n =>
-      exact.select(lit(n.toLong).as("trunc_dim"), $"qid", $"vec_id"))
-      .reduce(_ unionAll _)
-    exDims.join(truncated, Seq("trunc_dim", "qid", "vec_id"), "left")
+    val allDims = mrlDims :+ 64 // 64 = the full-dim ground-truth rung
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", posexplode(array(allDims.map { n =>
+        struct(lit(n.toLong).as("trunc_dim"),
+          (if (n == 64) VectorOps.cosine($"v", $"qv")
+          else VectorOps.cosine(slice($"v", 1, n), slice($"qv", 1, n)))
+            .as("score"))
+      }: _*)).as(Seq("pos", "rs")))
+      .select($"qid", $"vec_id", $"rs.trunc_dim", $"rs.score")
+    // composite heap key (qid x rung): qid*100 + dim, dims <= 64 < 100
+    val top = VectorOps.topKPerQuery(
+        scored.select(($"qid" * 100 + $"trunc_dim").as("qid"),
+          $"vec_id", $"score"), topK)
+      .select(expr("qid div 100").as("qid"),
+        ($"qid" % 100).as("trunc_dim"), $"vec_id")
+    // membership rollup instead of exact-joins-truncated: one row per
+    // exact candidate with the set of rungs that also retrieved it
+    top.groupBy($"qid", $"vec_id")
+      .agg(max(when($"trunc_dim" === 64, 1L).otherwise(0L)).as("in_exact"),
+        collect_set(when($"trunc_dim" =!= 64, $"trunc_dim")).as("in_dims"))
+      .filter($"in_exact" === 1L)
+      .select($"qid",
+        explode(typedLit(mrlDims.map(_.toLong))).as("trunc_dim"),
+        $"in_dims")
+      .select($"trunc_dim", $"qid",
+        array_contains($"in_dims", $"trunc_dim").cast("long").as("hit"))
       .groupBy($"trunc_dim", $"qid")
-      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("hits"))
+      .agg(count(lit(1)).as("k"), sum($"hit").as("hits"))
       .select($"trunc_dim", $"qid", $"k", $"hits",
         (floor($"hits" / $"k" * 1e6 + 0.5) / 1e6).as("recall"))
   }

@@ -61,6 +61,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"classifier scoring explodes:\n$p")
   }
 
+  test("v16 computes all truncation rungs in one corpus pass") {
+    // the MRL ladder's scale contract: 3 rungs + full-dim ground truth
+    // from ONE scored projection — the only FileScans are the corpus
+    // side and the broadcast query side. A per-rung rewrite (one scan
+    // per rung + one for ground truth) would 2.5× the scan bytes.
+    val p = plan("v16_matryoshka_recall")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans <= 2, s"v16 rescans the corpus per rung ($scans scans):\n$p")
+  }
+
   test("v04/d06 LSH band exchanges ship ids only, never vectors/signatures") {
     // the scale contract of the banded designs: the only shuffles keyed
     // on (band, bucket/code) carry ids — vector/signature arrays are
