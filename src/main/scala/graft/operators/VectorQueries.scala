@@ -1089,6 +1089,75 @@ object VectorQueries {
       s"GROUP BY 1, 2"
   }
 
+  // ---- v18: cluster-conditioned corpus profile ----
+  // The audit the SemDeDup/cluster-curation papers run after
+  // clustering: join each embedding's nearest-coarse-centroid cluster
+  // (the N6 argmin over the v12/v15 exemplar seeding) back to the
+  // DOCUMENT's text metadata on the shared id and profile every
+  // (cluster, lang) cell — doc counts, token mass, mean length — the
+  // table that tells a curator which embedding neighborhoods are
+  // language-skewed or boilerplate-heavy before they prune. The one
+  // registered operator that JOINS the text and vector modalities.
+  // Scale shape: the argmin is a shuffle-free projection, the
+  // doc↔vector join is a plain equi-join on the id (both sides
+  // id-partitioned at corpus scale), and the profile is a bounded
+  // (clusters × langs) hash agg with partials. Means are ratios of
+  // exact integers (identical IEEE division both engines), snapped
+  // floor-form.
+  private val profileCells = 8
+  private def v18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cents = KMeans.initFromLowestIds(e, "vec_id", profileCells)
+    val assigned = e.select($"vec_id",
+      KMeans.assign($"v", cents).getField("cid").cast("long").as("cluster"))
+    val docs = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"lang",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"))
+    docs.join(assigned, $"doc_id" === $"vec_id")
+      .groupBy($"cluster", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tok_mass"),
+        sum($"n_chars").as("char_mass"))
+      .select($"cluster", $"lang", $"n_docs", $"tok_mass",
+        (floor($"tok_mass" / $"n_docs" * 1e6 + 0.5) / 1e6).as("mean_tokens"),
+        (floor($"char_mass" / $"n_docs" * 1e6 + 0.5) / 1e6).as("mean_chars"))
+  }
+  private val v18Sql = {
+    val d2 = VectorOps.sqdistSql("e.v", "c.cv")
+    s"""WITH ev AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings),
+       |  c AS (SELECT vec_id AS cid, v AS cv FROM ev
+       |        WHERE vec_id < $profileCells),
+       |  d AS (SELECT e.vec_id, c.cid, $d2 AS dist2
+       |        FROM ev e CROSS JOIN c),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY dist2, cid) AS rn FROM d),
+       |  a AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+       |        FROM r WHERE rn = 1),
+       |  t AS (SELECT doc_id, lang,
+       |      CAST(len(string_split(lower(trim(
+       |        regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+       |        AS n_tokens,
+       |      CAST(length(text) AS BIGINT) AS n_chars
+       |    FROM documents WHERE length(trim(text)) > 0),
+       |  j AS (SELECT a.cluster, t.lang, t.n_tokens, t.n_chars
+       |        FROM t JOIN a ON t.doc_id = a.vec_id),
+       |  g AS (SELECT cluster, lang, COUNT(*) AS n_docs,
+       |      CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
+       |      CAST(SUM(n_chars) AS BIGINT) AS char_mass
+       |    FROM j GROUP BY 1, 2)
+       |SELECT cluster, lang, n_docs, tok_mass,
+       |  floor(CAST(tok_mass AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+       |    AS mean_tokens,
+       |  floor(CAST(char_mass AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+       |    AS mean_chars
+       |FROM g""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1106,5 +1175,6 @@ object VectorQueries {
     Q("v14_knn_graph", v14, Some(v14Sql)),
     Q("v15_outlier_prune", v15, Some(v15Sql)),
     Q("v16_matryoshka_recall", v16, Some(v16Sql)),
-    Q("v17_hard_negatives", v17, Some(v17Sql)))
+    Q("v17_hard_negatives", v17, Some(v17Sql)),
+    Q("v18_cluster_profile", v18, Some(v18Sql)))
 }
