@@ -384,6 +384,33 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s14: importance-scored filtering on arrival ----
+  // d39's DSIR scorer split across the batch/stream boundary the way a
+  // production selector deploys it: the llr feature table is trained
+  // ONCE on the static reference corpus (a bounded <= 4096-row gather
+  // — the s12 seed-centroid / v05 quantizer index-build pattern) and
+  // shipped into the stream as a map literal, so scoring each arriving
+  // document is a STATELESS HOF projection — no explode, no state
+  // store, no watermark (append mode, the s08/s11/s13 pattern). On the
+  // single-batch fixture the reference corpus IS the streamed corpus,
+  // so d39's batch oracle gates the streamed verdicts bit-for-bit
+  // (integer micro-nat sums make the HOF fold order-independent).
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val (llr, dflt) = TextQueries.irLlrCollected(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.importanceScoreStateless(raw, llr, dflt).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -436,5 +463,6 @@ object StreamingQueries {
     Q("s10_stream_incremental_dedup", s10, Some(TextQueries.d34Sql)),
     Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)),
     Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)),
-    Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)))
+    Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)),
+    Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)))
 }

@@ -1619,6 +1619,16 @@ object TextQueries {
   // threshold can't straddle a ulp.
   private val qcBuckets = 4096
 
+  /** Unigram + bigram bag over a `toks` array column — the hashed
+    * feature walk d38 (classifier) and d39 (importance resampling)
+    * share. Gram OCCURRENCES, not distinct grams: both consumers are
+    * bag-of-n-gram models. */
+  private[operators] val uniBigramExpr: String =
+    "concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+      "transform(sequence(0, size(toks) - 2), " +
+      "i -> concat_ws(' ', toks[i], toks[i + 1])) " +
+      "ELSE cast(array() as array<string>) END)"
+
   /** The classifier transform itself — stateless column ops only, so
     * the same expression tree runs over a batch scan or a document
     * readStream (s13, the d36/s11 pattern). Input needs
@@ -1633,11 +1643,7 @@ object TextQueries {
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("grams", expr(
-        "concat(toks, CASE WHEN size(toks) >= 2 THEN " +
-          "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat_ws(' ', toks[i], toks[i + 1])) " +
-          "ELSE cast(array() as array<string>) END)"))
+      .withColumn("grams", expr(uniBigramExpr))
       .withColumn("wsum", expr(
         s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
@@ -1668,6 +1674,220 @@ object TextQueries {
        |SELECT doc_id, n_grams, qscore,
        |  CAST(CASE WHEN qscore >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM q""".stripMargin
+
+  // ---- d39: DSIR-shaped importance resampling ----
+  // The data-selection step production pretraining pipelines run when
+  // a raw crawl must be filtered toward a target domain (Xie et al.,
+  // "Data Selection for Language Models via Importance Resampling"):
+  // estimate hashed bag-of-n-gram feature distributions for the TARGET
+  // slice (here the `lang = 'en'` documents — the high-resource domain
+  // proxy this fixture offers) and for the RAW corpus, weight every
+  // document by the log-likelihood ratio of its features under the two
+  // distributions, and resample with acceptance probability
+  // min(1, weight). Feature space is d38's unigram+bigram walk hashed
+  // into `irBuckets` slots (the hashing trick), add-1 smoothed.
+  //
+  // Scale shape: one gram-explode pass feeds a BOUNDED aggregation
+  // (<= irBuckets rows, partial aggs before the bucket exchange);
+  // totals are a broadcast scalar; the per-doc score joins the gram
+  // stream to the BROADCAST llr table and hash-aggregates on doc_id —
+  // shuffles are keyed by bucket (bounded) and doc_id (the corpus
+  // key), never anything quadratic. At 100 TB the llr table is still
+  // 4096 rows: the stats pass is the only extra corpus scan, and the
+  // scoring join stays broadcast.
+  //
+  // Exactness: the ONE transcendental (ln) is snapped floor-form to
+  // micro-nats at O(1) size — per BUCKET, before any per-doc use (the
+  // d17 idf discipline) — and stored as an exact BIGINT; per-doc
+  // weights are then BIGINT sums (order-independent, HUGEINT-cast on
+  // the DuckDB side). The resampling coin compares exact integers:
+  // ln(u) is snapped to micro-nats per doc and the verdict is
+  // lnu_micro <= min(wsum_micro, 0) — integer <=, so no ulp can
+  // straddle the keep decision at compare time.
+  private val irBuckets = 4096
+  private val irTargetLang = "en"
+
+  /** (doc_id, lang, bucket) gram-occurrence stream — the shared front
+    * of the stats and scoring passes. */
+  private def irGramBuckets(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("grams", expr(uniBigramExpr))
+      .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("lang"), expr(
+        s"pmod(cast(conv(substring(md5(cast(gram as binary)), 1, 6), 16, 10) " +
+          s"as long), $irBuckets)").as("bucket"))
+
+  /** Smoothed micro-nat log-ratio per bucket: the llr table the scorer
+    * broadcasts. Bounded output (<= irBuckets rows). */
+  private def irLlrTable(gramBuckets: DataFrame): DataFrame = {
+    val stats = gramBuckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === irTargetLang, 1L).otherwise(0L)).as("cnt_t"))
+    val tot = stats.agg(sum(col("cnt_r")).as("rr"), sum(col("cnt_t")).as("tt"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(((col("cnt_t") + 1.0) * (col("rr") + irBuckets)) /
+          ((col("cnt_r") + 1.0) * (col("tt") + irBuckets))) * 1e6 + 0.5)
+          .cast("long").as("llr"))
+  }
+
+  /** Per-doc verdict columns from the micro-nat weight sum: logw (the
+    * snapped log importance weight) and the capped rejection-sampling
+    * keep coin. Shared by the join path (d39) and the stateless path
+    * (s14). */
+  private[operators] def irVerdict(scored: DataFrame): DataFrame = {
+    val lnuMicro = floor(log(
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":dsir"))
+        .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) / 16777216.0)
+      * 1e6 + 0.5).cast("long")
+    scored.select(col("doc_id"), col("n_grams"),
+      (col("wsum") / 1e6).as("logw"),
+      (lnuMicro <= least(col("wsum"), lit(0L))).cast("long").as("keep"))
+  }
+
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    val grams = irGramBuckets(Tables(s, dir, "documents"))
+    val scored = grams.join(broadcast(irLlrTable(grams)), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("llr")).as("wsum"))
+    irVerdict(scored)
+  }
+  private[operators] val d39Sql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT doc_id, lang, list_concat(toks,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS grams FROM t),
+       |x AS (SELECT doc_id, lang, unnest(grams) AS gr FROM g),
+       |b AS (SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(gr), 1, 6) AS INT) % $irBuckets AS bucket
+       |  FROM x),
+       |bc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+       |    CAST(SUM(CASE WHEN lang = '$irTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cnt_t
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS rr,
+       |    CAST(SUM(cnt_t) AS BIGINT) AS tt FROM bc),
+       |l AS (SELECT bucket, CAST(floor(ln(
+       |      ((cnt_t + 1.0e0) * (rr + $irBuckets)) /
+       |      ((cnt_r + 1.0e0) * (tt + $irBuckets))) * 1e6 + 0.5)
+       |    AS BIGINT) AS llr
+       |  FROM bc CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(llr) AS BIGINT) AS wsum
+       |  FROM b JOIN l USING (bucket) GROUP BY 1)
+       |SELECT doc_id, n_grams, wsum / 1e6 AS logw,
+       |  CAST(CASE WHEN CAST(floor(ln(
+       |        (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+       |          1, 6) AS INT) + 0.5e0) / 16777216.0e0) * 1e6 + 0.5) AS BIGINT)
+       |      <= least(wsum, 0) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM sc""".stripMargin
+
+  /** The collected llr table + unseen-bucket default — the bounded
+    * (<= irBuckets rows) driver gather the STATELESS scorer needs.
+    * This is the index-build pattern (v05's quantizer, s12's seed
+    * centroids): stats over the static reference corpus are computed
+    * once and shipped as a literal, so scoring becomes a map-only
+    * projection a stream can run on arrival. */
+  private[operators] def irLlrCollected(s: SparkSession, dir: String)
+      : (Map[Long, Long], Long) = {
+    val grams = irGramBuckets(Tables(s, dir, "documents"))
+    val rows = irLlrTable(grams).collect()
+    val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = grams.agg(count(lit(1)).as("rr"),
+      sum(when(col("lang") === irTargetLang, 1L).otherwise(0L)).as("tt"))
+      .head()
+    val (rr, tt) = (tot.getLong(0), tot.getLong(1))
+    val dflt = math.floor(math.log(
+      (1.0 * (rr + irBuckets)) / (1.0 * (tt + irBuckets))) * 1e6 + 0.5).toLong
+    (m, dflt)
+  }
+
+  /** Stateless per-doc importance scorer against a FIXED llr table:
+    * ONE HOF projection — no explode, no shuffle (the d38 discipline),
+    * so it lifts onto a document readStream unchanged (s14). Proven
+    * value-identical to the join form in ImportanceAndDiversitySpec; the
+    * integer micro-nat sum makes the HOF fold order-independent. */
+  private[operators] def importanceScoreStateless(docs: DataFrame,
+      llr: Map[Long, Long], llrDefault: Long): DataFrame = {
+    val m = typedLit(llr)
+    val scored = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("grams", expr(uniBigramExpr))
+      .withColumn("wsum", aggregate(col("grams"), lit(0L),
+        (acc, g) => acc + coalesce(element_at(m,
+          pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
+            .cast("long"), lit(irBuckets.toLong))), lit(llrDefault))))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        col("wsum"))
+    irVerdict(scored)
+  }
+
+  // ---- d40: tokenizer fertility audit per (lang, source) ----
+  // The tokenizer-efficiency dashboard multilingual pretraining runs
+  // before fixing a vocabulary: per (lang, source) cell, how many
+  // subword pieces the tokenizer emits per whitespace word (fertility)
+  // and how many characters each piece carries. The subword proxy is a
+  // fixed-width segmenter — ceil(len/6) pieces per word, a stand-in
+  // for a max-piece-length-6 vocabulary — so fertility rises exactly
+  // where real BPE fertility rises: in cells whose word-length
+  // distribution is long-tailed (compound-heavy languages), which is
+  // the skew the audit exists to surface. (A script-class proxy would
+  // also flag CJK, but this fixture's text is ascii words, where that
+  // signal is vacuous.) Scale shape: one codegen'd projection (the
+  // piece count is a HOF integer fold — exact in any order, no
+  // explode) into a BOUNDED (langs × sources) hash agg with partials —
+  // no joins, no windows. Ratios are divisions of exact integer
+  // masses (identical IEEE division both engines), snapped floor-form.
+  private def d40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"lang", $"source",
+        length($"text").cast("long").as("nc"),
+        TextOps.tokens($"text").as("toks"))
+      .select($"lang", $"source", $"nc",
+        size($"toks").cast("long").as("nw"),
+        expr("aggregate(toks, cast(0 as bigint), " +
+          "(acc, t) -> acc + (length(t) + 5) div 6)").as("ns"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("ws_tokens"),
+        sum($"ns").as("subword_tokens"), sum($"nc").as("char_mass"))
+      .select($"lang", $"source", $"n_docs", $"ws_tokens",
+        $"subword_tokens", $"char_mass",
+        (floor($"subword_tokens" / $"ws_tokens" * 1e6 + 0.5) / 1e6)
+          .as("fertility"),
+        (floor($"char_mass" / $"subword_tokens" * 1e6 + 0.5) / 1e6)
+          .as("chars_per_token"))
+  }
+  private val d40Sql =
+    """WITH tk AS (SELECT lang, source, text,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+      |      AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT lang, source,
+      |    CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(len(toks) AS BIGINT) AS nw,
+      |    CAST(list_reduce(list_transform(toks,
+      |      t -> (length(t) + 5) // 6), (a, b) -> a + b) AS BIGINT) AS ns
+      |  FROM tk),
+      |g AS (SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+      |    CAST(SUM(ns) AS BIGINT) AS subword_tokens,
+      |    CAST(SUM(nc) AS BIGINT) AS char_mass
+      |  FROM t GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, ws_tokens, subword_tokens, char_mass,
+      |  floor(subword_tokens / ws_tokens * 1e6 + 0.5) / 1e6
+      |    AS fertility,
+      |  floor(char_mass / subword_tokens * 1e6 + 0.5) / 1e6
+      |    AS chars_per_token
+      |FROM g""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
@@ -1707,5 +1927,7 @@ object TextQueries {
     Q("d35_partitioned_corpus", d35, Some(d35Sql)),
     Q("d36_context_chunks", d36, Some(d36Sql)),
     Q("d37_leakage_safe_split", d37, Some(d37Sql)),
-    Q("d38_quality_classifier", d38, Some(d38Sql)))
+    Q("d38_quality_classifier", d38, Some(d38Sql)),
+    Q("d39_importance_resample", d39, Some(d39Sql)),
+    Q("d40_token_fertility", d40, Some(d40Sql)))
 }

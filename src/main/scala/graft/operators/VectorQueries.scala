@@ -1158,6 +1158,57 @@ object VectorQueries {
        |FROM g""".stripMargin
   }
 
+  // ---- v19: density-equalized diversity sampling ----
+  // The diversification step embedding-curation pipelines run AFTER
+  // dedup (D4 / SemDeDup-adjacent): dense regions of embedding space
+  // are over-represented crawl content, so sample each region down to
+  // a common budget instead of sampling the corpus uniformly. Region =
+  // sign-LSH cell (4 hyperplanes → 16 cells — the same seeded-plane
+  // machinery v02/v04 gate cross-engine); each vector keeps with
+  // probability min(1, cap / n_cell), so every cell's expected
+  // survivor count is min(n_cell, cap) — dense cells are thinned
+  // hardest and sparse cells pass untouched.
+  //
+  // Scale shape: the cell code is ONE native codegen'd projection
+  // (SignLshExpr — no explode; v19 needs only band 0); cell sizes are
+  // a BOUNDED hash agg (16 rows, partials before the exchange)
+  // broadcast back over the corpus; the verdict is a projection. No
+  // wide shuffle ever carries a vector.
+  //
+  // Exactness: u = (k + 0.5)/2^24 is dyadic (k a 24-bit md5 slice), so
+  // u * n_cell is an EXACT double for any cell below 2^28 vectors and
+  // the keep comparison against the integer cap cannot straddle a ulp.
+  // At larger cells the product is correctly-rounded identically in
+  // both engines (same operands, one IEEE multiply) — still bit-equal.
+  private val divBits = 4
+  private val divCap = 16L
+  private lazy val divPlanes =
+    VectorOps.hyperplanes(divBits, dim = 64, seed = 7L)
+
+  private def v19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val coded = e.select($"vec_id",
+      element_at(VectorOps.bandCodes($"v", divPlanes, divBits), 1)
+        .as("bucket"))
+    val counts = coded.groupBy($"bucket").agg(count(lit(1)).as("n_bucket"))
+    val u = (conv(substring(md5(concat($"vec_id".cast("string"), lit(":div"))
+      .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) / 16777216.0
+    coded.join(broadcast(counts), "bucket")
+      .select($"vec_id", $"bucket", $"n_bucket",
+        (u * $"n_bucket" < divCap).cast("long").as("keep"))
+  }
+  private lazy val v19Sql =
+    s"""WITH ${lshCodesSql(divPlanes, divBits)},
+       |  c AS (SELECT vec_id, CAST(code AS BIGINT) AS bucket FROM codes),
+       |  n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket
+       |        FROM c GROUP BY 1)
+       |SELECT c.vec_id, c.bucket, n.n_bucket,
+       |  CAST(CASE WHEN ((CAST('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)
+       |        || ':div'), 1, 6) AS INT) + 0.5e0) / 16777216.0e0) * n.n_bucket
+       |      < $divCap THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM c JOIN n USING (bucket)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1176,5 +1227,6 @@ object VectorQueries {
     Q("v15_outlier_prune", v15, Some(v15Sql)),
     Q("v16_matryoshka_recall", v16, Some(v16Sql)),
     Q("v17_hard_negatives", v17, Some(v17Sql)),
-    Q("v18_cluster_profile", v18, Some(v18Sql)))
+    Q("v18_cluster_profile", v18, Some(v18Sql)),
+    Q("v19_diversity_sample", v19, Some(v19Sql)))
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the data-selection additions: d39 (DSIR-shaped
+  * importance resampling), its stateless HOF twin (the s14 stream
+  * path), v19 (density-equalized diversity sampling) and d40
+  * (tokenizer fertility audit). The cross-engine gate proves
+  * Spark ≡ DuckDB; these specs prove the operators mean what their
+  * names claim on a corpus with known structure.
+  */
+class ImportanceAndDiversitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("d39 stateless HOF scorer is value-identical to the join-form gate path") {
+    // the contract that lets s14 ship the llr table as a literal: the
+    // no-shuffle scorer must reproduce the distributed join form
+    // bit-for-bit (integer micro-nat sums make both order-independent)
+    val joined = Catalog.queries("d39_importance_resample")(spark, dir)
+    val (llr, dflt) = TextQueries.irLlrCollected(spark, dir)
+    assert(llr.nonEmpty && llr.size <= 4096, s"llr table size ${llr.size}")
+    val stateless = TextQueries.importanceScoreStateless(
+      graft.Tables(spark, dir, "documents"), llr, dflt)
+    assert(joined.exceptAll(stateless).isEmpty, "join-form rows missing from stateless")
+    assert(stateless.exceptAll(joined).isEmpty, "stateless rows missing from join-form")
+  }
+
+  test("d39 weights documents toward the target language") {
+    // the DSIR point: under a lang='en' target distribution, en
+    // documents must carry higher mean log importance weight than
+    // every other language's documents
+    import spark.implicits._
+    val scored = Catalog.queries("d39_importance_resample")(spark, dir)
+    val byLang = scored.join(graft.Tables(spark, dir, "documents"), "doc_id")
+      .groupBy($"lang").agg(org.apache.spark.sql.functions.avg($"logw").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(others.nonEmpty, "fixture lost its non-en languages")
+    assert(others.forall(_ < byLang("en")),
+      s"en mean logw ${byLang("en")} not above $byLang")
+  }
+
+  test("v19 keeps everything in sparse cells and thins dense cells toward the cap") {
+    import spark.implicits._
+    val r = Catalog.queries("v19_diversity_sample")(spark, dir)
+      .groupBy($"bucket", $"n_bucket")
+      .agg(org.apache.spark.sql.functions.sum($"keep").as("kept"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nb, kept, n) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(n == nb, s"cell count column disagrees with group size: $row")
+      // keep prob is min(1, cap/n): sparse cells pass untouched...
+      if (nb <= 16) assert(kept == nb, s"sparse cell thinned: $row")
+      // ...and any decently-dense cell is actually thinned (the coins
+      // are deterministic md5, so this is stable, not flaky: P[no
+      // thinning] < (16/48)^48 if it were random)
+      if (nb >= 3 * 16) assert(kept < nb, s"dense cell not thinned: $row")
+      // expected survivors = cap; deterministic coins keep the
+      // realized count in a generous 4x band around it
+      if (nb > 16) assert(kept <= 4 * 16, s"cell kept far beyond cap: $row")
+    }
+  }
+
+  test("d40 fertility is >= 1 and the audit table is bounded by (lang x source)") {
+    import spark.implicits._
+    val rows = Catalog.queries("d40_token_fertility")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+    val bound = docs.select($"lang").distinct.count() *
+      docs.select($"source").distinct.count()
+    assert(rows.nonEmpty && rows.length <= bound,
+      s"expected <= langs x sources = $bound cells, got ${rows.length}")
+    rows.foreach { r =>
+      val fert = r.getDouble(r.fieldIndex("fertility"))
+      assert(fert >= 1.0, s"fertility below 1 (a word emits >= 1 piece): $r")
+      assert(r.getLong(r.fieldIndex("subword_tokens")) >=
+        r.getLong(r.fieldIndex("ws_tokens")), s"piece mass below word mass: $r")
+    }
+  }
+}

@@ -368,6 +368,46 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"no runtime bloom filter in the plan:\n$p")
   }
 
+  test("d39 scoring joins are broadcast: no sort-merge join, no cartesian") {
+    // the llr table is bounded (<= 4096 rows) and the totals row is a
+    // scalar — both must reach the gram stream as broadcasts; a
+    // sort-merge rewrite would put a full gram-stream sort on every
+    // scored corpus
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d39_importance_resample")
+      assert(p.contains("BroadcastHashJoin"), s"llr join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"sort-merge join in scorer:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in scorer:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d39 stateless scorer is one projection: no Exchange, no Generate") {
+    // the s14 stream path: with the llr table shipped as a literal the
+    // scorer must stay a map-only pass (the d38 discipline) — an
+    // explode+join rewrite would reintroduce the shuffle the split
+    // exists to avoid
+    val (llr, dflt) = TextQueries.irLlrCollected(spark, TestSpark.sf0001)
+    val p = TextQueries.importanceScoreStateless(
+      graft.Tables(spark, TestSpark.sf0001, "documents"), llr, dflt)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stateless scorer shuffles:\n$p")
+    assert(!p.contains("Generate"), s"stateless scorer explodes:\n$p")
+  }
+
+  test("v19 cell-size join is broadcast and the code projection has no explode") {
+    // cell sizes are a bounded (16-row) aggregate: they come back over
+    // the corpus as a broadcast, and the cell code is the native
+    // SignLshExpr projection — no posexplode (v19 uses band 0 only)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("v19_diversity_sample")
+      assert(p.contains("BroadcastHashJoin"), s"cell-size join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"sort-merge join in v19:\n$p")
+      assert(!p.contains("Generate"), s"explode in v19:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only
