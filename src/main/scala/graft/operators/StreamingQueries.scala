@@ -396,13 +396,13 @@ object StreamingQueries {
   // so d39's batch oracle gates the streamed verdicts bit-for-bit
   // (integer micro-nat sums make the HOF fold order-independent).
   private def s14(s: SparkSession, dir: String): DataFrame = {
-    val (llr, dflt) = TextQueries.irLlrCollected(s, dir)
+    val llr = TextQueries.irLlrArray(s, dir)
     val raw = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = TextQueries.importanceScoreStateless(raw, llr, dflt).writeStream
+    val q = TextQueries.importanceScoreStateless(raw, llr).writeStream
       .format("memory").queryName(name)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())

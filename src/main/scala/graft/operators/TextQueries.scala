@@ -1720,11 +1720,18 @@ object TextQueries {
           s"as long), $irBuckets)").as("bucket"))
 
   /** Smoothed micro-nat log-ratio per bucket: the llr table the scorer
-    * broadcasts. Bounded output (<= irBuckets rows). */
+    * broadcasts. Bounded output (<= irBuckets rows). The bucket stats
+    * are persisted (4096 rows — the v05 bounded-memoization
+    * discipline, lazily filled at first action): both the llr
+    * projection and the totals scalar read them, and without the pin
+    * each consumer would re-run the full gram-explode pass over the
+    * corpus (measured: the totals branch alone added a whole corpus
+    * scan to d39 at sf0.1). */
   private def irLlrTable(gramBuckets: DataFrame): DataFrame = {
     val stats = gramBuckets.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt_r"),
         sum(when(col("lang") === irTargetLang, 1L).otherwise(0L)).as("cnt_t"))
+      .persist()
     val tot = stats.agg(sum(col("cnt_r")).as("rr"), sum(col("cnt_t")).as("tt"))
     stats.crossJoin(broadcast(tot))
       .select(col("bucket"),
@@ -1788,42 +1795,54 @@ object TextQueries {
        |      <= least(wsum, 0) THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM sc""".stripMargin
 
-  /** The collected llr table + unseen-bucket default — the bounded
-    * (<= irBuckets rows) driver gather the STATELESS scorer needs.
+  /** The llr table as a DENSE bucket-indexed array — the bounded
+    * (irBuckets longs) driver gather the STATELESS scorer needs.
     * This is the index-build pattern (v05's quantizer, s12's seed
-    * centroids): stats over the static reference corpus are computed
-    * once and shipped as a literal, so scoring becomes a map-only
-    * projection a stream can run on arrival. */
-  private[operators] def irLlrCollected(s: SparkSession, dir: String)
-      : (Map[Long, Long], Long) = {
-    val grams = irGramBuckets(Tables(s, dir, "documents"))
-    val rows = irLlrTable(grams).collect()
-    val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tot = grams.agg(count(lit(1)).as("rr"),
-      sum(when(col("lang") === irTargetLang, 1L).otherwise(0L)).as("tt"))
-      .head()
-    val (rr, tt) = (tot.getLong(0), tot.getLong(1))
-    val dflt = math.floor(math.log(
-      (1.0 * (rr + irBuckets)) / (1.0 * (tt + irBuckets))) * 1e6 + 0.5).toLong
-    (m, dflt)
+    * centroids): ONE stats pass over the static reference corpus,
+    * totals summed driver-side from the bounded bucket rows, unseen
+    * buckets pre-filled with the cnt=0 smoothed ratio. The driver
+    * arithmetic is the same JVM double sequence the distributed llr
+    * projection runs (same Math.log in local mode), and the stateless
+    * ≡ join-form spec plus the s14 oracle gate both pin the equality.
+    */
+  private[operators] def irLlrArray(s: SparkSession, dir: String)
+      : Array[Long] = {
+    val stats = irGramBuckets(Tables(s, dir, "documents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === irTargetLang, 1L).otherwise(0L)).as("cnt_t"))
+      .collect()
+    val rr = stats.map(_.getLong(1)).sum
+    val tt = stats.map(_.getLong(2)).sum
+    def llr(cntR: Long, cntT: Long): Long =
+      math.floor(math.log(((cntT + 1.0) * (rr + irBuckets)) /
+        ((cntR + 1.0) * (tt + irBuckets))) * 1e6 + 0.5).toLong
+    val arr = Array.fill(irBuckets)(llr(0L, 0L))
+    stats.foreach(r => arr(r.getLong(0).toInt) = llr(r.getLong(1), r.getLong(2)))
+    arr
   }
 
   /** Stateless per-doc importance scorer against a FIXED llr table:
     * ONE HOF projection — no explode, no shuffle (the d38 discipline),
-    * so it lifts onto a document readStream unchanged (s14). Proven
-    * value-identical to the join form in ImportanceAndDiversitySpec; the
-    * integer micro-nat sum makes the HOF fold order-independent. */
+    * so it lifts onto a document readStream unchanged (s14). The table
+    * rides as a dense array literal indexed by bucket — element_at on
+    * an ARRAY is O(1) per gram where a map literal would be a linear
+    * scan of all 4096 entries (measured: the map form made s14 the
+    * suite's slowest query). Proven value-identical to the join form
+    * in ImportanceAndDiversitySpec; the integer micro-nat sum makes
+    * the HOF fold order-independent. */
   private[operators] def importanceScoreStateless(docs: DataFrame,
-      llr: Map[Long, Long], llrDefault: Long): DataFrame = {
-    val m = typedLit(llr)
+      llr: Array[Long]): DataFrame = {
+    require(llr.length == irBuckets, s"llr array must cover all $irBuckets buckets")
+    val arr = typedLit(llr)
     val scored = docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
       .withColumn("wsum", aggregate(col("grams"), lit(0L),
-        (acc, g) => acc + coalesce(element_at(m,
-          pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
-            .cast("long"), lit(irBuckets.toLong))), lit(llrDefault))))
+        (acc, g) => acc + element_at(arr,
+          (pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
+            .cast("long"), lit(irBuckets.toLong)) + lit(1L)).cast("int"))))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         col("wsum"))
     irVerdict(scored)
@@ -1889,6 +1908,159 @@ object TextQueries {
       |    AS chars_per_token
       |FROM g""".stripMargin
 
+  // ---- d41: per-source distinctive terms (log-odds ratio) ----
+  // The corpus-comparison table curators read before weighting a
+  // mixture: which words distinguish each source from the rest of the
+  // corpus. The statistic is the "Fightin' Words" z-scored log-odds
+  // ratio (Monroe et al.): per (source, term), the log odds of the
+  // term inside the source minus the log odds in the REST of the
+  // corpus under an add-one Dirichlet prior, normalized by the
+  // estimator's standard error — raw frequency deltas would only
+  // surface stopwords.
+  //
+  // Scale shape: explode → (source, term) hash agg; per-term corpus
+  // totals by a term-key agg joined back ON THE TERM (the d18/d31
+  // gram-key discipline — never all-pairs); per-source totals and the
+  // (n_tot, V) scalar are BOUNDED aggregations that return as
+  // broadcasts. The per-source top-N avoids v15's forbidden shape (a
+  // k-partition window serializing vocab-sized partitions through
+  // |sources| tasks): a salted PRE-PRUNE window first takes the top N
+  // within each (source, term-hash shard) — partitions are vocab/S
+  // sized — and only the surviving N×S rows per source meet the final
+  // bounded window. Global top-N ⊆ union of shard top-Ns, so the
+  // pre-prune is exact; the shard hash never leaves the plan.
+  //
+  // Exactness: the two lns are snapped floor-form to micro-nats per
+  // aggregated (source, term) row and differenced as exact BIGINTs
+  // (the d39 discipline); the variance term is a sum of two correctly-
+  // rounded divisions of exact integers and sqrt is correctly rounded
+  // by IEEE in both engines, so z is bit-identical cross-engine and
+  // the (z DESC, term) ranking cannot diverge. Output z is snapped.
+  private val loTopN = 5
+  private val loShards = 8
+
+  private def d41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+    val st = toks.groupBy($"source", $"term").agg(count(lit(1)).as("k_src"))
+    val tt = st.groupBy($"term").agg(sum($"k_src").as("k_tot"))
+    val ns = st.groupBy($"source").agg(sum($"k_src").as("n_src"))
+    val glob = st.agg(sum($"k_src").as("n_tot"),
+      countDistinct($"term").as("v_terms"))
+    def lnMicro(c: org.apache.spark.sql.Column) =
+      floor(log(c) * 1e6 + 0.5).cast("long")
+    val kR = $"k_tot" - $"k_src"
+    val a1 = ($"k_src" + 1.0) /
+      ($"n_src" + $"v_terms" - $"k_src" - 1.0)
+    val a2 = (kR + 1.0) /
+      ($"n_tot" - $"n_src" + $"v_terms" - kR - 1.0)
+    val variance = lit(1.0) / ($"k_src" + 1.0) + lit(1.0) / (kR + 1.0)
+    val scored = st
+      .join(tt, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(glob))
+      .select($"source", $"term", $"k_src",
+        (((lnMicro(a1) - lnMicro(a2)) / 1e6) / sqrt(variance)).as("zval"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", pmod(hash($"term"), lit(loShards)))
+      .orderBy($"zval".desc, $"term")
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"zval".desc, $"term")
+    scored
+      .withColumn("srn", row_number().over(wShard))
+      .filter($"srn" <= loTopN).drop("srn")
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter($"rank" <= loTopN)
+      .select($"source", $"rank", $"term", $"k_src",
+        (floor($"zval" * 1e6 + 0.5) / 1e6).as("z"))
+  }
+  private val d41Sql =
+    s"""WITH t AS (SELECT source,
+       |    unnest(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS k_src
+       |  FROM t GROUP BY 1, 2),
+       |tt AS (SELECT term, CAST(SUM(k_src) AS BIGINT) AS k_tot
+       |  FROM st GROUP BY 1),
+       |ns AS (SELECT source, CAST(SUM(k_src) AS BIGINT) AS n_src
+       |  FROM st GROUP BY 1),
+       |g AS (SELECT CAST(SUM(k_src) AS BIGINT) AS n_tot,
+       |    CAST(COUNT(DISTINCT term) AS BIGINT) AS v_terms FROM st),
+       |z AS (SELECT st.source, st.term, st.k_src,
+       |    (CAST(floor(ln((st.k_src + 1.0e0) /
+       |        (ns.n_src + g.v_terms - st.k_src - 1.0e0)) * 1e6 + 0.5)
+       |      AS BIGINT)
+       |     - CAST(floor(ln((tt.k_tot - st.k_src + 1.0e0) /
+       |        (g.n_tot - ns.n_src + g.v_terms - (tt.k_tot - st.k_src)
+       |          - 1.0e0)) * 1e6 + 0.5) AS BIGINT)) / 1e6
+       |    / sqrt(1.0e0 / (st.k_src + 1.0e0)
+       |         + 1.0e0 / (tt.k_tot - st.k_src + 1.0e0)) AS zval
+       |  FROM st JOIN tt USING (term) JOIN ns USING (source) CROSS JOIN g),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY zval DESC, term) AS rn FROM z)
+       |SELECT source, CAST(rn AS BIGINT) AS rank, term, k_src,
+       |  floor(zval * 1e6 + 0.5) / 1e6 AS z
+       |FROM r WHERE rn <= $loTopN""".stripMargin
+
+  // ---- d42: dedup-tier agreement audit (exact vs bag-of-words) ----
+  // The comparison a pipeline owner runs before paying for a stronger
+  // dedup tier: per document, does the cheap tier (d01's exact
+  // normalized-text hash) agree with the stronger one (d34's
+  // word-SET signature, which also catches reordered/shuffled copies)?
+  // Docs the bow tier drops but the exact tier keeps are exactly the
+  // reordered near-duplicates the cheaper pipeline would leak into
+  // training — the audit quantifies that mass per doc with both group
+  // sizes attached. Tier lattice: identical text ⇒ identical word set,
+  // so an exact dup is always a bow dup too; classes are 'exact_dup'
+  // (both drop), 'reordered_dup' (only bow drops), 'unique' (both
+  // keep), and the lattice is spec-asserted.
+  //
+  // Scale shape: one scan computes both signatures; each tier is a
+  // sig-key hash agg joined back ON ITS SIG (the d01 discipline —
+  // corpus-keyed shuffles, never all-pairs, no windows).
+  private def d42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        md5(TextOps.normText($"text").cast("binary")).as("esig"),
+        bowSig($"text").as("bsig"))
+    val e = base.groupBy($"esig").agg(min($"doc_id").as("ekeeper"),
+      count(lit(1)).as("exact_copies"))
+    val b = base.groupBy($"bsig").agg(min($"doc_id").as("bkeeper"),
+      count(lit(1)).as("bow_copies"))
+    base.join(e, "esig").join(b, "bsig")
+      .select($"doc_id", $"exact_copies", $"bow_copies",
+        ($"doc_id" === $"ekeeper").cast("long").as("exact_keep"),
+        ($"doc_id" === $"bkeeper").cast("long").as("bow_keep"),
+        when($"doc_id" =!= $"ekeeper", lit("exact_dup"))
+          .when($"doc_id" =!= $"bkeeper", lit("reordered_dup"))
+          .otherwise(lit("unique")).as("tier"))
+  }
+  private val d42Sql =
+    """WITH base AS (SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS esig,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))),
+      |      ' ')) AS bsig
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |e AS (SELECT esig, MIN(doc_id) AS ekeeper,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_copies FROM base GROUP BY 1),
+      |b AS (SELECT bsig, MIN(doc_id) AS bkeeper,
+      |    CAST(COUNT(*) AS BIGINT) AS bow_copies FROM base GROUP BY 1)
+      |SELECT base.doc_id, e.exact_copies, b.bow_copies,
+      |  CAST(CASE WHEN base.doc_id = e.ekeeper THEN 1 ELSE 0 END AS BIGINT)
+      |    AS exact_keep,
+      |  CAST(CASE WHEN base.doc_id = b.bkeeper THEN 1 ELSE 0 END AS BIGINT)
+      |    AS bow_keep,
+      |  CASE WHEN base.doc_id <> e.ekeeper THEN 'exact_dup'
+      |       WHEN base.doc_id <> b.bkeeper THEN 'reordered_dup'
+      |       ELSE 'unique' END AS tier
+      |FROM base JOIN e USING (esig) JOIN b USING (bsig)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -1929,5 +2101,7 @@ object TextQueries {
     Q("d37_leakage_safe_split", d37, Some(d37Sql)),
     Q("d38_quality_classifier", d38, Some(d38Sql)),
     Q("d39_importance_resample", d39, Some(d39Sql)),
-    Q("d40_token_fertility", d40, Some(d40Sql)))
+    Q("d40_token_fertility", d40, Some(d40Sql)),
+    Q("d41_distinctive_terms", d41, Some(d41Sql)),
+    Q("d42_dedup_agreement", d42, Some(d42Sql)))
 }

@@ -19,10 +19,10 @@ class ImportanceAndDiversitySpec extends AnyFunSuite {
     // no-shuffle scorer must reproduce the distributed join form
     // bit-for-bit (integer micro-nat sums make both order-independent)
     val joined = Catalog.queries("d39_importance_resample")(spark, dir)
-    val (llr, dflt) = TextQueries.irLlrCollected(spark, dir)
-    assert(llr.nonEmpty && llr.size <= 4096, s"llr table size ${llr.size}")
+    val llr = TextQueries.irLlrArray(spark, dir)
+    assert(llr.length == 4096, s"llr array size ${llr.length}")
     val stateless = TextQueries.importanceScoreStateless(
-      graft.Tables(spark, dir, "documents"), llr, dflt)
+      graft.Tables(spark, dir, "documents"), llr)
     assert(joined.exceptAll(stateless).isEmpty, "join-form rows missing from stateless")
     assert(stateless.exceptAll(joined).isEmpty, "stateless rows missing from join-form")
   }
@@ -63,6 +63,46 @@ class ImportanceAndDiversitySpec extends AnyFunSuite {
       // realized count in a generous 4x band around it
       if (nb > 16) assert(kept <= 4 * 16, s"cell kept far beyond cap: $row")
     }
+  }
+
+  test("d41 emits exactly topN ranked distinctive terms per source, stopwords excluded by z") {
+    import spark.implicits._
+    val r = Catalog.queries("d41_distinctive_terms")(spark, dir).collect()
+    val bySource = r.groupBy(_.getString(0))
+    val nSources = graft.Tables(spark, dir, "documents")
+      .select($"source").distinct.count()
+    assert(bySource.size == nSources, s"missing sources: ${bySource.size} vs $nSources")
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L),
+        s"$src ranks not 1..5")
+      // z-scored log-odds, not raw frequency: a term this distinctive
+      // must be genuinely over-represented, so z > 0 for every top row
+      rows.foreach(row => assert(row.getDouble(4) > 0.0,
+        s"$src top term has non-positive z: $row"))
+    }
+    // distinctiveness is relative: the same term may top several
+    // sources only if the corpus is degenerate — require some spread
+    assert(r.map(_.getString(2)).distinct.length > nSources / 2,
+      "top terms collapse to a handful of corpus-wide stopwords")
+  }
+
+  test("d42 tier lattice holds: an exact dup is always a bow dup; disagreement is the audit's point") {
+    import spark.implicits._
+    val r = Catalog.queries("d42_dedup_agreement")(spark, dir)
+    // lattice: identical text => identical word set, so exact_keep=0
+    // with bow_keep=1 is impossible by construction
+    assert(r.filter($"exact_keep" === 0 && $"bow_keep" === 1).isEmpty,
+      "exact dup kept by the bow tier — lattice violated")
+    // tier labels must agree with the flag pair they summarize
+    assert(r.filter(($"tier" === "unique") =!=
+      ($"exact_keep" === 1 && $"bow_keep" === 1)).isEmpty, "tier/flag mismatch")
+    // the fixture has word-set collisions but no exact-text dups: the
+    // disagreement class (what the cheap tier leaks) must be non-empty
+    val tiers = r.groupBy($"tier").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tiers.getOrElse("reordered_dup", 0L) > 0,
+      s"no reordered dups found: $tiers")
+    assert(tiers.getOrElse("unique", 0L) > 0, s"no unique docs: $tiers")
   }
 
   test("d40 fertility is >= 1 and the audit table is bounded by (lang x source)") {

@@ -387,9 +387,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // scorer must stay a map-only pass (the d38 discipline) — an
     // explode+join rewrite would reintroduce the shuffle the split
     // exists to avoid
-    val (llr, dflt) = TextQueries.irLlrCollected(spark, TestSpark.sf0001)
+    val llr = TextQueries.irLlrArray(spark, TestSpark.sf0001)
     val p = TextQueries.importanceScoreStateless(
-      graft.Tables(spark, TestSpark.sf0001, "documents"), llr, dflt)
+      graft.Tables(spark, TestSpark.sf0001, "documents"), llr)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"stateless scorer shuffles:\n$p")
     assert(!p.contains("Generate"), s"stateless scorer explodes:\n$p")
