@@ -279,6 +279,63 @@ object MultimodalQueries {
          |JOIN sz sb ON p.id_b = sb.media_id
          |WHERE p.common >= 2""".stripMargin
 
+  // ---- x09: modality-coverage manifest ----
+  // The readiness audit run BEFORE any semantic-curation stage: which
+  // documents actually have every modality attached? A doc without an
+  // embedding is invisible to the whole v-family (dedup, diversity,
+  // hard negatives) and silently survives semantic pruning — at sf0.1
+  // the fixture embeds only 2000 of 5000 docs, so the gap is real, not
+  // synthetic. Per (source) cell: doc counts, embedding coverage, the
+  // blank-text count (unembeddable, un-tokenizable), and the TOKEN
+  // MASS still awaiting embedding — the backlog an embedding fleet
+  // has to burn down, which is the number a pipeline owner budgets by.
+  // Scale shape: corpus equi-join on the shared id (both sides
+  // id-keyed), one codegen'd token-count projection, and a BOUNDED
+  // per-source hash agg with partials. Coverage is a floor-snapped
+  // ratio of exact integers.
+  private def x09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (length(trim($"text")) === 0).cast("long").as("blank"),
+        when(length(trim($"text")) === 0, 0L)
+          .otherwise(size(graft.text.TextOps.tokens($"text")).cast("long"))
+          .as("n_tokens"))
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", lit(1L).as("has_emb"))
+    docs.join(emb, $"doc_id" === $"vec_id", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"has_emb", lit(0L))).as("n_embedded"),
+        sum($"blank").as("n_blank"),
+        sum(when($"has_emb".isNull, $"n_tokens").otherwise(0L))
+          .as("backlog_tokens"))
+      .select($"source", $"n_docs", $"n_embedded", $"n_blank",
+        $"backlog_tokens",
+        (floor($"n_embedded" / $"n_docs" * 1e6 + 0.5) / 1e6).as("coverage"))
+  }
+  private val x09Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS blank,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split(lower(trim(
+      |        regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |j AS (SELECT d.*, e.vec_id FROM d
+      |      LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
+      |g AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_embedded,
+      |    CAST(SUM(blank) AS BIGINT) AS n_blank,
+      |    CAST(SUM(CASE WHEN vec_id IS NULL THEN n_tokens ELSE 0 END)
+      |      AS BIGINT) AS backlog_tokens
+      |  FROM j GROUP BY 1)
+      |SELECT source, n_docs, n_embedded, n_blank, backlog_tokens,
+      |  floor(n_embedded / n_docs * 1e6 + 0.5) / 1e6 AS coverage
+      |FROM g""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
@@ -287,5 +344,6 @@ object MultimodalQueries {
     Q("x05_audio_features", x05, Some(GoldenOracles.x05)),
     Q("x06_block_dedup", x06, Some(x06Sql)),
     Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)),
-    Q("x08_block_neardup", x08, Some(x08Sql)))
+    Q("x08_block_neardup", x08, Some(x08Sql)),
+    Q("x09_modality_coverage", x09, Some(x09Sql)))
 }

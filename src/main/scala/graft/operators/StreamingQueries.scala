@@ -411,6 +411,35 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s15: diversity sampling on arrival (embedding stream) ----
+  // v19 split across the batch/stream boundary the s14 way: cell
+  // sizes are measured ONCE on the static reference corpus (a bounded
+  // 16-long gather) and shipped into the embedding stream as a dense
+  // array literal, so each arriving vector's thinning verdict is a
+  // stateless native projection — no state stores, no watermark
+  // (append mode). The production reading: a fixed density profile
+  // thins an unbounded ingest stream; on the single-batch fixture the
+  // profile's corpus IS the streamed corpus, so v19's batch oracle
+  // gates the streamed verdicts bit-for-bit.
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = VectorQueries.divCellCounts(s, dir)
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = VectorQueries.diversitySampleStateless(raw, counts).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -464,5 +493,6 @@ object StreamingQueries {
     Q("s11_stream_context_chunks", s11, Some(TextQueries.d36Sql)),
     Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)),
     Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)),
-    Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)))
+    Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)),
+    Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)))
 }

@@ -1185,20 +1185,55 @@ object VectorQueries {
   private lazy val divPlanes =
     VectorOps.hyperplanes(divBits, dim = 64, seed = 7L)
 
+  /** (vec_id, bucket) cell assignment — one native projection. Input
+    * needs (vec_id, v). */
+  private def divCoded(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      element_at(VectorOps.bandCodes(col("v"), divPlanes, divBits), 1)
+        .as("bucket"))
+
+  /** The thinning coin: keep iff u * n_cell < cap (u a dyadic md5
+    * fraction — see the exactness note above). */
+  private def divKeep(withN: DataFrame): DataFrame = {
+    val u = (conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(":div")).cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) /
+      16777216.0
+    withN.select(col("vec_id"), col("bucket"), col("n_bucket"),
+      (u * col("n_bucket") < divCap).cast("long").as("keep"))
+  }
+
   private def v19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, dir)
-    val coded = e.select($"vec_id",
-      element_at(VectorOps.bandCodes($"v", divPlanes, divBits), 1)
-        .as("bucket"))
+    val coded = divCoded(embeddings(s, dir))
     val counts = coded.groupBy($"bucket").agg(count(lit(1)).as("n_bucket"))
-    val u = (conv(substring(md5(concat($"vec_id".cast("string"), lit(":div"))
-      .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) / 16777216.0
-    coded.join(broadcast(counts), "bucket")
-      .select($"vec_id", $"bucket", $"n_bucket",
-        (u * $"n_bucket" < divCap).cast("long").as("keep"))
+    divKeep(coded.join(broadcast(counts), "bucket"))
   }
-  private lazy val v19Sql =
+
+  /** Cell sizes as a DENSE bucket-indexed array — the bounded (2^bits
+    * longs) driver gather the STATELESS sampler needs (the d39/s14
+    * index-build pattern applied to v19). */
+  private[operators] def divCellCounts(s: SparkSession, dir: String)
+      : Array[Long] = {
+    val arr = new Array[Long](1 << divBits)
+    divCoded(embeddings(s, dir))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_bucket"))
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Stateless diversity sampler against FIXED cell sizes: one native
+    * projection + O(1) array lookups, no shuffle — lifts onto the
+    * embedding readStream unchanged (s15). Value-identical to the
+    * join form by construction (same counts, same coin); the s15
+    * oracle gate pins it. Input needs (vec_id, v). */
+  private[operators] def diversitySampleStateless(vecs: DataFrame,
+      counts: Array[Long]): DataFrame = {
+    require(counts.length == (1 << divBits), "counts must cover all cells")
+    divKeep(divCoded(vecs).withColumn("n_bucket",
+      element_at(typedLit(counts), (col("bucket") + lit(1L)).cast("int"))))
+  }
+  private[operators] lazy val v19Sql =
     s"""WITH ${lshCodesSql(divPlanes, divBits)},
        |  c AS (SELECT vec_id, CAST(code AS BIGINT) AS bucket FROM codes),
        |  n AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket

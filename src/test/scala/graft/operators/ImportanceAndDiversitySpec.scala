@@ -105,6 +105,30 @@ class ImportanceAndDiversitySpec extends AnyFunSuite {
     assert(tiers.getOrElse("unique", 0L) > 0, s"no unique docs: $tiers")
   }
 
+  test("s15 streamed diversity verdicts equal the batch v19 output") {
+    // the stream ships cell sizes as a literal; same counts + same
+    // deterministic coin must reproduce the batch join form exactly
+    val batch = Catalog.queries("v19_diversity_sample")(spark, dir)
+    val streamed = Catalog.queries("s15_stream_diversity_sample")(spark, dir)
+    assert(batch.exceptAll(streamed).isEmpty, "batch rows missing from stream")
+    assert(streamed.exceptAll(batch).isEmpty, "stream rows missing from batch")
+  }
+
+  test("x09 coverage manifest conserves the corpus and bounds the ratios") {
+    import spark.implicits._
+    val r = Catalog.queries("x09_modality_coverage")(spark, dir).collect()
+    val totalDocs = graft.Tables(spark, dir, "documents").count()
+    assert(r.map(_.getLong(1)).sum == totalDocs, "per-source doc counts don't conserve")
+    r.foreach { row =>
+      val (n, emb, cov) = (row.getLong(1), row.getLong(2),
+        row.getDouble(row.fieldIndex("coverage")))
+      assert(emb <= n && cov >= 0.0 && cov <= 1.0, s"bounds violated: $row")
+      // an unembedded doc with tokens must contribute backlog; an
+      // all-embedded source must have zero backlog
+      if (emb == n) assert(row.getLong(4) == 0L, s"backlog without gap: $row")
+    }
+  }
+
   test("d40 fertility is >= 1 and the audit table is bounded by (lang x source)") {
     import spark.implicits._
     val rows = Catalog.queries("d40_token_fertility")(spark, dir).collect()
