@@ -208,11 +208,78 @@ object MlQueries {
     s.createDataFrame(rows.toIndexedSeq).toDF("cid", "dim", "x")
   }
 
+  // ---- m06: K-Means elbow curve (inertia vs k, one corpus pass) ----
+  // The model-selection table every clustering-based curation stage
+  // (v12/v15/v18's exemplar seeding, IVF cell sizing) needs before
+  // fixing k: mean within-cluster squared distance for k in
+  // {2, 4, 8, 16} lowest-id seed centroids. The rungs are PREFIXES of
+  // one 16-centroid set, so — v16's fused-rung trick — a single
+  // distance pass computes every curve point: distances to all 16
+  // seeds once, then per-rung conditional minima in the same hash
+  // agg. No rung re-scans the corpus.
+  //
+  // Scale shape: the 16-row centroid side is a broadcast; the distance
+  // expansion is 16× rows of (id, cid, d2) scalars — never a second
+  // vector copy; per-vector minima partial-aggregate before the
+  // doc-key exchange and the curve itself is a 4-value scalar agg.
+  //
+  // Exactness: per-vector minima compare bit-identical doubles (the
+  // m01 fold discipline); each rung's inertia sum folds the snapped
+  // minima through DECIMAL(18,6) (exact in any order) and the mean
+  // divides by an exact count, snapped floor-form.
+  private val elbowKs = Seq(2, 4, 8, 16)
+
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cents = e.filter($"vec_id" < elbowKs.max)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val d2 = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", VectorOps.sqdist($"v", $"cv").as("d2"))
+    val minCols = elbowKs.map(kk =>
+      min(when($"cid" < kk, $"d2")).as(s"m$kk"))
+    val mins = d2.groupBy($"vec_id").agg(minCols.head, minCols.tail: _*)
+    val aggCols = count(lit(1)).as("n_vecs") +:
+      elbowKs.map(kk => sum((floor(col(s"m$kk") * 1e6 + 0.5) / 1e6)
+        .cast("decimal(18,6)")).as(s"s$kk"))
+    val sums = mins.agg(aggCols.head, aggCols.tail: _*)
+    sums.select($"n_vecs", explode(array(elbowKs.map(kk =>
+        struct(lit(kk.toLong).as("k"), col(s"s$kk").as("si"))): _*)).as("r"))
+      .select($"r.k".as("k"), $"n_vecs",
+        (floor($"r.si".cast("double") / $"n_vecs" * 1e6 + 0.5) / 1e6)
+          .as("mean_inertia"))
+  }
+  private lazy val m06Sql = {
+    val d2 = VectorOps.sqdistSql("e.v", "c.cv")
+    s"""WITH ev AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings),
+       |  c AS (SELECT vec_id AS cid, v AS cv FROM ev
+       |        WHERE vec_id < ${elbowKs.max}),
+       |  d AS (SELECT e.vec_id, c.cid, $d2 AS d2 FROM ev e CROSS JOIN c),
+       |  m AS (SELECT vec_id,
+       |      ${elbowKs.map(kk =>
+      s"MIN(CASE WHEN cid < $kk THEN d2 END) AS m$kk").mkString(",\n|      ")}
+       |    FROM d GROUP BY 1),
+       |  g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |      ${elbowKs.map(kk =>
+      s"SUM(CAST(floor(m$kk * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS s$kk")
+      .mkString(",\n|      ")}
+       |    FROM m),
+       |  r AS (${elbowKs.map(kk =>
+      s"SELECT $kk AS k, n_vecs, s$kk AS si FROM g")
+      .mkString("\n|    UNION ALL ")})
+       |SELECT CAST(k AS BIGINT) AS k, n_vecs,
+       |  floor(CAST(si AS DOUBLE) / n_vecs * 1e6 + 0.5) / 1e6 AS mean_inertia
+       |FROM r""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, Some(m03Sql)),
     Q("m04_kmeans_step_block", m04, Some(m04Sql)),
     Q("m05_kmeans_scalable_init", m05, Some(GoldenOracles.m05)),
+    Q("m06_kmeans_elbow", m06, Some(m06Sql)),
     Q("g01_gaussian_generator", g01, Some(GoldenOracles.g01)))
 }

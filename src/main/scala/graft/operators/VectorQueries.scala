@@ -1244,6 +1244,80 @@ object VectorQueries {
        |      < $divCap THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM c JOIN n USING (bucket)""".stripMargin
 
+  // ---- v20: quantization-error profile per density cell ----
+  // The audit run before committing a compressed embedding layout:
+  // int8 quantization error is not uniform across embedding space —
+  // cells whose vectors have one dominant component quantize cleanly,
+  // near-isotropic cells lose the most — and a per-REGION error table
+  // tells the owner where compression hurts before recall does. v07's
+  // per-vector symmetric-int8 audit aggregated over v19's sign-LSH
+  // density cells (both already cross-engine): per cell, vector count,
+  // mean MSE and worst per-component error.
+  //
+  // Scale shape: ONE projection computes the cell code (native
+  // SignLshExpr) and the reconstruction error (index-order HOF folds)
+  // side by side, into a BOUNDED (16-row) hash agg with partials — no
+  // joins, no second pass, no vector ever crosses an exchange.
+  //
+  // Exactness: per-vector MSE is snapped floor-form then folded
+  // through DECIMAL(18,6) so the cell sum is exact in any order (the
+  // money-sum discipline); the mean divides that exact sum by an
+  // exact count (identical IEEE division) and snaps. MAX over
+  // bit-identical doubles cannot diverge.
+  private def v20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val err = embeddings(s, dir)
+      .select($"vec_id", $"v",
+        (greatest(array_max(transform($"v", x => abs(x))), lit(1e-30))
+          / 127.0).as("scale"))
+      .select($"vec_id", $"v",
+        expr("transform(v, x -> floor(x / scale + 0.5) * scale)").as("dq"))
+      .select(
+        element_at(VectorOps.bandCodes($"v", divPlanes, divBits), 1)
+          .as("bucket"),
+        array_max(expr("zip_with(v, dq, (a, b) -> abs(a - b))")).as("maxe"),
+        (expr("aggregate(zip_with(v, dq, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)") / 64.0).as("mse"))
+    // int8 MSE lives at the 1e-6 scale, so the usual 6dp snap would
+    // flatten the whole profile to its own grain — these two fields
+    // snap at 1e-10 (DECIMAL(18,10) still spans ±1e8, far above any
+    // cell sum)
+    err.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((floor($"mse" * 1e10 + 0.5) / 1e10).cast("decimal(18,10)"))
+          .as("smse"),
+        max($"maxe").as("mx"))
+      .select($"bucket", $"n_vecs",
+        (floor($"smse".cast("double") / $"n_vecs" * 1e10 + 0.5) / 1e10)
+          .as("mean_mse"),
+        (floor($"mx" * 1e10 + 0.5) / 1e10).as("max_abs_err"))
+  }
+  private lazy val v20Sql =
+    s"""WITH ${lshCodesSql(divPlanes, divBits)},
+       |  sc AS (SELECT vec_id, v,
+       |      GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30)
+       |        / 127.0 AS scale FROM e),
+       |  dq AS (SELECT vec_id, v,
+       |      list_transform(v, x -> floor(x / scale + 0.5) * scale) AS d
+       |    FROM sc),
+       |  pe AS (SELECT vec_id,
+       |      list_max(list_transform(generate_series(1, len(v)),
+       |        i -> abs(v[i] - d[i]))) AS maxe,
+       |      list_reduce(list_transform(generate_series(1, len(v)),
+       |        i -> (v[i] - d[i]) * (v[i] - d[i])), (acc, x) -> acc + x)
+       |        / 64.0 AS mse
+       |    FROM dq),
+       |  cb AS (SELECT vec_id, CAST(code AS BIGINT) AS bucket FROM codes),
+       |  g AS (SELECT cb.bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |      SUM(CAST(floor(pe.mse * 1e10 + 0.5) / 1e10 AS DECIMAL(18,10)))
+       |        AS smse,
+       |      MAX(pe.maxe) AS mx
+       |    FROM pe JOIN cb USING (vec_id) GROUP BY 1)
+       |SELECT bucket, n_vecs,
+       |  floor(CAST(smse AS DOUBLE) / n_vecs * 1e10 + 0.5) / 1e10 AS mean_mse,
+       |  floor(mx * 1e10 + 0.5) / 1e10 AS max_abs_err
+       |FROM g""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1263,5 +1337,6 @@ object VectorQueries {
     Q("v16_matryoshka_recall", v16, Some(v16Sql)),
     Q("v17_hard_negatives", v17, Some(v17Sql)),
     Q("v18_cluster_profile", v18, Some(v18Sql)),
-    Q("v19_diversity_sample", v19, Some(v19Sql)))
+    Q("v19_diversity_sample", v19, Some(v19Sql)),
+    Q("v20_quant_error_profile", v20, Some(v20Sql)))
 }
