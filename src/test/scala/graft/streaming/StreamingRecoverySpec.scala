@@ -1,0 +1,174 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Checkpoint-recovery legs for the stateful streaming surface: the
+  * production claim of s05 (sessionize state), s10 (incremental
+  * dedup) and the watermarked dedup form includes surviving a
+  * kill/restart from checkpoint, which the AvailableNow oracle gates
+  * never exercise. Each test runs a real checkpointed query into a
+  * DURABLE parquet file sink (memory sinks refuse checkpoint recovery
+  * by design), STOPS it mid-stream, feeds more data, restarts from
+  * the same checkpoint into the same sink directory, and asserts the
+  * sink's final contents equal the single-uninterrupted-run answer —
+  * proving both halves of recovery: source OFFSETS are restored
+  * (run 2 must not replay run 1's data — the known MemoryStream
+  * pitfall is that a checkpoint-less second start replays everything)
+  * and operator STATE is restored (a session or dedup ledger spanning
+  * the stop must behave as if never interrupted).
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // day-1 offset, minutes → Timestamp (epoch 0 equals the initial
+  // watermark and is discarded as late — same guard as StreamingOpsSpec)
+  private def ts(min: Long): Timestamp =
+    new Timestamp(86400000L + min * 60000L)
+  private def us(min: Long): Long = ts(min).getTime * 1000L
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("sessionizer (s05 engine) recovers keyed state and offsets from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("sess-ckpt"); val out = tmp("sess-out")
+    val mem = MemoryStream[StreamingOps.TEvt]
+
+    def start() =
+      StreamingOps.sessionize(mem.toDS()).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    def sink() = spark.read.parquet(out)
+      .select($"user_id", $"session_id", $"startMicros", $"endMicros",
+        $"n_events").collect().map(_.toSeq).toSeq
+
+    // run 1: user 1's session is OPEN at the stop (events at 0 and 10
+    // min); user 3's first session gap-closes in-batch, so run 1 emits
+    // exactly one row — giving the replay check something to replay.
+    mem.addData(
+      StreamingOps.TEvt(1L, ts(0)), StreamingOps.TEvt(1L, ts(10)),
+      StreamingOps.TEvt(3L, ts(0)), StreamingOps.TEvt(3L, ts(40)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = sink()
+    assert(run1 == Seq(Seq(3L, 1L, us(0), us(0), 1L)),
+      s"run 1 should emit exactly user 3's gap-closed first session: $run1")
+
+    // run 2, same checkpoint + sink dir: user 1's event at 20 min
+    // extends the pre-stop session ONLY if (start=0, last=10, n=2) was
+    // restored; the event at 120 min then gap-closes it. Max event
+    // time 120 min keeps the 1 h watermark at 60 min, below every open
+    // session's last + gap — so no timeout close can race the
+    // assertion.
+    mem.addData(StreamingOps.TEvt(1L, ts(20)), StreamingOps.TEvt(1L, ts(120)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = sink()
+    assert(all.size == 2,
+      s"restart must not replay run 1's batch into the durable sink: $all")
+    assert(all.toSet == Set(
+      Seq(3L, 1L, us(0), us(0), 1L),
+      Seq(1L, 1L, us(0), us(20), 3L)),
+      s"restart must merge pre-stop events into user 1's session (state " +
+        s"restore, n_events=3): $all")
+
+    // the durable sink equals an uninterrupted run over the same events
+    // (fresh checkpoint, no stop)
+    val memU = MemoryStream[StreamingOps.TEvt]
+    memU.addData(
+      StreamingOps.TEvt(1L, ts(0)), StreamingOps.TEvt(1L, ts(10)),
+      StreamingOps.TEvt(3L, ts(0)), StreamingOps.TEvt(3L, ts(40)),
+      StreamingOps.TEvt(1L, ts(20)), StreamingOps.TEvt(1L, ts(120)))
+    val outU = tmp("sess-out-u")
+    val qU = StreamingOps.sessionize(memU.toDS()).toDF()
+      .writeStream.format("parquet")
+      .option("path", outU).option("checkpointLocation", tmp("sess-ckpt-u"))
+      .outputMode("append").start()
+    try qU.processAllAvailable() finally qU.stop()
+    val unbroken = spark.read.parquet(outU)
+      .select($"user_id", $"session_id", $"startMicros", $"endMicros",
+        $"n_events").collect().map(_.toSeq).toSet
+    assert(all.toSet == unbroken,
+      s"restarted sink ${all.toSet} != uninterrupted $unbroken")
+  }
+
+  test("incremental dedup against a static ledger (s10 shape) resumes at the committed offset") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("ledger-ckpt"); val out = tmp("ledger-out")
+    // history's keeper ledger (static side of the stream-static join)
+    val ledger = Seq(("sig_a", 100L), ("sig_b", 101L))
+      .toDF("sig", "hist_keeper")
+    val mem = MemoryStream[(Long, String)]
+
+    def start() =
+      mem.toDF().toDF("doc_id", "sig")
+        .join(ledger, Seq("sig"), "left")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    def sink() = spark.read.parquet(out)
+      .select($"sig", $"doc_id", $"hist_keeper")
+      .collect().map(_.toSeq).toSeq
+
+    mem.addData((200L, "sig_a"), (201L, "sig_new"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = sink()
+    assert(run1.toSet == Set(
+      Seq("sig_a", 200L, 100L), Seq("sig_new", 201L, null)),
+      s"run 1 verdicts wrong: $run1")
+
+    mem.addData((202L, "sig_b"), (203L, "sig_other"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = sink()
+    // offset restore: exactly one row per document — a replayed doc
+    // 200/201 would double the durable sink's rows
+    assert(all.size == 4, s"restart must process exactly the new batch: $all")
+    val want = Seq((200L, "sig_a"), (201L, "sig_new"),
+        (202L, "sig_b"), (203L, "sig_other"))
+      .toDF("doc_id", "sig").join(ledger, Seq("sig"), "left")
+      .select($"sig", $"doc_id", $"hist_keeper")
+      .collect().map(_.toSeq).toSet
+    assert(all.toSet == want)
+  }
+
+  test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
+    val mem = MemoryStream[Ev]
+
+    def start() =
+      StreamingOps.dedupStream(
+        mem.toDF().select($"ts", $"event_type".as("sig"), $"value"),
+        "sig", "ts")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    mem.addData(Ev(ts(0), "sig_a", 1.0, 1), Ev(ts(5), "sig_b", 2.0, 1))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // sig_a again, within the watermark window: only a RESTORED dedup
+    // state drops it — a from-scratch restart would emit it as new
+    // (value 9.0 would land in the sink)
+    mem.addData(Ev(ts(10), "sig_a", 9.0, 1), Ev(ts(12), "sig_c", 3.0, 1))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out)
+      .select($"sig", $"value").collect().map(_.toSeq).toSeq
+    assert(all.size == 3 && !all.contains(Seq("sig_a", 9.0)),
+      s"restored dedup state must drop the repeated signature: $all")
+    assert(all.toSet == Set(Seq("sig_a", 1.0), Seq("sig_b", 2.0),
+      Seq("sig_c", 3.0)), s"sink contents wrong: $all")
+  }
+}
