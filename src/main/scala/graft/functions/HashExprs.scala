@@ -268,18 +268,27 @@ final case class SignLshExpr(child: Expression, planes: Array[Double],
 object VecKernels {
   /** a·b, left fold in index order — value-identical to the HOF form
     * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` on equal-length
-    * double arrays (same IEEE op sequence, so the same bits — the
-    * cross-engine-oracle requirement). Fails fast on a length
-    * mismatch, which the HOF chain would instead swallow to NULL:
-    * every caller compares co-schema'd vectors, where a mismatch is a
-    * data bug worth a loud error. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+    * NULL-FREE double arrays (same IEEE op sequence, so the same bits
+    * — the cross-engine-oracle requirement). Fails fast on a length
+    * mismatch or a null element, both of which the HOF chain would
+    * instead swallow to NULL: every caller compares co-schema'd
+    * vectors, where either is a data bug worth a loud error — and a
+    * silent primitive read would score a null element as 0.0, quietly
+    * diverging from the documented HOF equivalence (ADVICE r10).
+    * `checkNulls` is baked in at codegen from the static element
+    * nullability, so provably null-free inputs pay nothing. */
+  def dot(a: ArrayData, b: ArrayData, checkNulls: Boolean): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"dot over mismatched lengths: $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"dot over a null element at index $i: vector columns must be null-free")
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     s
   }
 
@@ -288,7 +297,7 @@ object VecKernels {
     * unchanged, so every partial is bit-identical to three `dot`
     * calls), then the identical sqrt/multiply/divide tail as the HOF
     * rendering and the DuckDB oracle. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData, checkNulls: Boolean): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"cosine over mismatched lengths: $n vs ${b.numElements()}")
@@ -297,6 +306,9 @@ object VecKernels {
     var bb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"cosine over a null element at index $i: vector columns must be null-free")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       ab += x * y
@@ -386,6 +398,18 @@ private[functions] trait VecBinaryExpr extends BinaryExpression {
         s"(${left.dataType.sql}, ${right.dataType.sql})")
   }
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  /** Element-nullability of the inputs, resolved at plan time: parquet
+    * array columns are element-nullable by schema even when the data
+    * never holds a null, so the kernels take a baked-in flag — a null
+    * element then fails LOUDLY instead of silently reading as 0.0
+    * (which would diverge from the HOF form these kernels are
+    * documented bit-identical to: it yields NULL — ADVICE r10).
+    * Provably null-free inputs skip the per-element check entirely. */
+  protected def elementsNullable: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 }
 
 /** graft_dot(a, b) → double: index-order a·b in one codegen'd loop —
@@ -397,10 +421,11 @@ final case class DotExpr(left: Expression, right: Expression)
     extends VecBinaryExpr {
   override def prettyName: String = "graft_dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elementsNullable)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernels.dot($a, $b)")
+      s"graft.functions.VecKernels.dot($a, $b, $elementsNullable)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotExpr = copy(left = newLeft, right = newRight)
 }
@@ -413,10 +438,11 @@ final case class CosineExpr(left: Expression, right: Expression)
     extends VecBinaryExpr {
   override def prettyName: String = "graft_cosine"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elementsNullable)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecKernels.cosine($a, $b)")
+      s"graft.functions.VecKernels.cosine($a, $b, $elementsNullable)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
 }

@@ -85,7 +85,19 @@ object ConnectedComponents {
           s"$ghost edge(s) have an endpoint outside `nodes` " +
             "(strictGhosts): clean the edge set or drop strict mode")
       }
-      if (maxLocalEdges > 0L && valid.count() <= maxLocalEdges)
+      // the driver union-find walks ids as longs; a non-integral id
+      // type (string ids, say) would NPE on null casts or silently
+      // merge colliding ids ("7" vs "07"), so only integral-id graphs
+      // dispatch locally — everything else falls through to the
+      // distributed engines, which compare ids natively (ADVICE r10)
+      val integralId = nodes.schema("id").dataType match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (integralId && maxLocalEdges > 0L && valid.count() <= maxLocalEdges)
         runLocal(nodes, valid)
       else if (useStar) runStar(nodes, valid, maxIter)
       else runPropagate(nodes, valid, maxIter)

@@ -61,7 +61,12 @@ private[operators] final class DiskLayoutCache(prefix: String) {
         val wh = s.conf.get("spark.sql.warehouse.dir")
         val md = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val p = s"$wh/${prefix}_$md"
+        // the applicationId component makes the path unique per
+        // SparkContext: two contexts sharing a warehouse and dataset
+        // would otherwise collide on one directory, and the stale-
+        // session GC above could delete a directory a LIVE session's
+        // cached slot still points to (ADVICE r10)
+        val p = s"$wh/${prefix}_${md}_${s.sparkContext.applicationId}"
         build(p)
         slot.path = p
       }

@@ -1794,9 +1794,10 @@ object TextQueries {
     * doc_id. `n_grams = Σ c` and `wsum = Σ c·llr` are exact-integer
     * identical to the old per-occurrence forms (`count(*)` /
     * `Σ llr` over the gram stream grouped by doc). */
-  private def d39(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def importanceResample(s: SparkSession, dir: String,
+      buckets: Int = irBuckets): DataFrame = {
     import s.implicits._
-    val (hist, llr) = dsirIndex(s, dir)
+    val (hist, llr) = dsirIndex(s, dir, buckets)
     val llrDf = llr.toSeq.zipWithIndex
       .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "llr")
     val scored = hist.join(broadcast(llrDf), "bucket")
@@ -1805,6 +1806,9 @@ object TextQueries {
         sum(col("c") * col("llr")).as("wsum"))
     irVerdict(scored)
   }
+
+  private def d39(s: SparkSession, dir: String): DataFrame =
+    importanceResample(s, dir)
   private[operators] val d39Sql =
     s"""WITH t AS (SELECT doc_id, lang,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks

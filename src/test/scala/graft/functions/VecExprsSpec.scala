@@ -32,6 +32,31 @@ class VecExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("a null element fails loudly instead of silently scoring as 0.0") {
+    import spark.implicits._
+    // the kernels read elements primitively (a null would score as
+    // 0.0) while the HOF form they are documented bit-identical to
+    // yields NULL — so an actual null element must be a loud data-bug
+    // error, not a silent divergence (ADVICE r10)
+    val df = vecs(3, 4, 9L).zip(vecs(3, 4, 10L)).toDF("a", "b")
+      .select(transform($"a", x =>
+        when(x > lit(Double.MinValue), lit(null).cast("double"))
+          .otherwise(x)).as("a"), $"b")
+    val e = intercept[Exception] {
+      df.select(VectorOps.dot($"a", $"b")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null element")),
+      s"wrong failure: ${messages(e)}")
+    // and a null-free but element-NULLABLE column (the parquet schema
+    // reality) still computes — the check costs only where it can fire
+    val ok = df.select(transform($"a", x => coalesce(x, lit(0.0))).as("a"), $"b")
+      .select(VectorOps.dot($"a", $"b").as("d")).collect()
+    assert(ok.forall(!_.isNullAt(0)))
+  }
+
   test("native fused cosine is bit-identical to the HOF composition") {
     import spark.implicits._
     // include scaled/antiparallel/orthogonal shapes and denormal-ish

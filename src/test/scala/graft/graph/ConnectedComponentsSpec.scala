@@ -127,6 +127,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(viaProp.nonEmpty)
   }
 
+  test("string-id graphs bypass the driver union-find (integral-id guard)") {
+    import spark.implicits._
+    // the local engine walks ids as longs; a string-id graph under the
+    // default bound must fall through to the distributed engine, which
+    // compares ids natively — "7" and "07" (which collide as longs)
+    // stay distinct components, and nothing NPEs on the null casts
+    val nodes = Seq("7", "07", "a", "b", "z").toDF("id")
+    val edges = Seq(("7", "a"), ("07", "b")).toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(nodes, edges)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("7" -> "7", "a" -> "7", "07" -> "07",
+      "b" -> "07", "z" -> "z"), s"string-id labels wrong: $got")
+  }
+
   test("singletons keep themselves; maxIter too small fails loudly") {
     import spark.implicits._
     val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")

@@ -84,6 +84,93 @@ class GoldenSweepSpec extends AnyFunSuite {
       s"IVFADC disk path diverges from memory path at $sfDir")
   }
 
+  test("v08 PQ-ADC equals a plain-Scala reimplementation at the sweep scale") {
+    // the pinning-time recipe (VectorOpsSpec's sf0.001 leg) re-run at
+    // sweep scale, where the corpus is 4× the gate fixture: retrain
+    // the codebooks with an inline Lloyd's, re-encode, ADC-score,
+    // shortlist, exact-rerank — all driver-side — and require the
+    // identical (qid, rank, vec_id) answer with matching cosines.
+    // The corpus gather is a TEST-ONLY device (2000 × 64 doubles);
+    // the engine under test never collects vectors.
+    import spark.implicits._
+    val M = 8; val SUB = 8; val K = 16; val L = 64
+    val nQ = 5; val topK = 10
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val sample = all.filter(_._1 < 4096L)
+    def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+      var cur = pts.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.ofDim[Double](k, pts.head.length)
+        val counts = new Array[Long](k)
+        pts.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          for (c <- 0 until k) {
+            var dd = 0.0
+            for (j <- v.indices) { val t = v(j) - cur(c)(j); dd += t * t }
+            if (dd < bd) { bd = dd; best = c }
+          }
+          for (j <- v.indices) sums(best)(j) += v(j)
+          counts(best) += 1
+        }
+        cur = Array.tabulate(k)(c =>
+          if (counts(c) > 0) Array.tabulate(pts.head.length)(j => sums(c)(j) / counts(c))
+          else cur(c))
+      }
+      cur
+    }
+    val books = Array.tabulate(M)(j =>
+      lloyd(sample.map(_._2.slice(j * SUB, (j + 1) * SUB)), K, 3))
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(M) { j =>
+      val s = v.slice(j * SUB, (j + 1) * SUB)
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until K) {
+        var dd = 0.0
+        for (i <- 0 until SUB) { val t = s(i) - books(j)(c)(i); dd += t * t }
+        if (dd < bd) { bd = dd; best = c }
+      }
+      best
+    }
+    val codes = all.map { case (id, v) => (id, encode(v)) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until nQ).flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val dlut = Array.tabulate(M, K) { (j, c) =>
+        val qs = qv.slice(j * SUB, (j + 1) * SUB)
+        qs.indices.map(i => qs(i) * books(j)(c)(i)).sum
+      }
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val short = codes.filter(_._1 != qid).map { case (id, cs) =>
+        val num = (0 until M).map(j => dlut(j)(cs(j))).sum
+        val rn = math.sqrt((0 until M).map(j =>
+          books(j)(cs(j)).map(x => x * x).sum).sum)
+        (id, num / (qn * rn))
+      }.sortBy { case (id, s) => (-s, id) }.take(L).map(_._1).toSet
+      all.filter { case (id, _) => short.contains(id) }
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(topK)
+        .zipWithIndex.map { case ((id, s), r) => (qid, (r + 1).toLong, id, s) }
+    }.toSet
+    val got = Catalog.queries("v08_knn_pq_adc")(spark, sfDir)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)),
+      s"PQ answer diverges from reimplementation at $sfDir:\n" +
+        s"extra=${got.map(t => (t._1, t._2, t._3)) -- expected.map(t => (t._1, t._2, t._3))}\n" +
+        s"missing=${expected.map(t => (t._1, t._2, t._3)) -- got.map(t => (t._1, t._2, t._3))}")
+    val expByKey = expected.map(t => ((t._1, t._3), t._4)).toMap
+    got.foreach { case (qid, _, id, cos) =>
+      assert(math.abs(cos - expByKey((qid, id))) < 1e-6,
+        s"cosine mismatch for ($qid,$id): $cos vs ${expByKey((qid, id))}")
+    }
+  }
+
   test("g01 seeded generator rollup is dataset-independent (sf0.1 ≡ sf0.01)") {
     val at10x = canon("g01_gaussian_generator", narrowSplits)
     val atGate = Catalog.queries("g01_gaussian_generator")(

@@ -89,6 +89,48 @@ class ProductionDialsSpec extends AnyFunSuite {
     assert(byVec.nonEmpty && byVec.forall(_.getAs[Long]("count") <= 10))
   }
 
+  test("DSIR family at the production feature space (irBuckets=65536) keeps the bounded shapes") {
+    // d38/d39 gate at 4096 hash buckets; published DSIR feature spaces
+    // are 10k+. Re-run both engines at 65536 on the 10× fixture and
+    // pin that the scale class never moves: the classifier stays a
+    // map-only projection, the llr table stays a bounded driver array
+    // feeding a broadcast, the scoring agg keeps the 4096-dial shuffle
+    // keys, and the stateless scorer still equals the join form.
+    val docs = Tables(spark, sf01, "documents")
+    noAqe {
+      val p = TextQueries.qualityClassify(docs, 65536)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"d38 at 64k buckets shuffles:\n$p")
+      assert(!p.contains("Generate"), s"d38 at 64k buckets explodes:\n$p")
+    }
+    val (hist, llr) = TextQueries.dsirIndex(spark, sf01, 65536)
+    assert(llr.length == 65536, "llr array must span the production space")
+    val prod = TextQueries.importanceResample(spark, sf01, 65536)
+    noAqe {
+      val gate = TextQueries.importanceResample(spark, sf01, 4096)
+      assert(shuffleSig(prod) == shuffleSig(gate),
+        s"64k buckets changed the shuffle keys: ${shuffleSig(prod)} vs ${shuffleSig(gate)}")
+      val p = prod.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"llr join not broadcast at 64k:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+        !p.contains("rangepartitioning"),
+        s"sort/window crept into the 64k scoring plan:\n$p")
+    }
+    // value identity of the stateless array scorer at the big dial —
+    // the s14 contract is not a 4096-only accident
+    val stateless = TextQueries.importanceScoreStateless(docs, llr)
+    assert(prod.exceptAll(stateless).isEmpty &&
+      stateless.exceptAll(prod).isEmpty,
+      "stateless scorer diverges from the join form at 64k buckets")
+    // structural skew bound: the per-doc histogram caps any single
+    // document's contribution to the doc_id agg at `buckets` rows,
+    // however long the document — the mega-doc skew pin
+    val maxRows = hist.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+      .count().agg(org.apache.spark.sql.functions.max("count"))
+      .head.getLong(0)
+    assert(maxRows <= 65536, s"per-doc histogram rows $maxRows exceed the bucket bound")
+  }
+
   test("CC cluster-size count partial-aggregates before the label exchange (skew pin)") {
     // d14/d21/v10 all count cluster sizes with groupBy(label).count —
     // hash-agg partials upstream of the exchange keep a giant dup
