@@ -411,6 +411,32 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s16: LM perplexity filtering on arrival ----
+  // d44's bigram-LM gate split across the batch/stream boundary the
+  // s14 way: the micro-nat LM arrays are trained ONCE on the static
+  // reference corpus (a bounded <= 2*4096-row gather) and shipped into
+  // the stream as dense array literals, so scoring each arriving
+  // document is a STATELESS HOF projection — no explode, no state
+  // store, no watermark (append mode). On the single-batch fixture the
+  // reference corpus IS the streamed corpus, so d44's batch oracle
+  // gates the streamed verdicts bit-for-bit (integer micro-nat sums
+  // make the HOF fold order-independent).
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val (lnc, lnd) = TextQueries.bigramLmIndex(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.perplexityScoreStateless(raw, lnc, lnd).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s15: diversity sampling on arrival (embedding stream) ----
   // v19 split across the batch/stream boundary the s14 way: cell
   // sizes are measured ONCE on the static reference corpus (a bounded
@@ -494,5 +520,6 @@ object StreamingQueries {
     Q("s12_stream_kmeans", s12, Some(MlQueries.m03Sql)),
     Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)),
     Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)),
-    Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)))
+    Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)),
+    Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)))
 }

@@ -2089,6 +2089,236 @@ object TextQueries {
       |       ELSE 'unique' END AS tier
       |FROM base JOIN e USING (esig) JOIN b USING (bsig)""".stripMargin
 
+  // ---- d43: Gopher-style repetition rule battery ----
+  // The multi-n repetition filter battery from published web-corpus
+  // curation recipes (Rae et al. "Gopher" Table A1; reused by
+  // RefinedWeb/Dolma): per document, the fraction of tokens covered by
+  // the single most frequent {2,3,4}-gram and the fraction of
+  // {5,10}-gram OCCURRENCES that are repeats, each compared to the
+  // published threshold. This is the token-fraction rendering of the
+  // paper's character-fraction rules (same signal on word-tokenized
+  // text; d13 is the single-n distinct-ratio cousin). Scale shape:
+  // ONE tokenize pass fans out to a 5-way gram stream inside one
+  // explode, then two hash aggs whose keys shrink monotonically —
+  // (doc, n, gram) → (doc, n) → doc — all partial-aggregated map-side;
+  // a document's contribution to any exchange is bounded by its own
+  // gram count, and nothing is quadratic or windowed. Fractions are
+  // single IEEE divisions of exact integer masses, so the verdict
+  // compare cannot straddle a ulp cross-engine.
+  private val gopherNs = Seq(2, 3, 4, 5, 10)
+  private[operators] def gopherRules(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 10)
+    val grams = toks.select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        explode(expr(
+          s"flatten(transform(array(${gopherNs.mkString(", ")}), n -> " +
+            "transform(sequence(0, size(toks) - n), " +
+            "i -> named_struct('n', n, 'gram', " +
+            "concat_ws(' ', slice(toks, i + 1, n))))))")).as("g"))
+      .select($"doc_id", $"n_tokens", $"g.n".as("n"), $"g.gram".as("gram"))
+    val perN = grams
+      .groupBy($"doc_id", $"n_tokens", $"n", $"gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n")
+      .agg(max($"c").as("max_c"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_occ"),
+        sum($"c").as("tot"))
+    def topFrac(n: Int) =
+      ((max(when($"n" === n, $"max_c")) * n).cast("double") / $"n_tokens")
+        .as(s"top${n}_frac")
+    def dupFrac(n: Int) =
+      (max(when($"n" === n, $"dup_occ")).cast("double") /
+        max(when($"n" === n, $"tot"))).as(s"dup${n}_frac")
+    perN.groupBy($"doc_id", $"n_tokens")
+      .agg(topFrac(2), topFrac(3), topFrac(4), dupFrac(5), dupFrac(10))
+      .withColumn("gopher_pass",
+        ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 &&
+          $"top4_frac" <= 0.16 && $"dup5_frac" <= 0.15 &&
+          $"dup10_frac" <= 0.10).cast("long"))
+  }
+  private def d43(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables(s, dir, "documents"))
+  private val d43Sql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+      |  FROM t WHERE len(toks) >= 10),
+      |e AS (SELECT doc_id, n_tokens, n,
+      |    unnest(list_transform(generate_series(1, len(toks) - n + 1),
+      |      i -> array_to_string(toks[i : i + n - 1], ' '))) AS gram
+      |  FROM f CROSS JOIN (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns),
+      |gc AS (SELECT doc_id, n_tokens, n, gram, COUNT(*) AS c FROM e GROUP BY ALL),
+      |pn AS (SELECT doc_id, n_tokens, n, CAST(MAX(c) AS BIGINT) AS max_c,
+      |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_occ,
+      |    CAST(SUM(c) AS BIGINT) AS tot
+      |  FROM gc GROUP BY ALL),
+      |w AS (SELECT doc_id, n_tokens,
+      |    MAX(CASE WHEN n = 2 THEN max_c END) AS m2,
+      |    MAX(CASE WHEN n = 3 THEN max_c END) AS m3,
+      |    MAX(CASE WHEN n = 4 THEN max_c END) AS m4,
+      |    MAX(CASE WHEN n = 5 THEN dup_occ END) AS d5,
+      |    MAX(CASE WHEN n = 5 THEN tot END) AS t5,
+      |    MAX(CASE WHEN n = 10 THEN dup_occ END) AS d10,
+      |    MAX(CASE WHEN n = 10 THEN tot END) AS t10
+      |  FROM pn GROUP BY 1, 2)
+      |SELECT doc_id, n_tokens,
+      |  CAST(m2 * 2 AS DOUBLE) / n_tokens AS top2_frac,
+      |  CAST(m3 * 3 AS DOUBLE) / n_tokens AS top3_frac,
+      |  CAST(m4 * 4 AS DOUBLE) / n_tokens AS top4_frac,
+      |  CAST(d5 AS DOUBLE) / t5 AS dup5_frac,
+      |  CAST(d10 AS DOUBLE) / t10 AS dup10_frac,
+      |  CAST(CASE WHEN CAST(m2 * 2 AS DOUBLE) / n_tokens <= 0.20
+      |        AND CAST(m3 * 3 AS DOUBLE) / n_tokens <= 0.18
+      |        AND CAST(m4 * 4 AS DOUBLE) / n_tokens <= 0.16
+      |        AND CAST(d5 AS DOUBLE) / t5 <= 0.15
+      |        AND CAST(d10 AS DOUBLE) / t10 <= 0.10
+      |      THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+      |FROM w""".stripMargin
+
+  // ---- d44: hashed-bigram LM perplexity filter ----
+  // The CCNet-style LM quality gate: score every document by its mean
+  // token log-probability under a bigram language model trained on the
+  // corpus itself, and keep documents above a fixed cutoff (production
+  // pipelines bucket into head/middle/tail the same way; one threshold
+  // renders the same machinery). The model is add-one-smoothed over
+  // HASHED features (the d38/d39 hashing trick):
+  //   ln p(w|v) = ln(c2[h(v w)] + 1) − ln(c1[h(v)] + B)
+  // with c2/c1 corpus bigram/unigram bucket counts over B slots.
+  //
+  // Scale shape: the index build is ONE tokenize+explode corpus pass
+  // into a (is_bigram, bucket) hash agg — <= 2B rows, gathered
+  // driver-side (the v05/dsir index-build pattern) and memoized per
+  // (session, dataset, buckets); scoring is then a STATELESS HOF
+  // projection over the token array — no explode, no join, no shuffle
+  // — so it lifts onto a document readStream unchanged (s16) and a
+  // fleet of probes amortizes the single corpus pass.
+  //
+  // Exactness: both transcendentals (ln) are snapped floor-form to
+  // micro-nats per BUCKET at index build — O(B) sites, before any
+  // per-doc use — so per-doc weights are exact-integer HOF sums
+  // (order-independent), and the keep verdict is an integer compare
+  // `wsum >= τ·n_bigrams`: no ulp can straddle it cross-engine. τ is
+  // −4.96 nats/token, the fixture corpus median.
+  private val lmBuckets = 4096
+  private val lmTauMicro = -4960000L
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (Array[Long], Array[Long])]
+
+  /** The bigram-LM index: dense micro-nat arrays lnc (ln(c2+1) per
+    * bigram bucket) and lnd (ln(c1+B) per unigram bucket), from one
+    * corpus pass over the shared uni+bigram gram walk. Tokens never
+    * contain spaces (whitespace split), so `gram contains ' '`
+    * separates the two families without a second pass. */
+  private[operators] def bigramLmIndex(s: SparkSession, dir: String,
+      buckets: Int = lmBuckets): (Array[Long], Array[Long]) = {
+    lmCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(lmCache.remove)
+    lmCache.getOrElseUpdate((s, dir, buckets), {
+      val counts = Tables(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .withColumn("grams", expr(uniBigramExpr))
+        .select(explode(col("grams")).as("gram"))
+        .select((instr(col("gram"), " ") > 0).as("bg"), expr(
+          s"pmod(cast(conv(substring(md5(cast(gram as binary)), 1, 6), " +
+            s"16, 10) as long), $buckets)").as("bucket"))
+        .groupBy(col("bg"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded: <= 2 * buckets rows
+      def micro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+      val lnc = Array.fill(buckets)(micro(1.0))
+      val lnd = Array.fill(buckets)(micro(buckets.toDouble))
+      counts.foreach { r =>
+        val b = r.getLong(1).toInt
+        if (r.getBoolean(0)) lnc(b) = micro(r.getLong(2) + 1.0)
+        else lnd(b) = micro(r.getLong(2) + buckets.toDouble)
+      }
+      (lnc, lnd)
+    })
+  }
+
+  /** Stateless per-doc perplexity scorer against FIXED micro-nat LM
+    * arrays: one HOF fold over bigram positions — per position,
+    * lnc[h(toks[i] toks[i+1])] − lnd[h(toks[i])] — integer-exact in
+    * any fold order. Dense-array element_at is O(1) per position (the
+    * s14 lesson: a map literal is a linear scan). Input needs
+    * (doc_id, text); batch scan or readStream alike (s16). */
+  private[operators] def perplexityScoreStateless(docs: DataFrame,
+      lnc: Array[Long], lnd: Array[Long]): DataFrame = {
+    require(lnc.length == lnd.length && lnc.nonEmpty,
+      "LM arrays must be same-length and cover every bucket")
+    val buckets = lnc.length
+    val lncArr = typedLit(lnc)
+    val lndArr = typedLit(lnd)
+    def bucketOf(g: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+    def at(arr: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      element_at(arr, (b + 1).cast("int"))
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        aggregate(expr("sequence(0, size(toks) - 2)"), lit(0L),
+          (acc, i) => {
+            val tok = element_at(col("toks"), (i + 1).cast("int"))
+            val nxt = element_at(col("toks"), (i + 2).cast("int"))
+            acc + at(lncArr, bucketOf(concat_ws(" ", tok, nxt))) -
+              at(lndArr, bucketOf(tok))
+          }).as("wsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("wsum") / 1e6 / col("n_bigrams")).as("logp_mean"),
+        (col("wsum") >= lit(lmTauMicro) * col("n_bigrams"))
+          .cast("long").as("keep"))
+  }
+
+  private def d44(s: SparkSession, dir: String): DataFrame = {
+    val (lnc, lnd) = bigramLmIndex(s, dir)
+    perplexityScoreStateless(Tables(s, dir, "documents"), lnc, lnd)
+  }
+  private[operators] val d44Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT list_concat(toks, CASE WHEN len(toks) >= 2 THEN
+       |    list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])
+       |  ELSE CAST([] AS VARCHAR[]) END) AS grams FROM t),
+       |x AS (SELECT unnest(grams) AS gr FROM g),
+       |cb AS (SELECT CAST('0x' || substr(md5(gr), 1, 6) AS INT) % $lmBuckets AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM x WHERE contains(gr, ' ') GROUP BY 1),
+       |cu AS (SELECT CAST('0x' || substr(md5(gr), 1, 6) AS INT) % $lmBuckets AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c FROM x WHERE NOT contains(gr, ' ') GROUP BY 1),
+       |lc AS (SELECT bucket, CAST(floor(ln(CAST(c AS DOUBLE) + 1.0e0) * 1e6 + 0.5)
+       |    AS BIGINT) AS v FROM cb),
+       |lu AS (SELECT bucket, CAST(floor(ln(CAST(c AS DOUBLE) + $lmBuckets.0e0) * 1e6 + 0.5)
+       |    AS BIGINT) AS v FROM cu),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |occ AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> {'big': toks[i] || ' ' || toks[i + 1], 'uni': toks[i]})) AS o
+       |  FROM f),
+       |ob AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(o.big), 1, 6) AS INT) % $lmBuckets AS b2,
+       |    CAST('0x' || substr(md5(o.uni), 1, 6) AS INT) % $lmBuckets AS b1
+       |  FROM occ),
+       |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(COALESCE(lc.v, 0) - COALESCE(lu.v,
+       |      CAST(floor(ln($lmBuckets.0e0) * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS wsum
+       |  FROM ob LEFT JOIN lc ON ob.b2 = lc.bucket LEFT JOIN lu ON ob.b1 = lu.bucket
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, wsum / 1e6 / n_bigrams AS logp_mean,
+       |  CAST(CASE WHEN wsum >= $lmTauMicro * n_bigrams THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep
+       |FROM w""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2131,5 +2361,7 @@ object TextQueries {
     Q("d39_importance_resample", d39, Some(d39Sql)),
     Q("d40_token_fertility", d40, Some(d40Sql)),
     Q("d41_distinctive_terms", d41, Some(d41Sql)),
-    Q("d42_dedup_agreement", d42, Some(d42Sql)))
+    Q("d42_dedup_agreement", d42, Some(d42Sql)),
+    Q("d43_gopher_rules", d43, Some(d43Sql)),
+    Q("d44_perplexity_filter", d44, Some(d44Sql)))
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-11 quality filters: d43 (Gopher-style
+  * repetition rule battery) and d44 (hashed-bigram LM perplexity
+  * filter, with its stateless HOF scorer — the s16 stream path). The
+  * cross-engine gate proves Spark ≡ DuckDB; these specs prove the
+  * operators mean what their names claim on text with known structure.
+  */
+class GopherAndPerplexitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  test("d43 fails engineered repetition and passes diverse text") {
+    import spark.implicits._
+    // doc 1: 30 distinct tokens — every n-gram unique, all rules pass
+    // (top4_frac = 4/30 ≈ 0.13 <= 0.16 is the tightest margin);
+    // doc 2: "a b" repeated 15 times — the top 2-gram alone covers the
+    // whole doc and every 5/10-gram is a repeat, so every rule fails
+    val diverse = (1 to 30).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(15)("a b").mkString(" ")
+    val docs = Seq((1L, diverse), (2L, loop)).toDF("doc_id", "text")
+    val got = TextQueries.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("gopher_pass"), r.getAs[Double]("top2_frac"),
+          r.getAs[Double]("dup5_frac"))).toMap
+    assert(got(1L)._1 == 1L, s"diverse doc failed the battery: ${got(1L)}")
+    assert(got(1L)._3 == 0.0, "diverse doc has no duplicate 5-grams")
+    assert(got(2L)._1 == 0L, s"repetition loop passed the battery: ${got(2L)}")
+    assert(got(2L)._2 == 1.0,
+      s"top 2-gram of the loop covers every token: ${got(2L)}")
+    assert(got(2L)._3 == 1.0,
+      s"every 5-gram of the loop is a repeat: ${got(2L)}")
+  }
+
+  test("d43 excludes sub-10-token documents from the battery") {
+    import spark.implicits._
+    val docs = Seq((1L, "only nine tokens here so no verdict at all"),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val ids = TextQueries.gopherRules(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(2L), s"length gate wrong: $ids")
+  }
+
+  test("d44 wsum arithmetic matches hand computation under constant LM arrays") {
+    import spark.implicits._
+    // constant arrays make the bucket hash irrelevant: every bigram
+    // position contributes lnc − lnd = 5 − 2 = 3 micro-nats exactly
+    val docs = Seq((7L, "x y z")).toDF("doc_id", "text")
+    val row = TextQueries.perplexityScoreStateless(docs,
+      Array.fill(16)(5L), Array.fill(16)(2L)).collect().head
+    assert(row.getAs[Long]("n_bigrams") == 2L)
+    assert(row.getAs[Double]("logp_mean") == 6L / 1e6 / 2L)
+    assert(row.getAs[Long]("keep") == 1L,
+      "positive wsum must clear the negative threshold")
+  }
+
+  test("d44 LM scores in-distribution text above out-of-vocabulary text") {
+    import spark.implicits._
+    // the CCNet point: a doc written in the corpus's own vocabulary
+    // must carry higher mean log-probability than gibberish whose
+    // grams land in (mostly) empty buckets
+    val (lnc, lnd) = TextQueries.bigramLmIndex(spark, dir)
+    assert(lnc.length == 4096 && lnd.length == 4096)
+    val corpusText = graft.Tables(spark, dir, "documents")
+      .orderBy($"doc_id").select($"text").as[String].first()
+    val gibberish = (1 to 40).map(i => s"zzqxv$i").mkString(" ")
+    val scored = TextQueries.perplexityScoreStateless(
+      Seq((1L, corpusText), (2L, gibberish)).toDF("doc_id", "text"),
+      lnc, lnd).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logp_mean")).toMap
+    assert(scored(1L) > scored(2L),
+      s"in-distribution ${scored(1L)} not above gibberish ${scored(2L)}")
+  }
+
+  test("d44 scorer is a stateless projection (the s16 stream contract)") {
+    // no Exchange, no Generate: the scorer must lift onto a document
+    // readStream unchanged, which is only true if it never shuffles or
+    // explodes (the d38/s13 discipline)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (lnc, lnd) = TextQueries.bigramLmIndex(spark, dir)
+      val p = TextQueries.perplexityScoreStateless(
+        graft.Tables(spark, dir, "documents"), lnc, lnd)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"scorer shuffles:\n$p")
+      assert(!p.contains("Generate"), s"scorer explodes:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
