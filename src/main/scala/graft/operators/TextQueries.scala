@@ -2319,6 +2319,83 @@ object TextQueries {
        |    AS BIGINT) AS keep
        |FROM w""".stripMargin
 
+  // ---- d45: BM25 sparse retrieval over an inverted index ----
+  // The lexical retrieval primitive curation pipelines run for
+  // decontamination screens, near-dup triage, and retrieval-augmented
+  // data selection: score corpus documents against query documents
+  // with BM25 (k1 = 1.2, b = 0.75) and keep each query's top 10. The
+  // engine is a real inverted index, not pairwise text compare: per
+  // (doc, term) weights are precomputed once, the QUERY term set rides
+  // a broadcast (queries are always the small side), the only
+  // corpus-scale shuffles are keyed by term (posting-list build) and
+  // by (query, doc) (score agg, partial-aggregated), and the final
+  // top-k is the bounded-heap aggregate — no window over the corpus,
+  // nothing quadratic in corpus size.
+  //
+  // Exactness: the ONE transcendental (the idf ln) is snapped
+  // floor-form to micro units per TERM (vocab-bounded sites, the d17
+  // discipline); the tf normalization is a fixed-op-order chain of
+  // IEEE mul/div on exact integer masses (identical both engines),
+  // and the per-(doc,term) weight is floor-snapped to an exact BIGINT
+  // — so per-pair scores are INTEGER sums over shared terms,
+  // order-independent, and the rank tiebreak (score desc, doc_id) can
+  // never straddle a ulp cross-engine.
+  private val bmTopK = 10
+  private def d45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val dl = t.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val tfc = t.select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
+    val idf = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(st))
+      .select($"term", expr(
+        "cast(floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5) " +
+          "as bigint)").as("idf_micro"))
+    val w = tfc.join(dl, "doc_id").join(idf, "term")
+      .crossJoin(broadcast(st))
+      .select($"doc_id", $"term", expr(
+        "cast(floor(idf_micro * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * " +
+          "(cast(dl * nd as double) / tt)))) + 0.5) as bigint)").as("wm"))
+    val q = tfc.filter($"doc_id" < 5).select($"doc_id".as("qid"), $"term")
+    val scored = broadcast(q).join(w, "term")
+      .filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id").agg(sum($"wm").as("score"))
+    graft.vec.VectorOps.topKPerQuery(
+        scored.select($"qid", $"doc_id".as("vec_id"), $"score"), bmTopK)
+      .select($"qid", $"rank", $"vec_id".as("doc_id"),
+        ($"score" / 1e6).as("bm25"))
+  }
+  private val d45Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+       |  FROM d),
+       |idf AS (SELECT term,
+       |    CAST(floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5)
+       |      AS BIGINT) AS idf_micro
+       |  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1)
+       |    CROSS JOIN st),
+       |w AS (SELECT tfc.doc_id, tfc.term,
+       |    CAST(floor(idf_micro * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 *
+       |      (CAST(dl * nd AS DOUBLE) / tt)))) + 0.5) AS BIGINT) AS wm
+       |  FROM tfc JOIN d USING (doc_id) JOIN idf USING (term) CROSS JOIN st),
+       |q AS (SELECT doc_id AS qid, term FROM tfc WHERE doc_id < 5),
+       |sc AS (SELECT q.qid, w.doc_id, CAST(SUM(w.wm) AS BIGINT) AS sm
+       |  FROM q JOIN w ON q.term = w.term AND w.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sm DESC, doc_id) AS rn FROM sc)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, sm / 1e6 AS bm25
+       |FROM r WHERE rn <= $bmTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2363,5 +2440,6 @@ object TextQueries {
     Q("d41_distinctive_terms", d41, Some(d41Sql)),
     Q("d42_dedup_agreement", d42, Some(d42Sql)),
     Q("d43_gopher_rules", d43, Some(d43Sql)),
-    Q("d44_perplexity_filter", d44, Some(d44Sql)))
+    Q("d44_perplexity_filter", d44, Some(d44Sql)),
+    Q("d45_bm25_retrieval", d45, Some(d45Sql)))
 }

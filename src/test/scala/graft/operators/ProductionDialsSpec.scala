@@ -131,6 +131,24 @@ class ProductionDialsSpec extends AnyFunSuite {
     assert(maxRows <= 65536, s"per-doc histogram rows $maxRows exceed the bucket bound")
   }
 
+  test("bigram LM at the production feature space (64k buckets) stays a stateless scorer") {
+    // d44 gates at 4096 buckets; a production bigram space wants far
+    // more. Re-train at 65536 on the 10× fixture and pin that the
+    // scale class never moves: the index stays a bounded driver
+    // gather, and the scorer stays a map-only projection — the s16
+    // stream contract is not a 4096-only accident.
+    val (lnc, lnd) = TextQueries.bigramLmIndex(spark, sf01, 65536)
+    assert(lnc.length == 65536 && lnd.length == 65536,
+      "LM arrays must span the production space")
+    noAqe {
+      val p = TextQueries.perplexityScoreStateless(
+        Tables(spark, sf01, "documents"), lnc, lnd)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"LM scorer at 64k shuffles:\n$p")
+      assert(!p.contains("Generate"), s"LM scorer at 64k explodes:\n$p")
+    }
+  }
+
   test("CC cluster-size count partial-aggregates before the label exchange (skew pin)") {
     // d14/d21/v10 all count cluster sizes with groupBy(label).count —
     // hash-agg partials upstream of the exchange keep a giant dup
