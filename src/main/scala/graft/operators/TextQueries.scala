@@ -2396,6 +2396,121 @@ object TextQueries {
        |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, sm / 1e6 AS bm25
        |FROM r WHERE rn <= $bmTopK""".stripMargin
 
+  // ---- d46: KMV distinct-count sketch per source ----
+  // The bounded-sketch answer to "how many distinct tokens does each
+  // source contribute" — the vocabulary-size audit a mixture designer
+  // runs per shard without ever materializing a vocabulary. K-minimum-
+  // values: hash every distinct term into a 40-bit space, keep the k
+  // smallest hashes per source (the bounded-heap top-k aggregate, the
+  // v01 engine with score = -h), and estimate the distinct count as
+  // (k-1)·M / h_k; under k distinct hashes the sketch IS the exact
+  // count. Scale shape: one tokenize pass, then hash aggs whose keys
+  // shrink monotonically — (source, term) distinct → (source, h)
+  // distinct → a k-element heap per source — all partial-aggregated
+  // map-side; the only per-source state anywhere is k = 256 longs, and
+  // the exact-count audit column rides the same deduped frame, so the
+  // sketch's error is self-reported the way v13 audits the LSH ANN.
+  // Exactness: h is the md5-prefix integer (the d10 cross-engine coin),
+  // the estimator is one IEEE divide of exact integers ((k-1)·M =
+  // 280375465082880 is a literal, exact in double), floor-snapped to
+  // 1e-4 before compare; err_pct divides the SNAPPED estimate and
+  // snaps again, so no ulp can straddle the verdict.
+  private val kmvK = 256
+  private def d46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+      .distinct()
+    val exact = d.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+    val hashes = d.select($"source", expr(
+        "cast(conv(substring(md5(cast(term as binary)), 1, 10), 16, 10) " +
+          "as bigint)").as("h"))
+      .distinct()
+    val kmv = graft.vec.VectorOps.topKPerQuery(
+      hashes.select($"source".as("qid"), $"h".as("vec_id"),
+        (-$"h").cast("double").as("score")), kmvK)
+    val est = kmv.groupBy($"qid".as("source"))
+      .agg(count(lit(1)).as("n_seen"),
+        max(when($"rank" === kmvK, -$"score")).as("hk"))
+      .select($"source", $"n_seen", when($"n_seen" < kmvK,
+          $"n_seen".cast("double"))
+        .otherwise(expr("floor(280375465082880.0 / hk * 1e4 + 0.5) / 1e4"))
+        .as("est_distinct"))
+    exact.join(est, "source")
+      .select($"source", $"n_exact", $"est_distinct",
+        expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
+          "/ 1e6").as("err_pct"))
+  }
+  private val d46Sql =
+    s"""WITH t AS (SELECT source,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |d AS (SELECT DISTINCT source, term FROM t),
+       |x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM d GROUP BY 1),
+       |h AS (SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(term), 1, 10) AS BIGINT) AS h FROM d),
+       |r AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+       |k AS (SELECT source,
+       |    CAST(COUNT(CASE WHEN rn <= $kmvK THEN 1 END) AS BIGINT) AS n_seen,
+       |    MAX(CASE WHEN rn = $kmvK THEN h END) AS hk
+       |  FROM r GROUP BY 1),
+       |e AS (SELECT source, n_seen,
+       |    CASE WHEN n_seen < $kmvK THEN CAST(n_seen AS DOUBLE)
+       |      ELSE floor(280375465082880.0 / hk * 1e4 + 0.5) / 1e4
+       |    END AS est_distinct FROM k)
+       |SELECT x.source, n_exact, est_distinct,
+       |  floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) / 1e6
+       |    AS err_pct
+       |FROM x JOIN e ON x.source = e.source""".stripMargin
+
+  // ---- d47: exact length quantiles via a bounded cumulative histogram ----
+  // The per-source token-length distribution (p50/p90/p99) a curation
+  // run reports before choosing packing lengths — computed WITHOUT
+  // sorting the corpus or collecting per-group value lists (the
+  // percentile-agg trap at 100 TB). Token counts live in a small
+  // integer domain, so the exact type-1 quantile is a cumulative
+  // histogram problem: count docs per (source, n_tokens) — a corpus
+  // hash agg that shrinks to at most |sources|·max_len rows — then a
+  // window ordered by n_tokens whose partitions are bounded by the
+  // length DOMAIN (thousands of rows), not the corpus, and pick the
+  // smallest length whose cumulative count clears ceil(q·n). All
+  // integer arithmetic (cum·100 >= n·q100), so cross-engine exact.
+  private def d47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .groupBy($"source", $"n_tokens").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_tokens")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n_docs", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+    def q(q100: Int, name: String) =
+      min(when($"cum" * 100 >= $"n_docs" * q100, $"n_tokens")).as(name)
+    cum.groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"), q(50, "p50"), q(90, "p90"),
+        q(99, "p99"))
+  }
+  private val d47Sql =
+    """WITH t AS (SELECT source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |h AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |c AS (SELECT source, n_tokens,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n_docs FROM h)
+      |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_docs * 50 THEN n_tokens END) AS BIGINT) AS p50,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_docs * 90 THEN n_tokens END) AS BIGINT) AS p90,
+      |  CAST(MIN(CASE WHEN cum * 100 >= n_docs * 99 THEN n_tokens END) AS BIGINT) AS p99
+      |FROM c GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2441,5 +2556,7 @@ object TextQueries {
     Q("d42_dedup_agreement", d42, Some(d42Sql)),
     Q("d43_gopher_rules", d43, Some(d43Sql)),
     Q("d44_perplexity_filter", d44, Some(d44Sql)),
-    Q("d45_bm25_retrieval", d45, Some(d45Sql)))
+    Q("d45_bm25_retrieval", d45, Some(d45Sql)),
+    Q("d46_kmv_distinct", d46, Some(d46Sql)),
+    Q("d47_length_quantiles", d47, Some(d47Sql)))
 }
