@@ -466,6 +466,34 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s17: BM25 decontamination screen on arrival ----
+  // d45's retrieval engine split across the batch/stream boundary the
+  // s14 way: the query-side index (per-query term lists with micro-nat
+  // idf weights, plus the corpus stats the tf normalization needs) is
+  // trained ONCE on the static reference corpus — a bounded gather,
+  // the 5 query docs' terms — and shipped into the stream as a
+  // literal, so each arriving document's contamination verdict against
+  // EVERY query is a stateless in-row projection: no join, no state
+  // store, no watermark (append mode). On the single-batch fixture the
+  // reference corpus IS the streamed corpus, so the batch SQL oracle
+  // (d45's scoring CTEs with the threshold instead of the top-k trim)
+  // gates the streamed pairs bit-for-bit (integer micro-weight sums).
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    val (qts, nd, tt) = TextQueries.bm25QueryIndex(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.bm25ScoreStateless(raw, qts, nd, tt).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -521,5 +549,6 @@ object StreamingQueries {
     Q("s13_stream_quality_filter", s13, Some(TextQueries.d38Sql)),
     Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)),
     Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)),
-    Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)))
+    Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)),
+    Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)))
 }

@@ -2396,6 +2396,108 @@ object TextQueries {
        |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, sm / 1e6 AS bm25
        |FROM r WHERE rn <= $bmTopK""".stripMargin
 
+  // BM25 screen threshold: pairs scoring >= 5.0 are "contaminated"
+  // (the fixture's max pair scores ~8.8, so the screen is selective
+  // but non-empty at every sf).
+  private[operators] val bmTauMicro = 5000000L
+  private val bmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Long, Seq[(String, Long)])], Long, Long)]
+
+  /** The BM25 query-side index for the streaming screen (s17): per
+    * query doc, its term list with micro-nat idf weights, plus the
+    * corpus stats (nd, tt) the tf normalization needs. ONE corpus pass
+    * (the d45 df aggregation), then a bounded gather — the query set
+    * is 5 docs, so the index is at most a few hundred (term, idf)
+    * pairs; memoized per (session, dataset) with stopped-session
+    * eviction, the lmCache pattern, so the stream and repeated bench
+    * sweeps pay the corpus pass once. */
+  private[operators] def bm25QueryIndex(s: SparkSession, dir: String)
+      : (Seq[(Long, Seq[(String, Long)])], Long, Long) = {
+    bmCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(bmCache.remove)
+    bmCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val t = Tables(s, dir, "documents")
+        .filter(length(trim($"text")) > 0)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      val Array(nd, tt) = t
+        .agg(count(lit(1)).cast("long"), sum(size($"toks")).cast("long"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val tfc = t.select($"doc_id", explode($"toks").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      val idf = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
+        .select($"term", expr(
+          s"cast(floor(ln(($nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6 " +
+            "+ 0.5) as bigint)").as("idf_micro"))
+      val rows = tfc.filter($"doc_id" < 5)
+        .join(idf, "term")
+        .select($"doc_id", $"term", $"idf_micro")
+        .collect() // bounded: distinct terms of the 5 query docs
+      val byQ = rows.map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1))
+        .toSeq.sortBy(_._1)
+      (byQ, nd, tt)
+    })
+  }
+
+  /** Stateless per-doc BM25 screen against a FIXED query index: each
+    * arriving document is scored in-row against every query's term
+    * list (tf via a filter-count over the doc's own tokens, dl from
+    * the row, idf/nd/tt from the index literals) — no join, no state,
+    * no explode of the corpus side; per-row cost is O(|q terms|·dl)
+    * with |q terms| bounded by the index. The per-(doc, term) weight
+    * is the EXACT d45 formula (same op order), floor-snapped to an
+    * exact BIGINT, so the pair score is an integer sum and the
+    * `sm >= tau` verdict can never straddle a ulp cross-engine.
+    * Input needs (doc_id, text); batch scan or readStream alike. */
+  private[operators] def bm25ScoreStateless(docs: DataFrame,
+      qTerms: Seq[(Long, Seq[(String, Long)])], nd: Long, tt: Long,
+      tauMicro: Long = bmTauMicro): DataFrame = {
+    require(qTerms.nonEmpty, "query index must be non-empty")
+    val qlit = typedLit(qTerms)
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"), explode(qlit).as("q"))
+      .filter(col("doc_id") =!= col("q._1"))
+      .select(col("q._1").as("qid"), col("doc_id"), expr(
+        "aggregate(q._2, cast(0 as bigint), (acc, p) -> acc + " +
+          "cast(floor(p._2 * ((size(filter(toks, x -> x = p._1)) * 2.2) / " +
+          "(size(filter(toks, x -> x = p._1)) + 1.2 * (0.25 + 0.75 * " +
+          s"(cast(dl * $nd as double) / $tt)))) + 0.5) as bigint))")
+        .as("sm"))
+      .filter(col("sm") >= tauMicro)
+      .select(col("qid"), col("doc_id"), (col("sm") / 1e6).as("bm25"))
+  }
+
+  /** Batch oracle for the streaming BM25 screen: d45's scoring CTEs
+    * with the threshold instead of the top-k trim. */
+  private[operators] val bm25ScreenSql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tt
+       |  FROM d),
+       |idf AS (SELECT term,
+       |    CAST(floor(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5)
+       |      AS BIGINT) AS idf_micro
+       |  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1)
+       |    CROSS JOIN st),
+       |w AS (SELECT tfc.doc_id, tfc.term,
+       |    CAST(floor(idf_micro * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 *
+       |      (CAST(dl * nd AS DOUBLE) / tt)))) + 0.5) AS BIGINT) AS wm
+       |  FROM tfc JOIN d USING (doc_id) JOIN idf USING (term) CROSS JOIN st),
+       |q AS (SELECT doc_id AS qid, term FROM tfc WHERE doc_id < 5),
+       |sc AS (SELECT q.qid, w.doc_id, CAST(SUM(w.wm) AS BIGINT) AS sm
+       |  FROM q JOIN w ON q.term = w.term AND w.doc_id <> q.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, doc_id, sm / 1e6 AS bm25 FROM sc
+       |WHERE sm >= $bmTauMicro""".stripMargin
+
   // ---- d46: KMV distinct-count sketch per source ----
   // The bounded-sketch answer to "how many distinct tokens does each
   // source contribute" — the vocabulary-size audit a mixture designer
