@@ -2341,7 +2341,7 @@ object TextQueries {
   // order-independent, and the rank tiebreak (score desc, doc_id) can
   // never straddle a ulp cross-engine.
   private val bmTopK = 10
-  private def d45(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def d45(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
@@ -2369,7 +2369,7 @@ object TextQueries {
       .select($"qid", $"rank", $"vec_id".as("doc_id"),
         ($"score" / 1e6).as("bm25"))
   }
-  private val d45Sql =
+  private[operators] val d45Sql =
     s"""WITH t AS (SELECT doc_id,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),

@@ -1400,6 +1400,52 @@ object VectorQueries {
       s"\nSELECT vec_id, mass, mass / 1e6 AS pagerank FROM r$prIters"
   }
 
+  // ---- v22: hybrid retrieval — reciprocal-rank fusion of BM25 + kNN ----
+  // The standard hybrid-retrieval combiner: fuse the lexical (d45
+  // BM25 inverted index) and dense (v01 exact cosine kNN) top-10
+  // rankings of the same query set with RRF — score(id) =
+  // Σ 1/(60 + rank) over the rankings that retrieved it — and keep
+  // each query's fused top-10. Scale shape: both inputs are ALREADY
+  // bounded (top-k per query), so the fusion join and re-rank touch
+  // O(queries·k) rows no matter the corpus size; the corpus-scale
+  // work all lives in the two gated upstream engines. Exactness: each
+  // RRF term is one IEEE divide of exact integers, the two-term sum
+  // has a fixed operand order on both engines, and ties (a rank-r
+  // lexical-only hit vs a rank-r dense-only hit score bit-identically)
+  // break on id — so the fused ranking can never straddle a ulp.
+  private def v22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = TextQueries.d45(s, dir)
+      .select($"qid", $"doc_id".as("id"), $"rank".as("lr"))
+    val den = v01(s, dir)
+      .select($"qid", $"vec_id".as("id"), $"rank".as("dr"))
+    val fused = lex.join(den, Seq("qid", "id"), "full_outer")
+      .select($"qid", $"id",
+        (coalesce(lit(1.0) / ($"lr" + 60), lit(0.0)) +
+          coalesce(lit(1.0) / ($"dr" + 60), lit(0.0))).as("score"))
+    VectorOps.topKPerQuery(
+        fused.select($"qid", $"id".as("vec_id"), $"score"), topK)
+      .select($"qid", $"rank", $"vec_id".as("id"),
+        expr("floor(score * 1e6 + 0.5) / 1e6").as("rrf"))
+  }
+  // composed from the sibling oracles (the v13 pattern): the fused
+  // ranking is checked end-to-end against DuckDB running the SAME two
+  // gated rankings plus the fusion arithmetic
+  private val v22Sql =
+    "WITH lx AS (SELECT * FROM (\n" + TextQueries.d45Sql + "\n) lxq),\n" +
+      "dn AS (SELECT * FROM (\n" + v01Sql + "\n) dnq),\n" +
+      "f AS (SELECT COALESCE(lx.qid, dn.qid) AS qid,\n" +
+      "    COALESCE(lx.doc_id, dn.vec_id) AS id,\n" +
+      "    COALESCE(1e0 / (lx.rank + 60), 0e0)\n" +
+      "      + COALESCE(1e0 / (dn.rank + 60), 0e0) AS score\n" +
+      "  FROM lx FULL OUTER JOIN dn\n" +
+      "    ON lx.qid = dn.qid AND lx.doc_id = dn.vec_id),\n" +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY qid\n" +
+      "    ORDER BY score DESC, id) AS rn FROM f)\n" +
+      "SELECT qid, CAST(rn AS BIGINT) AS rank, id,\n" +
+      "  floor(score * 1e6 + 0.5) / 1e6 AS rrf\n" +
+      s"FROM r WHERE rn <= $topK"
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1421,5 +1467,6 @@ object VectorQueries {
     Q("v18_cluster_profile", v18, Some(v18Sql)),
     Q("v19_diversity_sample", v19, Some(v19Sql)),
     Q("v20_quant_error_profile", v20, Some(v20Sql)),
-    Q("v21_knn_pagerank", v21, Some(v21Sql)))
+    Q("v21_knn_pagerank", v21, Some(v21Sql)),
+    Q("v22_rrf_fusion", v22, Some(v22Sql)))
 }

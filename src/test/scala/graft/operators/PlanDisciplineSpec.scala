@@ -408,6 +408,65 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d45 BM25: query side broadcasts, top-k has no Window, no cartesian") {
+    // the inverted-index shape: posting-list and doc-length joins are
+    // corpus-keyed (sort-merge is fine there), but the QUERY term set
+    // must reach the corpus as a broadcast, the per-query top-k must
+    // be the bounded-heap aggregate (a rank Window over the scored
+    // pairs would sort every query's full candidate list), and nothing
+    // may go cartesian (the scalar stats attach is a broadcast nested
+    // loop, which prints as BroadcastNestedLoopJoin, not
+    // CartesianProduct)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d45_bm25_retrieval")
+      assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+      assert(!p.contains("Window"), s"rank window in BM25 top-k:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in BM25:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d46 KMV sketch: bounded-heap min-k, no Window over the hash stream") {
+    // the k smallest hashes per source must come from the
+    // ObjectHashAggregate bounded heap (oracle uses row_number, the
+    // engine must not): a Window rewrite would sort every source's
+    // full distinct-hash stream to keep 256 of them
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d46_kmv_distinct")
+      assert(p.contains("ObjectHashAggregate"), s"no bounded-heap agg:\n$p")
+      assert(!p.contains("Window"), s"rank window in KMV min-k:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d47 quantile window runs over the histogram, not the corpus") {
+    // the cumulative window's input must be the (source, n_tokens)
+    // hash aggregate — partitions bounded by the length DOMAIN — never
+    // the raw doc stream. The plan prints top-down, so the aggregate
+    // feeding the Window appears BELOW it: require a HashAggregate
+    // line after the Window line.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d47_length_quantiles")
+      val lines = p.linesIterator.toVector
+      val wi = lines.indexWhere(_.contains("Window"))
+      assert(wi >= 0, s"no window in d47:\n$p")
+      assert(lines.drop(wi + 1).exists(_.contains("HashAggregate")),
+        s"window input is not the histogram aggregate:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("s17 stateless BM25 screen is map-only: no Exchange") {
+    // the streaming split's contract: with the query index shipped as
+    // a literal, scoring is in-row — the only Generate is the bounded
+    // 5-element query-set fanout, and nothing shuffles
+    val (qts, nd, tt) = TextQueries.bm25QueryIndex(spark, TestSpark.sf0001)
+    val p = TextQueries.bm25ScoreStateless(
+      graft.Tables(spark, TestSpark.sf0001, "documents"), qts, nd, tt)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stateless BM25 screen shuffles:\n$p")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only
