@@ -47,6 +47,25 @@ object HashKernels {
     out
   }
 
+  /** One-pass vocabulary term counting: counts(i) = occurrences of
+    * vocab term i in the token array. O(tokens) hash probes; see
+    * TermCountsExpr. */
+  def termCounts(arr: ArrayData,
+      index: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+      vocabSize: Int): Array[Int] = {
+    val counts = new Array[Int](vocabSize)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val p = index.get(arr.getUTF8String(i))
+        if (p != null) counts(p.intValue()) += 1
+      }
+      i += 1
+    }
+    counts
+  }
+
   /** One-pass k-slot min-hash signature, value-identical to the HOF
     * form `array_min(transform(sh, t -> xxhash64(t, slot + 1)))`:
     * Spark's multi-arg xxhash64 CHAINS — bytes hashed with seed 42,
@@ -507,6 +526,60 @@ final case class NormTokensExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** term_counts(tokens: array<string>) → array<int>: occurrence count
+  * of each FIXED vocabulary term in the token array, aligned to the
+  * vocabulary's order. The one-pass replacement for per-term
+  * `size(filter(tokens, x -> x = t))` scans: the HOF form costs
+  * O(tokens · |vocab|) interpreted lambda calls per row (it made the
+  * s17 streaming scorer the suite's slowest query at 15.7 s), this
+  * kernel costs O(tokens) hash probes in straight-line Java inside
+  * WholeStageCodegen. Value-identical to the HOF form: the probe is
+  * UTF8String binary equality, the same comparison `x = t` compiles
+  * to.
+  */
+final case class TermCountsExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  require(vocab.nonEmpty && vocab.size <= (1 << 20),
+    s"vocab must be non-empty and bounded, got ${vocab.size}")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType), ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  // built once per task from the vocab (UTF8String keys hash/compare
+  // on bytes, matching the engine's string equality); shipped to
+  // executors via the codegen references array
+  @transient private lazy val index: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case (t, i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        Integer.valueOf(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashKernels.termCounts(
+      input.asInstanceOf[ArrayData], index, vocab.size))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("vocabIndex", index,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.termCounts($c, $idxRef, ${vocab.size}))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCountsExpr =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the native kernels. */
 object GraftFunctions {
   def simhash64(tokens: Column): Column =
@@ -524,6 +597,8 @@ object GraftFunctions {
       centroids.head.length))
   def normTokens(text: Column): Column =
     column(NormTokensExpr(expression(text)))
+  def termCounts(tokens: Column, vocab: Seq[String]): Column =
+    column(TermCountsExpr(expression(tokens), vocab))
   def dot(a: Column, b: Column): Column =
     column(DotExpr(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column =

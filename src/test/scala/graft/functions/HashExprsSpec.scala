@@ -128,6 +128,41 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("native termCounts equals the per-term HOF filter-count form") {
+    import spark.implicits._
+    // vocab with hits, misses, and a term that repeats within docs
+    val vocab = Seq("the", "data", "zzz-never-present", "of", "a")
+    val hof = expr("transform(array('the','data','zzz-never-present','of','a'), " +
+      "t -> size(filter(toks, x -> x = t)))")
+    val rows = docs()
+      .select($"doc_id", hof.as("hof"),
+        GraftFunctions.termCounts($"toks", vocab).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"doc ${r.get(0)}")
+    }
+    // interpreted path (eval without codegen) agrees too
+    val interp = TermCountsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b", "a", "c"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      Seq("a", "c", "x")).eval(null)
+    assert(interp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == Seq(2, 1, 0))
+  }
+
+  test("native termCounts stays inside WholeStageCodegen") {
+    import spark.implicits._
+    val plan = docs()
+      .select(GraftFunctions.termCounts($"toks", Seq("the", "of")).as("tf"))
+      .queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator
+      .find(_.contains("graft_term_counts")).getOrElse("")
+    assert(projLine.trim.matches("""^[+\-:\s]*\*\(\d+\) Project.*"""), plan)
+  }
+
   test("native exprs stay inside WholeStageCodegen") {
     import spark.implicits._
     val plan = docs()

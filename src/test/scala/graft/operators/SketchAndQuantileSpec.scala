@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic guards for the bounded-statistics family (d46 KMV sketch,
+  * d47 histogram quantiles, v22 RRF fusion) beyond the oracle's
+  * value-equality gate: the sketch's error must actually be small, the
+  * quantiles must actually be quantiles, and the fused ranking must
+  * actually contain its inputs' consensus hits.
+  */
+class SketchAndQuantileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("d46 KMV estimate lands within the theoretical error band") {
+    // KMV with k=256 has relative standard error ~ 1/sqrt(k-2) ≈ 6.3%;
+    // assert every source's self-reported err_pct is inside 4 RSEs —
+    // loose enough to never flap, tight enough that a broken estimator
+    // (wrong hash width, off-by-one rank, swapped operands) fails.
+    val rows = Catalog.queries("d46_kmv_distinct")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("err_pct")
+      assert(err >= 0.0 && err <= 0.25,
+        s"source ${r.getAs[String]("source")}: err_pct $err outside band")
+    }
+  }
+
+  test("d46 falls back to the exact count under k distinct hashes") {
+    // a source with fewer than k distinct hashes must report the exact
+    // sketch-side count: est_distinct == n_exact whenever n_exact < k
+    // (40-bit collisions on a sub-256 vocabulary are ~0, so hash count
+    // == term count; a sparser fixture slice exercises this branch)
+    val rows = Catalog.queries("d46_kmv_distinct")(spark, TestSpark.sf0001)
+      .collect()
+    val small = rows.filter(_.getAs[Long]("n_exact") < 256)
+    assert(small.nonEmpty,
+      "fixture assumption: sf0.001 has sources under k distinct terms")
+    small.foreach { r =>
+      assert(r.getAs[Double]("est_distinct") == r.getAs[Long]("n_exact").toDouble,
+        s"source ${r.getAs[String]("source")}: exact-branch estimate diverges")
+    }
+  }
+
+  test("d47 quantiles are monotone and bracket the true median") {
+    import spark.implicits._
+    val q = Catalog.queries("d47_length_quantiles")(spark, TestSpark.sf001)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+        r.getAs[Long]("p99"))
+      assert(p50 <= p90 && p90 <= p99,
+        s"non-monotone quantiles for ${r.getAs[String]("source")}")
+    }
+    // cross-check one source's p50 against Spark's own exact
+    // percentile (type-1 lower quantile ⇒ within the two middle
+    // order statistics of the interpolating percentile)
+    val src = rows.head.getAs[String]("source")
+    val lens = graft.Tables(spark, TestSpark.sf001, "documents")
+      .filter(length(trim($"text")) > 0).filter($"source" === src)
+      .select(size(graft.text.TextOps.tokens($"text")).cast("long").as("n"))
+      .as[Long].collect().sorted
+    val lower = lens((lens.length - 1) / 2)
+    val upper = lens(lens.length / 2)
+    val p50 = rows.find(_.getAs[String]("source") == src).get.getAs[Long]("p50")
+    assert(p50 >= lower && p50 <= upper,
+      s"p50 $p50 outside the median bracket [$lower, $upper]")
+  }
+
+  test("v22 RRF fusion is a faithful rank combiner of its two inputs") {
+    // unconditional RRF properties on the engine's own gated inputs:
+    // every fused id came from an input top-10; any id in BOTH top-10s
+    // scores >= 2/70, any single-ranking id <= 1/61, so dual hits must
+    // outrank single hits (vacuous on a fixture whose lexical and
+    // dense signals never agree — the synthetic embeddings are
+    // independent of the text); and within one qid the fused scores
+    // are non-increasing in rank.
+    import spark.implicits._
+    val lex = Catalog.queries("d45_bm25_retrieval")(spark, TestSpark.sf001)
+      .select($"qid", $"doc_id".as("id"), $"rank".as("lr"))
+    val den = Catalog.queries("v01_knn_exact")(spark, TestSpark.sf001)
+      .select($"qid", $"vec_id".as("id"), $"rank".as("dr"))
+    val fused = Catalog.queries("v22_rrf_fusion")(spark, TestSpark.sf001)
+      .select($"qid", $"id", $"rank".as("fr"), $"rrf")
+    val j = lex.join(den, Seq("qid", "id"), "full_outer")
+      .join(fused, Seq("qid", "id"), "left_outer").collect()
+    assert(j.nonEmpty)
+    // provenance: every fused row joined back to an input
+    val fusedCount = fused.count()
+    assert(j.count(r => !r.isNullAt(4)) == fusedCount,
+      "fused ranking contains an id retrieved by neither input")
+    // dual hits outrank single hits per qid
+    val dual = j.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val single = j.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    dual.foreach { c =>
+      single.filter(_.getLong(0) == c.getLong(0)).foreach { s =>
+        val cf = if (c.isNullAt(4)) Long.MaxValue else c.getLong(4)
+        val sf = if (s.isNullAt(4)) Long.MaxValue else s.getLong(4)
+        assert(cf < sf, s"qid ${c.getLong(0)}: dual id ${c.getLong(1)} " +
+          s"(fused $cf) below single id ${s.getLong(1)} (fused $sf)")
+      }
+    }
+    // fused score non-increasing in fused rank
+    fused.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"qid $qid: fused scores increase with rank")
+    }
+  }
+}
