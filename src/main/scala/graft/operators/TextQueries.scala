@@ -2623,6 +2623,60 @@ object TextQueries {
       |  CAST(MIN(CASE WHEN cum * 100 >= n_docs * 99 THEN n_tokens END) AS BIGINT) AS p99
       |FROM c GROUP BY 1""".stripMargin
 
+  // ---- d48: cross-source n-gram overlap matrix (shard-leakage audit) ----
+  // The pairwise contamination audit a mixture designer runs before
+  // trusting per-source dedup/splits: for every source pair, how many
+  // distinct 5-grams they share, as a fraction of each side's gram
+  // set. High overlap means two shards are the same crawl in different
+  // clothes — dedup/decontamination must treat them jointly (and a
+  // leakage-safe split must not put one per side). Scale shape is the
+  // d18/d31 discipline: one explode to distinct (source, gram) — the
+  // corpus-keyed shuffle — then a gram-KEY self-join whose per-gram
+  // fanout is bounded by sources² (≤ 20² here, never corpus-quadratic)
+  // collapsing immediately into a ≤ sources² hash agg; totals ride the
+  // same deduped frame. Fractions are single IEEE divisions of exact
+  // integers, floor-snapped, so the matrix is ulp-safe cross-engine.
+  private def d48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
+      .distinct()
+    val tot = g.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = g.select($"gram", $"source".as("sa"))
+      .join(g.select($"gram", $"source".as("sb")), "gram")
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(tot.select($"source".as("sa"), $"n".as("na")), "sa")
+      .join(tot.select($"source".as("sb"), $"n".as("nb")), "sb")
+      .select($"sa", $"sb", $"n_shared", $"na", $"nb",
+        expr("floor(n_shared / cast(na as double) * 1e6 + 0.5) / 1e6")
+          .as("frac_a"),
+        expr("floor(n_shared / cast(nb as double) * 1e6 + 0.5) / 1e6")
+          .as("frac_b"))
+  }
+  private val d48Sql =
+    """WITH t AS (SELECT source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |f AS (SELECT source, toks FROM t WHERE len(toks) >= 5),
+      |g AS (SELECT DISTINCT source, gram FROM (SELECT source,
+      |    unnest(list_transform(generate_series(1, len(toks) - 4),
+      |      i -> array_to_string(toks[i : i + 4], ' '))) AS gram FROM f)),
+      |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      |sh AS (SELECT a.source AS sa, b.source AS sb,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, n_shared, ta.n AS na, tb.n AS nb,
+      |  floor(n_shared / CAST(ta.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_a,
+      |  floor(n_shared / CAST(tb.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_b
+      |FROM sh JOIN tot ta ON sh.sa = ta.source
+      |  JOIN tot tb ON sh.sb = tb.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2670,5 +2724,6 @@ object TextQueries {
     Q("d44_perplexity_filter", d44, Some(d44Sql)),
     Q("d45_bm25_retrieval", d45, Some(d45Sql)),
     Q("d46_kmv_distinct", d46, Some(d46Sql)),
-    Q("d47_length_quantiles", d47, Some(d47Sql)))
+    Q("d47_length_quantiles", d47, Some(d47Sql)),
+    Q("d48_source_overlap", d48, Some(d48Sql)))
 }
