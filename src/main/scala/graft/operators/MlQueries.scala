@@ -274,6 +274,75 @@ object MlQueries {
        |FROM r""".stripMargin
   }
 
+  // ---- m07: simplified silhouette (cluster-quality audit) ----
+  // The "are these clusters real" number a curation run reads before
+  // trusting cluster-conditioned sampling (v18/v19) or exemplar
+  // seeding (v12): per cluster, the mean simplified silhouette
+  // (b − a)/max(a, b) with a = distance to the nearest (assigned)
+  // centroid and b = distance to the second-nearest — the standard
+  // centroid-based approximation that needs NO point-to-point pairs,
+  // so it scales where true silhouette (corpus-quadratic) cannot.
+  //
+  // Scale shape: the k-row centroid side broadcasts; the distance
+  // expansion is k× scalar rows (no vector copy); then three vec-keyed
+  // hash aggs/joins (min distance → argmin with a deterministic
+  // lowest-cid tiebreak → second min) and a final k-row cluster agg.
+  // Three corpus-keyed exchanges of scalars; nothing quadratic.
+  //
+  // Exactness: distances are the index-order folds; the tiebreak
+  // compares a MIN against the value it came from (bit-identical);
+  // b ≥ a ⇒ s = (√b − √a)/√b, three IEEE ops in fixed order (sqrt is
+  // correctly rounded, so cross-engine exact), snapped per point,
+  // DECIMAL-folded per cluster, mean snapped.
+  private val silK = 8
+
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cents = e.filter($"vec_id" < silK)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val d2f = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", VectorOps.sqdist($"v", $"cv").as("d2"))
+    val am = d2f.groupBy($"vec_id").agg(min($"d2").as("a2"))
+    val own = d2f.join(am, "vec_id").filter($"d2" === $"a2")
+      .groupBy($"vec_id", $"a2").agg(min($"cid").as("own"))
+    val b = d2f.join(own.select($"vec_id", $"own"), "vec_id")
+      .filter($"cid" =!= $"own")
+      .groupBy($"vec_id").agg(min($"d2").as("b2"))
+    val sil = own.join(b, "vec_id")
+      .select($"vec_id", $"own",
+        when($"b2" === 0.0, 0.0).otherwise(
+          floor((sqrt($"b2") - sqrt($"a2")) / sqrt($"b2") * 1e6 + 0.5) / 1e6)
+          .as("sp"))
+    sil.groupBy($"own").agg(count(lit(1)).as("n_vecs"),
+        sum($"sp".cast("decimal(18,6)")).as("ss"))
+      .select($"own".as("cid"), $"n_vecs",
+        (floor($"ss".cast("double") / $"n_vecs" * 1e6 + 0.5) / 1e6)
+          .as("mean_sil"))
+  }
+  private lazy val m07Sql = {
+    val d2 = VectorOps.sqdistSql("e.v", "c.cv")
+    s"""WITH ev AS (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings),
+       |  c AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < $silK),
+       |  d AS (SELECT e.vec_id, c.cid, $d2 AS d2 FROM ev e CROSS JOIN c),
+       |  am AS (SELECT vec_id, MIN(d2) AS a2 FROM d GROUP BY 1),
+       |  own AS (SELECT d.vec_id, a2, MIN(cid) AS own FROM d
+       |    JOIN am ON d.vec_id = am.vec_id WHERE d2 = a2 GROUP BY 1, 2),
+       |  b AS (SELECT d.vec_id, MIN(d2) AS b2 FROM d
+       |    JOIN own ON d.vec_id = own.vec_id WHERE cid <> own GROUP BY 1),
+       |  sil AS (SELECT own.vec_id, own,
+       |      CASE WHEN b2 = 0e0 THEN 0e0 ELSE
+       |        floor((sqrt(b2) - sqrt(a2)) / sqrt(b2) * 1e6 + 0.5) / 1e6
+       |      END AS sp
+       |    FROM own JOIN b ON own.vec_id = b.vec_id)
+       |SELECT own AS cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  floor(CAST(SUM(CAST(sp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+       |    * 1e6 + 0.5) / 1e6 AS mean_sil
+       |FROM sil GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
@@ -281,5 +350,6 @@ object MlQueries {
     Q("m04_kmeans_step_block", m04, Some(m04Sql)),
     Q("m05_kmeans_scalable_init", m05, Some(GoldenOracles.m05)),
     Q("m06_kmeans_elbow", m06, Some(m06Sql)),
+    Q("m07_silhouette", m07, Some(m07Sql)),
     Q("g01_gaussian_generator", g01, Some(GoldenOracles.g01)))
 }
