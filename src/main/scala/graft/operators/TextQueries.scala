@@ -2677,6 +2677,105 @@ object TextQueries {
       |FROM sh JOIN tot ta ON sh.sa = ta.source
       |  JOIN tot tb ON sh.sb = tb.source""".stripMargin
 
+  // ---- d49: HLL-style mergeable distinct sketch (5-gram mass) ----
+  // The second distinct-count sketch, complementary to d46's KMV: HLL
+  // registers are MERGEABLE — per-shard sketches combine with a
+  // bucket-wise max, no rescan — which is how a 100 TB lake answers
+  // "distinct 5-gram mass per source AND overall" from per-shard
+  // state. The query emits every source's estimate plus a `__all__`
+  // union row that the ENGINE computes by merging the per-source
+  // registers; the ORACLE recomputes that row from the raw union of
+  // grams — so the cross-engine hash equality IS the proof that
+  // register merge ≡ full rescan. Scale shape: one explode to the
+  // deduped (source, gram) frame (shared with the exact-count audit
+  // column, the d46 pattern), collapsing to ≤ sources·256 register
+  // rows before any further work; the estimate is a 256-row-per-group
+  // fold. Exactness: rho is INTEGER (41 − bit_length via `bin`, no
+  // log); register sums are exact dyadic integers Σ 2^(41−r) so the
+  // raw estimate is ONE IEEE divide of a literal by an exact BIGINT;
+  // the small-range branch's ln has a 256-value bounded domain and is
+  // floor-snapped (the d17/d39 transcendental discipline); the branch
+  // test compares bit-identical doubles against literals.
+  private def d49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gd = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
+      .distinct()
+    val regs = gd.select($"source", expr(
+        "cast(conv(substring(md5(cast(gram as binary)), 1, 12), 16, 10) " +
+          "as bigint)").as("h"))
+      .select($"source", expr("shiftright(h, 40)").as("bucket"),
+        expr("h & 1099511627775").as("w"))
+      .groupBy($"source", $"bucket")
+      .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
+        .as("r"))
+    val merged = regs.groupBy($"bucket").agg(max($"r").as("r"))
+      .select(lit("__all__").as("source"), $"bucket", $"r")
+    val est = hllEstimate(regs.unionByName(merged))
+    val exact = gd.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+      .unionByName(gd.select($"gram").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("__all__").as("source"), $"n_exact"))
+    est.join(exact, "source")
+      .select($"source", $"n_exact", $"est_distinct",
+        expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
+          "/ 1e6").as("err_pct"))
+  }
+
+  /** HLL register table (source, bucket, r) → (source, est_distinct):
+    * m = 256 buckets over a 40-bit rho domain; empty buckets count as
+    * 2^0 via the (256 − nb) term; small-range linear counting below
+    * the standard 2.5·m threshold. Factored so specs can drive the
+    * branch the fixture doesn't reach. */
+  private[operators] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("source")).agg(
+        count(lit(1)).as("nb"),
+        sum(expr("shiftleft(cast(1 as bigint), 41 - r)")).as("ps"))
+      .select(col("source"), col("nb"), expr(
+        "1.0351398986589102e17 / (ps + (256 - nb) * 2199023255552)")
+        .as("raw"))
+      .select(col("source"), expr(
+        "floor(case when nb < 256 and raw <= 640.0 " +
+          "then 256.0 * ln(256.0 / (256 - nb)) else raw end * 1e4 + 0.5) " +
+          "/ 1e4").as("est_distinct"))
+
+  private val d49Sql =
+    """WITH t AS (SELECT source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |f AS (SELECT source, toks FROM t WHERE len(toks) >= 5),
+      |g AS (SELECT DISTINCT source, gram FROM (SELECT source,
+      |    unnest(list_transform(generate_series(1, len(toks) - 4),
+      |      i -> array_to_string(toks[i : i + 4], ' '))) AS gram FROM f)),
+      |ga AS (SELECT source, gram FROM g
+      |  UNION ALL SELECT '__all__' AS source, gram
+      |  FROM (SELECT DISTINCT gram FROM g)),
+      |h AS (SELECT source,
+      |    CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) AS h FROM ga),
+      |rg AS (SELECT source, h >> 40 AS bucket,
+      |    MAX(CASE WHEN h & 1099511627775 = 0 THEN 41
+      |      ELSE 41 - length(bin(h & 1099511627775)) END) AS r
+      |  FROM h GROUP BY 1, 2),
+      |es AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nb,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS ps
+      |  FROM rg GROUP BY 1),
+      |er AS (SELECT source, nb,
+      |    1.0351398986589102e17 / (ps + (256 - nb) * 2199023255552) AS raw
+      |  FROM es),
+      |ee AS (SELECT source,
+      |    floor(CASE WHEN nb < 256 AND raw <= 640e0
+      |      THEN 256e0 * ln(256e0 / (256 - nb)) ELSE raw END * 1e4 + 0.5)
+      |      / 1e4 AS est_distinct FROM er),
+      |xx AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM ga GROUP BY 1)
+      |SELECT xx.source, n_exact, est_distinct,
+      |  floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) / 1e6
+      |    AS err_pct
+      |FROM xx JOIN ee ON xx.source = ee.source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2725,5 +2824,6 @@ object TextQueries {
     Q("d45_bm25_retrieval", d45, Some(d45Sql)),
     Q("d46_kmv_distinct", d46, Some(d46Sql)),
     Q("d47_length_quantiles", d47, Some(d47Sql)),
-    Q("d48_source_overlap", d48, Some(d48Sql)))
+    Q("d48_source_overlap", d48, Some(d48Sql)),
+    Q("d49_hll_distinct", d49, Some(d49Sql)))
 }

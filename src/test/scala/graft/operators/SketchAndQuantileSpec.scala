@@ -70,6 +70,26 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       s"p50 $p50 outside the median bracket [$lower, $upper]")
   }
 
+  test("d49 HLL engages linear counting at tiny cardinality") {
+    // the fixture's gram cardinalities (~1000+/source) always take the
+    // raw-estimator branch; drive the factored register→estimate step
+    // with 20 distinct values, where raw HLL is badly biased and the
+    // small-range linear-counting branch must land near the truth
+    import spark.implicits._
+    val df = (0 until 20).map(i => ("s", s"value-$i")).toDF("source", "gram")
+    val regs = df.select($"source", expr(
+        "cast(conv(substring(md5(cast(gram as binary)), 1, 12), 16, 10) " +
+          "as bigint)").as("h"))
+      .select($"source", expr("shiftright(h, 40)").as("bucket"),
+        expr("h & 1099511627775").as("w"))
+      .groupBy($"source", $"bucket")
+      .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
+        .as("r"))
+    val est = TextQueries.hllEstimate(regs)
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(est > 12 && est < 30, s"LC-branch estimate $est far from 20")
+  }
+
   test("v22 RRF fusion is a faithful rank combiner of its two inputs") {
     // unconditional RRF properties on the engine's own gated inputs:
     // every fused id came from an input top-10; any id in BOTH top-10s
