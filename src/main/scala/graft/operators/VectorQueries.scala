@@ -1400,6 +1400,60 @@ object VectorQueries {
       s"\nSELECT vec_id, mass, mass / 1e6 AS pagerank FROM r$prIters"
   }
 
+  // ---- v23: triangle count + clustering coefficient on the kNN graph ----
+  // The local-density audit of the near-dup neighborhood graph: a
+  // node's triangle count and clustering coefficient 2T/(d(d−1))
+  // separate tight duplicate cliques (coeff → 1, candidates for
+  // aggressive dedup) from hub-like false neighborhoods (high degree,
+  // low coeff — LSH collision artifacts). Scale shape: the kNN edge
+  // set is degree-bounded by construction (≤ 2k per node), so the
+  // wedge join's per-key fanout is ≤ 2k and the triangle join is
+  // edges × O(k) — never corpus-quadratic; the ordered a<b<c form
+  // counts each triangle once, and the three identical edge-set
+  // subtrees collapse to one computation via exchange reuse. All
+  // counting is integer; the coefficient is one snapped division.
+  private def v23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = knnGraph(s, dir, graphK)
+      .select(least($"vec_id", $"nbr").as("a"),
+        greatest($"vec_id", $"nbr").as("b"))
+      .distinct()
+    val deg = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), $"e1.b" === $"e2.a")
+      .join(und.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .select($"e1.a".as("ta"), $"e1.b".as("tb"), $"e2.b".as("tc"))
+    val tn = tri.select($"ta".as("v")).unionAll(tri.select($"tb".as("v")))
+      .unionAll(tri.select($"tc".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("triangles"))
+    deg.join(tn, Seq("v"), "left_outer")
+      .select($"v".as("vec_id"), $"degree",
+        coalesce($"triangles", lit(0L)).as("triangles"),
+        expr("case when degree < 2 then cast(0.0 as double) else " +
+          "floor(2.0 * coalesce(triangles, cast(0 as bigint)) / " +
+          "(degree * (degree - 1)) * 1e6 + 0.5) / 1e6 end").as("coeff"))
+  }
+  private lazy val v23Sql =
+    s"""WITH knn AS ($v14Sql),
+       |und AS (SELECT DISTINCT least(vec_id, nbr) AS a,
+       |    greatest(vec_id, nbr) AS b FROM knn),
+       |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles
+       |  FROM (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri
+       |    UNION ALL SELECT tc FROM tri) GROUP BY 1)
+       |SELECT deg.v AS vec_id, degree,
+       |  CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN degree < 2 THEN 0e0 ELSE
+       |    floor(2e0 * COALESCE(triangles, 0) /
+       |      (degree * (degree - 1)) * 1e6 + 0.5) / 1e6 END AS coeff
+       |FROM deg LEFT JOIN tn ON deg.v = tn.v""".stripMargin
+
   // ---- v22: hybrid retrieval — reciprocal-rank fusion of BM25 + kNN ----
   // The standard hybrid-retrieval combiner: fuse the lexical (d45
   // BM25 inverted index) and dense (v01 exact cosine kNN) top-10
@@ -1468,5 +1522,6 @@ object VectorQueries {
     Q("v19_diversity_sample", v19, Some(v19Sql)),
     Q("v20_quant_error_profile", v20, Some(v20Sql)),
     Q("v21_knn_pagerank", v21, Some(v21Sql)),
-    Q("v22_rrf_fusion", v22, Some(v22Sql)))
+    Q("v22_rrf_fusion", v22, Some(v22Sql)),
+    Q("v23_knn_triangles", v23, Some(v23Sql)))
 }
