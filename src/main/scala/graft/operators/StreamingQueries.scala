@@ -494,6 +494,43 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s18: streaming HLL register maintenance (stateful sketch) ----
+  // d49's distinct-count sketch as a STATEFUL stream: arriving
+  // documents explode to 5-grams and fold into the per-(source,
+  // bucket) register table via ONE streaming max-aggregation — the
+  // state store holds exactly the HLL registers (≤ sources·256 rows,
+  // the textbook bounded-state streaming sketch; no dedup pass is
+  // needed because max over a multiset equals max over its set), and
+  // complete mode emits the current registers each micro-batch. The
+  // estimate/merge/audit tail then runs BATCH-side over the final
+  // register sink through the same hllFinish the batch query uses, so
+  // the whole d49 oracle gates the streamed registers: any drift in
+  // the streaming fold surfaces as a hash mismatch.
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val grams = raw
+      .filter(length(trim($"text")) > 0)
+      .select($"source", graft.text.TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"source", explode(graft.text.TextOps.shingles("toks", 5))
+        .as("gram"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.hllRegisters(grams).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.hllFinish(s, dir, s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -550,5 +587,6 @@ object StreamingQueries {
     Q("s14_stream_importance_filter", s14, Some(TextQueries.d39Sql)),
     Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)),
     Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)),
-    Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)))
+    Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)),
+    Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)))
 }

@@ -2696,25 +2696,43 @@ object TextQueries {
   // the small-range branch's ln has a 256-value bounded domain and is
   // floor-snapped (the d17/d39 transcendental discipline); the branch
   // test compares bit-identical doubles against literals.
-  private def d49(s: SparkSession, dir: String): DataFrame = {
+  /** The deduped (source, 5-gram) frame the sketch and its exact-count
+    * audit share. */
+  private[operators] def gramSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gd = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"source", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
       .distinct()
-    val regs = gd.select($"source", expr(
+  }
+
+  /** (source, gram) stream → HLL register table (source, bucket, r).
+    * Max over a multiset equals max over its set, so callers may skip
+    * the dedup (the streaming leg does — no second agg needed). */
+  private[operators] def hllRegisters(grams: DataFrame): DataFrame =
+    grams.select(col("source"), expr(
         "cast(conv(substring(md5(cast(gram as binary)), 1, 12), 16, 10) " +
           "as bigint)").as("h"))
-      .select($"source", expr("shiftright(h, 40)").as("bucket"),
+      .select(col("source"), expr("shiftright(h, 40)").as("bucket"),
         expr("h & 1099511627775").as("w"))
-      .groupBy($"source", $"bucket")
+      .groupBy(col("source"), col("bucket"))
       .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
         .as("r"))
+
+  /** Registers → the full d49 result: merge the per-source registers
+    * into the `__all__` row, estimate, and attach the exact-count
+    * audit from the reference corpus. Shared by d49 and the streaming
+    * register-maintenance leg (s18) so both produce bit-identical
+    * output from any value-identical register table. */
+  private[operators] def hllFinish(s: SparkSession, dir: String,
+      regs: DataFrame): DataFrame = {
+    import s.implicits._
     val merged = regs.groupBy($"bucket").agg(max($"r").as("r"))
       .select(lit("__all__").as("source"), $"bucket", $"r")
     val est = hllEstimate(regs.unionByName(merged))
+    val gd = gramSets(s, dir)
     val exact = gd.groupBy($"source").agg(count(lit(1)).as("n_exact"))
       .unionByName(gd.select($"gram").distinct()
         .agg(count(lit(1)).as("n_exact"))
@@ -2724,6 +2742,9 @@ object TextQueries {
         expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
           "/ 1e6").as("err_pct"))
   }
+
+  private def d49(s: SparkSession, dir: String): DataFrame =
+    hllFinish(s, dir, hllRegisters(gramSets(s, dir)))
 
   /** HLL register table (source, bucket, r) → (source, est_distinct):
     * m = 256 buckets over a 40-bit rho domain; empty buckets count as
@@ -2742,7 +2763,7 @@ object TextQueries {
           "then 256.0 * ln(256.0 / (256 - nb)) else raw end * 1e4 + 0.5) " +
           "/ 1e4").as("est_distinct"))
 
-  private val d49Sql =
+  private[operators] val d49Sql =
     """WITH t AS (SELECT source,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
       |  FROM documents WHERE length(trim(text)) > 0),
