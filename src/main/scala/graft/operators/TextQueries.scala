@@ -2711,7 +2711,7 @@ object TextQueries {
   /** (source, gram) stream → HLL register table (source, bucket, r).
     * Max over a multiset equals max over its set, so callers may skip
     * the dedup (the streaming leg does — no second agg needed). */
-  private[operators] def hllRegisters(grams: DataFrame): DataFrame =
+  private[graft] def hllRegisters(grams: DataFrame): DataFrame =
     grams.select(col("source"), expr(
         "cast(conv(substring(md5(cast(gram as binary)), 1, 12), 16, 10) " +
           "as bigint)").as("h"))

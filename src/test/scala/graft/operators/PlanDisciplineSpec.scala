@@ -467,6 +467,18 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"stateless BM25 screen shuffles:\n$p")
   }
 
+  test("v23 triangle joins reuse the edge-set exchange, not recompute it") {
+    // the undirected kNN edge set appears three times in the wedge
+    // close and once in the degree count; the band join that builds it
+    // is the expensive part, so the plan must contain ReusedExchange
+    // nodes covering the duplicate subtrees
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("v23_knn_triangles")
+      assert(p.contains("ReusedExchange"), s"edge set recomputed per join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("native hash expressions stay inside whole-stage codegen in d06/d07") {
     // AQE wraps the plan and hides the codegen stage markers until the
     // final plan; disable it for this static check only

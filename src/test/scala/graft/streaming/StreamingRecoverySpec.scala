@@ -140,6 +140,52 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(all.toSet == want)
   }
 
+  test("streaming HLL registers (s18 engine) restore sketch state across restart") {
+    // the stateful-sketch recovery leg: run 2 only ever SEES batch 2,
+    // so batch-1-only registers (all of s2's) can appear in the final
+    // complete-mode emission ONLY if the register state store was
+    // restored from the checkpoint. (Offset restore is unobservable
+    // here by design — max-registers are idempotent under replay —
+    // which is exactly why sketches make good streaming state; the
+    // non-idempotent offset legs above cover replay.) Complete-mode
+    // memory sinks support checkpoint recovery (the table is fully
+    // rewritten per batch), unlike the append-mode ones.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("hll-ckpt")
+    val name = "graft_hll_recovery_sink"
+    val mem = MemoryStream[(String, String)]
+
+    def start() = graft.operators.TextQueries.hllRegisters(
+        mem.toDF().toDF("source", "gram"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    val batch1 = Seq(("s1", "alpha beta"), ("s1", "gamma delta"),
+      ("s2", "one two"), ("s2", "three four"))
+    val batch2 = Seq(("s1", "epsilon zeta"), ("s3", "seven eight"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table(name).count() > 0)
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table(name)
+      .select($"source", $"bucket", $"r").collect().map(_.toSeq).toSet
+
+    import spark.implicits._
+    val want = graft.operators.TextQueries.hllRegisters(
+        (batch1 ++ batch2).toDF("source", "gram"))
+      .select($"source", $"bucket", $"r").collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"restarted register table != single-pass batch registers:\n" +
+        s"got $got\nwant $want")
+    assert(got.exists(_.head == "s2"),
+      "batch-1-only source s2 must survive the restart (state restore)")
+  }
+
   test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
