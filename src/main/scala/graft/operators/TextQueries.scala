@@ -2797,6 +2797,94 @@ object TextQueries {
       |    AS err_pct
       |FROM xx JOIN ee ON xx.source = ee.source""".stripMargin
 
+  // ---- d50: chunk-level language consistency (code-switching filter) ----
+  // Doc-level lang-id (d04) passes documents whose halves are in
+  // different languages — exactly the concatenation/boilerplate
+  // artifacts a multilingual curation run wants flagged. Re-run the
+  // d04 stopword scorer over fixed 32-token chunks and report each
+  // document's agreement between chunk verdicts and its doc-level
+  // verdict; low agreement = code-switching/mixed-content candidate.
+  // Scale shape: one projection computes the doc verdict, one explode
+  // fans out ≤ ceil(n/32) chunks (bounded by the doc's own length),
+  // and one doc-keyed hash agg folds the agreement — the d43 pattern,
+  // nothing quadratic, no windows. The consistency fraction is one
+  // IEEE division of exact integers, floor-snapped, and the mixed
+  // verdict compares the SNAPPED value so no ulp can straddle it.
+  private val lcW = 32
+  private def d50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def langCase(pre: String) =
+      when(col(s"${pre}en") >= col(s"${pre}fr") &&
+          col(s"${pre}en") >= col(s"${pre}es") &&
+          col(s"${pre}en") >= col(s"${pre}de"), "en")
+        .when(col(s"${pre}fr") >= col(s"${pre}es") &&
+          col(s"${pre}fr") >= col(s"${pre}de"), "fr")
+        .when(col(s"${pre}es") >= col(s"${pre}de"), "es")
+        .otherwise("de")
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        expr(hitCount("toks", stopEn)).as("den"),
+        expr(hitCount("toks", stopFr)).as("dfr"),
+        expr(hitCount("toks", stopEs)).as("des"),
+        expr(hitCount("toks", stopDe)).as("dde"),
+        explode(expr(
+          s"transform(sequence(0, cast(ceil(size(toks) / $lcW.0) as int)" +
+            s" - 1), i -> slice(toks, i * $lcW + 1, $lcW))")).as("chunk"))
+      .select($"doc_id", langCase("d").as("doc_lang"),
+        expr(hitCount("chunk", stopEn)).as("cen"),
+        expr(hitCount("chunk", stopFr)).as("cfr"),
+        expr(hitCount("chunk", stopEs)).as("ces"),
+        expr(hitCount("chunk", stopDe)).as("cde"))
+      .select($"doc_id", $"doc_lang",
+        (langCase("c") === $"doc_lang").cast("long").as("m"))
+      .groupBy($"doc_id", $"doc_lang")
+      .agg(count(lit(1)).as("n_chunks"), sum($"m").as("n_match"))
+      .select($"doc_id", $"doc_lang", $"n_chunks", $"n_match",
+        expr("floor(n_match / cast(n_chunks as double) * 1e6 + 0.5) / 1e6")
+          .as("consistency"))
+      .withColumn("mixed", ($"consistency" < 0.8).cast("long"))
+  }
+  private val d50Sql = {
+    def cse(p: String) =
+      s"""CASE WHEN ${p}en >= ${p}fr AND ${p}en >= ${p}es AND ${p}en >= ${p}de THEN 'en'
+         |    WHEN ${p}fr >= ${p}es AND ${p}fr >= ${p}de THEN 'fr'
+         |    WHEN ${p}es >= ${p}de THEN 'es' ELSE 'de' END""".stripMargin
+    s"""WITH x AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dl AS (SELECT doc_id, ${cse("d")} AS doc_lang
+       |  FROM (SELECT doc_id,
+       |      ${duckHitCount("toks", stopEn)} AS den,
+       |      ${duckHitCount("toks", stopFr)} AS dfr,
+       |      ${duckHitCount("toks", stopEs)} AS des,
+       |      ${duckHitCount("toks", stopDe)} AS dde
+       |    FROM x) t),
+       |c AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, CAST(ceil(len(toks) / ${lcW}e0) AS BIGINT)),
+       |    i -> toks[(i - 1) * $lcW + 1 : least(i * $lcW, len(toks))]))
+       |    AS chunk FROM x),
+       |cl AS (SELECT doc_id, ${cse("c")} AS chunk_lang
+       |  FROM (SELECT doc_id,
+       |      ${duckHitCount("chunk", stopEn)} AS cen,
+       |      ${duckHitCount("chunk", stopFr)} AS cfr,
+       |      ${duckHitCount("chunk", stopEs)} AS ces,
+       |      ${duckHitCount("chunk", stopDe)} AS cde
+       |    FROM c) t),
+       |a AS (SELECT cl.doc_id, doc_lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN chunk_lang = doc_lang THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_match
+       |  FROM cl JOIN dl ON cl.doc_id = dl.doc_id GROUP BY 1, 2)
+       |SELECT doc_id, doc_lang, n_chunks, n_match,
+       |  floor(n_match / CAST(n_chunks AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS consistency,
+       |  CAST(CASE WHEN floor(n_match / CAST(n_chunks AS DOUBLE) * 1e6
+       |      + 0.5) / 1e6 < 0.8 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+       |FROM a""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2846,5 +2934,6 @@ object TextQueries {
     Q("d46_kmv_distinct", d46, Some(d46Sql)),
     Q("d47_length_quantiles", d47, Some(d47Sql)),
     Q("d48_source_overlap", d48, Some(d48Sql)),
-    Q("d49_hll_distinct", d49, Some(d49Sql)))
+    Q("d49_hll_distinct", d49, Some(d49Sql)),
+    Q("d50_lang_consistency", d50, Some(d50Sql)))
 }
