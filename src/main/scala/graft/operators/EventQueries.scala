@@ -188,7 +188,61 @@ object EventQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- q36: ordered funnel analysis (view → click → purchase) ----
+  // The product-analytics staple: how many users complete each stage
+  // of an ORDERED event sequence (a later stage only counts if it
+  // happens strictly after the user's entry into the previous one).
+  // Scale shape: three user-keyed min-aggregations chained by
+  // user-keyed joins — every exchange is on user_id, so the stages
+  // reuse one partitioning; per-stage state is one timestamp per
+  // user; the rollup is a 3-row union with a broadcast scalar for the
+  // conversion denominator. Nothing quadratic, no windows, no
+  // event-ordering sort — min(us) replaces a per-user ORDER BY.
+  // Conversion is one IEEE division of exact counts, floor-snapped.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val t2 = e.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val t3 = e.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("stage"), $"n")
+      .unionByName(t2.agg(count(lit(1)).as("n"))
+        .select(lit(2L).as("stage"), $"n"))
+      .unionByName(t3.agg(count(lit(1)).as("n"))
+        .select(lit(3L).as("stage"), $"n"))
+    counts.crossJoin(broadcast(t1.agg(count(lit(1)).as("n_base"))))
+      .select($"stage", $"n".as("n_users"),
+        expr("floor(n / cast(n_base as double) * 1e6 + 0.5) / 1e6")
+          .as("conv_from_view"))
+  }
+  private val q36Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+      |c AS (SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM t1
+      |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM t2
+      |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM t3),
+      |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM t1)
+      |SELECT CAST(stage AS BIGINT) AS stage, n AS n_users,
+      |  floor(n / CAST(n_base AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS conv_from_view
+      |FROM c CROSS JOIN b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q36_funnel", q36, Some(q36Sql)),
     Q("q32_pivot", q32, Some(q32Sql)),
     Q("q33_rolling_window", q33, Some(q33Sql)),
     Q("q29_asof_join", q29, Some(q29Sql)),
