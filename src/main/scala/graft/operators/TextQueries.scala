@@ -2528,31 +2528,40 @@ object TextQueries {
   // 1e-4 before compare; err_pct divides the SNAPPED estimate and
   // snaps again, so no ulp can straddle the verdict.
   private val kmvK = 256
-  private def d46(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"source", explode(TextOps.tokens($"text")).as("term"))
-      .distinct()
-    val exact = d.groupBy($"source").agg(count(lit(1)).as("n_exact"))
-    val hashes = d.select($"source", expr(
+
+  /** KMV core over a (source, term) frame: dedup → 40-bit md5 hash →
+    * bounded-heap min-k per source → estimate, with the exact-count
+    * audit from the same deduped frame. Factored so specs can drive
+    * the ESTIMATOR branch (n ≥ k) with higher-cardinality inputs than
+    * the fixture's 31-term vocabulary reaches. */
+  private[operators] def kmvSketch(pairs: DataFrame): DataFrame = {
+    val d = pairs.select(col("source"), col("term")).distinct()
+    val exact = d.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val hashes = d.select(col("source"), expr(
         "cast(conv(substring(md5(cast(term as binary)), 1, 10), 16, 10) " +
           "as bigint)").as("h"))
       .distinct()
     val kmv = graft.vec.VectorOps.topKPerQuery(
-      hashes.select($"source".as("qid"), $"h".as("vec_id"),
-        (-$"h").cast("double").as("score")), kmvK)
-    val est = kmv.groupBy($"qid".as("source"))
+      hashes.select(col("source").as("qid"), col("h").as("vec_id"),
+        (-col("h")).cast("double").as("score")), kmvK)
+    val est = kmv.groupBy(col("qid").as("source"))
       .agg(count(lit(1)).as("n_seen"),
-        max(when($"rank" === kmvK, -$"score")).as("hk"))
-      .select($"source", $"n_seen", when($"n_seen" < kmvK,
-          $"n_seen".cast("double"))
+        max(when(col("rank") === kmvK, -col("score"))).as("hk"))
+      .select(col("source"), col("n_seen"), when(col("n_seen") < kmvK,
+          col("n_seen").cast("double"))
         .otherwise(expr("floor(280375465082880.0 / hk * 1e4 + 0.5) / 1e4"))
         .as("est_distinct"))
     exact.join(est, "source")
-      .select($"source", $"n_exact", $"est_distinct",
+      .select(col("source"), col("n_exact"), col("est_distinct"),
         expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
           "/ 1e6").as("err_pct"))
+  }
+
+  private def d46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmvSketch(Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", explode(TextOps.tokens($"text")).as("term")))
   }
   private val d46Sql =
     s"""WITH t AS (SELECT source,

@@ -70,6 +70,27 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       s"p50 $p50 outside the median bracket [$lower, $upper]")
   }
 
+  test("d46 KMV estimator branch holds its error band at real cardinality") {
+    // the fixture vocabulary (31 terms) never reaches k = 256, so the
+    // d46 oracle row only gates the exact branch; drive the factored
+    // sketch with 5-gram sets (~1.2k+ distinct per source) where the
+    // (k−1)·M/h_k estimator actually runs, and check every source
+    // lands inside 4 relative standard errors (4/√254 ≈ 25%)
+    import spark.implicits._
+    val rows = TextQueries.kmvSketch(
+        TextQueries.gramSets(spark, TestSpark.sf001)
+          .select($"source", $"gram".as("term")))
+      .collect()
+    assert(rows.nonEmpty)
+    val est = rows.filter(_.getAs[Long]("n_exact") >= 256)
+    assert(est.nonEmpty, "fixture gram sets must exceed k distinct")
+    est.foreach { r =>
+      val err = r.getAs[Double]("err_pct")
+      assert(err >= 0.0 && err <= 0.25,
+        s"source ${r.getAs[String]("source")}: estimator err $err outside band")
+    }
+  }
+
   test("d49 HLL engages linear counting at tiny cardinality") {
     // the fixture's gram cardinalities (~1000+/source) always take the
     // raw-estimator branch; drive the factored register→estimate step
