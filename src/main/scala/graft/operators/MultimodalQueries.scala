@@ -293,28 +293,38 @@ object MultimodalQueries {
   // id-keyed), one codegen'd token-count projection, and a BOUNDED
   // per-source hash agg with partials. Coverage is a floor-snapped
   // ratio of exact integers.
-  private def x09(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables(s, dir, "documents")
-      .select($"doc_id", $"source",
-        (length(trim($"text")) === 0).cast("long").as("blank"),
-        when(length(trim($"text")) === 0, 0L)
-          .otherwise(size(graft.text.TextOps.tokens($"text")).cast("long"))
+  /** The x09 coverage aggregation over any (doc_id, source, text)
+    * frame — batch scan or readStream alike (s19 lifts it onto a
+    * document stream with the embeddings side static). */
+  private[operators] def coverageAgg(docsRaw: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), col("source"),
+        (length(trim(col("text"))) === 0).cast("long").as("blank"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(graft.text.TextOps.tokens(col("text"))).cast("long"))
           .as("n_tokens"))
-    val emb = Tables(s, dir, "embeddings")
-      .select($"vec_id", lit(1L).as("has_emb"))
-    docs.join(emb, $"doc_id" === $"vec_id", "left")
-      .groupBy($"source")
+    docs.join(emb, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce($"has_emb", lit(0L))).as("n_embedded"),
-        sum($"blank").as("n_blank"),
-        sum(when($"has_emb".isNull, $"n_tokens").otherwise(0L))
+        sum(coalesce(col("has_emb"), lit(0L))).as("n_embedded"),
+        sum(col("blank")).as("n_blank"),
+        sum(when(col("has_emb").isNull, col("n_tokens")).otherwise(0L))
           .as("backlog_tokens"))
-      .select($"source", $"n_docs", $"n_embedded", $"n_blank",
-        $"backlog_tokens",
-        (floor($"n_embedded" / $"n_docs" * 1e6 + 0.5) / 1e6).as("coverage"))
+      .select(col("source"), col("n_docs"), col("n_embedded"),
+        col("n_blank"), col("backlog_tokens"),
+        (floor(col("n_embedded") / col("n_docs") * 1e6 + 0.5) / 1e6)
+          .as("coverage"))
   }
-  private val x09Sql =
+
+  private[operators] def embFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings").select($"vec_id", lit(1L).as("has_emb"))
+  }
+
+  private def x09(s: SparkSession, dir: String): DataFrame =
+    coverageAgg(Tables(s, dir, "documents"), embFlags(s, dir))
+  private[operators] val x09Sql =
     """WITH d AS (SELECT doc_id, source,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT)
       |      AS blank,

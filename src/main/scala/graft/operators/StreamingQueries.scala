@@ -531,6 +531,32 @@ object StreamingQueries {
     TextQueries.hllFinish(s, dir, s.table(name))
   }
 
+  // ---- s19: streaming modality-coverage manifest (multimodal) ----
+  // x09's readiness audit as a live dashboard: arriving documents
+  // stream-static LEFT-join the embeddings ledger (id-keyed, the s10
+  // static-side pattern) and fold into the per-source coverage
+  // aggregate — ONE streaming agg whose state is |sources| rows of
+  // counters, complete mode. The first streaming leg over the
+  // multimodal family; the whole x09 batch SQL oracle gates it.
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = MultimodalQueries.coverageAgg(raw,
+          MultimodalQueries.embFlags(s, dir)).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -588,5 +614,6 @@ object StreamingQueries {
     Q("s15_stream_diversity_sample", s15, Some(VectorQueries.v19Sql)),
     Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)),
     Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)),
-    Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)))
+    Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)),
+    Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)))
 }
