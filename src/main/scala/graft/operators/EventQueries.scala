@@ -241,8 +241,52 @@ object EventQueries {
       |    AS conv_from_view
       |FROM c CROSS JOIN b""".stripMargin
 
+  // ---- q37: cohort retention (first-seen day × activity offset) ----
+  // The other product-analytics staple: bucket users by first-seen
+  // day, then for each (cohort, day-offset) count how many are still
+  // active. Scale shape: one user-keyed min-agg builds the cohort
+  // map, the distinct (user, day) activity set joins it user-keyed
+  // (same partitioning), and the retention matrix is a hash agg whose
+  // cardinality is days² — driver-scale at any corpus size. The
+  // distinct-user count per cell partial-aggregates; the rate is one
+  // snapped division of exact counts. Dates are day-truncated in UTC
+  // on both engines and emitted as ISO strings, so no timestamp
+  // precision can leak into the compare.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+    val cohort = e.groupBy($"user_id").agg(min($"day").as("cday"))
+    val ret = e.distinct().join(cohort, "user_id")
+      .groupBy($"cday", datediff($"day", $"cday").cast("long")
+        .as("offset_days"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val sizes = cohort.groupBy($"cday").agg(count(lit(1)).as("cohort_n"))
+    ret.join(sizes, "cday")
+      .select($"cday".cast("string").as("cohort_day"), $"offset_days",
+        $"n_active", $"cohort_n",
+        expr("floor(n_active / cast(cohort_n as double) * 1e6 + 0.5) / 1e6")
+          .as("retention"))
+  }
+  private val q37Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cday FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, day FROM e),
+      |r AS (SELECT cday, CAST(date_diff('day', cday, day) AS BIGINT)
+      |    AS offset_days, CAST(COUNT(DISTINCT a.user_id) AS BIGINT)
+      |    AS n_active
+      |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2),
+      |s AS (SELECT cday, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM c
+      |  GROUP BY 1)
+      |SELECT CAST(r.cday AS VARCHAR) AS cohort_day, offset_days,
+      |  n_active, cohort_n,
+      |  floor(n_active / CAST(cohort_n AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    AS retention
+      |FROM r JOIN s ON r.cday = s.cday""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_funnel", q36, Some(q36Sql)),
+    Q("q37_retention", q37, Some(q37Sql)),
     Q("q32_pivot", q32, Some(q32Sql)),
     Q("q33_rolling_window", q33, Some(q33Sql)),
     Q("q29_asof_join", q29, Some(q29Sql)),
