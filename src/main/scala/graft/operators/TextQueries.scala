@@ -2894,6 +2894,36 @@ object TextQueries {
        |FROM a""".stripMargin
   }
 
+  // ---- d51: BM25 decontamination APPLY (retrieval-screened corpus) ----
+  // s17/d45 screen; this emits. The d33 pairing applied to the
+  // RETRIEVAL screen: any document whose BM25 score against any query
+  // document reaches the screen threshold is dropped (it is
+  // lexically retrievable from the eval set — the
+  // retrieval-augmented contamination case n-gram screens miss when
+  // overlap is spread across many short matches), the query documents
+  // themselves are excluded by definition, and unscoreable docs
+  // (blank) are kept. Engine: the SAME stateless kernel scorer the
+  // stream runs (one codegen'd pass per doc, no join) feeds a doc-key
+  // anti-join — never all-pairs; the kept text is identity-checked by
+  // md5 so the oracle gates the emitted corpus, not just verdicts.
+  private def d51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (qts, nd, tt) = bm25QueryIndex(s, dir)
+    val hits = bm25ScoreStateless(
+        Tables(s, dir, "documents"), qts, nd, tt)
+      .select($"doc_id").distinct()
+    Tables(s, dir, "documents")
+      .filter($"doc_id" >= 5)
+      .join(hits, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", md5($"text").as("text_md5"))
+  }
+  private val d51Sql =
+    s"""WITH sc AS ($bm25ScreenSql)
+       |SELECT doc_id, source, md5(text) AS text_md5
+       |FROM documents
+       |WHERE doc_id >= 5
+       |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM sc)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2944,5 +2974,6 @@ object TextQueries {
     Q("d47_length_quantiles", d47, Some(d47Sql)),
     Q("d48_source_overlap", d48, Some(d48Sql)),
     Q("d49_hll_distinct", d49, Some(d49Sql)),
-    Q("d50_lang_consistency", d50, Some(d50Sql)))
+    Q("d50_lang_consistency", d50, Some(d50Sql)),
+    Q("d51_bm25_decontam_apply", d51, Some(d51Sql)))
 }
