@@ -2924,6 +2924,60 @@ object TextQueries {
        |WHERE doc_id >= 5
        |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM sc)""".stripMargin
 
+  // ---- d52: token-distribution Gini (corpus-diversity QA) ----
+  // How concentrated is each source's token mass? Gini ≈ 0 means a
+  // flat, diverse vocabulary; Gini → 1 means a few tokens dominate —
+  // the template/boilerplate smell a mixture designer weighs before
+  // upsampling a source. Computed from the rank-weighted form
+  // Σ(2i − n − 1)·fᵢ / (n·Σfᵢ) over frequencies sorted ascending.
+  // Scale shape: one tokenize pass → (source, term) hash agg (the
+  // corpus-keyed shuffle) → a rank window whose partitions are
+  // bounded by the VOCABULARY domain, not the corpus (the d47
+  // argument) → per-source scalar agg. Exactness: the weighted terms
+  // are exact integers folded through DECIMAL(38,0) (no bigint
+  // overflow at production vocab·frequency scales, matching DuckDB's
+  // HUGEINT sums), and the Gini is one IEEE division of the two
+  // exact totals, floor-snapped.
+  private def d52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".asc, $"term".asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    tf.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy($"source")
+      .agg(max($"n").as("n_terms"), sum($"c").as("total_occ"),
+        sum((($"i" * 2 - $"n" - 1).cast("decimal(38,0)") *
+          $"c".cast("decimal(38,0)")).as("t")).as("num"))
+      .select($"source", $"n_terms", $"total_occ",
+        expr("floor(cast(num as double) / " +
+          "cast(n_terms * total_occ as double) * 1e6 + 0.5) / 1e6")
+          .as("gini"))
+  }
+  private val d52Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, c,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY c, term)
+      |      AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM tf),
+      |a AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_terms,
+      |    CAST(SUM(c) AS BIGINT) AS total_occ,
+      |    SUM((i * 2 - n - 1) * c) AS num
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_terms, total_occ,
+      |  floor(CAST(num AS DOUBLE) / CAST(n_terms * total_occ AS DOUBLE)
+      |    * 1e6 + 0.5) / 1e6 AS gini
+      |FROM a""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -2975,5 +3029,6 @@ object TextQueries {
     Q("d48_source_overlap", d48, Some(d48Sql)),
     Q("d49_hll_distinct", d49, Some(d49Sql)),
     Q("d50_lang_consistency", d50, Some(d50Sql)),
-    Q("d51_bm25_decontam_apply", d51, Some(d51Sql)))
+    Q("d51_bm25_decontam_apply", d51, Some(d51Sql)),
+    Q("d52_token_gini", d52, Some(d52Sql)))
 }
