@@ -19,11 +19,16 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless read as a raw long.
-    * We read nanos-as-long and derive a micros timestamp (truncating,
-    * matching DuckDB's `epoch_us`/timestamp-cast semantics on the same
-    * file, so oracle SQL can keep using `ts` natively).
+  /** `events.parquet` has shipped `ts` in two physical forms across
+    * fixture generations: parquet TIMESTAMP(NANOS) — which Spark 4
+    * rejects (PARQUET_TYPE_ILLEGAL) unless read as a raw long — and
+    * plain TIMESTAMP(MICROS). We resolve with nanos-as-long set and
+    * branch on what the footer actually declares: a long column is
+    * nanos and becomes a micros timestamp (truncating, matching
+    * DuckDB's `epoch_us`/timestamp-cast semantics on the same file), a
+    * timestamp column is already micros and passes through — so either
+    * fixture generation yields the same logical `ts` and oracle SQL
+    * keeps using `ts` natively.
     *
     * The nanosAsLong flag is a session conf (no per-read DataFrameReader
     * option exists), but it is only consulted during the eager schema
@@ -33,9 +38,24 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     withNanosAsLong(spark) {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      if (eventsTsIsNanosLong(raw)) // nanos-generation file
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        // micros-generation file: resolves as TIMESTAMP_NTZ; cast to
+        // the session-TZ timestamp the nanos path produced (session TZ
+        // is pinned UTC, so the micros value is unchanged) — every
+        // downstream query and oracle sees one ts type either way
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
+
+  /** True when this events frame's `ts` resolved as a raw long — the
+    * nanos-generation fixture that needs the div-1000 repair. Shared
+    * with the streaming reader so both paths branch identically. */
+  def eventsTsIsNanosLong(events: DataFrame): Boolean =
+    events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
 
   /** Run `body` (which must plan/execute eagerly — conf scope ends at
     * return) with the given session confs set, restoring priors after.

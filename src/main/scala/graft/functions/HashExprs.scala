@@ -423,8 +423,11 @@ private[functions] trait VecBinaryExpr extends BinaryExpression {
     * element then fails LOUDLY instead of silently reading as 0.0
     * (which would diverge from the HOF form these kernels are
     * documented bit-identical to: it yields NULL — ADVICE r10).
-    * Provably null-free inputs skip the per-element check entirely. */
-  protected def elementsNullable: Boolean = Seq(left, right).exists(
+    * Provably null-free inputs skip the per-element check entirely.
+    * lazy val, not def (ADVICE r11): children are fixed once the
+    * expression is constructed (tree rewrites copy() a new node), so
+    * the interpreted path must not re-derive this per row. */
+  protected lazy val elementsNullable: Boolean = Seq(left, right).exists(
     _.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true

@@ -199,6 +199,12 @@ object EventQueries {
   // conversion denominator. Nothing quadratic, no windows, no
   // event-ordering sort — min(us) replaces a per-user ORDER BY.
   // Conversion is one IEEE division of exact counts, floor-snapped.
+  // Stage 1 is the denominator BY DEFINITION (funnel entry): with no
+  // 'view' events every stage count is 0 and 0/0 would emit NaN rows
+  // (both engines agree, so the oracle can't catch it — ADVICE r11);
+  // the nullif guard turns that degenerate funnel into NULL
+  // conversions instead, which is what a downstream dashboard can
+  // actually render.
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "events")
@@ -219,7 +225,7 @@ object EventQueries {
         .select(lit(3L).as("stage"), $"n"))
     counts.crossJoin(broadcast(t1.agg(count(lit(1)).as("n_base"))))
       .select($"stage", $"n".as("n_users"),
-        expr("floor(n / cast(n_base as double) * 1e6 + 0.5) / 1e6")
+        expr("floor(n / cast(nullif(n_base, 0) as double) * 1e6 + 0.5) / 1e6")
           .as("conv_from_view"))
   }
   private val q36Sql =
@@ -237,7 +243,7 @@ object EventQueries {
       |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM t3),
       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM t1)
       |SELECT CAST(stage AS BIGINT) AS stage, n AS n_users,
-      |  floor(n / CAST(n_base AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |  floor(n / CAST(NULLIF(n_base, 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
       |    AS conv_from_view
       |FROM c CROSS JOIN b""".stripMargin
 

@@ -482,16 +482,14 @@ object RelationalQueries {
   // bucketed SMJ path at fixture scale where broadcast would otherwise
   // hide it. Bucketing is result-invisible: the oracle is the plain
   // join+agg.
-  private val bucketedFor =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  // SessionCache (not raw TrieMap): the build thunk WRITES the
+  // bucketed tables, so two racing first callers must serialize or
+  // they race the same saveAsTable paths
+  private val bucketedFor = new SessionCache[String, (String, String)](_ => ())
 
   private def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // table metadata dies with its session; drop dead cache keys so
-    // stopped sessions can be GC'd
-    bucketedFor.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(bucketedFor.remove)
-    val (lt, ot) = bucketedFor.getOrElseUpdate((s, dir), {
+    val (lt, ot) = bucketedFor.getOrBuild(s, dir) {
       val tag = Integer.toHexString(dir.hashCode)
       val lt = s"graft_b_lineitem_$tag"; val ot = s"graft_b_orders_$tag"
       val wh = s.conf.get("spark.sql.warehouse.dir")
@@ -502,7 +500,7 @@ object RelationalQueries {
         Tables(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
         s"$wh/$ot", ot, "o_orderkey", 16)
       (lt, ot)
-    })
+    }
     s.table(lt).hint("merge")
       .join(s.table(ot), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
