@@ -22,7 +22,7 @@ class ImportanceAndDiversitySpec extends AnyFunSuite {
     val llr = TextQueries.irLlrArray(spark, dir)
     assert(llr.length == 4096, s"llr array size ${llr.length}")
     val stateless = TextQueries.importanceScoreStateless(
-      graft.Tables(spark, dir, "documents"), llr)
+      graft.Tables(spark, dir, "documents"), llr, TextQueries.irBuckets)
     assert(joined.exceptAll(stateless).isEmpty, "join-form rows missing from stateless")
     assert(stateless.exceptAll(joined).isEmpty, "stateless rows missing from join-form")
   }

@@ -389,7 +389,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // exists to avoid
     val llr = TextQueries.irLlrArray(spark, TestSpark.sf0001)
     val p = TextQueries.importanceScoreStateless(
-      graft.Tables(spark, TestSpark.sf0001, "documents"), llr)
+      graft.Tables(spark, TestSpark.sf0001, "documents"), llr,
+      TextQueries.irBuckets)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"stateless scorer shuffles:\n$p")
     assert(!p.contains("Generate"), s"stateless scorer explodes:\n$p")

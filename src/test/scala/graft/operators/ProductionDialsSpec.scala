@@ -118,7 +118,7 @@ class ProductionDialsSpec extends AnyFunSuite {
     }
     // value identity of the stateless array scorer at the big dial —
     // the s14 contract is not a 4096-only accident
-    val stateless = TextQueries.importanceScoreStateless(docs, llr)
+    val stateless = TextQueries.importanceScoreStateless(docs, llr, 65536)
     assert(prod.exceptAll(stateless).isEmpty &&
       stateless.exceptAll(prod).isEmpty,
       "stateless scorer diverges from the join form at 64k buckets")
