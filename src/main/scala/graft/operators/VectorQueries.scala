@@ -236,20 +236,16 @@ object VectorQueries {
       .sortBy(_._1)
   }
 
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)]
+  // all four index caches below use SessionCache: the build thunks
+  // persist() a DataFrame, so a first-call race under the raw TrieMap
+  // pattern would leak the losing thunk's cached blocks (ADVICE r11)
+  private val ivfCache = new SessionCache[String,
+    (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)](
+    { case (_, _, df) => df.unpersist() })
 
   private def ivfIndex(s: SparkSession, dir: String)
       : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame) = {
-    // evict indexes owned by stopped sessions so a long-lived driver
-    // serving many sessions/datasets doesn't pin dead sessions or keep
-    // persisted assignments forever
-    ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      ivfCache.remove(k).foreach { case (_, _, df) =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
-    }
-    ivfCache.getOrElseUpdate((s, dir), {
+    ivfCache.getOrBuild(s, dir) {
       import s.implicits._
       val e = embeddings(s, dir)
       val sample = collectSample(s, dir)
@@ -261,7 +257,7 @@ object VectorQueries {
       // no eager count: the first probe's single pruned scan populates
       // the cache as it runs; later probes hit the cached assignment
       (cents, sample, assigned)
-    })
+    }
   }
 
   /** Shared IVF probe: each query's `nprobe` nearest cells are pure
@@ -410,9 +406,9 @@ object VectorQueries {
   private val pqK = 16
   private val pqShortlist = 64
 
-  private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (Array[Array[Array[Double]]], Array[(Long, Array[Double])], DataFrame)]
+  private val pqCache = new SessionCache[String,
+    (Array[Array[Array[Double]]], Array[(Long, Array[Double])], DataFrame)](
+    { case (_, _, df) => df.unpersist() })
 
   /** Codebooks (m × k × d/m), the training sample, and the encoded
     * corpus (vec_id, codes array<int>, rnorm) — memoized per
@@ -420,12 +416,7 @@ object VectorQueries {
     * durable PQ "index" a fleet of probes amortizes. */
   private[operators] def pqIndex(s: SparkSession, dir: String)
       : (Array[Array[Array[Double]]], Array[(Long, Array[Double])], DataFrame) = {
-    pqCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      pqCache.remove(k).foreach { case (_, _, df) =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
-    }
-    pqCache.getOrElseUpdate((s, dir), {
+    pqCache.getOrBuild(s, dir) {
       import s.implicits._
       val e = embeddings(s, dir)
       val sample = collectSample(s, dir)
@@ -450,7 +441,7 @@ object VectorQueries {
             .reduce(_ + _)).as("rnorm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (books, sample, coded)
-    })
+    }
   }
 
   /** ADC search with an arbitrary shortlist size (test hook; the
@@ -517,10 +508,10 @@ object VectorQueries {
   private val ivfPqNprobe = 4
   private val ivfPqShortlist = 64
 
-  private val ivfPqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (Array[Array[Double]], Array[Array[Array[Double]]],
-        Array[(Long, Array[Double])], DataFrame)]
+  private val ivfPqCache = new SessionCache[String,
+    (Array[Array[Double]], Array[Array[Array[Double]]],
+      Array[(Long, Array[Double])], DataFrame)](
+    { case (_, _, _, df) => df.unpersist() })
 
   /** Coarse centroids (over normalized vectors), residual codebooks,
     * the training sample, and the encoded corpus (vec_id, cell, codes,
@@ -528,12 +519,7 @@ object VectorQueries {
   private[graft] def ivfPqIndex(s: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]],
         Array[(Long, Array[Double])], DataFrame) = {
-    ivfPqCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      ivfPqCache.remove(k).foreach { case (_, _, _, df) =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
-    }
-    ivfPqCache.getOrElseUpdate((s, dir), {
+    ivfPqCache.getOrBuild(s, dir) {
       import s.implicits._
       val e = embeddings(s, dir)
       val sample = collectSample(s, dir)
@@ -595,7 +581,7 @@ object VectorQueries {
             .reduce(_ + _).as("term3"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (cents, books, sample, coded)
-    })
+    }
   }
 
   /** IVFADC probe (test hook: nprobe/shortlist dials). Cell ranking
@@ -1343,23 +1329,17 @@ object VectorQueries {
   // (documented, identical both engines). `pagerank` is the single
   // IEEE division mass/1e6.
   private val prIters = 3
-  private val prCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val prCache = new SessionCache[String, DataFrame](_.unpersist())
 
   private def prEdges(s: SparkSession, dir: String): DataFrame = {
-    prCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      prCache.remove(k).foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
-    }
-    prCache.getOrElseUpdate((s, dir), {
+    prCache.getOrBuild(s, dir) {
       import s.implicits._
       val edges = knnGraph(s, dir, graphK)
         .select($"vec_id".as("src"), $"nbr".as("dst"))
       val out = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       edges.join(out, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   private def v21(s: SparkSession, dir: String): DataFrame = {
@@ -1500,6 +1480,51 @@ object VectorQueries {
       "  floor(score * 1e6 + 0.5) / 1e6 AS rrf\n" +
       s"FROM r WHERE rn <= $topK"
 
+  // ---- v24: embedding distribution drift between ingest generations ----
+  // The monitoring query a production embedding pipeline runs on every
+  // refresh: did the NEW batch's distribution over embedding space move
+  // against the corpus it joins? Cells are v19's sign-LSH density
+  // buckets (bounded 2^divBits domain, one native projection — no
+  // index, no training); generations here are vec_id parity (the
+  // fixture's stand-in for old/new snapshot tags). Per cell: counts,
+  // per-generation shares in exact ppm (integer floor-div of exact
+  // longs — bit-equal both engines, no IEEE anywhere), and the ppm
+  // drift; Σ drift/2 over cells is total-variation distance, left to
+  // the reader of the 16-row result. Scale shape: one projection →
+  // one BOUNDED (2^divBits-row) hash agg → broadcast scalar attach;
+  // no corpus-sized shuffle ever carries a vector, any corpus size.
+  private def v24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = divCoded(embeddings(s, dir))
+      .withColumn("gen", ($"vec_id" % 2).cast("long"))
+      .groupBy($"bucket")
+      .agg(sum(when($"gen" === 0L, 1L).otherwise(0L)).as("n_old"),
+        sum(when($"gen" === 1L, 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum($"n_old").as("t_old"), sum($"n_new").as("t_new"))
+    counts.crossJoin(broadcast(tot))
+      .select($"bucket", $"n_old", $"n_new",
+        expr("n_old * 1000000 div t_old").as("share_old_ppm"),
+        expr("n_new * 1000000 div t_new").as("share_new_ppm"),
+        abs(expr("n_old * 1000000 div t_old")
+          - expr("n_new * 1000000 div t_new")).as("drift_ppm"))
+  }
+  private lazy val v24Sql =
+    s"""WITH ${lshCodesSql(divPlanes, divBits)},
+       |  c AS (SELECT vec_id, CAST(code AS BIGINT) AS bucket,
+       |      vec_id % 2 AS gen FROM codes),
+       |  n AS (SELECT bucket,
+       |      CAST(SUM(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |      CAST(SUM(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |    FROM c GROUP BY 1),
+       |  t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+       |      CAST(SUM(n_new) AS BIGINT) AS t_new FROM n)
+       |SELECT bucket, n_old, n_new,
+       |  n_old * 1000000 // t_old AS share_old_ppm,
+       |  n_new * 1000000 // t_new AS share_new_ppm,
+       |  abs(n_old * 1000000 // t_old - n_new * 1000000 // t_new)
+       |    AS drift_ppm
+       |FROM n CROSS JOIN t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1523,5 +1548,6 @@ object VectorQueries {
     Q("v20_quant_error_profile", v20, Some(v20Sql)),
     Q("v21_knn_pagerank", v21, Some(v21Sql)),
     Q("v22_rrf_fusion", v22, Some(v22Sql)),
-    Q("v23_knn_triangles", v23, Some(v23Sql)))
+    Q("v23_knn_triangles", v23, Some(v23Sql)),
+    Q("v24_cell_drift", v24, Some(v24Sql)))
 }
