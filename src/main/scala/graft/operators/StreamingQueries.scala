@@ -23,13 +23,19 @@ object StreamingQueries {
 
   // events.parquet raw schema with TIMESTAMP(NANOS) read as long (the
   // Spark 4 nanos contract — see Tables.events)
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // two fixture generations of events.parquet exist (see Tables.events):
+  // ts as TIMESTAMP(NANOS) — readable only as a raw long — and as
+  // TIMESTAMP(MICROS) — resolving TIMESTAMP_NTZ. The stream source
+  // needs an explicit schema, so we carry one per generation and pick
+  // by peeking at the batch-resolved footer schema.
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   private val sinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -62,13 +68,23 @@ object StreamingQueries {
       transform: DataFrame => DataFrame,
       mode: String = "complete"): DataFrame =
     graft.Tables.withNanosAsLong(s) {
+      // resolved inside withNanosAsLong, so a nanos-generation file
+      // surfaces as a long instead of failing PARQUET_TYPE_ILLEGAL
+      val tsIsLong = graft.Tables.eventsTsIsNanosLong(
+        s.read.parquet(s"$dir/events.parquet"))
       // the file stream source lists a DIRECTORY; the glob filter picks
       // out the events file from the shared sf dir
-      val raw = s.readStream.schema(rawSchema)
+      val raw0 = s.readStream.schema(rawSchema(
+          if (tsIsLong) LongType
+          else org.apache.spark.sql.types.TimestampNTZType))
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1000000") // single-batch pin, see above
         .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw =
+        if (tsIsLong)
+          raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
       graft.Tables.withConfs(s,
           Seq("spark.sql.shuffle.partitions" -> "8")) {
@@ -402,7 +418,8 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = TextQueries.importanceScoreStateless(raw, llr).writeStream
+    val q = TextQueries.importanceScoreStateless(raw, llr,
+      TextQueries.irBuckets).writeStream
       .format("memory").queryName(name)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -557,6 +574,39 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s20: stateful growing dedup ledger (dedup-on-arrival) ----
+  // The dedup family's third deployment shape: d01 batch-rebuilds the
+  // keeper ledger, s10 probes a frozen one, s20 GROWS it in the state
+  // store as documents arrive (StreamingOps.dedupLedger — keyed
+  // flatMapGroupsWithState, O(1) state per distinct signature, update
+  // mode). The sink rollup min(keeper)/max(n_copies) is batching-
+  // invariant, so the multi-batch spec (StreamingRecoverySpec) and
+  // this single-batch oracle gate pin the same contract: final ledger
+  // ≡ batch d01 bit-for-bit.
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val sigs = raw
+      .select(md5(graft.text.TextOps.normText($"text").cast("binary")).as("sig"),
+        $"doc_id")
+      .as[graft.streaming.StreamingOps.DocSig]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = graft.streaming.StreamingOps.dedupLedger(sigs).writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).groupBy($"sig")
+      .agg(min($"keeper").as("keeper"), max($"n_copies").as("n_copies"))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -615,5 +665,6 @@ object StreamingQueries {
     Q("s16_stream_perplexity_filter", s16, Some(TextQueries.d44Sql)),
     Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)),
     Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)),
-    Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)))
+    Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)),
+    Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)))
 }

@@ -110,6 +110,46 @@ object StreamingOps {
     }
   }
 
+  // ---- growing in-stream dedup ledger (flatMapGroupsWithState) ----
+
+  final case class DocSig(sig: String, doc_id: Long)
+  final case class Ledger(sig: String, keeper: Long, n_copies: Long)
+
+  /** The d01 keeper ledger maintained IN the state store: keyed by
+    * signature, state is one (keeper, n_copies) pair — keeper is the
+    * min doc id seen so far (monotonically non-increasing across
+    * batches), n_copies the running count. Each batch that touches a
+    * signature emits the UPDATED cumulative row (update mode), so the
+    * sink holds one row per (sig, touching batch); the final ledger is
+    * the batching-invariant rollup min(keeper)/max(n_copies) over the
+    * sink — n_copies strictly grows per emission, so the max IS the
+    * last state, whatever the batch boundaries were.
+    *
+    * This is the third dedup deployment shape, completing the family:
+    * d01 rebuilds the ledger from the corpus, s10 probes a FROZEN
+    * ledger, this one GROWS the ledger as documents arrive — the
+    * Flink-style keyed-state dedup. State is O(distinct corpus) keys ×
+    * O(1) bytes — the honest floor for in-stream global dedup (RocksDB
+    * state store territory at 100 TB, exactly like the production
+    * stream dedups it models); NoTimeout because a dedup ledger never
+    * expires its history. */
+  def dedupLedger(docs: Dataset[DocSig]): Dataset[Ledger] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.sig)
+      .flatMapGroupsWithState[Ledger, Ledger](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (sig: String, rows: Iterator[DocSig], state: GroupState[Ledger]) =>
+          var keeper = state.getOption.map(_.keeper).getOrElse(Long.MaxValue)
+          var n = state.getOption.map(_.n_copies).getOrElse(0L)
+          for (r <- rows) {
+            keeper = math.min(keeper, r.doc_id); n += 1L
+          }
+          val st = Ledger(sig, keeper, n)
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   /** Streaming exact dedup on a signature column with watermark-bounded
     * state — the streaming form of d01_dedup_exact. Dedup key is the
     * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested

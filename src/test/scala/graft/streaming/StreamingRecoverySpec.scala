@@ -217,4 +217,55 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(all.toSet == Set(Seq("sig_a", 1.0), Seq("sig_b", 2.0),
       Seq("sig_c", 3.0)), s"sink contents wrong: $all")
   }
+
+  test("growing dedup ledger (s20 engine) restores keeper state and offsets across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("grow-ckpt"); val out = tmp("grow-out")
+    val mem = MemoryStream[StreamingOps.DocSig]
+
+    // update-mode emissions can't go to a file sink directly;
+    // foreachBatch appends each batch's update rows — exactly the
+    // durable deployment shape of the s20 engine (and checkpoint
+    // recovery covers foreachBatch sinks)
+    def start() =
+      StreamingOps.dedupLedger(mem.toDS()).toDF()
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+    mem.addData(StreamingOps.DocSig("sig_a", 5L),
+      StreamingOps.DocSig("sig_a", 9L), StreamingOps.DocSig("sig_b", 3L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = spark.read.parquet(out)
+      .select($"sig", $"keeper", $"n_copies").collect().map(_.toSeq).toSet
+    assert(run1 == Set(Seq("sig_a", 5L, 2L), Seq("sig_b", 3L, 1L)),
+      s"run 1 ledger wrong: $run1")
+
+    // doc 1 lowers sig_a's keeper and bumps its count to 3 ONLY if
+    // state (keeper=5, n=2) was restored; a replayed batch 1 would
+    // land extra rows in the durable sink (emissions are per-(sig,
+    // touching batch))
+    mem.addData(StreamingOps.DocSig("sig_a", 1L),
+      StreamingOps.DocSig("sig_c", 7L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+      .select($"sig", $"keeper", $"n_copies").collect().map(_.toSeq)
+    assert(rows.size == 4,
+      s"restart must emit exactly batch 2's two updates: $rows")
+    assert(rows.contains(Seq("sig_a", 1L, 3L)),
+      s"sig_a's batch-2 update must carry restored state forward: $rows")
+    // the batching-invariant rollup s20 registers equals batch d01
+    // over the union, whatever the batch boundaries were
+    val ledger = spark.read.parquet(out).groupBy($"sig")
+      .agg(min($"keeper").as("keeper"), max($"n_copies").as("n_copies"))
+      .collect().map(_.toSeq).toSet
+    assert(ledger == Set(Seq("sig_a", 1L, 3L), Seq("sig_b", 3L, 1L),
+      Seq("sig_c", 7L, 1L)), s"final ledger wrong: $ledger")
+  }
 }
