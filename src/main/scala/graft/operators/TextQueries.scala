@@ -3158,6 +3158,47 @@ object TextQueries {
        |    - pe.exact_jaccard) * 1e6 + 0.5) / 1e6 AS err
        |FROM e JOIN pe ON e.src_a = pe.src_a AND e.src_b = pe.src_b""".stripMargin
 
+  // ---- d55: corpus heavy hitters (frequent-items audit) ----
+  // The threshold-form vocabulary audit next to d20's top-M: every
+  // term whose occurrence share clears φ = 1/hhPhiInv of total token
+  // mass, with its exact ppm share — the stopword/template-token
+  // table a curation run consults before weighting sources. Scale
+  // shape: one tokenize pass → term-key hash agg (partial-aggregated
+  // map-side; keys bounded by the VOCABULARY domain, not the corpus)
+  // → broadcast scalar threshold; the only exchange carries (term,
+  // count) rows. All integer math (c · hhPhiInv > N, ppm by integer
+  // floor-div), so cross-engine exact. The SKETCH form of this
+  // operator — the Misra-Gries mergeable summary whose N/(m+1) error
+  // floor makes it the 100 TB/streaming deployment (m counters per
+  // shard, error-preserving merges) — lives in
+  // `text/FrequentItems.scala`, guarantee-spec'd against this exact
+  // query in FrequentItemsSpec (its estimates are partition-layout-
+  // dependent within the error band, so the exact query is the
+  // oracle anchor and the sketch is gated by its theorems).
+  private val hhPhiInv = 30L
+  private def d55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select(explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum($"cnt").as("n"))
+    counts.crossJoin(broadcast(tot))
+      .filter($"cnt" * hhPhiInv > $"n")
+      .select($"term", $"cnt",
+        expr("cnt * 1000000 div n").as("freq_ppm"))
+  }
+  private val d55Sql =
+    s"""WITH t AS (SELECT
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+       |SELECT term, cnt, cnt * 1000000 // n AS freq_ppm
+       |FROM c CROSS JOIN n
+       |WHERE cnt * $hhPhiInv > n""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3212,5 +3253,6 @@ object TextQueries {
     Q("d51_bm25_decontam_apply", d51, Some(d51Sql)),
     Q("d52_token_gini", d52, Some(d52Sql)),
     Q("d53_fuzzy_decontam", d53, Some(d53Sql)),
-    Q("d54_source_jaccard_sketch", d54, Some(d54Sql)))
+    Q("d54_source_jaccard_sketch", d54, Some(d54Sql)),
+    Q("d55_heavy_hitters", d55, Some(d55Sql)))
 }
