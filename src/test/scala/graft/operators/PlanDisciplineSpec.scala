@@ -493,4 +493,40 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(starred(p7, "graft_simhash64"), p7)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("d53 fuzzy decontamination probes a BROADCAST eval side, never a corpus self-join") {
+    // the screen's scale contract: the benchmark suite is bounded, so
+    // its banded codes must broadcast and the corpus side is probed
+    // linearly — a shuffle self-join here would re-pay the d10 pair
+    // engine's quadratic bucket occupancy on the whole corpus
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d53_fuzzy_decontam")
+      assert(p.contains("BroadcastHashJoin"),
+        s"eval band codes not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in the screen:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("v24 drift audit: one bounded-key exchange, vectors never shuffled") {
+    // per-cell counts are the only shuffle (hashpartitioning on the
+    // 2^divBits bucket domain after map-side partials); the total row
+    // attaches as a broadcast scalar. A plan that exchanges the vector
+    // column or sorts anything has lost the audit's 100 TB shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("v24_cell_drift")
+      // a ReusedExchange line repeats the reused node's description —
+      // count only real exchanges (the totals branch reuses the
+      // bucket-agg shuffle, which is exactly the shape we want)
+      val hashEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange"))
+      assert(hashEx == 1, s"expected 1 bucket-key exchange, got $hashEx:\n$p")
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains(", v#")),
+        s"vector column crosses an exchange:\n$p")
+      assert(!p.contains("Sort "), s"sort in the drift audit:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -151,4 +151,56 @@ class SketchAndQuantileSpec extends AnyFunSuite {
         s"qid $qid: fused scores increase with rank")
     }
   }
+
+  test("d54 bottom-k Jaccard estimates stay inside the error band") {
+    // bottom-k with k=128 has absolute standard error
+    // sqrt(J(1-J)/k) <= 0.045; the self-reported err column (|est −
+    // exact|, both floor-snapped) must sit inside ~2× that for every
+    // shard pair — loose enough to never flap on the deterministic
+    // fixture (observed max 0.019), tight enough that a broken
+    // estimator (wrong union rank, unsorted window, swapped flags)
+    // fails. Full sketches also mean k_union is exactly k whenever
+    // both shards have >= k hashes.
+    val rows = Catalog.queries("d54_source_jaccard_sketch")(
+      spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("err")
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(err >= 0.0 && err <= 0.1,
+        s"${r.getAs[String]("src_a")}×${r.getAs[String]("src_b")}: " +
+          s"err $err outside the estimator band")
+    }
+    // every unordered source pair appears exactly once
+    val n = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).toSet.size
+    val srcs = rows.flatMap(r => Seq(r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"))).toSet.size
+    assert(n == srcs * (srcs - 1) / 2,
+      s"$n pairs for $srcs sources — pair domain incomplete")
+  }
+
+  test("d53 fuzzy decontamination screens only across the eval boundary") {
+    // the screen's contract: every hit pairs a CORPUS doc with an EVAL
+    // doc at verified est_jaccard >= 0.2 — corpus-internal near-dups
+    // (dedup's business) must never be flagged. The sf0.01 fixture has
+    // both populations: cross-boundary clones (8,245), (87,134), ...
+    // and the corpus-internal pair (152,178) that a symmetric pair
+    // engine would also emit.
+    val rows = Catalog.queries("d53_fuzzy_decontam")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty, "fixture assumption: cross-boundary clones exist")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= 100L &&
+        r.getAs[Long]("eval_id") < 100L,
+        s"hit ${r.toSeq} crosses the wrong way")
+      assert(r.getAs[Double]("est_jaccard") >= 0.2)
+    }
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.contains(245L),
+      "known eval clone (8 → 245) must be flagged")
+    assert(!flagged.contains(178L),
+      "corpus-internal near-dup (152, 178) must NOT be a contamination hit")
+  }
 }
