@@ -1525,6 +1525,44 @@ object VectorQueries {
        |    AS drift_ppm
        |FROM n CROSS JOIN t""".stripMargin
 
+  // ---- v25: IVF recall-vs-nprobe curve (index dial audit) ----
+  // The measurement run before choosing an IVF probe budget: for the
+  // fixed query set, what fraction of the EXACT top-k lives inside the
+  // first n probed cells, for every candidate n at once — the m06
+  // elbow / v16 matryoshka "dial curve" pattern applied to the v05
+  // index. One pass: the exact neighbor set (the v01 engine) joins the
+  // memoized cell assignment on vec_id, each query's full cell RANKING
+  // rides in as a broadcast literal (driver math over k×d centroids —
+  // the ivfProbe recipe), and a single bounded agg counts, per nprobe,
+  // the neighbors whose cell rank clears it. Recall is an integer ppm
+  // of exact counts. Scale shape: the corpus-sized work is the one
+  // exact-scoring pass (ground truth by definition); everything
+  // downstream is neighbors × |dials| rows. Oracle: pinned golden —
+  // quantizer training is deterministic (lowest-id seeding, fixed
+  // iters) but not SQL-expressible; the recall@4 row is additionally
+  // consistent with v13's LSH-recall audit machinery by construction.
+  private val rcProbes = Seq(1L, 2L, 4L, 8L, 16L)
+  private def v25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, sample, assigned) = ivfIndex(s, dir)
+    val qRank = sample.filter(_._1 < nQueries).map { case (qid, qv) =>
+      val ranked = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(x => (x._1, x._2)).map(_._2)
+      (qid, ranked.toSeq)
+    }.toSeq.toDF("qid", "cellrank")
+    v01(s, dir).select($"qid", $"vec_id")
+      .join(assigned.select($"vec_id", $"cell"), "vec_id")
+      .join(broadcast(qRank), "qid")
+      .select(expr("array_position(cellrank, cell)").as("pos"))
+      .select(explode(typedLit(rcProbes)).as("nprobe"), $"pos")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(($"pos" <= $"nprobe").cast("long")).as("hits"))
+      .select($"nprobe", $"hits",
+        expr("hits * 1000000 div n_pairs").as("recall_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1549,5 +1587,6 @@ object VectorQueries {
     Q("v21_knn_pagerank", v21, Some(v21Sql)),
     Q("v22_rrf_fusion", v22, Some(v22Sql)),
     Q("v23_knn_triangles", v23, Some(v23Sql)),
-    Q("v24_cell_drift", v24, Some(v24Sql)))
+    Q("v24_cell_drift", v24, Some(v24Sql)),
+    Q("v25_ivf_recall_curve", v25, Some(GoldenOracles.v25)))
 }

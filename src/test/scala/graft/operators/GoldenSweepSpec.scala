@@ -41,13 +41,14 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 15 golden-gated queries (every Catalog entry whose oracle is a
+  /** The 16 golden-gated queries (every Catalog entry whose oracle is a
     * pinned GoldenOracles VALUES table). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
+    "v25_ivf_recall_curve",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks")
 
@@ -76,6 +77,23 @@ class GoldenSweepSpec extends AnyFunSuite {
           s"golden-pinning premise is broken (${a.size} vs ${b.size} rows; " +
           s"first diff: ${a.zip(b).find(p => p._1 != p._2)})")
     }
+
+  test("v25 recall curve is monotone and exact at the full probe budget, any scale") {
+    // the golden pins sf0.01 values; these are the scale-free structural
+    // invariants at the sweep dir: recall is non-decreasing in nprobe,
+    // and probing every cell must recover the exact top-k (1e6 ppm) —
+    // if not, the cell assignment and the probe ranking disagree
+    val rows = canon("v25_ivf_recall_curve", narrowSplits)
+      .map { s =>
+        val p = s.stripPrefix("[").stripSuffix("]").split(",")
+        (p(0).toLong, p(2).toLong)
+      }.sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.zip(rows.tail).forall { case ((_, a), (_, b)) => a <= b },
+      s"recall decreases with nprobe: $rows")
+    assert(rows.last._1 == 16L && rows.last._2 == 1000000L,
+      s"full probe budget must be exact: $rows")
+  }
 
   test("v11 disk-layout probe equals v09 in-memory probe at the sweep scale") {
     val mem = canon("v09_knn_ivfpq", narrowSplits)
