@@ -607,6 +607,30 @@ object StreamingQueries {
       .agg(min($"keeper").as("keeper"), max($"n_copies").as("n_copies"))
   }
 
+  // ---- s21: streaming packing-efficiency curve (live dial audit) ----
+  // d56's context-length cost curve maintained as arriving documents
+  // fold into the bounded 3-row integer-sum aggregate (complete mode —
+  // the s07/s19 bounded-state shape); the ppm ratio tail is re-derived
+  // from the exact sums on every emission, so the final table equals
+  // batch d56 bit-for-bit and the whole d56 SQL oracle gates it.
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.packingEfficiency(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.packingRatios(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -666,5 +690,6 @@ object StreamingQueries {
     Q("s17_stream_bm25_screen", s17, Some(TextQueries.bm25ScreenSql)),
     Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)),
     Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)),
-    Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)))
+    Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)),
+    Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)))
 }

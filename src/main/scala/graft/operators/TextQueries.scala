@@ -3199,6 +3199,58 @@ object TextQueries {
        |FROM c CROSS JOIN n
        |WHERE cnt * $hhPhiInv > n""".stripMargin
 
+  // ---- d56: context-length packing-efficiency curve ----
+  // The audit behind choosing a training context length: for each
+  // candidate window W, how many W-token chunks does the corpus cut
+  // into (the d36 chunker at stride = W) and what fraction of the
+  // packed slots is padding waste — the cost curve that trades context
+  // against throughput. One scan computes every dial side by side (the
+  // m06 pattern): per-doc token counts explode across the bounded
+  // 3-element W list, fold into a |dials|-row agg. All integer math
+  // (ceil-div chunks, ppm waste by floor-div of exact sums) — exact
+  // cross-engine at any corpus size, and the only exchange carries
+  // 3 · n_docs tiny rows into a 3-row aggregate.
+  private val packWs = Seq(128L, 256L, 512L)
+
+  /** The d56 curve as a shared transform: pure projections into a
+    * |dials|-row agg, so it runs over a batch scan or a document
+    * readStream unchanged (s21 — the bounded-state complete-mode agg
+    * deployment, state = 3 rows of integer sums). */
+  private[operators] def packingEfficiency(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .select(col("nt"), explode(typedLit(packWs)).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        sum(expr("(nt + w - 1) div w")).as("total_chunks"))
+
+  /** Ratio tail split out of the agg: a streaming complete-mode sink
+    * re-derives it per emission from the exact integer sums. */
+  private[operators] def packingRatios(agg: DataFrame): DataFrame =
+    agg.select(col("w"), col("n_docs"), col("total_tokens"),
+      col("total_chunks"),
+      expr("(total_chunks * w - total_tokens) * 1000000 " +
+        "div (total_chunks * w)").as("waste_ppm"))
+
+  private def d56(s: SparkSession, dir: String): DataFrame =
+    packingRatios(packingEfficiency(Tables(s, dir, "documents")))
+  private[operators] val d56Sql =
+    s"""WITH t AS (SELECT CAST(len(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS nt
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |x AS (SELECT nt, w FROM t
+       |  CROSS JOIN (VALUES (${packWs.mkString("), (")})) ws(w)),
+       |a AS (SELECT CAST(w AS BIGINT) AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |    CAST(SUM((nt + w - 1) // w) AS BIGINT) AS total_chunks
+       |  FROM x GROUP BY 1)
+       |SELECT w, n_docs, total_tokens, total_chunks,
+       |  (total_chunks * w - total_tokens) * 1000000 // (total_chunks * w)
+       |    AS waste_ppm
+       |FROM a""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3254,5 +3306,6 @@ object TextQueries {
     Q("d52_token_gini", d52, Some(d52Sql)),
     Q("d53_fuzzy_decontam", d53, Some(d53Sql)),
     Q("d54_source_jaccard_sketch", d54, Some(d54Sql)),
-    Q("d55_heavy_hitters", d55, Some(d55Sql)))
+    Q("d55_heavy_hitters", d55, Some(d55Sql)),
+    Q("d56_packing_efficiency", d56, Some(d56Sql)))
 }
