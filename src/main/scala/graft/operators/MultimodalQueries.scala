@@ -346,6 +346,50 @@ object MultimodalQueries {
       |  floor(n_embedded / n_docs * 1e6 + 0.5) / 1e6 AS coverage
       |FROM g""".stripMargin
 
+  // ---- x10: CDC dedup-efficiency curve over chunk-size dials ----
+  // The storage-tuning audit a dedup store runs before fixing its
+  // chunking dial: smaller average chunks find more duplicate mass but
+  // cost more index entries — the classic CDC size/ratio trade. For
+  // maskBits ∈ {4, 5, 6} (expected chunk ≈ 2^mask bytes; min/max
+  // scaled with the mask so forced cuts don't swamp the content-
+  // defined ones), ONE mapPartitions pass chunks every payload at all
+  // three dials (chunking is per-record — no shuffle), and the only
+  // exchange carries (mask, hash, len) chunk rows into the
+  // content-address rollup: per dial, chunk/distinct counts, duplicate
+  // bytes (Σ (copies−1)·len over addresses), and the ppm dedup ratio —
+  // integer floor-div of exact sums. The dial curve pattern (m06/d56/
+  // v25) applied to the multimodal store. Oracle: pinned golden (gear
+  // hashing and wrap-around FNV are not ANSI-expressible — the x07
+  // precedent), partition-invariance re-proven at sf0.1 by the sweep.
+  private val x10Masks = Seq(4, 5, 6)
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    val m = media(s, dir)
+    val sp = m.sparkSession
+    import sp.implicits._
+    val chunks = m.mapPartitions { it =>
+      it.flatMap { r =>
+        x10Masks.iterator.flatMap { mb =>
+          val minSize = 1 << (mb - 1); val maxSize = 4 << mb
+          Multimodal.cdcBoundaries(r.payload, minSize, maxSize, mb)
+            .iterator.map { case (off, len) =>
+              (mb.toLong, Multimodal.fnv64(r.payload, off, len), len.toLong)
+            }
+        }
+      }
+    }.toDF("mask_bits", "hash", "len")
+    chunks
+      .groupBy($"mask_bits", $"hash", $"len")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"mask_bits")
+      .agg(sum($"cnt").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum($"cnt" * $"len").as("total_bytes"),
+        sum(($"cnt" - 1L) * $"len").as("dup_bytes"))
+      .select($"mask_bits", $"n_chunks", $"n_distinct", $"total_bytes",
+        $"dup_bytes",
+        expr("dup_bytes * 1000000 div total_bytes").as("dedup_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
@@ -355,5 +399,6 @@ object MultimodalQueries {
     Q("x06_block_dedup", x06, Some(x06Sql)),
     Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)),
     Q("x08_block_neardup", x08, Some(x08Sql)),
-    Q("x09_modality_coverage", x09, Some(x09Sql)))
+    Q("x09_modality_coverage", x09, Some(x09Sql)),
+    Q("x10_cdc_dial_curve", x10, Some(GoldenOracles.x10)))
 }

@@ -41,7 +41,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 16 golden-gated queries (every Catalog entry whose oracle is a
+  /** The 17 golden-gated queries (every Catalog entry whose oracle is a
     * pinned GoldenOracles VALUES table). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
@@ -50,7 +50,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
-    "x07_cdc_chunks")
+    "x07_cdc_chunks", "x10_cdc_dial_curve")
 
   /** Canonical form: every row rendered (Row.toString keeps the -0.0 /
     * 0.0 distinction and full double precision), sorted. */
