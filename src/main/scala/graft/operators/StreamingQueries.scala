@@ -631,6 +631,34 @@ object StreamingQueries {
     TextQueries.packingRatios(s.table(name))
   }
 
+  // ---- s22: streaming embedding-drift monitor (live v24) ----
+  // v24's deployment shape: arriving embeddings fold into the bounded
+  // per-cell generation counters (complete mode, 2^divBits rows of
+  // state — the s07/s19/s21 bounded-state family), and the ppm share /
+  // drift tail is re-derived from the exact integer counts on every
+  // emission. On the single-batch fixture the stream IS the corpus, so
+  // v24's whole batch SQL oracle gates the live monitor bit-for-bit.
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = VectorQueries.cellDriftCounts(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VectorQueries.cellDriftRatios(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -691,5 +719,6 @@ object StreamingQueries {
     Q("s18_stream_hll_registers", s18, Some(TextQueries.d49Sql)),
     Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)),
     Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)),
-    Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)))
+    Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)),
+    Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)))
 }

@@ -1493,22 +1493,33 @@ object VectorQueries {
   // the reader of the 16-row result. Scale shape: one projection →
   // one BOUNDED (2^divBits-row) hash agg → broadcast scalar attach;
   // no corpus-sized shuffle ever carries a vector, any corpus size.
-  private def v24(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val counts = divCoded(embeddings(s, dir))
-      .withColumn("gen", ($"vec_id" % 2).cast("long"))
-      .groupBy($"bucket")
-      .agg(sum(when($"gen" === 0L, 1L).otherwise(0L)).as("n_old"),
-        sum(when($"gen" === 1L, 1L).otherwise(0L)).as("n_new"))
-    val tot = counts.agg(sum($"n_old").as("t_old"), sum($"n_new").as("t_new"))
+  /** The v24 counts as a shared transform: one native-LSH projection
+    * into the bounded per-cell agg, so it runs over a batch scan or an
+    * embedding readStream unchanged (s22 — complete-mode agg, state =
+    * 2^divBits rows of counters). Input needs (vec_id, v). */
+  private[operators] def cellDriftCounts(vecs: DataFrame): DataFrame =
+    divCoded(vecs)
+      .withColumn("gen", (col("vec_id") % 2).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("gen") === 1L, 1L).otherwise(0L)).as("n_new"))
+
+  /** Ratio tail over the bounded counts table — a streaming sink
+    * re-derives it per emission from the exact integer counts. */
+  private[operators] def cellDriftRatios(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"))
     counts.crossJoin(broadcast(tot))
-      .select($"bucket", $"n_old", $"n_new",
+      .select(col("bucket"), col("n_old"), col("n_new"),
         expr("n_old * 1000000 div t_old").as("share_old_ppm"),
         expr("n_new * 1000000 div t_new").as("share_new_ppm"),
         abs(expr("n_old * 1000000 div t_old")
           - expr("n_new * 1000000 div t_new")).as("drift_ppm"))
   }
-  private lazy val v24Sql =
+
+  private def v24(s: SparkSession, dir: String): DataFrame =
+    cellDriftRatios(cellDriftCounts(embeddings(s, dir)))
+  private[operators] lazy val v24Sql =
     s"""WITH ${lshCodesSql(divPlanes, divBits)},
        |  c AS (SELECT vec_id, CAST(code AS BIGINT) AS bucket,
        |      vec_id % 2 AS gen FROM codes),
