@@ -290,7 +290,36 @@ object EventQueries {
       |    AS retention
       |FROM r JOIN s ON r.cday = s.cday""".stripMargin
 
+  // ---- q38: incremental rollup maintenance (merge, don't recompute) ----
+  // The incremental-view-maintenance pattern every 100 TB rollup lives
+  // by: when a new batch lands, the hourly aggregate is maintained by
+  // aggregating ONLY the delta and MERGING it with the existing rollup
+  // — count and DECIMAL-sum are mergeable partials, so merge ≡ full
+  // recompute exactly. Here the parity of event_id plays the
+  // base/delta snapshot tag: each half is rolled up independently (in
+  // production the base rollup is a stored table — d34's ledger idea
+  // applied to aggregates) and the merge is a key-wise sum. The oracle
+  // is q17's FULL-recompute SQL verbatim: the incremental path must be
+  // bit-identical to recomputation, which is precisely the IVM
+  // contract. Scale shape: the delta agg touches only the delta; the
+  // merge shuffles rollup-sized rows (hours × types), never events.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).as("total_dec"))
+    val e = Tables(s, dir, "events")
+    val base = rollup(e.filter($"event_id" % 2 === 0))
+    val delta = rollup(e.filter($"event_id" % 2 === 1))
+    base.unionByName(delta)
+      .groupBy($"hour", $"event_type")
+      .agg(sum($"n").as("n"),
+        sum($"total_dec").cast("double").as("total_value"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q38_incremental_rollup", q38, Some(q17Sql)),
     Q("q36_funnel", q36, Some(q36Sql)),
     Q("q37_retention", q37, Some(q37Sql)),
     Q("q32_pivot", q32, Some(q32Sql)),
