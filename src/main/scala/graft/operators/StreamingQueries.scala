@@ -659,6 +659,33 @@ object StreamingQueries {
     VectorQueries.cellDriftRatios(s.table(name))
   }
 
+  // ---- s23: Bloom decontamination screen on arrival ----
+  // d57's deployment split: the eval suite's Bloom bitmap (1024 longs
+  // — KBs where the exact gram set is GBs) is built once on the static
+  // side and shipped into the stream as a literal; each arriving doc
+  // is screened by three O(1) bit probes per gram inside one HOF fold
+  // — no explode, no join, no shuffle, no state (the d38/s14 pattern
+  // applied to membership screens). False positives are deterministic
+  // functions of the hash construction, so the batch SQL oracle gates
+  // the streamed verdicts bit-for-bit, FPs included.
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bits = TextQueries.bloomBitmap(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter($"doc_id" >= 20)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.bloomScreenStateless(raw, bits).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -720,5 +747,6 @@ object StreamingQueries {
     Q("s19_stream_modality_coverage", s19, Some(MultimodalQueries.x09Sql)),
     Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)),
     Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)),
-    Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)))
+    Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)),
+    Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)))
 }

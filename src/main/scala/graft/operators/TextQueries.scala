@@ -3251,6 +3251,171 @@ object TextQueries {
        |    AS waste_ppm
        |FROM a""".stripMargin
 
+  // ---- d57: Bloom-filter contamination screen (+ FPR self-audit) ----
+  // d23 ships the eval 5-gram SET to the corpus join; at benchmark-
+  // suite scale that set is GBs, while a Bloom filter over it is KBs —
+  // the screen every production decontamination pass actually deploys.
+  // k = 3 bit positions per gram from md5 slices (the cross-engine
+  // coin), bloomBits = 2^16; a corpus gram is a BLOOM hit iff all
+  // three of its positions are set by some eval gram. Determinism:
+  // false positives are a FUNCTION of the hash construction, not
+  // noise — both engines compute the identical bit set and identical
+  // per-gram verdicts, so the screen is oracle-exact INCLUDING its
+  // false positives, and the exact d23 membership rides along to
+  // self-report the FP mass per doc (the d46/d54 audit pattern).
+  // Scale shape: the position set is bounded by the eval suite
+  // (3 · |eval grams| ints, broadcast); the corpus side is one explode
+  // + position join + per-doc agg — never a corpus-keyed set
+  // membership against the raw gram table. The STATELESS deployment
+  // (s23) collapses the position set to a 1024-long dense bitmap
+  // literal and checks bits in O(1) per gram with zero shuffle — the
+  // d38/s14 split applied to membership screens; proven ≡ the join
+  // form in BloomScreenSpec.
+  private val bloomBitsLog2 = 16
+  private val bloomK = 3
+
+  /** (doc_id, sh) distinct 5-grams, the shared d23/d57 front end. */
+  private def fiveGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
+  }
+
+  /** The k md5-derived bit positions of a gram column (by name), as an
+    * array column — stateless, streamable. */
+  private def bloomPositions(shCol: String): org.apache.spark.sql.Column =
+    array((0 until bloomK).map(i =>
+      expr(s"cast(conv(substring(md5(cast(concat('$i', ' ', $shCol) " +
+        s"as binary)), 1, 4), 16, 10) as long)")): _*)
+
+  private def d57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = fiveGrams(s, dir)
+    val evalG = sh.filter($"doc_id" < 20).select($"sh").distinct()
+    val evalPos = evalG
+      .select(explode(bloomPositions("sh")).as("pos")).distinct()
+      .withColumn("setbit", lit(1L))
+    val evalHit = evalG.withColumn("ehit", lit(1L))
+    val corp = sh.filter($"doc_id" >= 20)
+      .select($"doc_id", $"sh", explode(bloomPositions("sh")).as("pos"))
+      .join(broadcast(evalPos), Seq("pos"), "left")
+      .groupBy($"doc_id", $"sh")
+      .agg(min(coalesce($"setbit", lit(0L))).as("allset"))
+      .join(evalHit, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_5grams"),
+        sum($"allset").as("n_bloom_hits"),
+        sum(coalesce($"ehit", lit(0L))).as("n_exact_hits"))
+    corp.select($"doc_id", $"total_5grams", $"n_bloom_hits",
+      $"n_exact_hits",
+      expr("(n_bloom_hits - n_exact_hits) * 1000000 div total_5grams")
+        .as("fp_ppm"))
+  }
+  private val d57Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 4),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |           || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS sh
+       |    FROM t WHERE len(toks) >= 5),
+       |  ev AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20),
+       |  ep AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM ev CROSS JOIN range($bloomK) k),
+       |  corp AS (SELECT doc_id, sh FROM s WHERE doc_id >= 20),
+       |  cp AS (SELECT doc_id, sh, CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM corp CROSS JOIN range($bloomK) k),
+       |  g AS (SELECT doc_id, sh,
+       |      MIN(CASE WHEN ep.pos IS NOT NULL THEN 1 ELSE 0 END) AS allset
+       |    FROM cp LEFT JOIN ep ON cp.pos = ep.pos GROUP BY 1, 2),
+       |  d AS (SELECT g.doc_id,
+       |      CAST(COUNT(*) AS BIGINT) AS total_5grams,
+       |      CAST(SUM(allset) AS BIGINT) AS n_bloom_hits,
+       |      CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |        AS n_exact_hits
+       |    FROM g LEFT JOIN ev ON g.sh = ev.sh GROUP BY 1)
+       |SELECT doc_id, total_5grams, n_bloom_hits, n_exact_hits,
+       |  (n_bloom_hits - n_exact_hits) * 1000000 // total_5grams AS fp_ppm
+       |FROM d""".stripMargin
+
+  /** The eval position set as a DENSE 2^16-bit bitmap (1024 longs) —
+    * the bounded driver gather the STATELESS screen ships to a stream
+    * (the d39/s14 index-build pattern applied to membership). */
+  private val bloomCache = new SessionCache[String, Array[Long]](_ => ())
+  private[operators] def bloomBitmap(s: SparkSession, dir: String)
+      : Array[Long] = bloomCache.getOrBuild(s, dir) {
+    val bits = new Array[Long](1 << (bloomBitsLog2 - 6))
+    fiveGrams(s, dir).filter(col("doc_id") < 20)
+      .select(explode(bloomPositions("sh")).as("pos")).distinct()
+      .collect() // bounded: <= 3 * |eval grams| <= 2^16 ints
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        bits(p >> 6) |= 1L << (p & 63)
+      }
+    bits
+  }
+
+  /** Stateless Bloom screen against a FIXED bitmap literal: per-gram
+    * membership is three O(1) bit probes inside one HOF fold — no
+    * explode, no join, no shuffle — so it lifts onto a document
+    * readStream unchanged (s23). Value-identical to d57's join form
+    * minus the exact-audit columns (BloomScreenSpec pins it). */
+  private[operators] def bloomScreenStateless(docs: DataFrame,
+      bits: Array[Long]): DataFrame = {
+    require(bits.length == 1 << (bloomBitsLog2 - 6),
+      "bitmap must span the full bloom space")
+    def pos(i: Int): String =
+      s"cast(conv(substring(md5(cast(concat('$i', ' ', g) as binary)), " +
+        "1, 4), 16, 10) as long)"
+    def probe(i: Int): String =
+      s"((element_at(bm, cast(shiftright(${pos(i)}, 6) + 1 as int)) " +
+        s">> (${pos(i)} & 63)) & 1)"
+    val hit = (0 until bloomK).map(probe).mkString(" * ")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("bm", typedLit(bits))
+      .withColumn("grams", TextOps.shingles("toks", 5))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("total_5grams"),
+        expr(s"aggregate(grams, cast(0 as bigint), " +
+          s"(acc, g) -> acc + $hit)").as("n_bloom_hits"))
+  }
+
+  /** s23's oracle: d57's pipeline with only the stream-computable
+    * columns (the exact-audit legs need the eval gram SET, which the
+    * stateless deployment deliberately does not ship). */
+  private[operators] val bloomStreamSql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 4),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |           || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS sh
+       |    FROM t WHERE len(toks) >= 5),
+       |  ev AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20),
+       |  ep AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM ev CROSS JOIN range($bloomK) k),
+       |  cp AS (SELECT doc_id, sh, CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM (SELECT doc_id, sh FROM s WHERE doc_id >= 20)
+       |    CROSS JOIN range($bloomK) k),
+       |  g AS (SELECT doc_id, sh,
+       |      MIN(CASE WHEN ep.pos IS NOT NULL THEN 1 ELSE 0 END) AS allset
+       |    FROM cp LEFT JOIN ep ON cp.pos = ep.pos GROUP BY 1, 2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_5grams,
+       |  CAST(SUM(allset) AS BIGINT) AS n_bloom_hits
+       |FROM g GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3307,5 +3472,6 @@ object TextQueries {
     Q("d53_fuzzy_decontam", d53, Some(d53Sql)),
     Q("d54_source_jaccard_sketch", d54, Some(d54Sql)),
     Q("d55_heavy_hitters", d55, Some(d55Sql)),
-    Q("d56_packing_efficiency", d56, Some(d56Sql)))
+    Q("d56_packing_efficiency", d56, Some(d56Sql)),
+    Q("d57_bloom_contamination", d57, Some(d57Sql)))
 }
