@@ -1574,6 +1574,82 @@ object VectorQueries {
         expr("hits * 1000000 div n_pairs").as("recall_ppm"))
   }
 
+  // ---- v26: ANN through the int8-quantized corpus ----
+  // Retrieval THROUGH the compressed representation v07 audits: the
+  // approximate scan scores int8 codes (a 4× smaller read than raw
+  // doubles — at 100 TB the dominant cost is exactly that scan, and in
+  // production this scoring runs inside the IVF-pruned cells), then a
+  // bounded shortlist is reranked with exact full-precision cosine —
+  // the v08 shortlist-rerank discipline on the scalar-quantized
+  // layout. Exactness (no golden needed, unlike the PQ family): int8
+  // codes are floor-form deterministic, the code dot product is EXACT
+  // INTEGER arithmetic, and the ranking scalar (scale · qdot / ‖v‖)
+  // is one IEEE multiply+divide of identical operands in both engines
+  // — so shortlist membership, tie-breaks, and the reranked answer are
+  // all cross-engine bit-equal, and the oracle is plain SQL.
+  private val sqShortlist = 16
+  private def v26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coded = embeddings(s, dir)
+      .select($"vec_id", $"v",
+        (greatest(array_max(transform($"v", x => abs(x))), lit(1e-30))
+          / 127.0).as("scale"))
+      .select($"vec_id", $"v", $"scale",
+        expr("transform(v, x -> cast(floor(x / scale + 0.5) as bigint))")
+          .as("q"),
+        sqrt(VectorOps.dotHof($"v", $"v")).as("nrm"))
+    val queries = coded.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"v".as("qv"))
+    val approx = coded.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (($"scale" * expr("aggregate(zip_with(q, qq, (a, b) -> a * b), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").cast("double"))
+          / $"nrm").as("score"))
+    val short = VectorOps.topKPerQuery(approx, sqShortlist)
+    val rer = short.select($"qid", $"vec_id")
+      .join(coded.select($"vec_id", $"v"), "vec_id")
+      .join(broadcast(queries.select($"qid", $"qv")), "qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(rer, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+  private lazy val v26Sql = {
+    s"""WITH b AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |    GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
+       |      AS scale
+       |  FROM b),
+       |cd AS (SELECT vec_id, v, scale,
+       |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+       |  FROM sc),
+       |cdn AS (SELECT vec_id, v, scale, q, sqrt(${VectorOps.dotSql("v", "v")})
+       |      AS nrm
+       |  FROM cd),
+       |qs AS (SELECT vec_id AS qid, q AS qq, v AS qv FROM cdn
+       |  WHERE vec_id < $nQueries),
+       |ap AS (SELECT qs.qid, cdn.vec_id,
+       |    cdn.scale * CAST(list_reduce(list_transform(generate_series(1, 64),
+       |      i -> cdn.q[i] * qs.qq[i]), (a, x) -> a + x) AS DOUBLE) / cdn.nrm
+       |      AS score
+       |  FROM cdn JOIN qs ON cdn.vec_id <> qs.qid),
+       |sh AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+       |        AS rn
+       |    FROM ap) WHERE rn <= $sqShortlist),
+       |rr AS (SELECT sh.qid, sh.vec_id,
+       |    ${VectorOps.cosineSql("cv.v", "qs.qv")} AS score
+       |  FROM sh JOIN b cv ON sh.vec_id = cv.vec_id
+       |  JOIN qs ON sh.qid = qs.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS cosine
+       |FROM (SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+       |      AS rn
+       |  FROM rr) WHERE rn <= $topK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1599,5 +1675,6 @@ object VectorQueries {
     Q("v22_rrf_fusion", v22, Some(v22Sql)),
     Q("v23_knn_triangles", v23, Some(v23Sql)),
     Q("v24_cell_drift", v24, Some(v24Sql)),
-    Q("v25_ivf_recall_curve", v25, Some(GoldenOracles.v25)))
+    Q("v25_ivf_recall_curve", v25, Some(GoldenOracles.v25)),
+    Q("v26_knn_int8", v26, Some(v26Sql)))
 }

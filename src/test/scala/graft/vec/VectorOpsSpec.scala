@@ -369,4 +369,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected exactly 1 exchange (confusion agg):\n$p")
   }
+
+  test("int8-quantized ANN (v26) recall@10 >= 0.9 vs exact top-k") {
+    // int8 at 64 dims loses ~0.4% of vector magnitude to rounding —
+    // the quantized shortlist plus exact rerank should recover nearly
+    // all of the exact answer; a broken code dot, scale, or shortlist
+    // rank would crater this far below the bar
+    import spark.implicits._
+    def rows(name: String) = graft.operators.VectorQueries.all
+      .find(_.name == name).get.fn(spark, TestSpark.sf0001)
+    val e = rows("v01_knn_exact")
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = rows("v26_knn_int8")
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (e & a).size.toDouble / e.size
+    info(s"int8 recall@10 = $recall (${(e & a).size}/${e.size})")
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9")
+  }
 }
