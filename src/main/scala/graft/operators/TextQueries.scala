@@ -3416,6 +3416,38 @@ object TextQueries {
        |  CAST(SUM(allset) AS BIGINT) AS n_bloom_hits
        |FROM g GROUP BY 1""".stripMargin
 
+  // ---- d58: PRODUCTION fuzzy decontamination (native hash, full corpus) ----
+  // The deployment form of d53: same asymmetric screen — the bounded
+  // benchmark suite's banded codes broadcast against the corpus, never
+  // a corpus self-join — but on the native fused tokens→minhash
+  // Catalyst projection (d06's engine, xxhash64, codegen'd, no
+  // interpreted md5 HOFs), so it runs over the FULL corpus instead of
+  // d53's oracle slice. d53 remains the cross-engine proof of the
+  // banding/verify logic; this is the query a user actually deploys,
+  // gated by a pinned golden exactly as d06 is gated against d10.
+  private def d58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 32
+    val sigs = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .withColumn("sig", TextOps.minhashOfShingles("toks", 3, k))
+      .select($"doc_id", $"sig")
+    val evalB = TextOps.lshBandCodes(
+        sigs.filter($"doc_id" < fuzzyEvalN), "doc_id", k, bands = 8)
+      .withColumnsRenamed(Map("doc" -> "edoc", "band" -> "eband",
+        "bucket" -> "ebucket"))
+    val corpB = TextOps.lshBandCodes(
+      sigs.filter($"doc_id" >= fuzzyEvalN), "doc_id", k, bands = 8)
+    val cands = corpB.join(broadcast(evalB),
+        $"band" === $"eband" && $"bucket" === $"ebucket")
+      .groupBy($"doc".as("id_a"), $"edoc".as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    TextOps.estimateJaccard(cands, sigs, "doc_id", k)
+      .filter($"est_jaccard" >= 0.2)
+      .withColumnsRenamed(Map("id_a" -> "doc_id", "id_b" -> "eval_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3473,5 +3505,6 @@ object TextQueries {
     Q("d54_source_jaccard_sketch", d54, Some(d54Sql)),
     Q("d55_heavy_hitters", d55, Some(d55Sql)),
     Q("d56_packing_efficiency", d56, Some(d56Sql)),
-    Q("d57_bloom_contamination", d57, Some(d57Sql)))
+    Q("d57_bloom_contamination", d57, Some(d57Sql)),
+    Q("d58_fuzzy_decontam_prod", d58, Some(GoldenOracles.d58)))
 }

@@ -64,15 +64,23 @@ object TextOps {
     * projection — the expensive part — is evaluated once and shared
     * with Jaccard estimation.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String,
+  /** Banded bucket codes of native minhash signatures — the shared
+    * projection of the symmetric pair engine (lshCandidates) and the
+    * asymmetric screens (d58's eval-vs-corpus decontamination). */
+  def lshBandCodes(sigs: DataFrame, idCol: String,
       k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val banded = sigs.select(col(idCol).as("doc"),
+    sigs.select(col(idCol).as("doc"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> aggregate(slice(sig, b * $r + 1, $r), cast(b as bigint), " +
         s"(a, v) -> xxhash64(a, v)))"))
         .as(Seq("band", "bucket")))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val banded = lshBandCodes(sigs, idCol, k, bands)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&

@@ -41,10 +41,11 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 17 golden-gated queries (every Catalog entry whose oracle is a
+  /** The 18 golden-gated queries (every Catalog entry whose oracle is a
     * pinned GoldenOracles VALUES table). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
+    "d58_fuzzy_decontam_prod",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",

@@ -203,4 +203,28 @@ class SketchAndQuantileSpec extends AnyFunSuite {
     assert(!flagged.contains(178L),
       "corpus-internal near-dup (152, 178) must NOT be a contamination hit")
   }
+
+  test("production fuzzy decontamination (d58) finds every d53 hit and respects the boundary") {
+    // d58 is d53 on the native xxhash64 engine over the FULL corpus;
+    // a hash swap must not lose true clones — every (doc, eval) pair
+    // the md5 oracle slice flags must reappear — and the asymmetric
+    // contract (hits only cross the eval boundary) must hold on the
+    // wider universe too
+    val slice = Catalog.queries("d53_fuzzy_decontam")(spark, TestSpark.sf001)
+      .collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"))).toSet
+    val prod = Catalog.queries("d58_fuzzy_decontam_prod")(
+      spark, TestSpark.sf001).collect()
+    val prodPairs = prod.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"))).toSet
+    assert(slice.subsetOf(prodPairs),
+      s"hash swap lost true clones: ${slice -- prodPairs}")
+    assert(prodPairs.size > slice.size,
+      "full-corpus screen should see clones beyond the oracle slice")
+    prod.foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= 100L &&
+        r.getAs[Long]("eval_id") < 100L,
+        s"hit ${r.toSeq} crosses the wrong way")
+    }
+  }
 }
