@@ -686,6 +686,45 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s24: fuzzy decontamination on arrival (live d58) ----
+  // The decontamination family's streaming completion next to s17
+  // (BM25) and s23 (Bloom): each arriving document computes its native
+  // minhash signature and band codes (stateless codegen'd projections)
+  // and probes the eval suite's banded codes via a stream-STATIC
+  // broadcast join — no streaming state at all, the s10 enrich shape.
+  // Band matches land in the sink; the slot-agreement verify rolls up
+  // batch-side over the bounded match set (the s09 pattern), so d58's
+  // pinned golden gates the streamed screen bit-for-bit.
+  private def s24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batchSigs = TextQueries.nativeSigs(
+      graft.Tables(s, dir, "documents"))
+    val evalB = TextQueries.evalBandCodes(batchSigs)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter($"doc_id" >= TextQueries.fuzzyEvalN)
+    val matches = graft.text.TextOps.lshBandCodes(TextQueries.nativeSigs(raw),
+        "doc_id", TextQueries.fuzzyK, bands = 8)
+      .join(broadcast(evalB),
+        $"band" === $"eband" && $"bucket" === $"ebucket")
+      .select($"doc".as("id_a"), $"edoc".as("id_b"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = matches.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val cands = s.table(name).groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_bands"))
+    TextQueries.fuzzyVerify(cands, batchSigs)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -748,5 +787,6 @@ object StreamingQueries {
     Q("s20_stream_dedup_ledger", s20, Some(TextQueries.d01Sql)),
     Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)),
     Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)),
-    Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)))
+    Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)),
+    Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)))
 }

@@ -2994,7 +2994,7 @@ object TextQueries {
   // business, not decontamination's. Universe is the d10 oracle slice
   // (interpreted md5 HOF cost — the production screen would run the
   // native xxhash64 sibling exactly as d06 does vs d10).
-  private val fuzzyEvalN = 100
+  private[operators] val fuzzyEvalN = 100
   private def d53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = mhSliceSigs(s, dir)
@@ -3425,27 +3425,43 @@ object TextQueries {
   // d53's oracle slice. d53 remains the cross-engine proof of the
   // banding/verify logic; this is the query a user actually deploys,
   // gated by a pinned golden exactly as d06 is gated against d10.
-  private def d58(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val k = 32
-    val sigs = Tables(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .withColumn("sig", TextOps.minhashOfShingles("toks", 3, k))
-      .select($"doc_id", $"sig")
-    val evalB = TextOps.lshBandCodes(
-        sigs.filter($"doc_id" < fuzzyEvalN), "doc_id", k, bands = 8)
+  private[operators] val fuzzyK = 32
+
+  /** Native fused tokens→minhash signatures — stateless projections
+    * only, so the same frame builds over a batch scan or a document
+    * readStream (s24). */
+  private[operators] def nativeSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", TextOps.minhashOfShingles("toks", 3, fuzzyK))
+      .select(col("doc_id"), col("sig"))
+
+  /** The bounded eval suite's banded codes — the broadcast side of the
+    * asymmetric screen, shared by d58 and its streamed form. */
+  private[operators] def evalBandCodes(sigs: DataFrame): DataFrame =
+    TextOps.lshBandCodes(sigs.filter(col("doc_id") < fuzzyEvalN),
+        "doc_id", fuzzyK, bands = 8)
       .withColumnsRenamed(Map("doc" -> "edoc", "band" -> "eband",
         "bucket" -> "ebucket"))
+
+  /** Verify tail shared by d58 and s24: candidate pair rollup →
+    * slot-agreement estimate → 0.2 floor → screen column names. */
+  private[operators] def fuzzyVerify(cands: DataFrame,
+      sigs: DataFrame): DataFrame =
+    TextOps.estimateJaccard(cands, sigs, "doc_id", fuzzyK)
+      .filter(col("est_jaccard") >= 0.2)
+      .withColumnsRenamed(Map("id_a" -> "doc_id", "id_b" -> "eval_id"))
+
+  private def d58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = nativeSigs(Tables(s, dir, "documents"))
     val corpB = TextOps.lshBandCodes(
-      sigs.filter($"doc_id" >= fuzzyEvalN), "doc_id", k, bands = 8)
-    val cands = corpB.join(broadcast(evalB),
+      sigs.filter($"doc_id" >= fuzzyEvalN), "doc_id", fuzzyK, bands = 8)
+    val cands = corpB.join(broadcast(evalBandCodes(sigs)),
         $"band" === $"eband" && $"bucket" === $"ebucket")
       .groupBy($"doc".as("id_a"), $"edoc".as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
-    TextOps.estimateJaccard(cands, sigs, "doc_id", k)
-      .filter($"est_jaccard" >= 0.2)
-      .withColumnsRenamed(Map("id_a" -> "doc_id", "id_b" -> "eval_id"))
+    fuzzyVerify(cands, sigs)
   }
 
   val all: Seq[Q] = Seq(
