@@ -3464,6 +3464,56 @@ object TextQueries {
     fuzzyVerify(cands, sigs)
   }
 
+  // ---- d59: weighted sampling without replacement (Efraimidis-Spirakis) ----
+  // The quality/size-weighted reservoir a mixture builder runs when a
+  // token budget must FAVOR some documents without replacement: each
+  // doc draws priority u^(1/w) (u a deterministic md5 dyadic coin, w
+  // its token count), and the per-source top-k by priority IS a
+  // weighted sample without replacement — inclusion odds scale with w,
+  // and re-runs/backfills reproduce the exact same sample (never
+  // rand(), the d19/d26 coin discipline). Scale shape: one stateless
+  // projection, then the bounded-heap top-k engine (v01's) per source
+  // — O(k) state per shard, no window, no sort of the corpus.
+  // Exactness: ranking by u^(1/w) ≡ ranking by ln(u)/w; ln is snapped
+  // to micro units before compare (the d20/d44 ln discipline), the
+  // tie-break is doc_id, so both engines pick identical samples.
+  private val wsK = 10
+  private def d59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"source", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("w"))
+      .withColumn("u",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":ws"))
+          .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
+          / 16777216.0)
+      .withColumn("prio",
+        expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)"))
+    graft.vec.VectorOps.topKPerQuery(
+        scored.select($"source".as("qid"), $"doc_id".as("vec_id"),
+          $"prio".cast("double").as("score")), wsK)
+      .select($"qid".as("source"), $"rank", $"vec_id".as("doc_id"),
+        $"score".cast("bigint").as("prio_micro"))
+  }
+  private val d59Sql =
+    s"""WITH t AS (SELECT source, doc_id,
+       |    CAST(len(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |p AS (SELECT source, doc_id,
+       |    CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |        || ':ws'), 1, 6) AS INT) + 0.5e0) / 16777216.0e0)
+       |      / w * 1e6 + 0.5) AS BIGINT) AS prio
+       |  FROM t),
+       |r AS (SELECT source, doc_id, prio,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY prio DESC, doc_id) AS rn
+       |  FROM p)
+       |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
+       |  prio AS prio_micro
+       |FROM r WHERE rn <= $wsK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3522,5 +3572,6 @@ object TextQueries {
     Q("d55_heavy_hitters", d55, Some(d55Sql)),
     Q("d56_packing_efficiency", d56, Some(d56Sql)),
     Q("d57_bloom_contamination", d57, Some(d57Sql)),
-    Q("d58_fuzzy_decontam_prod", d58, Some(GoldenOracles.d58)))
+    Q("d58_fuzzy_decontam_prod", d58, Some(GoldenOracles.d58)),
+    Q("d59_weighted_sample", d59, Some(d59Sql)))
 }

@@ -494,6 +494,18 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d59 weighted sample runs on the bounded heap, no Window over the corpus") {
+    // the per-source top-k must come from the ObjectHashAggregate
+    // bounded heap (the oracle uses row_number; the engine must not) —
+    // a Window rewrite would sort every source's full doc stream
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d59_weighted_sample")
+      assert(p.contains("ObjectHashAggregate"), s"no bounded-heap agg:\n$p")
+      assert(!p.contains("Window"), s"rank window in the weighted sample:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d53 fuzzy decontamination probes a BROADCAST eval side, never a corpus self-join") {
     // the screen's scale contract: the benchmark suite is bounded, so
     // its banded codes must broadcast and the corpus side is probed

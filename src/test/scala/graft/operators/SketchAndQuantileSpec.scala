@@ -204,6 +204,27 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       "corpus-internal near-dup (152, 178) must NOT be a contamination hit")
   }
 
+  test("weighted sample (d59) actually skews toward heavier documents") {
+    // the point of E-S weighting: inclusion odds scale with w, so the
+    // selected docs' mean token count must exceed the corpus mean (a
+    // uniform-sampling bug — e.g. dropping the /w — makes the two
+    // means statistically equal and this margin fails)
+    import spark.implicits._
+    val dir = TestSpark.sf001
+    val sel = Catalog.queries("d59_weighted_sample")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val w = graft.Tables(spark, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        size(graft.text.TextOps.tokens($"text")).cast("long").as("w"))
+      .as[(Long, Long)].collect()
+    val meanAll = w.map(_._2).sum.toDouble / w.length
+    val meanSel = w.filter(t => sel(t._1)).map(_._2).sum.toDouble / sel.size
+    info(f"mean tokens: corpus $meanAll%.1f, sample $meanSel%.1f")
+    assert(meanSel > meanAll * 1.05,
+      s"weighted sample not heavier than corpus: $meanSel vs $meanAll")
+  }
+
   test("production fuzzy decontamination (d58) finds every d53 hit and respects the boundary") {
     // d58 is d53 on the native xxhash64 engine over the FULL corpus;
     // a hash swap must not lose true clones — every (doc, eval) pair
