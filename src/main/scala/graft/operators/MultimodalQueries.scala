@@ -143,26 +143,39 @@ object MultimodalQueries {
        |      AS blen
        |  FROM ex)""".stripMargin
 
-  private def x06(s: SparkSession, dir: String): DataFrame = {
-    val bl = media(s, dir).toDF()
-      .filter(octet_length(col("payload")) > 0)
+  /** (media_id, bi, h, blen) block rows — a stateless projection +
+    * explode over any (media_id, payload) frame, batch or stream. */
+  private[operators] def blockRows(m: DataFrame): DataFrame =
+    m.filter(octet_length(col("payload")) > 0)
       .select(col("media_id"),
         posexplode(expr(blockStructsExpr)).as(Seq("bi", "b")))
       .select(col("media_id"), col("bi"), col("b.h").as("h"),
         col("b.blen").as("blen"))
-    val keeper = bl.groupBy(col("h"))
+
+  /** The global block keeper ledger — the static side a streaming
+    * dedup-on-arrival probes (s25), built once per dataset. */
+  private[operators] def blockKeeperLedger(s: SparkSession, dir: String)
+      : DataFrame =
+    blockRows(media(s, dir).toDF()).groupBy(col("h"))
       .agg(min(col("media_id") * 1000000L + col("bi")).as("keeper"))
-    bl.join(keeper, "h")
-      .groupBy(col("media_id"))
+
+  /** Per-media dup-block audit over keeper-joined block rows — the
+    * rollup tail shared by batch x06 and the streamed s25 sink. */
+  private[operators] def blockAudit(joined: DataFrame): DataFrame =
+    joined.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"), 1L)
           .otherwise(0L)).as("n_dup_blocks"),
         sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"),
           col("blen")).otherwise(0L)).as("dup_bytes"))
+
+  private def x06(s: SparkSession, dir: String): DataFrame = {
+    val bl = blockRows(media(s, dir).toDF())
+    blockAudit(bl.join(blockKeeperLedger(s, dir), "h"))
   }
   // composed by concatenation: stripMargin over the interpolated CTE
   // block would strip its inner margins twice
-  private val x06Sql =
+  private[operators] val x06Sql =
     s"WITH $blockExSqlCtes,\n" +
       """k AS (SELECT h, min(media_id * 1000000 + bi) AS keeper
         |  FROM bl GROUP BY 1),

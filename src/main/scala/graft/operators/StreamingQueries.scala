@@ -725,6 +725,40 @@ object StreamingQueries {
     TextQueries.fuzzyVerify(cands, batchSigs)
   }
 
+  // ---- s25: streaming media block dedup (media-bytes on arrival) ----
+  // x06's dedup-store audit live — the multimodal family's first
+  // media-BYTES streaming leg (s19 streams the coverage manifest):
+  // arriving media cut into fixed blocks (stateless projection +
+  // explode), each block probes the batch-built global keeper ledger
+  // via a stream-static join (the s10 shape; the ledger broadcasts per
+  // micro-batch, no streaming state), per-block verdicts land in the
+  // sink, and the per-media audit rolls up batch-side — so x06's
+  // whole SQL oracle gates the streamed audit bit-for-bit. Payload
+  // bytes come straight off the document stream (x01's md5(text) ≡
+  // md5(bytes) contract).
+  private def s25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ledger = MultimodalQueries.blockKeeperLedger(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"doc_id".as("media_id"), $"text".cast("binary").as("payload"))
+    val verdicts = MultimodalQueries.blockRows(raw)
+      .join(broadcast(ledger), "h")
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = verdicts.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MultimodalQueries.blockAudit(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -788,5 +822,6 @@ object StreamingQueries {
     Q("s21_stream_packing_efficiency", s21, Some(TextQueries.d56Sql)),
     Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)),
     Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)),
-    Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)))
+    Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)),
+    Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)))
 }
