@@ -3514,6 +3514,91 @@ object TextQueries {
        |  prio AS prio_micro
        |FROM r WHERE rn <= $wsK""".stripMargin
 
+  // ---- d60: curation manifest v2 (screens → weighted sample) ----
+  // The end-to-end proof that this round's screens COMPOSE (the
+  // d09/d30 discipline applied to the new tiers): corpus docs pass
+  // the production fuzzy-decontamination screen (d58 — any flagged
+  // (doc, eval) pair drops the doc) and the Bloom contamination screen
+  // (d57 — drop when more than half the doc's grams bloom-hit the eval
+  // suite; unscoreable short docs are KEPT, the d33 rule), and the
+  // survivors are weighted-sampled per source with d59's E-S priority
+  // (top-5). Every stage is an already-oracle-gated engine; the
+  // composition is anti-join + join + the bounded-heap top-k, so the
+  // whole manifest stays one corpus pass per screen with bounded
+  // everything downstream. Oracle: the composed SQL, with d58's
+  // pinned-golden VALUES inlined as a CTE — golden and SQL oracles
+  // compose too.
+  private val curK = 5
+  private def d60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fuzzyFlagged = d58(s, dir).select($"doc_id").distinct()
+    val bloomDrop = d57(s, dir)
+      .filter($"n_bloom_hits" * 2 > $"total_5grams")
+      .select($"doc_id")
+    val survivors = Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN)
+      .filter(length(trim($"text")) > 0)
+      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
+      .join(bloomDrop, Seq("doc_id"), "left_anti")
+      .select($"source", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("w"))
+      .withColumn("u",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":ws"))
+          .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
+          / 16777216.0)
+      .withColumn("prio",
+        expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)"))
+    graft.vec.VectorOps.topKPerQuery(
+        survivors.select($"source".as("qid"), $"doc_id".as("vec_id"),
+          $"prio".cast("double").as("score")), curK)
+      .select($"qid".as("source"), $"rank", $"vec_id".as("doc_id"),
+        $"score".cast("bigint").as("prio_micro"))
+  }
+  private lazy val d60Sql = {
+    // d58's golden VALUES re-skinned as a flagged-doc CTE: strip the
+    // golden's SELECT header down to the doc ids
+    s"""WITH fz AS (SELECT DISTINCT doc_id FROM (${GoldenOracles.d58})),
+       |t0 AS (SELECT doc_id, source,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 4),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |           || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS sh
+       |    FROM t0 WHERE len(toks) >= 5),
+       |  ev AS (SELECT DISTINCT sh FROM s WHERE doc_id < 20),
+       |  ep AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM ev CROSS JOIN range($bloomK) k),
+       |  cp AS (SELECT doc_id, sh, CAST('0x' || substr(md5(CAST(k.range AS VARCHAR)
+       |      || ' ' || sh), 1, 4) AS BIGINT) AS pos
+       |    FROM (SELECT doc_id, sh FROM s WHERE doc_id >= 20)
+       |    CROSS JOIN range($bloomK) k),
+       |  g AS (SELECT doc_id, sh,
+       |      MIN(CASE WHEN ep.pos IS NOT NULL THEN 1 ELSE 0 END) AS allset
+       |    FROM cp LEFT JOIN ep ON cp.pos = ep.pos GROUP BY 1, 2),
+       |  bd AS (SELECT doc_id FROM (SELECT doc_id, COUNT(*) AS tot,
+       |      SUM(allset) AS hits FROM g GROUP BY 1)
+       |    WHERE hits * 2 > tot),
+       |  sv AS (SELECT source, doc_id,
+       |      CAST(len(toks) AS BIGINT) AS w
+       |    FROM t0 WHERE doc_id >= $fuzzyEvalN
+       |      AND doc_id NOT IN (SELECT doc_id FROM fz)
+       |      AND doc_id NOT IN (SELECT doc_id FROM bd)),
+       |  p AS (SELECT source, doc_id,
+       |      CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |          || ':ws'), 1, 6) AS INT) + 0.5e0) / 16777216.0e0)
+       |        / w * 1e6 + 0.5) AS BIGINT) AS prio
+       |    FROM sv),
+       |  r AS (SELECT source, doc_id, prio,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY prio DESC, doc_id) AS rn
+       |    FROM p)
+       |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
+       |  prio AS prio_micro
+       |FROM r WHERE rn <= $curK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3573,5 +3658,6 @@ object TextQueries {
     Q("d56_packing_efficiency", d56, Some(d56Sql)),
     Q("d57_bloom_contamination", d57, Some(d57Sql)),
     Q("d58_fuzzy_decontam_prod", d58, Some(GoldenOracles.d58)),
-    Q("d59_weighted_sample", d59, Some(d59Sql)))
+    Q("d59_weighted_sample", d59, Some(d59Sql)),
+    Q("d60_curation_manifest_v2", d60, Some(d60Sql)))
 }

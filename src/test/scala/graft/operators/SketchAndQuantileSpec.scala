@@ -225,6 +225,24 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       s"weighted sample not heavier than corpus: $meanSel vs $meanAll")
   }
 
+  test("curation manifest v2 (d60) keeps contaminated docs out of the sample, non-vacuously") {
+    // the composed pipeline's point: no d58-flagged doc may reach the
+    // training sample — and the screen must actually matter on the
+    // fixture (doc 290, an eval clone, wins a sample slot when the
+    // screens are skipped; a silently-vacuous composition would pass
+    // the exclusion check while filtering nothing)
+    import spark.implicits._
+    val dir = TestSpark.sf001
+    val flagged = Catalog.queries("d58_fuzzy_decontam_prod")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val sampled = Catalog.queries("d60_curation_manifest_v2")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert((sampled & flagged).isEmpty,
+      s"contaminated docs sampled: ${sampled & flagged}")
+    assert(flagged.contains(290L) && !sampled.contains(290L),
+      "fixture assumption: eval clone 290 exists and is screened out")
+  }
+
   test("production fuzzy decontamination (d58) finds every d53 hit and respects the boundary") {
     // d58 is d53 on the native xxhash64 engine over the FULL corpus;
     // a hash swap must not lose true clones — every (doc, eval) pair
