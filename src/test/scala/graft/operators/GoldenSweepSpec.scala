@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The driver's DuckDB gate proves all 126 queries at sf0.01, and the
   * sf0.1 oracle sweep re-proves every SQL-expressed oracle at ten times
-  * that — but the 15 golden-gated queries (pinned VALUES tables) are
-  * constants of the gate scale, so the 10× sweep is blind to them
+  * that — but the golden-gated queries (pinned VALUES tables, 18 as of
+  * r12) are constants of the gate scale, so the 10× sweep is blind to them
   * (VERDICT r9 §missing 1). This spec closes that gap by re-running the
   * RECIPE that pinned each golden, at the sweep scale:
   *
