@@ -759,6 +759,43 @@ object StreamingQueries {
     MultimodalQueries.blockAudit(s.table(name))
   }
 
+  // ---- s26: streaming weighted reservoir (stateful bounded heap) ----
+  // d59's E-S weighted sample maintained AS the stream state: each
+  // arriving doc computes its priority statelessly and folds into the
+  // per-source boundedTopK aggregate — the heap itself is the state
+  // store row (O(k) per source, the honest floor for a sample-without-
+  // replacement over an unbounded stream), complete mode re-emits the
+  // current sample. Heap insertion is order-independent, so the final
+  // table equals batch d59 whatever the batch boundaries — d59's SQL
+  // oracle gates it bit-for-bit. The manifest explode runs batch-side
+  // over the |sources|-row sink.
+  private def s26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val scored = TextQueries.esScored(raw)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = scored.groupBy($"qid")
+        .agg(graft.functions.GraftFunctions
+          .boundedTopK((-$"score").cast("double"), $"vec_id".cast("long"),
+            TextQueries.wsK).as("top"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.esManifest(s.table(name)
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+        $"col.vid".as("vec_id"), (-$"col.ns").as("score")))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -823,5 +860,6 @@ object StreamingQueries {
     Q("s22_stream_cell_drift", s22, Some(VectorQueries.v24Sql)),
     Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)),
     Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)),
-    Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)))
+    Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)),
+    Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)))
 }

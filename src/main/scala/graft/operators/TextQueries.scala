@@ -3477,26 +3477,35 @@ object TextQueries {
   // Exactness: ranking by u^(1/w) ≡ ranking by ln(u)/w; ln is snapped
   // to micro units before compare (the d20/d44 ln discipline), the
   // tie-break is doc_id, so both engines pick identical samples.
-  private val wsK = 10
-  private def d59(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"source", $"doc_id",
-        size(TextOps.tokens($"text")).cast("long").as("w"))
+  private[operators] val wsK = 10
+
+  /** The E-S priority scorer — a stateless projection, so it runs over
+    * a batch scan or a document readStream unchanged (s26). Output
+    * (qid, vec_id, score) feeds the bounded top-k engine directly. */
+  private[operators] def esScored(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"))
       .withColumn("u",
-        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":ws"))
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))
           .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
           / 16777216.0)
-      .withColumn("prio",
-        expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)"))
-    graft.vec.VectorOps.topKPerQuery(
-        scored.select($"source".as("qid"), $"doc_id".as("vec_id"),
-          $"prio".cast("double").as("score")), wsK)
-      .select($"qid".as("source"), $"rank", $"vec_id".as("doc_id"),
-        $"score".cast("bigint").as("prio_micro"))
-  }
-  private val d59Sql =
+      .select(col("source").as("qid"), col("doc_id").as("vec_id"),
+        expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)")
+          .cast("double").as("score"))
+
+  /** topKPerQuery's output re-skinned in sample-manifest column names —
+    * shared by d59 and the streamed s26 rollup. */
+  private[operators] def esManifest(top: DataFrame): DataFrame =
+    top.select(col("qid").as("source"), col("rank"),
+      col("vec_id").as("doc_id"), col("score").cast("bigint")
+        .as("prio_micro"))
+
+  private def d59(s: SparkSession, dir: String): DataFrame =
+    esManifest(graft.vec.VectorOps.topKPerQuery(
+      esScored(Tables(s, dir, "documents")), wsK))
+  private[operators] val d59Sql =
     s"""WITH t AS (SELECT source, doc_id,
        |    CAST(len(string_split(lower(trim(
        |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS w
