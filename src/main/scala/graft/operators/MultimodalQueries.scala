@@ -169,9 +169,20 @@ object MultimodalQueries {
         sum(when(col("media_id") * 1000000L + col("bi") =!= col("keeper"),
           col("blen")).otherwise(0L)).as("dup_bytes"))
 
+  /** Block rows probing the keeper ledger — the equi-join shared by
+    * batch x06 and the streamed s25. Deliberately NO broadcast hint:
+    * the ledger is one row per distinct block hash, i.e. corpus-
+    * proportional, so the probe must stay free to plan as a shuffled
+    * join at scale (a stream-static inner equi-join is stateless and
+    * shuffle-joinable). PlanDisciplineSpec asserts no
+    * BroadcastExchange sits over the ledger aggregate. */
+  private[operators] def ledgerProbe(blocks: DataFrame, ledger: DataFrame)
+      : DataFrame =
+    blocks.join(ledger, "h")
+
   private def x06(s: SparkSession, dir: String): DataFrame = {
     val bl = blockRows(media(s, dir).toDF())
-    blockAudit(bl.join(blockKeeperLedger(s, dir), "h"))
+    blockAudit(ledgerProbe(bl, blockKeeperLedger(s, dir)))
   }
   // composed by concatenation: stripMargin over the interpolated CTE
   // block would strip its inner margins twice

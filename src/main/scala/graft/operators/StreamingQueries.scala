@@ -730,12 +730,17 @@ object StreamingQueries {
   // media-BYTES streaming leg (s19 streams the coverage manifest):
   // arriving media cut into fixed blocks (stateless projection +
   // explode), each block probes the batch-built global keeper ledger
-  // via a stream-static join (the s10 shape; the ledger broadcasts per
-  // micro-batch, no streaming state), per-block verdicts land in the
-  // sink, and the per-media audit rolls up batch-side — so x06's
-  // whole SQL oracle gates the streamed audit bit-for-bit. Payload
-  // bytes come straight off the document stream (x01's md5(text) ≡
-  // md5(bytes) contract).
+  // via a stream-static SHUFFLED equi-join (the s10 shape; stateless,
+  // no streaming state), per-block verdicts land in the sink, and the
+  // per-media audit rolls up batch-side — so x06's whole SQL oracle
+  // gates the streamed audit bit-for-bit. The ledger is one row per
+  // distinct block hash — corpus-proportional — so it must NEVER be
+  // broadcast (VERDICT r12): at 100 TB of media the hint would ship
+  // the whole dedup store to every executor each micro-batch. x06
+  // joins the same ledger shuffled; `ledgerProbe` is that shared
+  // shape, and PlanDisciplineSpec pins no-BroadcastExchange over it.
+  // Payload bytes come straight off the document stream (x01's
+  // md5(text) ≡ md5(bytes) contract).
   private def s25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ledger = MultimodalQueries.blockKeeperLedger(s, dir)
@@ -744,8 +749,8 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
       .select($"doc_id".as("media_id"), $"text".cast("binary").as("payload"))
-    val verdicts = MultimodalQueries.blockRows(raw)
-      .join(broadcast(ledger), "h")
+    val verdicts = MultimodalQueries.ledgerProbe(
+      MultimodalQueries.blockRows(raw), ledger)
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     graft.Tables.withConfs(s,
         Seq("spark.sql.shuffle.partitions" -> "8")) {

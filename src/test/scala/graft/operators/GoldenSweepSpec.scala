@@ -5,12 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** 10×-scale verification for the golden-pinned queries.
   *
-  * The driver's DuckDB gate proves all 126 queries at sf0.01, and the
-  * sf0.1 oracle sweep re-proves every SQL-expressed oracle at ten times
-  * that — but the golden-gated queries (pinned VALUES tables, 18 as of
-  * r12) are constants of the gate scale, so the 10× sweep is blind to them
-  * (VERDICT r9 §missing 1). This spec closes that gap by re-running the
-  * RECIPE that pinned each golden, at the sweep scale:
+  * The driver's DuckDB gate proves every registered query at sf0.01,
+  * and the sf0.1 oracle sweep re-proves every SQL-expressed oracle at
+  * ten times that — but the golden-gated queries (pinned VALUES
+  * tables, 20 as of r13: 18 pure goldens plus s24, whose oracle IS
+  * GoldenOracles.d58 verbatim, and d60, whose SQL oracle inlines that
+  * golden as a CTE — ADVICE r12) are constants of the gate scale, so
+  * the 10× sweep is blind to them (VERDICT r9 §missing 1). A sweep
+  * harness must therefore NOT re-run s24's or d60's "SQL" at sf0.1 —
+  * d60's embedded flagged-doc list is a gate-scale constant while its
+  * Spark side computes live flags, so the re-run would false-fail.
+  * This spec closes the gap by re-running the RECIPE that pinned each
+  * golden, at the sweep scale:
   *
   *  - partition invariance, the pinning premise for every golden
   *    (verified 8- vs 32-core before pinning): each query must be
@@ -41,13 +47,16 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 18 golden-gated queries (every Catalog entry whose oracle is a
-    * pinned GoldenOracles VALUES table). */
+  /** The 20 golden-gated queries: every Catalog entry whose oracle is
+    * a pinned GoldenOracles VALUES table — verbatim (the 18 pure
+    * goldens and s24, gated on GoldenOracles.d58 itself) or embedded
+    * (d60, whose SQL oracle inlines that golden as a CTE). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
-    "d58_fuzzy_decontam_prod",
+    "d58_fuzzy_decontam_prod", "d60_curation_manifest_v2",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
+    "s24_stream_fuzzy_decontam",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
@@ -78,6 +87,40 @@ class GoldenSweepSpec extends AnyFunSuite {
           s"golden-pinning premise is broken (${a.size} vs ${b.size} rows; " +
           s"first diff: ${a.zip(b).find(p => p._1 != p._2)})")
     }
+
+  test("d60 composed manifest holds its screen contract against the LIVE screens, any scale") {
+    // d60's SQL oracle is gate-scale-pinned (the inlined d58 golden),
+    // so the sweep can't re-run it — what IS scale-free is the
+    // composition contract, re-proven here against the live screens
+    // at the sweep dir (the v25-invariant pattern, ADVICE r12): no
+    // sampled doc is flagged by the live production fuzzy screen,
+    // none is dropped by the live Bloom majority rule, every sampled
+    // doc sits outside the fuzzy ladder's eval suite, and each
+    // source's sample is a dense 1..n rank prefix of size <= 5 (curK).
+    import org.apache.spark.sql.functions._
+    val d60 = Catalog.queries("d60_curation_manifest_v2")(spark, sfDir)
+      .cache()
+    try {
+      assert(d60.count() > 0, s"d60 returned no rows at $sfDir")
+      val sampled = d60.select(col("doc_id")).distinct()
+      val flagged = Catalog.queries("d58_fuzzy_decontam_prod")(spark, sfDir)
+        .select(col("doc_id")).distinct()
+      val dropped = Catalog.queries("d57_bloom_contamination")(spark, sfDir)
+        .filter(col("n_bloom_hits") * 2 > col("total_5grams"))
+        .select(col("doc_id"))
+      assert(sampled.join(flagged, "doc_id").count() == 0,
+        s"sampled ∩ live fuzzy-flagged must be empty at $sfDir")
+      assert(sampled.join(dropped, "doc_id").count() == 0,
+        s"sampled ∩ live bloom-dropped must be empty at $sfDir")
+      assert(d60.filter(col("doc_id") < TextQueries.fuzzyEvalN).count() == 0,
+        s"eval-suite docs leaked into the sample at $sfDir")
+      val badRanks = d60.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+        .filter(col("mx") =!= col("n") || col("n") > 5)
+      assert(badRanks.count() == 0,
+        s"per-source sample is not a dense rank prefix of size <= 5 at $sfDir")
+    } finally d60.unpersist()
+  }
 
   test("v25 recall curve is monotone and exact at the full probe budget, any scale") {
     // the golden pins sf0.01 values; these are the scale-free structural

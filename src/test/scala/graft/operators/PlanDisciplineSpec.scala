@@ -520,6 +520,117 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("s25 ledger probe never broadcasts the keeper ledger (corpus-proportional static side)") {
+    // the block-keeper ledger is one row per distinct block hash — it
+    // grows with the corpus — so the stream-static probe must stay
+    // free to plan as a shuffled equi-join (x06's batch shape).
+    // threshold=-1 models 100 TB stats: past it, only a broadcast()
+    // HINT could still force an exchange, which is exactly the
+    // regression this pin guards (VERDICT r12 finding 1).
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+      val ledger =
+        MultimodalQueries.blockKeeperLedger(spark, TestSpark.sf0001)
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((7L, "graft block payload bytes " * 40))
+      val blocks = MultimodalQueries.blockRows(mem.toDF()
+        .select(col("_1").as("media_id"),
+          col("_2").cast("binary").as("payload")))
+      val q = MultimodalQueries.ledgerProbe(blocks, ledger)
+        .writeStream.format("memory").queryName("s25_plan_probe")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val p = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.isEmpty,
+        s"keeper ledger must not broadcast into the stream:\n$p")
+      assert(p.toString.contains("SortMergeJoin") ||
+        p.toString.contains("ShuffledHashJoin"),
+        s"expected a shuffled stream-static equi-join:\n$p")
+    }
+  }
+
+  test("d57 bloom screen broadcasts only eval-bounded sides, no gram self-join") {
+    // both broadcast sides (the position set and the exact-audit gram
+    // set) are functions of the bounded eval suite (doc_id < 20); the
+    // corpus side is probed linearly. threshold=-1 models corpus
+    // stats, so any surviving exchange must come from a deliberate
+    // hint and must sit over an eval-filtered subtree.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+      val p = Catalog.queries("d57_bloom_contamination")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      assert(!p.toString.contains("SortMergeJoin"),
+        s"gram-key shuffle join in the bloom screen:\n$p")
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, s"expected eval-side broadcasts:\n$p")
+      val evalBound = "doc_id#\\d+L? < 20|LessThan\\(doc_id,20\\)".r
+      bcasts.foreach { b =>
+        // a ReusedExchange side is fine: exchange reuse can only point
+        // at an exchange already in the plan, and the only sh-keyed
+        // exchange here is the eval-gram dedup (doc_id < 20 below it),
+        // which the directly-rendered broadcast side checks
+        val sub = b.child.toString
+        assert(evalBound.findFirstIn(sub).isDefined ||
+          sub.contains("ReusedExchange"),
+          s"broadcast side not bounded by the eval filter:\n$b")
+      }
+    }
+  }
+
+  test("d58 production decontam probes a broadcast eval band side, no corpus band self-join") {
+    // the deployment screen's scale contract (the d53 pin applied to
+    // the native-hash form): the eval suite's band codes broadcast
+    // (bounded: doc_id < 100), and no join on the band/bucket keys is
+    // a shuffle join — that would be the quadratic corpus self-join
+    // the asymmetric screen exists to avoid.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+      val p = Catalog.queries("d58_fuzzy_decontam_prod")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val ps = p.toString
+      assert(ps.contains("BroadcastHashJoin"),
+        s"eval band codes not broadcast:\n$ps")
+      assert(!ps.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("band")),
+        s"band-key shuffle join (corpus self-join shape):\n$ps")
+      assert(!ps.contains("CartesianProduct"), s"cartesian in the screen:\n$ps")
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      val evalBound = "doc_id#\\d+L? < 100|LessThan\\(doc_id,100\\)".r
+      bcasts.foreach { b =>
+        assert(evalBound.findFirstIn(b.child.toString).isDefined,
+          s"broadcast side not bounded by the eval filter:\n$b")
+      }
+    }
+  }
+
+  test("d61 sketch-only source Jaccard has no gram-key self-join") {
+    // the production form's whole point (VERDICT r12 item 3): after
+    // the (source, gram) dedup everything is sketch-sized, every join
+    // broadcasts the bounded pair domain, and the gram-key
+    // SortMergeJoin that computes d54's exact-audit column must not
+    // appear anywhere in the plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("d61_source_jaccard_prod")
+      assert(!p.contains("SortMergeJoin"),
+        s"gram self-join in the sketch-only form:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"no bounded-heap sketch agg:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v24 drift audit: one bounded-key exchange, vectors never shuffled") {
     // per-cell counts are the only shuffle (hashpartitioning on the
     // 2^divBits bucket domain after map-side partials); the total row
