@@ -186,6 +186,113 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "batch-1-only source s2 must survive the restart (state restore)")
   }
 
+  test("streaming weighted reservoir (s26 engine) restores bounded-heap state across restart") {
+    // the r12 round's novel state shape: the E-S sample's per-source
+    // top-k heap IS the state-store row. Run 2 only ever SEES batch 2,
+    // so batch-1 docs can appear in the final complete-mode sample
+    // ONLY if the heap aggregation buffer was restored from the
+    // checkpoint; and heap insertion is order-independent, so the
+    // restarted table must equal the single-pass batch top-k over the
+    // union — the same oracle contract s26 carries, here proven to
+    // hold ACROSS a kill/restart (VERDICT r12 item 4).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("esr-ckpt")
+    val name = "graft_es_recovery_sink"
+    val mem = MemoryStream[(Long, String, String)]
+    import graft.operators.TextQueries
+
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "source", "text")
+    def sampleAgg(scored: org.apache.spark.sql.DataFrame) =
+      scored.groupBy($"qid")
+        .agg(graft.functions.GraftFunctions
+          .boundedTopK((-$"score").cast("double"), $"vec_id".cast("long"),
+            TextQueries.wsK).as("top"))
+    def manifest(agg: org.apache.spark.sql.DataFrame) =
+      TextQueries.esManifest(agg
+        .select($"qid", posexplode($"top"))
+        .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+          $"col.vid".as("vec_id"), (-$"col.ns").as("score")))
+        .collect().map(_.toSeq).toSet
+    def start() =
+      sampleAgg(TextQueries.esScored(docs(mem.toDF())))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+
+    // source s1 carries 12 docs > wsK=10 so the heap genuinely evicts;
+    // doc texts vary in token count so priorities differ
+    val batch1 = (0L until 8L).map(i =>
+      (100L + i, "s1", "tok " * (3 + i.toInt))) :+
+      ((300L, "s2", "alpha beta gamma"))
+    val batch2 = (8L until 12L).map(i =>
+      (100L + i, "s1", "tok " * (3 + i.toInt))) :+
+      ((301L, "s2", "delta epsilon"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table(name).count() > 0)
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = manifest(spark.table(name))
+
+    val want = manifest(sampleAgg(
+      TextQueries.esScored(docs((batch1 ++ batch2).toDF()))))
+    assert(got == want,
+      s"restarted sample != single-pass batch sample:\ngot $got\nwant $want")
+    // batch-1-only doc 300 must be in s2's final sample — run 2 never
+    // saw it, so only restored heap state can have kept it
+    assert(got.exists(r => r(2) == 300L),
+      s"batch-1-only doc must survive the restart (heap state restore): $got")
+  }
+
+  test("streaming packing curve (s21 engine) restores its counter state across restart") {
+    // the bounded complete-mode counter family (s21's 3-row integer
+    // sums; s22's cell counters are the same shape): run 2 only sees
+    // batch 2, so the final sums can cover batch 1 ONLY via the
+    // restored aggregation state, and the ratio tail re-derived from
+    // the sums must equal the single-pass batch curve over the union.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("pack-ckpt")
+    val name = "graft_pack_recovery_sink"
+    val mem = MemoryStream[(Long, String)]
+    import graft.operators.TextQueries
+
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text")
+    def start() =
+      TextQueries.packingEfficiency(docs(mem.toDF()))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    def ratios(agg: org.apache.spark.sql.DataFrame) =
+      TextQueries.packingRatios(agg).collect().map(_.toSeq).toSet
+
+    val batch1 = Seq((1L, "tok " * 100), (2L, "tok " * 300))
+    val batch2 = Seq((3L, "tok " * 520), (4L, "tok " * 7))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = ratios(spark.table(name))
+    assert(run1 == ratios(TextQueries.packingEfficiency(docs(batch1.toDF()))),
+      s"run 1 curve wrong: $run1")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = ratios(spark.table(name))
+    val want = ratios(
+      TextQueries.packingEfficiency(docs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      s"restarted curve != single-pass batch curve (counter state lost?):\n" +
+        s"got $got\nwant $want")
+    assert(got != ratios(TextQueries.packingEfficiency(docs(batch2.toDF()))),
+      "final curve must not equal the batch-2-only curve — state restore " +
+        "must carry batch 1's sums forward")
+  }
+
   test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
