@@ -318,8 +318,48 @@ object EventQueries {
         sum($"total_dec").cast("double").as("total_value"))
   }
 
+  // ---- q39: rollup maintenance under retractions (IVM with deletes) ----
+  // q38 proves the append-only half of the incremental-view contract;
+  // this is the other half (VERDICT r12 item 7): late-arriving
+  // corrections RETRACT rows from an already-stored rollup. The
+  // stored rollup (built over everything, before the corrections
+  // arrived) is merged with a correction batch carried at NEGATIVE
+  // multiplicity — count and DECIMAL-sum are abelian-group aggregates,
+  // so retraction is just merging the delta with sign flipped, and
+  // groups whose count cancels to zero are dropped. The oracle is the
+  // full recompute over the surviving events verbatim: merge-with-
+  // deletes must be bit-identical to recomputation (DECIMAL addition
+  // is exact, so partial cancellation leaves exactly the survivors'
+  // sum). Scale shape: the correction agg touches only the correction
+  // batch; the merge shuffles rollup-sized rows (hours × types),
+  // never events — the same contract a production compaction obeys.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).as("total_dec"))
+    val e = Tables(s, dir, "events")
+    val stored = rollup(e)
+    // the correction batch: event_id % 10 == 3 turn out to be voids
+    val retractions = rollup(e.filter($"event_id" % 10 === 3))
+      .select($"hour", $"event_type", (-$"n").as("n"),
+        (-$"total_dec").as("total_dec"))
+    stored.unionByName(retractions)
+      .groupBy($"hour", $"event_type")
+      .agg(sum($"n").as("n_m"), sum($"total_dec").as("td"))
+      .filter($"n_m" > 0)
+      .select($"hour", $"event_type", $"n_m".as("n"),
+        $"td".cast("double").as("total_value"))
+  }
+  private val q39Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id % 10 <> 3 GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q38_incremental_rollup", q38, Some(q17Sql)),
+    Q("q39_rollup_retractions", q39, Some(q39Sql)),
     Q("q36_funnel", q36, Some(q36Sql)),
     Q("q37_retention", q37, Some(q37Sql)),
     Q("q32_pivot", q32, Some(q32Sql)),
