@@ -610,4 +610,7 @@ object GraftFunctions {
   def boundedTopK(ns: Column, vid: Column, k: Int): Column =
     column(BoundedTopKAgg(expression(ns), expression(vid), k)
       .toAggregateExpression())
+  /** KMV bottom-k: the k smallest DISTINCT bigint values, ascending. */
+  def minKDistinct(v: Column, k: Int): Column =
+    column(MinKDistinctAgg(expression(v), k).toAggregateExpression())
 }

@@ -161,3 +161,111 @@ final case class BoundedTopKAgg(
       newLeft: Expression, newRight: Expression): BoundedTopKAgg =
     copy(left = newLeft, right = newRight)
 }
+
+/** Bounded buffer of the k smallest DISTINCT long values, kept sorted
+  * ascending — the KMV (k-minimum-values) sketch proper. Where
+  * [[TopKBuffer]] ranks (ns, vid) PAIRS and admits duplicates, a KMV
+  * estimator is only correct over distinct hash values, so this buffer
+  * dedups on insert: a value already present is a no-op. Insert is a
+  * binary search + shift (O(log k) + O(k) moves; k is a dial ≤ 2^20 and
+  * in practice ≤ a few hundred), memory O(k) regardless of stream
+  * length, and merge (insert each) is associative, commutative and
+  * idempotent — which is what lets the sketch BE streaming aggregation
+  * state (s27) and shuffle as map-side partials (ObjectHashAggregate).
+  */
+final class MinKDistinctBuffer(val k: Int) {
+  var size: Int = 0
+  val v: Array[Long] = new Array[Long](k)
+
+  def insert(x: Long): Unit = {
+    // binary search for the insertion point; bail on an exact hit
+    var lo = 0; var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v(mid) == x) return
+      else if (v(mid) < x) lo = mid + 1
+      else hi = mid
+    }
+    if (lo >= k) return // larger than the current k-th smallest
+    val last = if (size < k) size else k - 1
+    var i = last
+    while (i > lo) { v(i) = v(i - 1); i -= 1 }
+    v(lo) = x
+    if (size < k) size += 1
+  }
+
+  def merge(o: MinKDistinctBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.v(i)); i += 1 }
+  }
+}
+
+/** graft_min_k_distinct(v: bigint) → array<bigint>, the k smallest
+  * distinct values sorted ascending — the mergeable KMV bottom-k
+  * sketch as a native aggregate. Batch engines reach the same set via
+  * `distinct()` + bounded top-k (d46/d61); over a STREAM that distinct
+  * would itself need unbounded state, so the dedup must live inside
+  * the aggregation buffer — this operator is the O(k)-state honest
+  * floor for a streamed KMV (s27). Null inputs are skipped.
+  */
+final case class MinKDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MinKDistinctBuffer]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 20), s"bad k=$k")
+
+  override def prettyName: String = "graft_min_k_distinct"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs bigint, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): MinKDistinctBuffer =
+    new MinKDistinctBuffer(k)
+
+  override def update(buf: MinKDistinctBuffer, input: InternalRow): MinKDistinctBuffer = {
+    val x = child.eval(input)
+    if (x != null) buf.insert(x.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: MinKDistinctBuffer, other: MinKDistinctBuffer): MinKDistinctBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: MinKDistinctBuffer): Any =
+    new GenericArrayData(buf.v.take(buf.size))
+
+  override def serialize(buf: MinKDistinctBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * buf.size)
+    bb.putInt(buf.k).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.v(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKDistinctBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MinKDistinctBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.v(i) = bb.getLong(); i += 1 }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinKDistinctAgg =
+    copy(child = newChild)
+}

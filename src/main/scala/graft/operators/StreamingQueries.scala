@@ -801,6 +801,39 @@ object StreamingQueries {
         $"col.vid".as("vec_id"), (-$"col.ns").as("score")))
   }
 
+  // ---- s27: streaming source-Jaccard sketch (KMV as stream state) ----
+  // d61's live deployment: each arriving doc's distinct 5-grams hash
+  // statelessly (the shared sjHashes projection) and fold into the
+  // per-source MinKDistinct aggregate — the KMV sketch ITSELF is the
+  // state-store row (sources × sjK longs; dedup lives inside the
+  // O(k) buffer, so no corpus-sized distinct precedes it — the
+  // honest floor for a streamed bottom-k over distinct values).
+  // Complete mode re-emits the current sketches; the pairwise
+  // estimator runs batch-side over the |sources|-row sink. KMV
+  // insertion is order-independent and idempotent, so the final
+  // table equals batch d61 whatever the batch boundaries — d61's
+  // cross-engine SQL oracle gates the streamed screen bit-for-bit.
+  private def s27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.sjSketches(TextQueries.sjHashes(raw))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.sjEstimate(s.table(name)
+      .select($"source".as("src"), explode($"hs").as("h")))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -866,5 +899,6 @@ object StreamingQueries {
     Q("s23_stream_bloom_screen", s23, Some(TextQueries.bloomStreamSql)),
     Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)),
     Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)),
-    Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)))
+    Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)),
+    Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)))
 }

@@ -3160,54 +3160,76 @@ object TextQueries {
 
   // ---- d61: source Jaccard, production sketch-only form ----
   // d54 minus the exact-audit branch (VERDICT r12 item 3) — the query
-  // a 100 TB run actually executes. One tokenize→distinct pass feeds
-  // the per-source bottom-k KMV heaps (sjK longs per source, the d46
-  // engine); the pair domain is the sources that own a sketch
-  // (bounded — |sources|² pairs), and the estimator runs entirely
-  // over sketch rows: after the (source, gram) dedup nothing
-  // corpus-sized is joined, windowed, or shuffled again, and the
-  // gram-key SELF-join that produces d54's exact_jaccard column never
-  // appears in the plan (PlanDisciplineSpec pins no-SortMergeJoin).
-  // d54 stays registered as the spec-side proof of this estimator's
-  // error — the d57/s23 audit-vs-deployment split applied to Jaccard.
-  private def d61(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val grams = Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"source", TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 5)
-      .select($"source", explode(TextOps.shingles("toks", 5)).as("sh"))
-      .distinct()
-    val hashes = grams.select($"source", expr(
+  // a 100 TB run actually executes. The per-source sketch is the
+  // native KMV aggregate (MinKDistinctAgg, sjK smallest DISTINCT
+  // 40-bit gram hashes): dedup lives INSIDE the O(k) aggregation
+  // buffer, so the corpus-wide (source, gram) distinct — a shuffle of
+  // every gram row — disappears; map-side partials carry ≤ sjK longs
+  // per source per task, and the one exchange in the whole sketch
+  // build is the |sources|-row final agg. The pair domain is the
+  // sources that own a sketch (bounded — |sources|² pairs) and the
+  // estimator runs entirely over sketch rows: nothing corpus-sized is
+  // joined, windowed, or shuffled, and the gram-key SELF-join that
+  // produces d54's exact_jaccard column never appears in the plan
+  // (PlanDisciplineSpec pins no-SortMergeJoin). d54 stays registered
+  // as the spec-side proof of this estimator's error — the d57/s23
+  // audit-vs-deployment split applied to Jaccard. The same aggregate
+  // is the stream state of the live form (s27).
+
+  /** Stateless (source, h) gram-hash projection shared by batch d61
+    * and the streamed s27: per-doc distinct 5-grams → 40-bit md5 hash.
+    * Cross-doc duplicates survive — the KMV buffer dedups them. */
+  private[graft] def sjHashes(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("source"),
+        explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
+      .select(col("source"), expr(
         "cast(conv(substring(md5(cast(sh as binary)), 1, 10), 16, 10) " +
           "as bigint)").as("h"))
-      .distinct()
-    val sk = graft.vec.VectorOps.topKPerQuery(
-        hashes.select($"source".as("qid"), $"h".as("vec_id"),
-          (-$"h").cast("double").as("score")), sjK)
-      .select($"qid".as("src"), $"vec_id".as("h"))
-    val srcs = sk.select($"src".as("source")).distinct()
+
+  /** (source, hs) per-source KMV sketches — the aggregate that is
+    * BOTH d61's batch sketch build and s27's complete-mode stream
+    * state (sources × sjK longs). */
+  private[graft] def sjSketches(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions
+        .minKDistinct(col("h"), sjK).as("hs"))
+
+  /** Bottom-k Jaccard estimator over exploded sketch rows (src, h) —
+    * the tail shared by d61 and s27: pair domain from the sketch
+    * owners, union bottom-k per pair (a window over ≤ 2k-row pair
+    * partitions, not the corpus), est snapped to micro units. */
+  private[graft] def sjEstimate(sk: DataFrame): DataFrame = {
+    val srcs = sk.select(col("src").as("source")).distinct()
     val pairKeys = srcs.as("a").join(srcs.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
-    val tagged = sk.join(broadcast(pairKeys), $"src" === $"src_a")
-      .select($"src_a", $"src_b", $"h",
+    val tagged = sk.join(broadcast(pairKeys), col("src") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
         lit(1L).as("ia"), lit(0L).as("ib"))
-      .union(sk.join(broadcast(pairKeys), $"src" === $"src_b")
-        .select($"src_a", $"src_b", $"h",
+      .union(sk.join(broadcast(pairKeys), col("src") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
           lit(0L).as("ia"), lit(1L).as("ib")))
-      .groupBy($"src_a", $"src_b", $"h")
-      .agg(max($"ia").as("ia"), max($"ib").as("ib"))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"src_a", $"src_b").orderBy($"h")
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
     tagged.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= sjK)
-      .groupBy($"src_a", $"src_b")
-      .agg(count(lit(1)).as("k_union"), sum($"ia" * $"ib").as("n_both"))
+      .filter(col("rn") <= sjK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("ia") * col("ib")).as("n_both"))
       .withColumn("est_jaccard", expr(
         "floor(n_both / cast(k_union as double) * 1e6 + 0.5) / 1e6"))
   }
-  private val d61Sql =
+
+  private def d61(s: SparkSession, dir: String): DataFrame =
+    sjEstimate(sjSketches(sjHashes(Tables(s, dir, "documents")))
+      .select(col("source").as("src"), explode(col("hs")).as("h")))
+  private[operators] val d61Sql =
     s"""WITH t AS (SELECT source,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),

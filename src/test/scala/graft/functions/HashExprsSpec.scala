@@ -225,6 +225,42 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("minKDistinct aggregate equals sorted-distinct-take-k under any partitioning") {
+    // the KMV sketch's correctness contract: k smallest DISTINCT
+    // values, ascending — duplicates (here forced by the % 997
+    // collision domain, scattered across partitions so the MERGE path
+    // dedups too, not just update) must not occupy sketch slots
+    import spark.implicits._
+    val xs = (0 until 5000).map(i =>
+      ((i % 7).toString, (i * 2654435761L) % 997))
+    val df = xs.toDF("g", "v")
+    val want = xs.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(16).toList }
+    for (parts <- Seq(1, 3, 17)) {
+      val got = df.repartition(parts)
+        .groupBy($"g")
+        .agg(graft.functions.GraftFunctions.minKDistinct($"v", 16).as("hs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList)
+        .toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("MinKDistinctBuffer dedups on insert, bounds at k, merges idempotently") {
+    val b = new graft.functions.MinKDistinctBuffer(4)
+    Seq(5L, 3L, 5L, 9L, 1L, 3L, 7L, 2L).foreach(b.insert)
+    assert(b.v.take(b.size).toList == List(1L, 2L, 3L, 5L))
+    val c = new graft.functions.MinKDistinctBuffer(4)
+    Seq(2L, 0L, 5L).foreach(c.insert)
+    b.merge(c)
+    assert(b.v.take(b.size).toList == List(0L, 1L, 2L, 3L))
+    // idempotent: merging an identical sketch is a no-op
+    val d = new graft.functions.MinKDistinctBuffer(4)
+    Seq(0L, 1L, 2L, 3L).foreach(d.insert)
+    b.merge(d)
+    assert(b.v.take(b.size).toList == List(0L, 1L, 2L, 3L))
+  }
+
   test("empty and null-element arrays are handled") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a", "b")).toDF("toks")

@@ -293,6 +293,46 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "must carry batch 1's sums forward")
   }
 
+  test("streaming KMV sketch (s27 engine) restores distinct-bottom-k state across restart") {
+    // the KMV buffer is the state-store row (sources × k longs) and
+    // its merge is idempotent, so — like the HLL registers — replay is
+    // unobservable by design; what the restart must prove is state
+    // RESTORE: run 2 only sees batch 2, so batch-1-only values can
+    // hold sketch slots in the final complete-mode emission only if
+    // the buffer came back from the checkpoint. Duplicates span the
+    // stop (10 appears in both batches) so the restored buffer's
+    // dedup is exercised too.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("kmv-ckpt")
+    val name = "graft_kmv_recovery_sink"
+    val mem = MemoryStream[(String, Long)]
+
+    def start() = mem.toDF().toDF("source", "h")
+      .groupBy($"source")
+      .agg(graft.functions.GraftFunctions.minKDistinct($"h", 4).as("hs"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def sketches() = spark.table(name)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+
+    mem.addData(("s1", 30L), ("s1", 10L), ("s1", 10L), ("s2", 5L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(sketches() == Map("s1" -> List(10L, 30L), "s2" -> List(5L)),
+      s"run 1 sketches wrong: ${sketches()}")
+
+    // batch 2: a duplicate of 10 (must not take a second slot), plus
+    // 20/40/50 — k=4 keeps {10, 20, 30, 40}; 10 and 30 are batch-1-only
+    mem.addData(("s1", 20L), ("s1", 10L), ("s1", 40L), ("s1", 50L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sketches() == Map(
+      "s1" -> List(10L, 20L, 30L, 40L), "s2" -> List(5L)),
+      s"restarted sketches != single-pass KMV over the union (state " +
+        s"restore or in-buffer dedup lost): ${sketches()}")
+  }
+
   test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
