@@ -834,6 +834,35 @@ object StreamingQueries {
       .select($"source".as("src"), explode($"hs").as("h")))
   }
 
+  // ---- s28: streaming heavy hitters (live vocabulary audit) ----
+  // d55's φ-threshold audit maintained live: arriving docs fold into
+  // the vocabulary-bounded term-count hash agg (complete mode — the
+  // state is the vocabulary's counters, Heaps-sublinear in the
+  // corpus, the s21/s22 bounded-state family) and the threshold tail
+  // re-derives from the exact integer counts on every emission, so
+  // the final table equals batch d55 bit-for-bit and d55's SQL
+  // oracle gates it. The UNBOUNDED-vocabulary deployment swaps this
+  // state for the Misra-Gries summary (text/FrequentItems.scala,
+  // error-bound-spec'd); the exact form is what stays oracle-gated —
+  // MG estimates are partition-layout-dependent inside their band.
+  private def s28(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.termCountsAgg(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.hhThreshold(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -900,5 +929,6 @@ object StreamingQueries {
     Q("s24_stream_fuzzy_decontam", s24, Some(GoldenOracles.d58)),
     Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)),
     Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)),
-    Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)))
+    Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)),
+    Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)))
 }

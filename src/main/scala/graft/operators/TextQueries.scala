@@ -3279,19 +3279,30 @@ object TextQueries {
   // dependent within the error band, so the exact query is the
   // oracle anchor and the sketch is gated by its theorems).
   private val hhPhiInv = 30L
-  private def d55(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val counts = Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select(explode(TextOps.tokens($"text")).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val tot = counts.agg(sum($"cnt").as("n"))
+
+  /** Vocabulary-keyed term counts — the streamable half of d55: a
+    * hash agg whose key domain is the VOCABULARY (Heaps-sublinear in
+    * the corpus), so it runs complete-mode over a document readStream
+    * with bounded state (s28 — the s21/s22 counter family). */
+  private[graft] def termCountsAgg(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** φ-threshold tail over exact counts — re-derived per emission in
+    * the streamed form; all integer math, so cross-engine exact. */
+  private[graft] def hhThreshold(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cnt")).as("n"))
     counts.crossJoin(broadcast(tot))
-      .filter($"cnt" * hhPhiInv > $"n")
-      .select($"term", $"cnt",
+      .filter(col("cnt") * hhPhiInv > col("n"))
+      .select(col("term"), col("cnt"),
         expr("cnt * 1000000 div n").as("freq_ppm"))
   }
-  private val d55Sql =
+
+  private def d55(s: SparkSession, dir: String): DataFrame =
+    hhThreshold(termCountsAgg(Tables(s, dir, "documents")))
+  private[operators] val d55Sql =
     s"""WITH t AS (SELECT
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
