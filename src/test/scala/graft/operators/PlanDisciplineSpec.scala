@@ -631,6 +631,31 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d60 consumes persisted screen verdicts, not re-run gram pipelines") {
+    // the SessionCache memoization contract (VERDICT r12 improvement
+    // 2): screenVerdicts persists the d58/d57 verdict doc-id sets at
+    // build time, so d60's own query path anti-joins cached frames.
+    // Checked on the TREE, not the rendered string — InMemoryRelation
+    // prints its cached plan (minhash included) for display, but that
+    // subtree executes as a cache read: the outer plan's own nodes
+    // must carry no minhash expression
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Catalog.queries("d60_curation_manifest_v2")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      val cacheScans = p.collect { case s: InMemoryTableScanExec => s }
+      assert(cacheScans.size >= 2,
+        s"both screen-verdict sides should read from cache:\n$p")
+      val minhashNodes = p.collect {
+        case n if n.expressions.exists(_.find(
+          _.isInstanceOf[graft.functions.MinHashShinglesExpr]).isDefined) => n
+      }
+      assert(minhashNodes.isEmpty,
+        s"fuzzy-screen gram pipeline re-run inside d60's query path:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v24 drift audit: one bounded-key exchange, vectors never shuffled") {
     // per-cell counts are the only shuffle (hashpartitioning on the
     // 2^divBits bucket domain after map-side partials); the total row
