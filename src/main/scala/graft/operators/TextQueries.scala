@@ -3229,6 +3229,114 @@ object TextQueries {
   private def d61(s: SparkSession, dir: String): DataFrame =
     sjEstimate(sjSketches(sjHashes(Tables(s, dir, "documents")))
       .select(col("source").as("src"), explode(col("hs")).as("h")))
+
+  // ---- d62: source overlap matrix, sketch-only form ----
+  // d48's whole audit (shared gram count + containment fractions per
+  // pair) estimated purely from the d61 KMV sketches — the optional
+  // second half of VERDICT r12 item 3. Standard KMV estimators, kept
+  // in INTEGER math so both engines agree exactly: per-source
+  // distinct-gram count n̂ = (k-1)·M div h_k (exact = sketch size
+  // when the source holds fewer than k distinct grams; M = 2^40, the
+  // hash domain), union size the same estimator over the union
+  // bottom-k, shared count n̂_shared = n_both·n̂_union div k_union
+  // (J ≈ n_both/k_union scaled onto the union estimate), and the
+  // containment fractions are the d48 snap of exact integers. One
+  // corpus pass builds the sketches; everything downstream is
+  // sketch-sized (sources·k longs) or pair-sized — the gram-key
+  // self-join that d48 pays never appears (the d61 plan discipline).
+  private val sjM = 1L << 40
+  private def d62(s: SparkSession, dir: String): DataFrame = {
+    val sketches = sjSketches(sjHashes(Tables(s, dir, "documents")))
+    val per = sketches.select(col("source"),
+      expr(s"case when size(hs) < $sjK then cast(size(hs) as bigint) " +
+        s"else ($sjK - 1) * $sjM div element_at(hs, $sjK) end").as("n_est"))
+    val sk = sketches.select(col("source").as("src"),
+      explode(col("hs")).as("h"))
+    val srcs = sk.select(col("src").as("source")).distinct()
+    val pairKeys = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val tagged = sk.join(broadcast(pairKeys), col("src") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .union(sk.join(broadcast(pairKeys), col("src") === col("sb"))
+        .select(col("sa"), col("sb"), col("h"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val uni = tagged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sjK)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("ia") * col("ib")).as("n_both"),
+        max(col("h")).as("hk"))
+      .withColumn("n_union_est", expr(
+        s"case when k_union < $sjK then k_union " +
+          s"else ($sjK - 1) * $sjM div hk end"))
+      .withColumn("n_shared_est",
+        expr("n_both * n_union_est div k_union"))
+    uni
+      .join(per.select(col("source").as("sa"), col("n_est").as("na_est")),
+        "sa")
+      .join(per.select(col("source").as("sb"), col("n_est").as("nb_est")),
+        "sb")
+      .select(col("sa"), col("sb"), col("n_shared_est"),
+        col("na_est"), col("nb_est"),
+        expr("floor(n_shared_est / cast(na_est as double) * 1e6 + 0.5) " +
+          "/ 1e6").as("frac_a"),
+        expr("floor(n_shared_est / cast(nb_est as double) * 1e6 + 0.5) " +
+          "/ 1e6").as("frac_b"))
+  }
+  private val d62Sql =
+    s"""WITH t AS (SELECT source,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(list_transform(
+       |      generate_series(1, len(toks) - 4),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+       |           || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS sh
+       |    FROM t WHERE len(toks) >= 5)),
+       |h AS (SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h FROM g),
+       |r AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT source, h FROM r WHERE rn <= $sjK),
+       |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MAX(h) AS hk FROM sk GROUP BY 1),
+       |pe AS (SELECT source, CASE WHEN cnt < $sjK THEN cnt
+       |    ELSE ($sjK - 1) * $sjM // hk END AS n_est FROM per),
+       |sc AS (SELECT DISTINCT source FROM sk),
+       |p AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM sc a JOIN sc b ON a.source < b.source),
+       |tg AS (SELECT p.sa, p.sb, sk.h,
+       |    MAX(CASE WHEN sk.source = p.sa THEN 1 ELSE 0 END) AS ia,
+       |    MAX(CASE WHEN sk.source = p.sb THEN 1 ELSE 0 END) AS ib
+       |  FROM p JOIN sk ON sk.source = p.sa OR sk.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |ru AS (SELECT sa, sb, h, ia, ib,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |  FROM tg),
+       |u AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k_union,
+       |    CAST(SUM(ia * ib) AS BIGINT) AS n_both, MAX(h) AS hk
+       |  FROM ru WHERE rn <= $sjK GROUP BY 1, 2),
+       |ue AS (SELECT sa, sb, n_both, k_union,
+       |    CASE WHEN k_union < $sjK THEN k_union
+       |      ELSE ($sjK - 1) * $sjM // hk END AS n_union_est
+       |  FROM u),
+       |se AS (SELECT sa, sb,
+       |    n_both * n_union_est // k_union AS n_shared_est
+       |  FROM ue)
+       |SELECT se.sa, se.sb, n_shared_est,
+       |  ea.n_est AS na_est, eb.n_est AS nb_est,
+       |  floor(n_shared_est / CAST(ea.n_est AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS frac_a,
+       |  floor(n_shared_est / CAST(eb.n_est AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS frac_b
+       |FROM se JOIN pe ea ON se.sa = ea.source
+       |  JOIN pe eb ON se.sb = eb.source""".stripMargin
   private[operators] val d61Sql =
     s"""WITH t AS (SELECT source,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
@@ -3821,5 +3929,6 @@ object TextQueries {
     Q("d58_fuzzy_decontam_prod", d58, Some(GoldenOracles.d58)),
     Q("d59_weighted_sample", d59, Some(d59Sql)),
     Q("d60_curation_manifest_v2", d60, Some(d60Sql)),
-    Q("d61_source_jaccard_prod", d61, Some(d61Sql)))
+    Q("d61_source_jaccard_prod", d61, Some(d61Sql)),
+    Q("d62_source_overlap_sketch", d62, Some(d62Sql)))
 }

@@ -623,11 +623,13 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // appear anywhere in the plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = plan("d61_source_jaccard_prod")
-      assert(!p.contains("SortMergeJoin"),
-        s"gram self-join in the sketch-only form:\n$p")
-      assert(p.contains("ObjectHashAggregate"),
-        s"no bounded-heap sketch agg:\n$p")
+      for (name <- Seq("d61_source_jaccard_prod", "d62_source_overlap_sketch")) {
+        val p = plan(name)
+        assert(!p.contains("SortMergeJoin"),
+          s"$name: gram self-join in the sketch-only form:\n$p")
+        assert(p.contains("ObjectHashAggregate"),
+          s"$name: no bounded-heap sketch agg:\n$p")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

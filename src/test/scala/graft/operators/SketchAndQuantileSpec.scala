@@ -181,6 +181,50 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       s"$n pairs for $srcs sources — pair domain incomplete")
   }
 
+  test("d62 sketch-only overlap estimates track the exact d48 matrix") {
+    // the production form's acceptance: every KMV-estimated quantity
+    // must land near the exact audit it replaces — per-source distinct
+    // counts within the KMV relative band (~2/sqrt(k) ≈ 0.18 at
+    // k=128, doubled for headroom), and the containment fractions
+    // within an absolute 0.1 of d48's exact frac_a/frac_b (fractions
+    // compound two estimators, so the band is wider than d54's pure
+    // Jaccard). Pair domains must agree exactly.
+    val est = Catalog.queries("d62_source_overlap_sketch")(
+      spark, TestSpark.sf001).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) -> r).toMap
+    val exact = Catalog.queries("d48_source_overlap")(
+      spark, TestSpark.sf001).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) -> r).toMap
+    // d48 emits only pairs with >= 1 shared gram; d62 covers the full
+    // pair domain (an auditor wants the zeros too) — so d48's pairs
+    // must all be present, and the d62-only pairs are exactly the
+    // zero-overlap ones, whose estimates must sit at ~0
+    assert(exact.keySet.subsetOf(est.keySet),
+      s"exact pairs missing from the sketch matrix: " +
+        s"${exact.keySet -- est.keySet}")
+    est.foreach { case (pair, e) =>
+      exact.get(pair) match {
+        case Some(x) =>
+          val naRel = math.abs(e.getAs[Long]("na_est").toDouble /
+            x.getAs[Long]("na") - 1.0)
+          val nbRel = math.abs(e.getAs[Long]("nb_est").toDouble /
+            x.getAs[Long]("nb") - 1.0)
+          assert(naRel <= 0.36 && nbRel <= 0.36,
+            s"$pair: per-source KMV count off by $naRel/$nbRel")
+          val fa = math.abs(e.getAs[Double]("frac_a") -
+            x.getAs[Double]("frac_a"))
+          val fb = math.abs(e.getAs[Double]("frac_b") -
+            x.getAs[Double]("frac_b"))
+          assert(fa <= 0.1 && fb <= 0.1,
+            s"$pair: containment estimate off by $fa/$fb")
+        case None =>
+          assert(e.getAs[Double]("frac_a") <= 0.1 &&
+            e.getAs[Double]("frac_b") <= 0.1,
+            s"$pair: zero-overlap pair estimated non-trivial containment")
+      }
+    }
+  }
+
   test("d53 fuzzy decontamination screens only across the eval boundary") {
     // the screen's contract: every hit pairs a CORPUS doc with an EVAL
     // doc at verified est_jaccard >= 0.2 — corpus-internal near-dups
