@@ -1497,7 +1497,7 @@ object VectorQueries {
     * into the bounded per-cell agg, so it runs over a batch scan or an
     * embedding readStream unchanged (s22 — complete-mode agg, state =
     * 2^divBits rows of counters). Input needs (vec_id, v). */
-  private[operators] def cellDriftCounts(vecs: DataFrame): DataFrame =
+  private[graft] def cellDriftCounts(vecs: DataFrame): DataFrame =
     divCoded(vecs)
       .withColumn("gen", (col("vec_id") % 2).cast("long"))
       .groupBy(col("bucket"))
@@ -1506,7 +1506,7 @@ object VectorQueries {
 
   /** Ratio tail over the bounded counts table — a streaming sink
     * re-derives it per emission from the exact integer counts. */
-  private[operators] def cellDriftRatios(counts: DataFrame): DataFrame = {
+  private[graft] def cellDriftRatios(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n_old")).as("t_old"),
       sum(col("n_new")).as("t_new"))
     counts.crossJoin(broadcast(tot))

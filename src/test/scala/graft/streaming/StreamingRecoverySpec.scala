@@ -293,6 +293,54 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "must carry batch 1's sums forward")
   }
 
+  test("streaming drift monitor (s22 engine) restores cell counters across restart") {
+    // the remaining complete-mode counter shape (2^divBits rows of
+    // generation counts): run 2 only sees batch 2, so the final
+    // counts cover batch 1 only via restored aggregation state, and
+    // the ppm/drift tail re-derived from the restored sums must equal
+    // the single-pass batch monitor over the union.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("drift-ckpt")
+    val name = "graft_drift_recovery_sink"
+    val mem = MemoryStream[(Long, Seq[Double])]
+    import graft.operators.VectorQueries
+
+    def vecs(df: org.apache.spark.sql.DataFrame) = df.toDF("vec_id", "v")
+    def start() = VectorQueries.cellDriftCounts(vecs(mem.toDF()))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def ratios(counts: org.apache.spark.sql.DataFrame) =
+      VectorQueries.cellDriftRatios(counts).collect().map(_.toSeq).toSet
+
+    // deterministic 64-dim vectors (the divPlanes dimension); both
+    // parities present in both batches so old AND new counters carry
+    // restored state
+    def mkVec(seed: Long): Seq[Double] =
+      (0 until 64).map(j => math.sin(seed * 64.0 + j))
+    val batch1 = (0L until 20L).map(i => (i, mkVec(i)))
+    val batch2 = (20L until 32L).map(i => (i, mkVec(i)))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ratios(spark.table(name)) ==
+      ratios(VectorQueries.cellDriftCounts(vecs(batch1.toDF()))),
+      "run 1 monitor diverges from the batch monitor")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = ratios(spark.table(name))
+    val want = ratios(
+      VectorQueries.cellDriftCounts(vecs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      s"restarted monitor != single-pass batch monitor (counter state " +
+        s"lost?):\ngot $got\nwant $want")
+    assert(got != ratios(
+      VectorQueries.cellDriftCounts(vecs(batch2.toDF()))),
+      "final monitor must not equal the batch-2-only monitor")
+  }
+
   test("streaming KMV sketch (s27 engine) restores distinct-bottom-k state across restart") {
     // the KMV buffer is the state-store row (sources × k longs) and
     // its merge is idempotent, so — like the HLL registers — replay is
