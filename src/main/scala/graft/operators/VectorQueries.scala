@@ -1650,6 +1650,132 @@ object VectorQueries {
        |  FROM rr) WHERE rn <= $topK""".stripMargin
   }
 
+  // ---- v27: filtered ANN (metadata predicate inside the pruned scan) ----
+  // The vector-database "filtered search" shape: every query retrieves
+  // only among corpus vectors satisfying a metadata predicate (here:
+  // the query's own label — same-category retrieval; any attribute
+  // column works the same way). The scale decision this query pins is
+  // PRE-filtering: the predicate is applied ON THE INDEX SCAN — the
+  // corpus side is reduced to the queries' label classes before any
+  // vector is scored (a pushable `In` on a plain column, so at 100 TB
+  // the parquet scan itself skips row groups), and the per-query label
+  // match rides the probe join's equi-key, not a post-rerank trim.
+  // Post-filtering (retrieve top-k, then filter) is the WRONG shape —
+  // with a 10%-selective predicate it silently returns ~k/10 rows or
+  // forces k×10 over-retrieval; with pre-filtering the heap always
+  // fills from eligible candidates. The driver row probes ALL cells so
+  // the result is exactly the filtered brute-force top-k and the whole
+  // path (label plumbing, probe join, scoring) is DuckDB-oracle-checked;
+  // the production nprobe-pruned path reuses the same code and is
+  // recall-bounded in VectorOpsSpec, plan-pinned in PlanDisciplineSpec.
+  /** Filtered IVF probe (test hook: nprobe dial). Candidate = probed
+    * cell ∧ label = query's label, both applied before the cosine. */
+  private[operators] def filteredIvfProbe(s: SparkSession, dir: String,
+      np: Int): DataFrame = {
+    import s.implicits._
+    val (cents, sample, _) = ivfIndex(s, dir)
+    // the filter column rides the cell-assigned layout (in production
+    // it is stored inline with the codes — that is what makes
+    // pre-filtering a scan predicate instead of a join)
+    val el = Tables(s, dir, "embeddings")
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"), $"label")
+      .withColumn("cell", KMeans.assign($"v", cents).getField("cid"))
+    // bounded driver gather: the nQueries query labels (5 rows)
+    val qLabels = Tables(s, dir, "embeddings")
+      .filter($"vec_id" < nQueries).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qRows = sample.filter(_._1 < nQueries)
+    val probeRows = qRows.flatMap { case (qid, qv) =>
+      val near = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(x => (x._1, x._2)).take(np).map(_._2)
+      near.map(cell => (qid, cell, qLabels(qid), qv.toSeq))
+    }
+    val probes = probeRows.toSeq.toDF("qid", "cell", "qlabel", "qv")
+    val probedCells = probeRows.map(_._2).distinct.toSeq
+    val wantedLabels = qLabels.values.toSeq.distinct
+    val cands = el
+      .filter($"cell".isin(probedCells: _*) &&
+        $"label".isin(wantedLabels: _*)) // the pushed pre-filter
+      .join(broadcast(probes),
+        el("cell") === probes("cell") && $"label" === $"qlabel")
+      .filter($"vec_id" =!= $"qid")
+    val scored = cands
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    VectorOps.topKPerQuery(scored, topK)
+      .select($"qid", $"rank", $"vec_id", round($"score", 6).as("cosine"))
+  }
+  private def v27(s: SparkSession, dir: String): DataFrame =
+    filteredIvfProbe(s, dir, np = ivfCells)
+  private val v27Sql = {
+    val cos = VectorOps.cosineSql("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |     d AS (SELECT q.qid, e.vec_id, $cos AS score
+       |           FROM embeddings e JOIN q ON e.vec_id <> q.qid
+       |            AND e.label = q.ql),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn FROM d)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS cosine
+       |FROM r WHERE rn <= $topK""".stripMargin
+  }
+
+  // ---- v28: incremental IVF maintenance (merge ≡ recompute, for the index) ----
+  // q38's incremental-view contract applied to the ANN index: the
+  // corpus grows by a delta generation (fixture stand-in: vec_id mod 8
+  // ∈ {6,7}), and the index is MAINTAINED, not rebuilt — the quantizer
+  // was trained once on the base generation and is frozen (retraining
+  // would re-shuffle every stored vector's cell; production IVF
+  // deployments freeze the coarse quantizer for exactly this reason),
+  // the base assignment is the persisted index, and the only new work
+  // is assigning the DELTA rows (a scan of the delta, never of the
+  // base) and appending. IvfIncrementalSpec proves the contract both
+  // ways: merged index ≡ assigning the full corpus from scratch with
+  // the same quantizer (cell-exact), and the probe through the
+  // maintained index ≡ the probe through the recomputed one. At 100 TB
+  // the base re-assignment this avoids is the whole corpus scan —
+  // maintenance cost is proportional to the delta, the q38 bargain.
+  // Oracle: pinned golden (quantizer training is deterministic —
+  // lowest-id base-sample seeding, fixed iterations — but not
+  // SQL-expressible; the probe dial is v05's nprobe).
+  private val incMod = 8L
+  private val incBaseSlots = 6L // vec_id % 8 < 6 → base, else delta
+  private val ivfIncCache = new SessionCache[String,
+    (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame, DataFrame)](
+    { case (_, _, base, _) => base.unpersist() })
+
+  /** (quantizer, base training sample, persisted base index, merged
+    * index). The merged frame is base ∪ delta-assignment; only `base`
+    * is persisted (it IS the stored index; the delta leg stays lazy
+    * so tests can re-plan it). */
+  private[operators] def ivfIncIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame, DataFrame) =
+    ivfIncCache.getOrBuild(s, dir) {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      // quantizer: bounded deterministic sample of the BASE generation
+      // only — at train time the delta did not exist
+      val sample = collectSample(s, dir)
+        .filter { case (id, _) => id % incMod < incBaseSlots }
+      val init = sample.take(ivfCells).map(_._2)
+      val cents = KMeans.fitLocal(sample.map(_._2), init, maxIter = 3).centroids
+      val base = e.filter($"vec_id" % incMod < incBaseSlots)
+        .select($"vec_id", $"v",
+          KMeans.assign($"v", cents).getField("cid").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = e.filter($"vec_id" % incMod >= incBaseSlots)
+        .select($"vec_id", $"v",
+          KMeans.assign($"v", cents).getField("cid").as("cell"))
+      (cents, sample, base, base.union(delta))
+    }
+  private def v28(s: SparkSession, dir: String): DataFrame = {
+    val (cents, sample, _, merged) = ivfIncIndex(s, dir)
+    // qids 0..4 all satisfy the base predicate, so the shared probe
+    // recipe reads them from the base-only sample unchanged
+    ivfProbe(merged, cents, sample, nprobe)
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1676,5 +1802,7 @@ object VectorQueries {
     Q("v23_knn_triangles", v23, Some(v23Sql)),
     Q("v24_cell_drift", v24, Some(v24Sql)),
     Q("v25_ivf_recall_curve", v25, Some(GoldenOracles.v25)),
-    Q("v26_knn_int8", v26, Some(v26Sql)))
+    Q("v26_knn_int8", v26, Some(v26Sql)),
+    Q("v27_filtered_knn", v27, Some(v27Sql)),
+    Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)))
 }

@@ -633,6 +633,24 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v27 filtered probe pushes the label pre-filter into the parquet scan") {
+    // filtered ANN's scale contract: the metadata predicate is a SCAN
+    // predicate (pre-filtering — parquet row groups skip before any
+    // vector is touched), the per-query label match rides the
+    // broadcast probe join's key, and ranking stays on the bounded
+    // heap. A post-filter rewrite would pass the oracle (all-cells
+    // probe) while silently under-filling the heap at selective
+    // predicates — the under-fill itself is data-gated in
+    // IvfIncrementalSpec; this pins the plan shape.
+    val p = plan("v27_filtered_knn")
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(p).isDefined,
+      s"label pre-filter not pushed to the embedding scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probes not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-sized join in the filtered probe:\n$p")
+    assert(p.contains("graft_bounded_top_k"), s"unbounded top-k:\n$p")
+  }
+
   test("d60 consumes persisted screen verdicts, not re-run gram pipelines") {
     // the SessionCache memoization contract (VERDICT r12 improvement
     // 2): screenVerdicts persists the d58/d57 verdict doc-id sets at
