@@ -863,6 +863,38 @@ object StreamingQueries {
     TextQueries.hhThreshold(s.table(name))
   }
 
+  // ---- s29: streaming ANN search against the static IVF index ----
+  // The serving half of the vector surface live: query vectors arrive
+  // on a stream and probe the static cell-assigned corpus. The batch
+  // probe's driver-side cell ranking moves INTO the plan (centroid
+  // matrix as a bounded literal, one HOF pass + array_sort per query —
+  // see VectorQueries.annProbeHeapStream), the corpus join is
+  // stream-static on the cell key (stateless), and per-query ranking
+  // is the bounded heap in complete mode (state = nQueries k-heaps).
+  // Value-identical to batch v05, so v05's golden gates the streamed
+  // probe end-to-end; the heap explosion to (rank, vec_id) rows runs
+  // in batch over the sink (generators can't follow a streaming agg).
+  private def s29(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _, assigned) = VectorQueries.ivfIndex(s, dir)
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = VectorQueries.annProbeHeapStream(raw, cents, assigned, np = 4)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VectorQueries.annProbeRender(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -930,5 +962,6 @@ object StreamingQueries {
     Q("s25_stream_block_dedup", s25, Some(MultimodalQueries.x06Sql)),
     Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)),
     Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)),
-    Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)))
+    Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)),
+    Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)))
 }

@@ -243,7 +243,7 @@ object VectorQueries {
     (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame)](
     { case (_, _, df) => df.unpersist() })
 
-  private def ivfIndex(s: SparkSession, dir: String)
+  private[operators] def ivfIndex(s: SparkSession, dir: String)
       : (Array[Array[Double]], Array[(Long, Array[Double])], DataFrame) = {
     ivfCache.getOrBuild(s, dir) {
       import s.implicits._
@@ -1769,6 +1769,55 @@ object VectorQueries {
           KMeans.assign($"v", cents).getField("cid").as("cell"))
       (cents, sample, base, base.union(delta))
     }
+  /** s29: the v05 probe lifted onto a query readStream. The batch
+    * probe's cell ranking is driver math over the centroid matrix;
+    * a stream's queries arrive at runtime, so the SAME ranking runs
+    * IN THE PLAN: the k×d centroid matrix rides as a literal (bounded:
+    * ivfCells×64 doubles) and one HOF pass per query computes
+    * struct(dist², cid) per cell, array_sorts (lexicographic — exactly
+    * the batch (dist, idx) tiebreak), and explodes the first `np`
+    * cells. The static cell-assigned corpus then joins stream-static
+    * on the cell key (stateless — no watermark, no join state), and
+    * ranking lands on the bounded per-qid heap (complete mode: state =
+    * nQueries heaps of k, nothing corpus-sized). Fold order inside the
+    * HOF matches the driver fold bit-for-bit (index-order sums), so
+    * the streamed probe is value-identical to ivfProbe — s29's oracle
+    * IS v05's golden. At 100 TB the static side would be the bucketed
+    * cell layout (v06's partitionBy(cell) form) so each micro-batch's
+    * probe prunes files by the joined cells instead of re-scanning.
+    * Input: raw embedding rows (vec_id, embedding). */
+  private[operators] def annProbeHeapStream(raw: DataFrame,
+      cents: Array[Array[Double]], corpus: DataFrame, np: Int): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    val queries = raw.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), VectorOps.toDouble($"embedding").as("qv"))
+    val ranked = queries
+      .withColumn("cents", typedLit(cents.map(_.toSeq).toSeq))
+      .withColumn("probe", explode(expr(
+        s"slice(array_sort(transform(sequence(0, ${cents.length - 1}), " +
+          "c -> struct(aggregate(zip_with(cents[c], qv, " +
+          "(a, b) -> (a - b) * (a - b)), cast(0.0 as double), " +
+          s"(acc, x) -> acc + x) as d, c as cid))), 1, $np)")))
+      .select($"qid", $"probe.cid".as("cell"), $"qv")
+    ranked.join(corpus, "cell")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+      .groupBy($"qid")
+      .agg(graft.functions.GraftFunctions
+        .boundedTopK((-$"score").cast("double"), $"vec_id".cast("long"), topK)
+        .as("top"))
+  }
+
+  /** Batch rendering of the sunk heaps — the topKPerQuery tail. */
+  private[operators] def annProbeRender(heaps: DataFrame): DataFrame = {
+    val s = heaps.sparkSession
+    import s.implicits._
+    heaps.select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rank"),
+        $"col.vid".as("vec_id"), round(-$"col.ns", 6).as("cosine"))
+  }
+
   private def v28(s: SparkSession, dir: String): DataFrame = {
     val (cents, sample, _, merged) = ivfIncIndex(s, dir)
     // qids 0..4 all satisfy the base predicate, so the shared probe

@@ -56,7 +56,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "d58_fuzzy_decontam_prod", "d60_curation_manifest_v2",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
-    "s24_stream_fuzzy_decontam",
+    "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
