@@ -381,6 +381,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"restore or in-buffer dedup lost): ${sketches()}")
   }
 
+  test("streaming heavy hitters (s28 engine) restore vocabulary counters across restart") {
+    // the s21/s22 counter family with a DATA-DEPENDENT key domain (the
+    // vocabulary): run 2 only sees batch 2, so a term that clears the
+    // φ threshold only on its combined count proves the restored
+    // counters; a batch-1-only term surviving in the final table
+    // proves restored KEYS (not just values).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("hh-ckpt")
+    val name = "graft_hh_recovery_sink"
+    val mem = MemoryStream[(Long, String)]
+    import graft.operators.TextQueries
+
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text")
+    def start() = TextQueries.termCountsAgg(docs(mem.toDF()))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def hh(counts: org.apache.spark.sql.DataFrame) =
+      TextQueries.hhThreshold(counts).collect().map(_.toSeq).toSet
+
+    val batch1 = Seq((1L, ("alpha " * 5) + ("beta " * 3) + "gamma"),
+      (2L, "alpha beta delta"))
+    val batch2 = Seq((3L, ("beta " * 4) + "epsilon zeta eta theta"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(hh(spark.table(name)) ==
+      hh(TextQueries.termCountsAgg(docs(batch1.toDF()))),
+      "run 1 audit diverges from the batch audit")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = hh(spark.table(name))
+    val want = hh(
+      TextQueries.termCountsAgg(docs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      s"restarted audit != single-pass batch audit (vocabulary counter " +
+        s"state lost?):\ngot $got\nwant $want")
+    assert(got != hh(TextQueries.termCountsAgg(docs(batch2.toDF()))),
+      "final audit must not equal the batch-2-only audit — the " +
+        "restored counters must carry batch 1's term mass forward")
+  }
+
   test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
