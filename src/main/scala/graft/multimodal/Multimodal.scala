@@ -188,6 +188,31 @@ object Multimodal {
     }.toDF("media_id", "frame", "width", "height", "channels", "pixels")
   }
 
+  /** Per-frame mean intensity over the decoded tensor — the scalar
+    * trace shot-boundary detection runs on (mean-intensity difference
+    * is the classic first-pass cut detector; with a real codec this
+    * slot holds a histogram or embedding distance). Decode + reduce in
+    * ONE partition pass: only (media_id, frame, mean) leaves the
+    * decoder, never pixels — at 100 TB the frame tensors exist only
+    * inside the task.
+    */
+  def frameMeans(media: Dataset[MediaRecord], stride: Int = 1,
+      codec: Codec = FakeCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        (0 until r.meta.frames by stride).iterator.map { f =>
+          val t = codec.decodeFrame(r.meta, r.payload, f)
+          var s = 0L
+          var i = 0
+          while (i < t.pixels.length) { s += (t.pixels(i) & 0xff); i += 1 }
+          (r.media_id, f, s.toDouble / t.pixels.length)
+        }
+      }
+    }.toDF("media_id", "frame", "mean_intensity")
+  }
+
   // ---- content-defined chunking (CDC) over opaque payloads ----
   // Gear-hash CDC (Xia et al., "FastCDC", USENIX ATC 2016 — the
   // rolling-hash family behind storage dedup in restic/borg/LBFS): a

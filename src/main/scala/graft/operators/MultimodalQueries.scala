@@ -414,6 +414,56 @@ object MultimodalQueries {
         expr("dup_bytes * 1000000 div total_bytes").as("dedup_ppm"))
   }
 
+  // ---- x11: shot/scene segmentation over frame-intensity change-points ----
+  // The video-curation primitive between x03's frame sampling and a
+  // real scene encoder: per-frame mean intensity (one decode+reduce
+  // partition pass — pixels never leave the task, see
+  // Multimodal.frameMeans), then a cut wherever the intensity jumps
+  // more than `sceneTau` between consecutive frames (the classic
+  // pixel/histogram-difference shot detector), then scenes as the
+  // running cut count. Scale shape: the Window and both aggs are keyed
+  // by media_id — per-video state is `frames` rows, the corpus-wide
+  // exchange carries 3 scalars per frame, and nothing is driver-side.
+  // With a real codec only frameMeans changes (histogram distance,
+  // embedding cosine); the segmentation tail is codec-agnostic and is
+  // unit-proven against a synthetic two-scene codec in MultimodalSpec.
+  // Oracle: pinned golden (FakeCodec streams aren't SQL-expressible;
+  // cross-checked against an independent reimplementation of the
+  // codec + trace math outside the JVM, the x02/x05 discipline).
+  private val sceneTau = 10.0
+  private val sceneFrames = 12
+
+  /** The codec-agnostic segmentation tail: (media_id, frame,
+    * mean_intensity) → one row per media with scene stats. */
+  private[graft] def sceneSegments(means: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    val cuts = means
+      .withColumn("prev", lag(col("mean_intensity"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("mean_intensity") - col("prev")) > sceneTau, 1L)
+          .otherwise(0L))
+      .withColumn("scene", sum(col("cut")).over(w))
+    cuts
+      .groupBy(col("media_id"), col("scene"))
+      .agg(count(lit(1)).as("len"), min(col("frame")).as("start_frame"))
+      .groupBy(col("media_id"))
+      .agg((max(col("scene")) + 1L).cast("long").as("n_scenes"),
+        max(col("len")).cast("long").as("longest_scene_frames"),
+        coalesce(min(when(col("scene") === 1L, col("start_frame"))),
+          lit(-1L)).cast("long").as("first_cut"))
+  }
+
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val vids = Multimodal.ingest(docs, "doc_id", "payload", kind = "video",
+      format = "fake", width = 8, height = 8, channels = 3,
+      frames = sceneFrames)
+    sceneSegments(Multimodal.frameMeans(vids))
+  }
+
   val all: Seq[Q] = Seq(
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
@@ -424,5 +474,6 @@ object MultimodalQueries {
     Q("x07_cdc_chunks", x07, Some(GoldenOracles.x07)),
     Q("x08_block_neardup", x08, Some(x08Sql)),
     Q("x09_modality_coverage", x09, Some(x09Sql)),
-    Q("x10_cdc_dial_curve", x10, Some(GoldenOracles.x10)))
+    Q("x10_cdc_dial_curve", x10, Some(GoldenOracles.x10)),
+    Q("x11_scene_segments", x11, Some(GoldenOracles.x11)))
 }

@@ -183,4 +183,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(sig(p1) != sig(p2), "order-insensitive chunks_sig")
   }
+
+  /** Synthetic codec for the segmentation tail: every pixel of frame f
+    * is `levels(f)` — the trace is exactly `levels`, so the expected
+    * cuts are known by construction. */
+  private final class StepCodec(levels: Array[Int]) extends Multimodal.Codec {
+    def decodeImage(meta: Multimodal.MediaMeta, payload: Array[Byte]) =
+      Multimodal.FakeCodec.decodeImage(meta, payload)
+    def decodeAudio(meta: Multimodal.MediaMeta, payload: Array[Byte]) =
+      Multimodal.FakeCodec.decodeAudio(meta, payload)
+    def decodeFrame(meta: Multimodal.MediaMeta, payload: Array[Byte], frame: Int) =
+      Multimodal.ImageTensor(-1, meta.width, meta.height, meta.channels,
+        Array.fill(meta.width * meta.height * meta.channels)(
+          levels(frame).toByte))
+  }
+
+  test("frameMeans: trace equals the per-frame pixel mean, one row per frame") {
+    val vids = mediaDf(kind = "video", frames = 3)
+    val rows = Multimodal.frameMeans(vids, codec = new StepCodec(
+        Array(10, 200, 10)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 9) // 3 videos x 3 frames
+    for ((_, f, m) <- rows)
+      assert(m == Array(10.0, 200.0, 10.0)(f), s"frame $f mean $m")
+  }
+
+  test("sceneSegments finds exactly the constructed cuts") {
+    import graft.operators.MultimodalQueries
+    // trace: two flat runs with one jump at frame 4, then a second
+    // jump at frame 9 -> scenes [0..3], [4..8], [9..11]
+    val levels = Array(20, 21, 22, 20, 90, 91, 90, 92, 91, 30, 31, 30)
+    val vids = mediaDf(kind = "video", frames = 12)
+    val got = MultimodalQueries.sceneSegments(
+        Multimodal.frameMeans(vids, codec = new StepCodec(levels)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // all three videos share the synthetic trace: 3 scenes, longest 5
+    // frames (4..8), first cut at frame 4
+    assert(got == Set((1L, 3L, 5L, 4L), (2L, 3L, 5L, 4L), (3L, 3L, 5L, 4L)),
+      s"segmentation diverged: $got")
+  }
+
+  test("sceneSegments: flat trace is a single scene with no cut") {
+    import graft.operators.MultimodalQueries
+    val vids = mediaDf(kind = "video", frames = 5)
+    val got = MultimodalQueries.sceneSegments(
+        Multimodal.frameMeans(vids, codec = new StepCodec(
+          Array.fill(5)(77))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 5L, -1L)), s"flat trace: $got")
+  }
 }
