@@ -1825,6 +1825,134 @@ object VectorQueries {
     ivfProbe(merged, cents, sample, nprobe)
   }
 
+  // ---- v29: MMR diversified re-ranking (maximal marginal relevance) ----
+  // The serving-layer step after retrieval: from each query's top-C
+  // candidate pool, greedily select k results maximizing
+  // λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — relevance traded
+  // against redundancy (Carbonell & Goldstein, SIGIR'98), the
+  // de-duplicating re-rank RAG pipelines run on every retrieval. Scale
+  // shape: candidate generation is the corpus-sized distributed pass
+  // (here the exact scorer; in production the ANN probe), and the
+  // O(k·C) greedy runs per-query inside ONE flatMapGroups group —
+  // bounded C×d memory per group, millions of queries re-rank in
+  // parallel, nothing driver-side. Cross-engine exact: rel and the
+  // pairwise sims are the index-order cosine both engines share, the
+  // greedy argmax compares identical doubles with an identical
+  // (score, vec_id) tiebreak, and the oracle replays the whole greedy
+  // recursion in SQL (recursive CTE, the n09 discipline) — no golden.
+  private val mmrC = 30
+  private val mmrK = 10
+  private val mmrLambda = 0.7
+
+  private def v29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", VectorOps.cosine($"v", $"qv").as("score"))
+    val cands = VectorOps.topKPerQuery(scored, mmrC)
+      .select($"qid", $"vec_id", $"score".as("rel"))
+      .join(e, "vec_id") // vectors ride back in for the pairwise sims
+      .select($"qid", $"vec_id", $"rel", $"v")
+    val lam = mmrLambda
+    val oneMinus = 1.0 - mmrLambda
+    val k = mmrK
+    cands.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        // bounded: at most mmrC rows per group
+        val cs = it.map { case (_, vid, rel, v) => (vid, rel, v.toArray) }
+          .toArray.sortBy(c => (-c._2, c._1))
+        // index-order cosine — the same IEEE op sequence as the
+        // codegen'd kernel and the oracle's list_reduce rendering
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+          while (i < a.length) {
+            ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+          }
+          ab / (math.sqrt(aa) * math.sqrt(bb))
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        while (chosen.size < math.min(k, cs.length)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            if (!chosen.contains(ci)) {
+              val score =
+                if (chosen.isEmpty) cs(ci)._2
+                else {
+                  var mx = Double.NegativeInfinity
+                  chosen.foreach { si =>
+                    val sim = cos(cs(ci)._3, cs(si)._3)
+                    if (sim > mx) mx = sim
+                  }
+                  lam * cs(ci)._2 - oneMinus * mx
+                }
+              // strict > keeps the lowest-id winner on exact ties:
+              // cs is (rel desc, id asc)-sorted only for step 1, so
+              // tie-break on (score, vec_id) explicitly
+              if (score > bestScore ||
+                (score == bestScore && best >= 0 && cs(ci)._1 < cs(best)._1)) {
+                best = ci; bestScore = score
+              }
+            }
+            ci += 1
+          }
+          chosen += best
+          out += ((qid, chosen.size.toLong, cs(best)._1,
+            math.floor(bestScore * 1e6 + 0.5) / 1e6))
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "vec_id", "mmr_score")
+  }
+  private lazy val v29Sql = {
+    val relCos = VectorOps.cosineSql("e.embedding", "q.qv")
+    val pairCos = VectorOps.cosineSql("a.v", "b.v")
+    val lam = fmtD(mmrLambda)
+    val om = fmtD(1.0 - mmrLambda)
+    def mmr(c: String, p: String) =
+      s"($lam * $c.rel - $om * (SELECT max($p.sim) FROM pair $p " +
+        s"WHERE $p.qid = s.qid AND $p.ida = $c.vec_id " +
+        s"AND list_contains(s.chosen, $p.idb)))"
+    s"""WITH RECURSIVE
+       | q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $nQueries),
+       | scored AS (SELECT q.qid, e.vec_id, $relCos AS rel, e.embedding AS v
+       |      FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       | cand AS (SELECT qid, vec_id, rel, v FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rel DESC, vec_id) AS rn
+       |      FROM scored) WHERE rn <= $mmrC),
+       | pair AS (SELECT a.qid, a.vec_id AS ida, b.vec_id AS idb,
+       |        $pairCos AS sim
+       |      FROM cand a JOIN cand b ON a.qid = b.qid
+       |       AND a.vec_id <> b.vec_id),
+       | sel AS (
+       |   SELECT qid, vec_id, 1 AS rank, rel AS score, [vec_id] AS chosen
+       |   FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY rel DESC, vec_id) AS rn
+       |         FROM cand) WHERE rn = 1
+       |   UNION ALL
+       |   SELECT s.qid, c.vec_id, s.rank + 1, ${mmr("c", "p")},
+       |     list_append(s.chosen, c.vec_id)
+       |   FROM sel s JOIN cand c ON c.qid = s.qid
+       |     AND NOT list_contains(s.chosen, c.vec_id)
+       |   WHERE s.rank < $mmrK AND NOT EXISTS (
+       |     SELECT 1 FROM cand c2
+       |     WHERE c2.qid = s.qid AND NOT list_contains(s.chosen, c2.vec_id)
+       |       AND c2.vec_id <> c.vec_id
+       |       AND (${mmr("c2", "p2")} > ${mmr("c", "p3")}
+       |        OR (${mmr("c2", "p4")} = ${mmr("c", "p5")}
+       |            AND c2.vec_id < c.vec_id))))
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
+       |FROM sel""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -1853,5 +1981,6 @@ object VectorQueries {
     Q("v25_ivf_recall_curve", v25, Some(GoldenOracles.v25)),
     Q("v26_knn_int8", v26, Some(v26Sql)),
     Q("v27_filtered_knn", v27, Some(v27Sql)),
-    Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)))
+    Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)),
+    Q("v29_mmr_rerank", v29, Some(v29Sql)))
 }
