@@ -430,8 +430,17 @@ object MultimodalQueries {
   // Oracle: pinned golden (FakeCodec streams aren't SQL-expressible;
   // cross-checked against an independent reimplementation of the
   // codec + trace math outside the JVM, the x02/x05 discipline).
-  private val sceneTau = 10.0
+  private[operators] val sceneTau = 10.0
   private val sceneFrames = 12
+
+  /** The documents fixture as fake 8×8×3 12-frame videos — shared by
+    * x11 and its streaming leg (the source side works on a batch scan
+    * or a readStream unchanged). */
+  private[operators] def videoMedia(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] =
+    Multimodal.ingest(docs, "doc_id", "payload", kind = "video",
+      format = "fake", width = 8, height = 8, channels = 3,
+      frames = sceneFrames)
 
   /** The codec-agnostic segmentation tail: (media_id, frame,
     * mean_intensity) → one row per media with scene stats. */
@@ -458,10 +467,7 @@ object MultimodalQueries {
   private def x11(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val vids = Multimodal.ingest(docs, "doc_id", "payload", kind = "video",
-      format = "fake", width = 8, height = 8, channels = 3,
-      frames = sceneFrames)
-    sceneSegments(Multimodal.frameMeans(vids))
+    sceneSegments(Multimodal.frameMeans(videoMedia(docs)))
   }
 
   val all: Seq[Q] = Seq(

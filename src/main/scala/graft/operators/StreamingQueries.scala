@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.multimodal.Multimodal
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -895,6 +896,44 @@ object StreamingQueries {
     VectorQueries.annProbeRender(s.table(name))
   }
 
+  // ---- s30: live scene segmentation (stateful streaming x11) ----
+  // Media arrive on a stream and segment as they decode. The batch
+  // form's per-video lag Window doesn't lift onto a stream; the
+  // streaming engine (StreamingOps.sceneStats) replaces it with O(1)
+  // keyed state per media — prev mean, cut count, current/longest
+  // run — so an unbounded camera feed segments with constant memory
+  // where the batch window would buffer the trace. Decode stays the
+  // one-pass frameMeans kernel (pixels never leave the task, batch
+  // and stream identically). On the single-batch fixture the final
+  // emission IS batch x11, so x11's golden gates the stateful path;
+  // the cross-batch/kill-restart behavior of the state is proven on
+  // MemoryStreams in SceneStreamSpec.
+  private def s30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val frames = Multimodal
+      .frameMeans(MultimodalQueries.videoMedia(raw))
+      .select($"media_id", $"frame", $"mean_intensity".as("mean"))
+      .as[StreamingOps.FrameMean]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = StreamingOps
+        .sceneStats(frames, tau = MultimodalQueries.sceneTau)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -963,5 +1002,6 @@ object StreamingQueries {
     Q("s26_stream_weighted_sample", s26, Some(TextQueries.d59Sql)),
     Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)),
     Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)),
-    Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)))
+    Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)),
+    Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)))
 }

@@ -150,6 +150,50 @@ object StreamingOps {
       }
   }
 
+  final case class FrameMean(media_id: Long, frame: Int, mean: Double)
+  final case class SceneState(lastFrame: Int, prevMean: Double,
+      nCuts: Long, curRun: Long, longest: Long, firstCut: Long)
+  final case class SceneStats(media_id: Long, n_scenes: Long,
+      longest_scene_frames: Long, first_cut: Long)
+
+  /** Live scene segmentation (the streaming form of x11's batch
+    * window): per-media state is O(1) — last frame index, previous
+    * frame's mean, cut count, current/longest run, first cut — so a
+    * camera/encoder feed segments with constant memory per stream no
+    * matter how long it runs, where the batch form's per-video window
+    * would buffer the trace. Frames are sorted within each batch (the
+    * suite's single-batch contract; across batches the state's
+    * lastFrame enforces order — a frame at or before it is late data
+    * and dropped, the watermarked-production analogue). Emission per
+    * batch is the media's CURRENT stats row (update mode); on ordered
+    * input the final emission equals the batch segmentation exactly
+    * (SceneStreamSpec proves it, split across a kill/restart).
+    */
+  def sceneStats(frames: Dataset[FrameMean], tau: Double): Dataset[SceneStats] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.media_id)
+      .flatMapGroupsWithState[SceneState, SceneStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (mediaId: Long, rows: Iterator[FrameMean], state: GroupState[SceneState]) =>
+          val sorted = rows.toArray.sortBy(_.frame)
+          var st = state.getOption.getOrElse(
+            SceneState(Int.MinValue, Double.NaN, 0L, 0L, 0L, -1L))
+          for (f <- sorted if f.frame > st.lastFrame) {
+            val isFirst = st.curRun == 0L && st.nCuts == 0L && st.longest == 0L
+            val cut = !isFirst && math.abs(f.mean - st.prevMean) > tau
+            st =
+              if (cut) SceneState(f.frame, f.mean, st.nCuts + 1L, 1L,
+                math.max(st.longest, st.curRun),
+                if (st.firstCut < 0L) f.frame.toLong else st.firstCut)
+              else SceneState(f.frame, f.mean, st.nCuts, st.curRun + 1L,
+                st.longest, st.firstCut)
+          }
+          state.update(st)
+          Iterator.single(SceneStats(mediaId, st.nCuts + 1L,
+            math.max(st.longest, st.curRun), st.firstCut))
+      }
+  }
+
   /** Streaming exact dedup on a signature column with watermark-bounded
     * state — the streaming form of d01_dedup_exact. Dedup key is the
     * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested
