@@ -934,6 +934,53 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s31: streaming near-dup probe against the static band index ----
+  // d63's arrival half, completing the near-dup ladder the way s10
+  // completes exact dedup: new documents STREAM in, each computes its
+  // md5-minhash signature and band codes statelessly (the same
+  // expression trees d10/d63 run in batch), and probes the FROZEN
+  // base-generation band index via a stream-static equi-join on
+  // (band, bucket) — no streaming state, no watermark; the index is
+  // the persisted signature store d63 maintains. Band matches land in
+  // the sink; the est-Jaccard rollup runs batch-side over the sink
+  // (the s04/s09 pattern), so the oracle is d63's SQL restricted to
+  // the delta-vs-base rows — the streamed probe must reproduce the
+  // batch maintenance pass bit-for-bit.
+  private def s31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseSigs = TextQueries.neardupSigIndex(s, dir)
+    val baseIdx = TextQueries.mhBandedOf(baseSigs)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter(col("doc_id") < TextQueries.oracleSliceN &&
+        col("doc_id") % TextQueries.ndMod >= TextQueries.ndBaseSlots)
+    val deltaSigs = TextQueries.mhSigs(raw)
+    val deltaBanded = TextQueries.mhBandedOf(deltaSigs)
+    val matches = deltaBanded.as("x").join(baseIdx.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket")
+      .select(least($"x.doc", $"y.doc").as("id_a"),
+        greatest($"x.doc", $"y.doc").as("id_b"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = matches.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch-side rollup over the sink; delta sigs re-derived in batch
+    // (same fixture rows) for the est-Jaccard verify column
+    val deltaSigsBatch = TextQueries.mhSigs(
+      graft.Tables(s, dir, "documents")
+        .filter(col("doc_id") < TextQueries.oracleSliceN &&
+          col("doc_id") % TextQueries.ndMod >= TextQueries.ndBaseSlots))
+    TextQueries.mhPairsRollup(s.table(name), baseSigs.union(deltaSigsBatch))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1003,5 +1050,6 @@ object StreamingQueries {
     Q("s27_stream_source_jaccard", s27, Some(TextQueries.d61Sql)),
     Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)),
     Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)),
-    Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)))
+    Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)),
+    Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)))
 }

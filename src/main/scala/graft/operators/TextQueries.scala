@@ -3868,6 +3868,134 @@ object TextQueries {
        |FROM r WHERE rn <= $curK""".stripMargin
   }
 
+  // ---- d63: incremental near-dup index maintenance ----
+  // The d34/v28 merge-don't-recompute contract applied to MinHash LSH:
+  // the corpus grows by a delta generation (fixture stand-in: doc_id
+  // mod 4 ∈ {2,3} of the md5 oracle slice), and the band index is
+  // MAINTAINED — the base generation's signatures are the persisted
+  // index (signatures, not just band codes: production keeps them for
+  // the verify step), only DELTA documents are shingled and hashed,
+  // and new candidate pairs come from the delta probing itself plus
+  // the stored index. Nothing re-hashes the base: maintenance cost is
+  // delta-proportional, which at 100 TB is the difference between a
+  // nightly re-band of the corpus and a minutes-long append job.
+  // Output is the production deliverable — every near-dup pair the
+  // delta INTRODUCES, tagged delta_delta / delta_vs_base — and the
+  // maintained-index invariant (base pairs ∪ these = full recompute)
+  // is proven in IncrementalNeardupSpec. Cross-engine: the md5
+  // engine's hashes, so the whole incremental path is SQL-oracled.
+  private[operators] val ndMod = 4L
+  private[operators] val ndBaseSlots = 2L // doc_id % 4 < 2 → base
+
+  private val neardupIdxCache = new SessionCache[String, DataFrame](
+    _.unpersist())
+
+  /** The persisted base-generation signature store — the index a
+    * production near-dup service keeps warm between ingests. */
+  private[operators] def neardupSigIndex(s: SparkSession, dir: String)
+      : DataFrame =
+    neardupIdxCache.getOrBuild(s, dir) {
+      mhSigs(Tables(s, dir, "documents")
+        .filter(col("doc_id") < oracleSliceN &&
+          col("doc_id") % ndMod < ndBaseSlots))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Delta-side candidate generation: delta×delta (strict id order)
+    * plus delta×index (either order, normalized) — one row per
+    * matching band, the mhPairsRollup input contract. */
+  private[operators] def deltaBandProbe(deltaBanded: DataFrame,
+      baseIdx: DataFrame): DataFrame = {
+    val dd = deltaBanded.as("x").join(deltaBanded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+    val db = deltaBanded.as("x").join(baseIdx.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.doc"), col("y.doc")).as("id_a"),
+        greatest(col("x.doc"), col("y.doc")).as("id_b"))
+    dd.union(db)
+  }
+
+  private def d63(s: SparkSession, dir: String): DataFrame = {
+    val baseSigs = neardupSigIndex(s, dir)
+    val deltaSigs = mhSigs(Tables(s, dir, "documents")
+      .filter(col("doc_id") < oracleSliceN &&
+        col("doc_id") % ndMod >= ndBaseSlots))
+    val matches = deltaBandProbe(mhBandedOf(deltaSigs), mhBandedOf(baseSigs))
+    mhPairsRollup(matches, baseSigs.union(deltaSigs))
+      .withColumn("status",
+        when(col("id_a") % ndMod >= ndBaseSlots &&
+          col("id_b") % ndMod >= ndBaseSlots, lit("delta_delta"))
+          .otherwise(lit("delta_vs_base")))
+  }
+  private[operators] val d63Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE doc_id < $oracleSliceN AND length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+       |    FROM t WHERE len(toks) >= 3),
+       |  sig AS (SELECT doc_id, list_transform(generate_series(0, ${mhK - 1}),
+       |      i -> list_min(list_transform(sh,
+       |        x -> md5(CAST(i AS VARCHAR) || ' ' || x)))) AS sig
+       |    FROM s),
+       |  banded AS (SELECT doc_id, b.range AS band,
+       |      md5(CAST(b.range AS VARCHAR) || '|' || array_to_string(
+       |        sig[b.range * ${mhK / mhBands} + 1 : b.range * ${mhK / mhBands} + ${mhK / mhBands}], '|')) AS bucket
+       |    FROM sig CROSS JOIN range($mhBands) b),
+       |  cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_bands
+       |    FROM banded x JOIN banded y
+       |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_bands,
+       |  CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK AS est_jaccard,
+       |  CASE WHEN c.id_a % $ndMod >= $ndBaseSlots
+       |        AND c.id_b % $ndMod >= $ndBaseSlots THEN 'delta_delta'
+       |       ELSE 'delta_vs_base' END AS status
+       |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+       |JOIN sig sb ON c.id_b = sb.doc_id
+       |WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK >= 0.2
+       |  AND (c.id_a % $ndMod >= $ndBaseSlots
+       |    OR c.id_b % $ndMod >= $ndBaseSlots)""".stripMargin
+
+  /** s31's oracle: d63's pipeline restricted to the delta-vs-base rows
+    * (the streamed probe sees only new-vs-index matches; delta-delta
+    * pairing is d63's batch leg) without the status tag. */
+  private[operators] val s31Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE doc_id < $oracleSliceN AND length(trim(text)) > 0),
+       |  s AS (SELECT doc_id, list_distinct(list_transform(
+       |      generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+       |    FROM t WHERE len(toks) >= 3),
+       |  sig AS (SELECT doc_id, list_transform(generate_series(0, ${mhK - 1}),
+       |      i -> list_min(list_transform(sh,
+       |        x -> md5(CAST(i AS VARCHAR) || ' ' || x)))) AS sig
+       |    FROM s),
+       |  banded AS (SELECT doc_id, b.range AS band,
+       |      md5(CAST(b.range AS VARCHAR) || '|' || array_to_string(
+       |        sig[b.range * ${mhK / mhBands} + 1 : b.range * ${mhK / mhBands} + ${mhK / mhBands}], '|')) AS bucket
+       |    FROM sig CROSS JOIN range($mhBands) b),
+       |  cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_bands
+       |    FROM banded x JOIN banded y
+       |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_bands,
+       |  CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK AS est_jaccard
+       |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+       |JOIN sig sb ON c.id_b = sb.doc_id
+       |WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+       |    p -> p[1] = p[2])) AS DOUBLE) / $mhK >= 0.2
+       |  AND ((c.id_a % $ndMod >= $ndBaseSlots)
+       |    <> (c.id_b % $ndMod >= $ndBaseSlots))""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -3930,5 +4058,8 @@ object TextQueries {
     Q("d59_weighted_sample", d59, Some(d59Sql)),
     Q("d60_curation_manifest_v2", d60, Some(d60Sql)),
     Q("d61_source_jaccard_prod", d61, Some(d61Sql)),
-    Q("d62_source_overlap_sketch", d62, Some(d62Sql)))
+    Q("d62_source_overlap_sketch", d62, Some(d62Sql)),
+    Q("d63_incremental_neardup", d63, Some(d63Sql)))
+
+
 }
