@@ -57,8 +57,9 @@ class GoldenSweepSpec extends AnyFunSuite {
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
     "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
+    "s30_stream_scene_segments",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
-    "v25_ivf_recall_curve",
+    "v25_ivf_recall_curve", "v28_ivf_incremental",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments")
 
