@@ -357,7 +357,87 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events WHERE event_id % 10 <> 3 GROUP BY 1, 2""".stripMargin
 
+  // ---- q40: sliding-window distinct users via mergeable HLL partials ----
+  // The re-aggregation property that makes sketches the 100 TB answer
+  // to "distinct users in every trailing 3-hour window": per-hour HLL
+  // registers (the d49 engine keyed by hour bucket) are computed ONCE
+  // from the events, and every window estimate is a register-only
+  // bucket-wise max over 3 hourly partials — the events are never
+  // re-scanned per window, where the exact form pays the window
+  // overlap on raw rows (kept here as the audit column, the d49
+  // discipline). The ORACLE computes each window's registers from the
+  // RAW (window, user) union, so cross-engine equality IS the proof
+  // that register merge ≡ full rescan, window by window. Hour buckets
+  // are exact integer epoch-hours (unix_micros div 3600000000) — no
+  // interval arithmetic to diverge. Scale shape: one scan → hours×256
+  // register rows; the window fan-out explodes REGISTERS (3 rows per
+  // register), never events.
+  private val swHours = 3L
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hu = Tables(s, dir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("hb"), $"user_id")
+      .distinct()
+    val targets = hu.select($"hb".as("t")).distinct()
+    val regs = hu
+      .select($"hb", expr("cast(conv(substring(md5(cast(cast(user_id " +
+        "as string) as binary)), 1, 12), 16, 10) as bigint)").as("h"))
+      .select($"hb", expr("shiftright(h, 40)").as("bucket"),
+        expr("h & 1099511627775").as("w"))
+      .groupBy($"hb", $"bucket")
+      .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
+        .as("r"))
+    // hour hb's registers serve windows ending at hb .. hb+2; windows
+    // are only the hours present in the data (semi-join on targets)
+    val winRegs = regs
+      .withColumn("t", explode(array((0L until swHours).map(i =>
+        $"hb" + lit(i)): _*)))
+      .join(targets, Seq("t"), "left_semi")
+      .groupBy($"t", $"bucket").agg(max($"r").as("r"))
+    val est = TextQueries.hllEstimate(
+      winRegs.select($"t".as("source"), $"bucket", $"r"))
+    val exact = hu
+      .withColumn("t", explode(array((0L until swHours).map(i =>
+        $"hb" + lit(i)): _*)))
+      .join(targets, Seq("t"), "left_semi")
+      .select($"t", $"user_id").distinct()
+      .groupBy($"t").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, est("source") === exact("t"))
+      .select($"t".as("hour_id"), $"n_exact", $"est_distinct",
+        expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
+          "/ 1e6").as("err_pct"))
+  }
+  private val q40Sql =
+    """WITH hu AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb, user_id
+      |  FROM events),
+      |tg AS (SELECT DISTINCT hb AS t FROM hu),
+      |wu AS (SELECT DISTINCT tg.t, hu.user_id
+      |  FROM hu JOIN tg ON hu.hb BETWEEN tg.t - 2 AND tg.t),
+      |h AS (SELECT t, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |    1, 12) AS BIGINT) AS h FROM wu),
+      |rg AS (SELECT t, h >> 40 AS bucket,
+      |    MAX(CASE WHEN h & 1099511627775 = 0 THEN 41
+      |      ELSE 41 - length(bin(h & 1099511627775)) END) AS r
+      |  FROM h GROUP BY 1, 2),
+      |es AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nb,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS ps
+      |  FROM rg GROUP BY 1),
+      |er AS (SELECT t, nb,
+      |    1.0351398986589102e17 / (ps + (256 - nb) * 2199023255552) AS raw
+      |  FROM es),
+      |ee AS (SELECT t,
+      |    floor(CASE WHEN nb < 256 AND raw <= 640e0
+      |      THEN 256e0 * ln(256e0 / (256 - nb)) ELSE raw END * 1e4 + 0.5)
+      |      / 1e4 AS est_distinct FROM er),
+      |ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM wu GROUP BY 1)
+      |SELECT ex.t AS hour_id, n_exact, est_distinct,
+      |  floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) / 1e6
+      |    AS err_pct
+      |FROM ex JOIN ee ON ex.t = ee.t""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q40_sliding_distinct", q40, Some(q40Sql)),
     Q("q38_incremental_rollup", q38, Some(q17Sql)),
     Q("q39_rollup_retractions", q39, Some(q39Sql)),
     Q("q36_funnel", q36, Some(q36Sql)),
