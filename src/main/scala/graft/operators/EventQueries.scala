@@ -373,20 +373,35 @@ object EventQueries {
   // register rows; the window fan-out explodes REGISTERS (3 rows per
   // register), never events.
   private val swHours = 3L
-  private def q40(s: SparkSession, dir: String): DataFrame = {
+
+  /** Per-hour HLL registers straight from the event stream — no dedup
+    * pass (max over a multiset equals max over its set), so the SAME
+    * agg runs over a batch scan or an events readStream (s32: state =
+    * hours×256 register rows, complete mode). Input needs (ts,
+    * user_id). */
+  private[operators] def hourRegisters(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_micros(ts) div 3600000000").as("hb"),
+        expr("cast(conv(substring(md5(cast(cast(user_id " +
+          "as string) as binary)), 1, 12), 16, 10) as bigint)").as("h"))
+      .select(col("hb"), expr("shiftright(h, 40)").as("bucket"),
+        expr("h & 1099511627775").as("w"))
+      .groupBy(col("hb"), col("bucket"))
+      .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
+        .as("r"))
+
+  /** Register table → the full q40 result: window fan-out (registers
+    * only), estimate, exact audit from the batch events. Shared by
+    * q40 and the streaming register-maintenance leg (s32) so both
+    * produce bit-identical output from any value-identical register
+    * table. */
+  private[operators] def slidingFinish(s: SparkSession, dir: String,
+      regs: DataFrame): DataFrame = {
     import s.implicits._
     val hu = Tables(s, dir, "events")
       .select(expr("unix_micros(ts) div 3600000000").as("hb"), $"user_id")
       .distinct()
     val targets = hu.select($"hb".as("t")).distinct()
-    val regs = hu
-      .select($"hb", expr("cast(conv(substring(md5(cast(cast(user_id " +
-        "as string) as binary)), 1, 12), 16, 10) as bigint)").as("h"))
-      .select($"hb", expr("shiftright(h, 40)").as("bucket"),
-        expr("h & 1099511627775").as("w"))
-      .groupBy($"hb", $"bucket")
-      .agg(max(expr("case when w = 0 then 41 else 41 - length(bin(w)) end"))
-        .as("r"))
     // hour hb's registers serve windows ending at hb .. hb+2; windows
     // are only the hours present in the data (semi-join on targets)
     val winRegs = regs
@@ -407,7 +422,10 @@ object EventQueries {
         expr("floor(abs(est_distinct - n_exact) / n_exact * 1e6 + 0.5) " +
           "/ 1e6").as("err_pct"))
   }
-  private val q40Sql =
+
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    slidingFinish(s, dir, hourRegisters(Tables(s, dir, "events")))
+  private[operators] val q40Sql =
     """WITH hu AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb, user_id
       |  FROM events),
       |tg AS (SELECT DISTINCT hb AS t FROM hu),

@@ -981,6 +981,20 @@ object StreamingQueries {
     TextQueries.mhPairsRollup(s.table(name), baseSigs.union(deltaSigsBatch))
   }
 
+  // ---- s32: streaming sliding-window distinct (live HLL registers) ----
+  // q40's deployed form, the s18 pattern on the events stream: arriving
+  // events fold into the per-(hour, bucket) HLL register table via one
+  // streaming max-aggregation — state is hours×256 register rows, no
+  // dedup pass needed (max over a multiset equals max over its set) —
+  // and the window fan-out / estimate / exact-audit tail runs
+  // BATCH-side over the final register sink through the same
+  // slidingFinish the batch query uses. The whole q40 oracle gates the
+  // streamed registers: a drift in the streaming fold surfaces as a
+  // hash mismatch on any window's estimate.
+  private def s32(s: SparkSession, dir: String): DataFrame =
+    EventQueries.slidingFinish(s, dir,
+      runStream(s, dir, EventQueries.hourRegisters(_)))
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1051,5 +1065,6 @@ object StreamingQueries {
     Q("s28_stream_heavy_hitters", s28, Some(TextQueries.d55Sql)),
     Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)),
     Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)),
-    Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)))
+    Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)),
+    Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)))
 }
