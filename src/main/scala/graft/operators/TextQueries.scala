@@ -3963,6 +3963,49 @@ object TextQueries {
        |  AND (c.id_a % $ndMod >= $ndBaseSlots
        |    OR c.id_b % $ndMod >= $ndBaseSlots)""".stripMargin
 
+  // ---- d64: length quantiles via the mergeable compactor sketch ----
+  // The fourth sketch family member next to KMV/HLL (distinct), the
+  // Misra-Gries summary (frequent items), and d47's exact bounded
+  // histogram: rank/quantile queries over an UNBOUNDED value domain
+  // from per-shard state (text/QuantileSketch — the KLL/MRL compactor
+  // with a deterministic offset and a SELF-CERTIFYING error budget:
+  // every answer is within ±errBound true rank, budgets add under
+  // merge). Gate discipline: k = 8192 exceeds the gate corpus, so
+  // nothing compacts, err_budget is 0, and the sketch degenerates to
+  // exact ranks — the whole pipeline (partition buffering, treeReduce
+  // merge, weighted rank walk) is SQL-oracle-checked; the compacting
+  // 10×-scale regime is theorem-gated against exact ranks in
+  // QuantileSketchSpec (the d55/MG discipline — sketch answers are
+  // layout-dependent WITHIN the certified band, so the exact query
+  // stays the oracle anchor). Scale shape: one scan → one
+  // O(k·log(n/k)) summary per partition → treeReduce; the driver
+  // holds one summary, never the corpus.
+  private val qsK = 8192
+  private val qsPs = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L)
+  private def d64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables(s, dir, "documents")
+      .filter($"n_chars".isNotNull)
+      .select($"n_chars".cast("long")).as[Long]
+    val sk = graft.text.QuantileSketch.sketch(vals, qsK)
+    val rows = qsPs.map { p =>
+      val r = math.max(1L, (p * sk.n + 99L) / 100L)
+      (p, r, graft.text.QuantileSketch.valueAtRank(sk, r), sk.errBound)
+    }
+    rows.toDF("p", "rank", "q_value", "err_budget")
+  }
+  private[operators] val d64Sql =
+    """WITH v AS (SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |  ps AS (SELECT unnest([1,5,25,50,75,95,99]) AS p)
+      |SELECT CAST(p AS BIGINT) AS p,
+      |  CAST(GREATEST(1, (p * n + 99) // 100) AS BIGINT) AS rank,
+      |  CAST(n_chars AS BIGINT) AS q_value,
+      |  CAST(0 AS BIGINT) AS err_budget
+      |FROM ps JOIN v ON v.rn = GREATEST(1, (p * v.n + 99) // 100)""".stripMargin
+
   /** s31's oracle: d63's pipeline restricted to the delta-vs-base rows
     * (the streamed probe sees only new-vs-index matches; delta-delta
     * pairing is d63's batch leg) without the status tag. */
@@ -4059,7 +4102,8 @@ object TextQueries {
     Q("d60_curation_manifest_v2", d60, Some(d60Sql)),
     Q("d61_source_jaccard_prod", d61, Some(d61Sql)),
     Q("d62_source_overlap_sketch", d62, Some(d62Sql)),
-    Q("d63_incremental_neardup", d63, Some(d63Sql)))
+    Q("d63_incremental_neardup", d63, Some(d63Sql)),
+    Q("d64_quantile_sketch", d64, Some(d64Sql)))
 
 
 }
