@@ -995,6 +995,41 @@ object StreamingQueries {
     EventQueries.slidingFinish(s, dir,
       runStream(s, dir, EventQueries.hourRegisters(_)))
 
+  // ---- s33: streaming length quantiles (compactor sketch as state) ----
+  // d64's sketch living in the state store, completing the
+  // sketch-as-stream-state family (s18 HLL registers, s26 heap, s27
+  // KMV buffer, s28 counters): arriving documents fold into ONE
+  // global QuantileAgg whose buffer IS the compactor — O(k·log(n/k))
+  // state however long the stream runs — and complete mode emits the
+  // current quantile rows each micro-batch; the sink explodes them
+  // batch-side. At the gate k ≥ n, so the streamed sketch is exact
+  // and d64's SQL oracle gates the whole stateful path; the
+  // compacting regime stays theorem-gated (QuantileSketchSpec).
+  private def s33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val vals = raw.filter($"n_chars".isNotNull)
+      .select($"n_chars".cast("long")).as[Long]
+    val agg = new graft.text.QuantileSketch.QuantileAgg(
+      TextQueries.qsK, TextQueries.qsPs).toColumn
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = vals.groupByKey(_ => 0).agg(agg).toDF("g", "qs")
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).select(explode($"qs").as("q"))
+      .select($"q.p", $"q.rank", $"q.q_value", $"q.err_budget")
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1066,5 +1101,6 @@ object StreamingQueries {
     Q("s29_stream_ann_search", s29, Some(GoldenOracles.v05)),
     Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)),
     Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)),
-    Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)))
+    Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)),
+    Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)))
 }

@@ -3980,8 +3980,8 @@ object TextQueries {
   // stays the oracle anchor). Scale shape: one scan → one
   // O(k·log(n/k)) summary per partition → treeReduce; the driver
   // holds one summary, never the corpus.
-  private val qsK = 8192
-  private val qsPs = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L)
+  private[operators] val qsK = 8192
+  private[operators] val qsPs = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L)
   private def d64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vals = Tables(s, dir, "documents")

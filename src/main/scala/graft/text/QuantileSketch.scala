@@ -163,4 +163,53 @@ object QuantileSketch {
     values.rdd
       .mapPartitions(it => Iterator.single(fromPartition(it, k)))
       .treeReduce(merge)
+
+  // ---- the sketch as an aggregation buffer (streaming state) ----
+
+  /** Encoder-friendly buffer: the sketch plus an unsorted staging run
+    * so per-row updates are O(1) appends; staging folds into the
+    * compactor every k rows, keeping state O(k · log(n/k)). */
+  final case class AggBuf(k: Int, staging: Seq[Long], levels: Seq[Seq[Long]],
+      n: Long, errBound: Long, flips: Seq[Boolean])
+  final case class QRow(p: Long, rank: Long, q_value: Long, err_budget: Long)
+
+  private def toSketch(b: AggBuf): Sketch = {
+    val base = Sketch(b.k, b.levels.map(_.toVector).toVector, b.n,
+      b.errBound, b.flips.toVector)
+    if (b.staging.isEmpty) base
+    else merge(base, fromPartition(b.staging.iterator, b.k))
+  }
+  private def toBuf(s: Sketch): AggBuf =
+    AggBuf(s.k, Nil, s.levels, s.n, s.errBound, s.flips)
+
+  /** Typed Aggregator over the sketch — the adapter that lets the
+    * summary live in a streaming state store (s33: complete-mode
+    * global agg whose state IS the compactor) or any SQL agg slot.
+    * Finish emits the quantile rows for `ps` directly, so a sink
+    * needs only one posexplode. */
+  final class QuantileAgg(k: Int, ps: Seq[Long])
+      extends org.apache.spark.sql.expressions.Aggregator[Long, AggBuf, Seq[QRow]] {
+    def zero: AggBuf = toBuf(empty(k))
+    def reduce(b: AggBuf, v: Long): AggBuf = {
+      val st = b.staging :+ v
+      if (st.size >= k) toBuf(toSketch(b.copy(staging = st)))
+      else b.copy(staging = st)
+    }
+    def merge(a: AggBuf, b: AggBuf): AggBuf =
+      toBuf(QuantileSketch.merge(toSketch(a), toSketch(b)))
+    def finish(b: AggBuf): Seq[QRow] = {
+      val s = toSketch(b)
+      if (s.n == 0L) Seq.empty
+      else ps.map { p =>
+        val r = math.max(1L, (p * s.n + 99L) / 100L)
+        QRow(p, r, valueAtRank(s, r), s.errBound)
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[AggBuf] =
+      org.apache.spark.sql.Encoders.product[AggBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[QRow]] = {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      ExpressionEncoder[Seq[QRow]]()
+    }
+  }
 }

@@ -426,6 +426,47 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "restored counters must carry batch 1's term mass forward")
   }
 
+  test("streaming quantile sketch (s33 engine) restores compactor state across restart") {
+    // the sketch-as-state family's newest member: run 2 only sees
+    // batch 2, so the final quantiles cover batch 1's values only via
+    // the restored aggregation buffer. k exceeds the data so the
+    // sketch is exact (the s33 gate regime) and the expected answers
+    // are computable by hand from the union.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("qs-ckpt")
+    val name = "graft_qs_recovery_sink"
+    val mem = MemoryStream[Long]
+    def start() = mem.toDS()
+      .groupByKey(_ => 0)
+      .agg(new graft.text.QuantileSketch.QuantileAgg(
+        1024, Seq(1L, 50L, 99L)).toColumn)
+      .toDF("g", "qs")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def rows() = spark.table(name)
+      .select(org.apache.spark.sql.functions.explode($"qs").as("q"))
+      .select($"q.p", $"q.rank", $"q.q_value", $"q.err_budget")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    mem.addData(1L to 100L: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows() == Set((1L, 1L, 1L, 0L), (50L, 50L, 50L, 0L),
+      (99L, 99L, 99L, 0L)), s"run 1: ${rows()}")
+
+    // batch 2 doubles the range: exact quantiles of 1..200 prove the
+    // restored buffer still holds 1..100
+    mem.addData(101L to 200L: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows() == Set((1L, 2L, 2L, 0L), (50L, 100L, 100L, 0L),
+      (99L, 198L, 198L, 0L)),
+      s"restarted quantiles != exact over the union (compactor state " +
+        s"lost?): ${rows()}")
+  }
+
   test("watermarked dedup state survives restart: a post-restart duplicate is still dropped") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("dedup-ckpt"); val out = tmp("dedup-out")
