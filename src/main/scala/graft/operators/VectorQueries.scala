@@ -1825,6 +1825,38 @@ object VectorQueries {
     ivfProbe(merged, cents, sample, nprobe)
   }
 
+  // ---- v30: filtered-search recall curve (the v25 dial audit on v27) ----
+  // The measurement a filtered-ANN deployment runs before picking its
+  // probe budget: filtering thins every cell's eligible population, so
+  // recall at a fixed nprobe differs from the unfiltered v25 curve and
+  // must be measured against the FILTERED ground truth. Same engine as
+  // v25 — the exact filtered neighbor set (v27's all-cells row) joins
+  // the memoized cell assignment, each query's full cell ranking rides
+  // in as driver-math literals, one bounded agg counts neighbors whose
+  // cell rank clears each probe budget; integer ppm output. Oracle:
+  // pinned golden (deterministic quantizer), invariants spec'd:
+  // recall monotone in nprobe, exactly 1e6 ppm at the full probe.
+  private def v30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, sample, assigned) = ivfIndex(s, dir)
+    val qRank = sample.filter(_._1 < nQueries).map { case (qid, qv) =>
+      val ranked = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(x => (x._1, x._2)).map(_._2)
+      (qid, ranked.toSeq)
+    }.toSeq.toDF("qid", "cellrank")
+    v27(s, dir).select($"qid", $"vec_id")
+      .join(assigned.select($"vec_id", $"cell"), "vec_id")
+      .join(broadcast(qRank), "qid")
+      .select(expr("array_position(cellrank, cell)").as("pos"))
+      .select(explode(typedLit(rcProbes)).as("nprobe"), $"pos")
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(($"pos" <= $"nprobe").cast("long")).as("hits"))
+      .select($"nprobe", $"hits",
+        expr("hits * 1000000 div n_pairs").as("recall_ppm"))
+  }
+
   // ---- v29: MMR diversified re-ranking (maximal marginal relevance) ----
   // The serving-layer step after retrieval: from each query's top-C
   // candidate pool, greedily select k results maximizing
@@ -1982,5 +2014,6 @@ object VectorQueries {
     Q("v26_knn_int8", v26, Some(v26Sql)),
     Q("v27_filtered_knn", v27, Some(v27Sql)),
     Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)),
-    Q("v29_mmr_rerank", v29, Some(v29Sql)))
+    Q("v29_mmr_rerank", v29, Some(v29Sql)),
+    Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)))
 }

@@ -60,6 +60,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "s30_stream_scene_segments",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve", "v28_ivf_incremental",
+    "v30_filtered_recall_curve",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments")
 

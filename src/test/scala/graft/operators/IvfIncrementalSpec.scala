@@ -91,6 +91,18 @@ class IvfIncrementalSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall below 0.6")
   }
 
+  test("v30 filtered recall curve is monotone and exact at the full probe") {
+    import spark.implicits._
+    val rows = q("v30_filtered_recall_curve")
+      .select($"nprobe", $"recall_ppm").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted,
+      s"recall not monotone in nprobe: ${rows.toSeq}")
+    assert(rows.last._2 == 1000000L,
+      s"probing all cells must reach every filtered neighbor: ${rows.last}")
+  }
+
   test("v27 heap fills from eligible candidates: full k rows per query where the class allows") {
     import spark.implicits._
     val counts = graft.Tables(spark, dir, "embeddings")
