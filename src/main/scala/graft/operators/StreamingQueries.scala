@@ -1030,6 +1030,36 @@ object StreamingQueries {
       .select($"q.p", $"q.rank", $"q.q_value", $"q.err_budget")
   }
 
+  // ---- s34: streaming count-min counters (live frequency matrix) ----
+  // d65's counter matrix maintained live: arriving documents fold
+  // into the (row, bucket)-keyed SUM agg in complete mode, so the
+  // state store holds exactly d·w = 48 counter rows however long the
+  // stream runs — the most bounded state in the sketch-as-stream-state
+  // family (s18 HLL registers, s26 heap, s27 KMV buffer, s28
+  // vocabulary counters, s33 compactor). The per-term estimate/audit
+  // tail re-derives BATCH-side over the final sink (the s32 pattern:
+  // stream the mergeable state, finish off it), so d65's SQL oracle
+  // gates the streamed matrix end-to-end — any drift in the streaming
+  // fold surfaces as a value mismatch on some term's estimate.
+  private def s34(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.cmCounters(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.cmEstimate(s.table(name),
+      TextQueries.termCountsAgg(graft.Tables(s, dir, "documents")))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1102,5 +1132,6 @@ object StreamingQueries {
     Q("s30_stream_scene_segments", s30, Some(GoldenOracles.x11)),
     Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)),
     Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)),
-    Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)))
+    Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)),
+    Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)))
 }

@@ -4039,6 +4039,91 @@ object TextQueries {
        |  AND ((c.id_a % $ndMod >= $ndBaseSlots)
        |    <> (c.id_b % $ndMod >= $ndBaseSlots))""".stripMargin
 
+  // ---- d65: count-min sketch (the counter-matrix frequency sketch) ----
+  // The fifth sketch family member next to KMV/HLL (distinct, d46/d49),
+  // the Misra-Gries summary (retained heavy items, d55), and the
+  // quantile compactor (d64): point-FREQUENCY estimates from a fixed
+  // d×w counter matrix (Cormode-Muthukrishnan, J.Algorithms 2005).
+  // Each token increments one counter per row (bucket = 48-bit md5
+  // slice mod w, row-salted); a term's estimate is the MIN over its d
+  // counters — always ≥ the true count (counters only absorb extra
+  // mass, never lose it), over by at most the colliding mass in its
+  // emptiest bucket (≤ e·N/w with prob 1−e^−d over hash choice).
+  // The matrix is trivially MERGEABLE — pointwise sum — which is why
+  // the build is nothing but a (row, bucket)-keyed hash agg:
+  // Catalyst's partial+final aggregation IS the sketch's merge tree,
+  // and the state is d·w = 48 cells whatever the corpus size — the
+  // most bounded state in the whole family, so it lifts onto a
+  // document readStream unchanged (s34). Where Misra-Gries RETAINS m
+  // heavy survivors and forgets the tail, count-min answers EVERY
+  // term but can only over-count — complementary halves of the
+  // frequency problem. The audit emits exact vs estimate per
+  // vocabulary term (bounded at the gate; a 100 TB deployment audits
+  // a sampled/top-k slice and serves point queries off the broadcast
+  // matrix). Dial w = 16 sits BELOW the fixture vocabulary, so
+  // collisions are real (24 of 31 terms over-count at sf0.01) and the
+  // min-over-rows logic is non-vacuous; the always-≥-exact and
+  // per-row mass-conservation theorems hold at any scale and are
+  // spec-pinned (SketchAndQuantileSpec).
+  private[operators] val cmD = 3
+  private[operators] val cmW = 16L
+
+  /** The d (row, bucket) coordinates of one term under the row-salted
+    * 48-bit md5 hashes — one bounded array literal per term, no join. */
+  private def cmRb(term: org.apache.spark.sql.Column) =
+    array((0 until cmD).map { r =>
+      struct(lit(r).as("r"),
+        pmod(conv(substring(md5(concat(lit(s"cm$r:"), term)
+          .cast("binary")), 1, 12), 16, 10).cast("long"),
+          lit(cmW)).as("b"))
+    }: _*)
+
+  /** The streamable half: one token scan → the d·w-cell counter
+    * matrix via one (r, b)-keyed hash agg. Complete-mode state on a
+    * readStream is exactly these 48 rows (s34). */
+  private[graft] def cmCounters(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(explode(cmRb(col("term"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("tot"))
+
+  /** Audit tail: estimate = min over the term's d counters (the
+    * 48-row matrix broadcasts into the vocabulary join), laid next to
+    * the exact count so the overcount is visible per term. */
+  private[graft] def cmEstimate(counters: DataFrame, counts: DataFrame)
+      : DataFrame =
+    counts
+      .select(col("term"), col("cnt"), explode(cmRb(col("term"))).as("rb"))
+      .select(col("term"), col("cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("tot")).as("cnt_est"))
+      .select(col("term"), col("cnt").as("cnt_exact"), col("cnt_est"),
+        (col("cnt_est") - col("cnt")).as("overcount"))
+
+  private def d65(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    cmEstimate(cmCounters(docs), termCountsAgg(docs))
+  }
+  private[operators] val d65Sql =
+    s"""WITH t AS (SELECT
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+       |hb AS (SELECT term, cnt, r.range AS r,
+       |    CAST('0x' || substr(md5('cm' || CAST(r.range AS VARCHAR) || ':' || term), 1, 12) AS BIGINT) % $cmW AS b
+       |  FROM c CROSS JOIN range($cmD) r),
+       |ctr AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS tot
+       |  FROM hb GROUP BY 1, 2)
+       |SELECT hb.term, hb.cnt AS cnt_exact, MIN(ctr.tot) AS cnt_est,
+       |  MIN(ctr.tot) - hb.cnt AS overcount
+       |FROM hb JOIN ctr ON hb.r = ctr.r AND hb.b = ctr.b
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4103,7 +4188,8 @@ object TextQueries {
     Q("d61_source_jaccard_prod", d61, Some(d61Sql)),
     Q("d62_source_overlap_sketch", d62, Some(d62Sql)),
     Q("d63_incremental_neardup", d63, Some(d63Sql)),
-    Q("d64_quantile_sketch", d64, Some(d64Sql)))
+    Q("d64_quantile_sketch", d64, Some(d64Sql)),
+    Q("d65_countmin_sketch", d65, Some(d65Sql)))
 
 
 }

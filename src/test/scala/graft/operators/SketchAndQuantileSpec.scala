@@ -310,4 +310,45 @@ class SketchAndQuantileSpec extends AnyFunSuite {
         s"hit ${r.toSeq} crosses the wrong way")
     }
   }
+
+  test("d65 count-min never under-counts and engages real collisions") {
+    // the one-sided error theorem: ĉ(t) ≥ c(t) for EVERY term, any
+    // data, any layout (counters only absorb mass). The dial check is
+    // fixture-level: w = 16 sits below the vocabulary, so at sf0.01
+    // both branches must be live — some terms collide in all 3 rows
+    // (overcount > 0) and some own a clean bucket in at least one row
+    // (overcount == 0); a vacuous dial would make the min-over-rows
+    // logic untested by the oracle.
+    val rows = Catalog.queries("d65_countmin_sketch")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.length > 20, "fixture vocabulary should exceed 20 terms")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt_est") >= r.getAs[Long]("cnt_exact"),
+        s"term ${r.getAs[String]("term")}: count-min under-counted")
+    }
+    assert(rows.exists(_.getAs[Long]("overcount") > 0L),
+      "w=16 should force real collisions at sf0.01")
+    assert(rows.exists(_.getAs[Long]("overcount") == 0L),
+      "some term should own a clean bucket in one of the 3 rows")
+  }
+
+  test("d65 counter matrix conserves total token mass in every row") {
+    // each of the d rows receives every token exactly once, so each
+    // row's counters sum to N — the mass-conservation invariant that
+    // makes the matrix a partial aggregate (pointwise-sum merge):
+    // a broken bucket expression or a dropped token breaks it.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.sf001, "documents")
+    val n = docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(graft.text.TextOps.tokens(col("text"))))
+      .count()
+    val perRow = TextQueries.cmCounters(docs)
+      .groupBy("r").agg(sum("tot").as("mass")).collect()
+    assert(perRow.length == TextQueries.cmD,
+      "one counter row per hash row expected")
+    perRow.foreach { r =>
+      assert(r.getAs[Long]("mass") == n,
+        s"row ${r.getAs[Int]("r")}: mass ${r.getAs[Long]("mass")} != $n")
+    }
+  }
 }
