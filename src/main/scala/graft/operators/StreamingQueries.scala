@@ -1060,6 +1060,37 @@ object StreamingQueries {
       TextQueries.termCountsAgg(graft.Tables(s, dir, "documents")))
   }
 
+  // ---- s35: streaming semantic decontamination (the embedding rung live) ----
+  // v31's screen on an embedding readStream: the eval matrix is the
+  // same bounded driver gather (benchmark-suite-sized), baked into the
+  // stateless scoring projection as literals, so arriving corpus
+  // vectors are flagged with ZERO shuffle, zero join, and zero
+  // streaming state — the s23/s24 shape applied to the paraphrase
+  // rung. Append mode, no watermark; v31's SQL oracle gates the
+  // streamed screen end-to-end.
+  private def s35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evals = VectorQueries.evalMatrix(s, dir)
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .filter($"vec_id" >= VectorQueries.sdEvalN)
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = VectorQueries.semanticScreen(raw, evals).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1133,5 +1164,6 @@ object StreamingQueries {
     Q("s31_stream_neardup_probe", s31, Some(TextQueries.s31Sql)),
     Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)),
     Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)),
-    Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)))
+    Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)),
+    Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)))
 }

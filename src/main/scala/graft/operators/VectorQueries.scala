@@ -1985,6 +1985,72 @@ object VectorQueries {
        |FROM sel""".stripMargin
   }
 
+  // ---- v31: semantic decontamination (the embedding rung of the ladder) ----
+  // The token ladder (d53 fuzzy → d57 Bloom → d58 production) catches
+  // verbatim and near-verbatim eval leakage; this rung catches the
+  // PARAPHRASED kind tokens miss: a corpus item is contaminated when
+  // its embedding lands within cosine τ of any benchmark item. Same
+  // scale asymmetry as d58 — the eval suite is BOUNDED (benchmarks are
+  // thousands of items; the corpus is the 100 TB side) — so the eval
+  // matrix is gathered once driver-side (sdEvalN × 64 doubles, the
+  // bound stated here at the gather site) and probed per corpus row as
+  // a LITERAL: one native-cosine expression per eval vector, argmax by
+  // struct ordering inside the projection. Zero shuffle, zero join,
+  // zero state — a stateless scoring projection that lifts onto an
+  // embedding readStream unchanged (s35), the s23/d58 shape. Output is
+  // the flagged set (corpus vec, closest eval item, cosine) a
+  // decontamination pass would anti-join away; ties break to the
+  // lowest eval_id via the negated-id struct field (exact long math),
+  // matching the oracle's (score DESC, eval_id) window order.
+  private[operators] val sdEvalN = 50L
+  private[operators] val sdTau = 0.30
+
+  /** Stateless screen: corpus rows (vec_id, v) against the gathered
+    * eval matrix. Bounded: evals.length == sdEvalN by construction. */
+  private[graft] def semanticScreen(corpus: DataFrame,
+      evals: Array[(Long, Array[Double])]): DataFrame = {
+    require(evals.nonEmpty && evals.length <= sdEvalN,
+      "eval matrix must be the bounded benchmark slice")
+    val best = array_max(array(evals.map { case (id, ev) =>
+      struct(VectorOps.cosine(col("v"), typedLit(ev.toSeq)).as("c"),
+        lit(-id).as("nid"))
+    }: _*))
+    corpus
+      .select(col("vec_id"), best.as("best"))
+      .filter(col("best.c") >= sdTau)
+      .select(col("vec_id"), (-col("best.nid")).as("eval_id"),
+        round(col("best.c"), 6).as("cosine"))
+  }
+
+  /** The bounded driver gather of the eval matrix (sdEvalN rows ×
+    * 64 doubles — benchmark-suite-sized, never corpus-sized). */
+  private[graft] def evalMatrix(s: SparkSession, dir: String)
+      : Array[(Long, Array[Double])] = {
+    import s.implicits._
+    embeddings(s, dir).filter($"vec_id" < sdEvalN)
+      .select($"vec_id", $"v").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+  }
+
+  private def v31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semanticScreen(embeddings(s, dir).filter($"vec_id" >= sdEvalN),
+      evalMatrix(s, dir))
+  }
+  private[operators] val v31Sql = {
+    val cos = VectorOps.cosineSql("c.embedding", "ev.e")
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+       |            FROM embeddings WHERE vec_id < $sdEvalN),
+       |     c AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id >= $sdEvalN),
+       |     d AS (SELECT c.vec_id, ev.eval_id, $cos AS score
+       |           FROM c CROSS JOIN ev),
+       |     r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY score DESC, eval_id) AS rn FROM d)
+       |SELECT vec_id, eval_id, round(score, 6) AS cosine
+       |FROM r WHERE rn = 1 AND score >= ${fmtD(sdTau)}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -2015,5 +2081,6 @@ object VectorQueries {
     Q("v27_filtered_knn", v27, Some(v27Sql)),
     Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)),
     Q("v29_mmr_rerank", v29, Some(v29Sql)),
-    Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)))
+    Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)),
+    Q("v31_semantic_decontam", v31, Some(v31Sql)))
 }

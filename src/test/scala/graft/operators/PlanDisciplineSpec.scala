@@ -697,4 +697,19 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(!p.contains("Sort "), s"sort in the drift audit:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("v31 semantic screen is a stateless projection: no exchange, no join") {
+    // the eval matrix is a bounded literal inside the projection, so
+    // the whole screen must plan as scan → filter → project — any
+    // Exchange or join node means the eval side leaked back into the
+    // plan as a relation and the stream lift (s35) would pay state
+    // or shuffle for what should be a per-row fold
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("v31_semantic_decontam")
+      assert(!p.contains("Exchange"), s"exchange in the screen:\n$p")
+      assert(!p.contains("Join"), s"join in the screen:\n$p")
+      assert(!p.contains("Sort "), s"sort in the screen:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -311,6 +311,24 @@ class SketchAndQuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("v31 semantic screen flags only corpus-side vectors, above threshold, non-vacuously") {
+    // the embedding rung of the decontamination ladder keeps the d53
+    // boundary contract: every hit pairs a CORPUS vector (vec_id >=
+    // sdEvalN) with an EVAL item (eval_id < sdEvalN) at cosine >= tau;
+    // the fixture must actually produce hits or the screen is vacuous
+    val rows = Catalog.queries("v31_semantic_decontam")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty, "semantic screen found no contamination at sf0.01")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 50L,
+        s"eval-side vector flagged as corpus: ${r.toSeq}")
+      assert(r.getAs[Long]("eval_id") < 50L,
+        s"corpus-side vector used as eval anchor: ${r.toSeq}")
+      assert(r.getAs[Double]("cosine") >= 0.299999,
+        s"sub-threshold hit leaked through: ${r.toSeq}")
+    }
+  }
+
   test("d65 count-min never under-counts and engages real collisions") {
     // the one-sided error theorem: ĉ(t) ≥ c(t) for EVERY term, any
     // data, any layout (counters only absorb mass). The dial check is
