@@ -454,7 +454,64 @@ object EventQueries {
       |    AS err_pct
       |FROM ex JOIN ee ON ex.t = ee.t""".stripMargin
 
+  // ---- q41: exponentially decayed event counts (half-life rollup) ----
+  // The freshness-weighted rollup monitoring dashboards run: each
+  // event contributes value · 2^-age, age in whole half-lives (one
+  // day) behind the anchor "now". The decay factor is a POWER OF TWO
+  // on purpose — scaling a double by 2^-k only shifts its exponent,
+  // so every per-event contribution is EXACT in both engines (no
+  // transcendental exp/pow whose last ulp could differ cross-engine),
+  // and the determinism discipline finishes the job: contributions
+  // are floor-rounded to integer MICROS per event and summed as
+  // BIGINTs — an order-independent integer sum, whatever partition
+  // layout the 100 TB scan has. Scale shape: one scalar anchor (max
+  // ts — a bounded driver gather), then one scan → 5-key hash agg
+  // with map-side partials; the per-row transform is stateless, so it
+  // lifts onto the events readStream as a complete-mode bounded agg
+  // (s36, the s21/s22 counter family).
+  private[operators] val q41HalfLifeUs = 86400000000L // one day
+
+  /** Stateless decay + bounded rollup under a FIXED anchor (the
+    * deployment's "now"; the gate pins it to the fixture's max ts so
+    * stream ≡ batch ≡ oracle). */
+  private[graft] def decayedCounts(events: DataFrame, anchorUs: Long)
+      : DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("age", expr(
+        s"(cast($anchorUs as bigint) - us) div cast($q41HalfLifeUs as bigint)"))
+      .withColumn("contrib_us", expr(
+        "cast(floor(value / cast(shiftleft(cast(1 as bigint), " +
+          "cast(age as int)) as double) * 1000000.0 + 0.5) as bigint)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"),
+        (sum(col("contrib_us")).cast("double") / 1000000.0)
+          .as("decayed_value"))
+
+  /** The anchor gather: one scalar off the table (max event time). */
+  private[graft] def decayAnchorUs(events: DataFrame): Long =
+    events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    decayedCounts(ev, decayAnchorUs(ev))
+  }
+  private[operators] val q41Sql =
+    """WITH a AS (SELECT MAX(epoch_us(ts)) AS t FROM events),
+      |c AS (SELECT event_type, value,
+      |    (a.t - epoch_us(ts)) // 86400000000 AS age
+      |  FROM events CROSS JOIN a)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CAST(floor(value / CAST((CAST(1 AS BIGINT) << age) AS DOUBLE)
+      |    * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+      |    AS decayed_value
+      |FROM c GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q41_decayed_counts", q41, Some(q41Sql)),
     Q("q40_sliding_distinct", q40, Some(q40Sql)),
     Q("q38_incremental_rollup", q38, Some(q17Sql)),
     Q("q39_rollup_retractions", q39, Some(q39Sql)),

@@ -1091,6 +1091,20 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s36: streaming decayed counts (freshness rollup live) ----
+  // q41's half-life rollup on the events readStream: the anchor "now"
+  // is fixed up front (a deployment picks its clock; the gate pins it
+  // to the fixture's max ts so stream ≡ batch), the per-event decay
+  // is the same stateless exact power-of-two scaling, and the rollup
+  // is a complete-mode hash agg whose state is the 5-row event-type
+  // domain — the s21/s22/s34 bounded-counter family. The integer-
+  // micros contributions make the streamed sum order-independent, so
+  // q41's SQL oracle gates the live path bit-for-bit.
+  private def s36(s: SparkSession, dir: String): DataFrame = {
+    val anchor = EventQueries.decayAnchorUs(graft.Tables(s, dir, "events"))
+    runStream(s, dir, EventQueries.decayedCounts(_, anchor))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1165,5 +1179,6 @@ object StreamingQueries {
     Q("s32_stream_sliding_distinct", s32, Some(EventQueries.q40Sql)),
     Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)),
     Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)),
-    Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)))
+    Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)),
+    Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)))
 }

@@ -35,4 +35,31 @@ class EventRollupSpec extends AnyFunSuite {
     assert(got != full,
       "the correction batch must actually retract rows from the rollup")
   }
+
+  test("q41 decay is bounded by the raw total and halves exactly per half-life") {
+    // two structural theorems of the half-life rollup: (1) decay only
+    // shrinks mass, so 0 < decayed <= total per type; (2) shifting the
+    // anchor one half-life later scales every pre-rounding
+    // contribution by exactly 1/2 (power-of-two scaling is exact), so
+    // the shifted rollup must be half the original to within the
+    // per-event micro-rounding budget (0.5e-6 × n events).
+    val ev = graft.Tables(spark, TestSpark.sf0001, "events")
+    val anchor = EventQueries.decayAnchorUs(ev)
+    def byType(anchorUs: Long): Map[String, (Long, Double, Double)] =
+      EventQueries.decayedCounts(ev, anchorUs).collect().map { r =>
+        r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("total_value"),
+            r.getAs[Double]("decayed_value")))
+      }.toMap
+    val base = byType(anchor)
+    val shifted = byType(anchor + EventQueries.q41HalfLifeUs)
+    assert(base.nonEmpty)
+    base.foreach { case (t, (n, total, dec)) =>
+      assert(dec > 0.0 && dec <= total,
+        s"$t: decayed $dec outside (0, total=$total]")
+      val budget = 0.5e-6 * n * 1.5
+      assert(math.abs(shifted(t)._3 - dec / 2.0) <= budget,
+        s"$t: shifted ${shifted(t)._3} not half of $dec within $budget")
+    }
+  }
 }
