@@ -4124,6 +4124,91 @@ object TextQueries {
        |FROM hb JOIN ctr ON hb.r = ctr.r AND hb.b = ctr.b
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- d66: BPE merge training (tokenizer vocabulary induction) ----
+  // The byte-pair-encoding trainer (Sennrich et al., ACL 2016) that
+  // produces the merge table a tokenizer ships with — the missing
+  // piece between d02's token counting and d40's fertility audit,
+  // which ASSUME a tokenizer this query now trains. Scale shape: the
+  // corpus is touched ONCE (the word-frequency hash agg, key domain =
+  // the vocabulary, Heaps-sublinear), cached, and every one of the k
+  // merge rounds runs on that vocabulary table: adjacent-pair counts
+  // are a second bounded hash agg (pair domain ≤ vocab · word length)
+  // and the argmax pair reaches the driver as ONE row via a bounded
+  // top-1 (TakeOrderedAndProject) — the I3 driver-orchestration
+  // discipline, k scalars total, nothing corpus-sized on the driver.
+  // Determinism: pair counts include overlapping adjacents (the naive
+  // count both engines compute identically); ties break lexicographic
+  // on the pair string (binary collation in both engines); the merge
+  // APPLY is greedy left-to-right via non-overlapping string replace
+  // (' a b ' → ' ab ' on space-fenced symbol strings), which Java's
+  // String.replace and DuckDB's replace implement with identical
+  // semantics — so the whole trainer unrolls into a k-step CTE chain
+  // the oracle replays bit-for-bit (the m03/v29 discipline).
+  private[operators] val bpeK = 6
+
+  private def d66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab0 = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select(explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")))
+      .select($"freq", $"syms")
+      .persist()
+    vocab0.count() // materialize: the single corpus-sized pass
+    try {
+      var vocab: DataFrame = vocab0
+      val merges = Seq.newBuilder[(Long, String, Long, String)]
+      for (step <- 1 to bpeK) {
+        val top = vocab
+          .select($"freq", split(trim($"syms"), " ").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> concat(toks[i], ' ', toks[i + 1]))")).as("pair"))
+          .groupBy($"pair").agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"pair".asc).limit(1).head()
+        val pair = top.getAs[String]("pair")
+        val cnt = top.getAs[Long]("cnt")
+        val merged = pair.replace(" ", "")
+        merges += ((step.toLong, pair, cnt, merged))
+        val pq = pair.replace("'", "''")
+        val mq = merged.replace("'", "''")
+        vocab = vocab.withColumn("syms",
+          expr(s"replace(syms, ' $pq ', ' $mq ')"))
+      }
+      merges.result().toDF("step", "pair", "cnt", "merged")
+    } finally vocab0.unpersist()
+  }
+  private[operators] val d66Sql = {
+    def step(i: Int) =
+      s"""p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, toks[j] || ' ' || toks[j + 1] AS pair
+         |    FROM (SELECT freq, string_split(trim(syms), ' ') AS toks
+         |          FROM v${i - 1}),
+         |         UNNEST(generate_series(1, len(toks) - 1)) AS u(j)
+         |  ) GROUP BY 1),
+         |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v$i AS (SELECT freq,
+         |    replace(syms, ' ' || m$i.pair || ' ',
+         |      ' ' || replace(m$i.pair, ' ', '') || ' ') AS syms
+         |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
+    val steps = (1 to bpeK).map(step).mkString(",\n")
+    val out = (1 to bpeK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, cnt, " +
+        s"replace(pair, ' ', '') AS merged FROM m$i").mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |w AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+       |v0 AS (SELECT freq,
+       |    ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS syms FROM w),
+       |$steps
+       |SELECT * FROM ($out)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4189,7 +4274,8 @@ object TextQueries {
     Q("d62_source_overlap_sketch", d62, Some(d62Sql)),
     Q("d63_incremental_neardup", d63, Some(d63Sql)),
     Q("d64_quantile_sketch", d64, Some(d64Sql)),
-    Q("d65_countmin_sketch", d65, Some(d65Sql)))
+    Q("d65_countmin_sketch", d65, Some(d65Sql)),
+    Q("d66_bpe_merges", d66, Some(d66Sql)))
 
 
 }
