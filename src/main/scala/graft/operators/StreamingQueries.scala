@@ -1105,6 +1105,37 @@ object StreamingQueries {
     runStream(s, dir, EventQueries.decayedCounts(_, anchor))
   }
 
+  // ---- s37: streaming BPE fertility (the trained tokenizer live) ----
+  // d67's corpus half on a document readStream: arriving docs fold
+  // into the (source, term) count agg in complete mode — state is the
+  // per-source vocabulary counters, the s28 Heaps-bounded family —
+  // while the segmentation table (one n_sym per distinct word under
+  // the batch-trained merges) stays a STATIC side joined in the
+  // batch finish over the sink, the s32 stream-the-state /
+  // finish-off-it pattern. No broadcast hint on that join: the
+  // vocabulary grows sublinearly but unboundedly with the corpus, so
+  // the planner must stay free to shuffle it (the s25 lesson). d67's
+  // SQL oracle gates the streamed counters end-to-end.
+  private def s37(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextQueries.bpeMerges(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.bpeSourceTermCounts(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.bpeFertility(s.table(name),
+      TextQueries.bpeSegmentation(s, dir, merges))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1180,5 +1211,6 @@ object StreamingQueries {
     Q("s33_stream_quantile_sketch", s33, Some(TextQueries.d64Sql)),
     Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)),
     Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)),
-    Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)))
+    Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)),
+    Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)))
 }

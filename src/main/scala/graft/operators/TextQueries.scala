@@ -4146,16 +4146,26 @@ object TextQueries {
   // the oracle replays bit-for-bit (the m03/v29 discipline).
   private[operators] val bpeK = 6
 
-  private def d66(s: SparkSession, dir: String): DataFrame = {
+  /** Char-level symbol strings for the corpus vocabulary: one row per
+    * distinct word, space-fenced (' w o r d ') so merges apply as
+    * fenced string replaces. The single corpus-sized pass. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vocab0 = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select(explode(TextOps.tokens($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")))
-      .select($"freq", $"syms")
-      .persist()
+  }
+
+  /** The trainer loop: k greedy rounds over the cached vocabulary
+    * table; only the argmax (pair, cnt) row crosses the driver each
+    * round. Returns the learned merge table in order. */
+  private[operators] def bpeMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, Long, String)] = {
+    import s.implicits._
+    val vocab0 = bpeVocab(s, dir).select($"freq", $"syms").persist()
     vocab0.count() // materialize: the single corpus-sized pass
     try {
       var vocab: DataFrame = vocab0
@@ -4173,15 +4183,30 @@ object TextQueries {
         val cnt = top.getAs[Long]("cnt")
         val merged = pair.replace(" ", "")
         merges += ((step.toLong, pair, cnt, merged))
-        val pq = pair.replace("'", "''")
-        val mq = merged.replace("'", "''")
-        vocab = vocab.withColumn("syms",
-          expr(s"replace(syms, ' $pq ', ' $mq ')"))
+        vocab = vocab.withColumn("syms", bpeApplyOne(pair))
       }
-      merges.result().toDF("step", "pair", "cnt", "merged")
+      merges.result()
     } finally vocab0.unpersist()
   }
-  private[operators] val d66Sql = {
+
+  /** One learned merge over the `syms` column as a fenced replace
+    * projection (greedy left-to-right, non-overlapping — Java and
+    * DuckDB `replace` share these semantics). */
+  private def bpeApplyOne(pair: String): org.apache.spark.sql.Column = {
+    val pq = pair.replace("'", "''")
+    val mq = pair.replace(" ", "").replace("'", "''")
+    expr(s"replace(syms, ' $pq ', ' $mq ')")
+  }
+
+  private def d66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).toDF("step", "pair", "cnt", "merged")
+  }
+  /** Shared oracle prefix replaying the trainer: CTEs t → w → v0 and
+    * one (p_i, m_i, v_i) triple per round, ending at v<bpeK> — the
+    * merge-applied vocabulary both d66 (merge table) and d67
+    * (segmentation stats) read. */
+  private def bpeCtePrefix: String = {
     def step(i: Int) =
       s"""p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, toks[j] || ' ' || toks[j + 1] AS pair
@@ -4190,24 +4215,90 @@ object TextQueries {
          |         UNNEST(generate_series(1, len(toks) - 1)) AS u(j)
          |  ) GROUP BY 1),
          |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-         |v$i AS (SELECT freq,
+         |v$i AS (SELECT term, freq,
          |    replace(syms, ' ' || m$i.pair || ' ',
          |      ' ' || replace(m$i.pair, ' ', '') || ' ') AS syms
          |  FROM v${i - 1} CROSS JOIN m$i)""".stripMargin
     val steps = (1 to bpeK).map(step).mkString(",\n")
-    val out = (1 to bpeK).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, pair, cnt, " +
-        s"replace(pair, ' ', '') AS merged FROM m$i").mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT
+    s"""t AS (SELECT
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
        |w AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
-       |v0 AS (SELECT freq,
+       |v0 AS (SELECT term, freq,
        |    ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS syms FROM w),
-       |$steps
-       |SELECT * FROM ($out)""".stripMargin
+       |$steps""".stripMargin
   }
+  private[operators] val d66Sql = {
+    val out = (1 to bpeK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, cnt, " +
+        s"replace(pair, ' ', '') AS merged FROM m$i").mkString(" UNION ALL ")
+    s"WITH $bpeCtePrefix\nSELECT * FROM ($out)"
+  }
+
+  // ---- d67: BPE encode + fertility audit (the trainer applied) ----
+  // d66's merge table put to work: segment every corpus word with the
+  // learned merges and report per-source token fertility (tokens per
+  // word) — the compression audit that decides whether a tokenizer
+  // fits a corpus slice, and the trained-tokenizer complement of
+  // d40's fixed-regex fertility. Scale shape: the ENCODE never
+  // touches documents row-by-row — segmentation is computed once per
+  // DISTINCT word (the vocabulary table, k fenced-replace projections
+  // — k bounded constants, no join), and the corpus side reduces to
+  // (source, term) counts (a vocabulary-bounded hash agg, the d55/s28
+  // key domain) before joining the segment lengths on the term key.
+  // That (source, term)-counts half is streamable complete-mode
+  // (s37); the fertility tail divides two exact BIGINTs and
+  // floor-rounds to 6dp, so the whole audit is cross-engine exact.
+  private[graft] def bpeSourceTermCounts(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-word segment counts under the learned merges: the vocabulary
+    * table pushed through the k replace projections (no corpus rows,
+    * no join — merges are driver constants). */
+  private[graft] def bpeSegmentation(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, Long, String)]): DataFrame = {
+    var v = bpeVocab(s, dir).select(col("term"), col("syms"))
+    for ((_, pair, _, _) <- merges)
+      v = v.withColumn("syms", bpeApplyOne(pair))
+    v.select(col("term"),
+      size(split(trim(col("syms")), " ")).cast("long").as("n_sym"))
+  }
+
+  /** Fertility tail: join counts to segment lengths on the term key,
+    * roll up per source. Exact integer sums; 6dp floor-form ratio. */
+  private[graft] def bpeFertility(stCounts: DataFrame, seg: DataFrame)
+      : DataFrame =
+    stCounts.join(seg, Seq("term"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        expr("floor(n_tokens / n_words * 1e6 + 0.5) / 1e6")
+          .as("fertility"))
+
+  private def d67(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir)
+    bpeFertility(bpeSourceTermCounts(Tables(s, dir, "documents")),
+      bpeSegmentation(s, dir, merges))
+  }
+  private[operators] val d67Sql =
+    s"""WITH $bpeCtePrefix,
+       |seg AS (SELECT term, len(string_split(trim(syms), ' ')) AS n_sym
+       |  FROM v$bpeK),
+       |td AS (SELECT source,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest(toks) AS term FROM td) GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+       |  floor(CAST(SUM(cnt * n_sym) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)
+       |    * 1e6 + 0.5) / 1e6 AS fertility
+       |FROM st JOIN seg USING (term) GROUP BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
@@ -4275,7 +4366,8 @@ object TextQueries {
     Q("d63_incremental_neardup", d63, Some(d63Sql)),
     Q("d64_quantile_sketch", d64, Some(d64Sql)),
     Q("d65_countmin_sketch", d65, Some(d65Sql)),
-    Q("d66_bpe_merges", d66, Some(d66Sql)))
+    Q("d66_bpe_merges", d66, Some(d66Sql)),
+    Q("d67_bpe_fertility", d67, Some(d67Sql)))
 
 
 }

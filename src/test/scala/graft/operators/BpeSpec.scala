@@ -44,4 +44,35 @@ class BpeSpec extends AnyFunSuite {
       s"multi-char pair halves must come from earlier merges: " +
         s"${compound.mkString(",")}")
   }
+
+  test("d67 fertility shows real compression per source") {
+    // applying the learned merges must land every source strictly
+    // between one token per word (full fusion) and one token per
+    // CHARACTER (no merge fired): n_words <= n_tokens < n_chars.
+    // The upper bound is the non-vacuity check — the trained merges
+    // ('er', 'in', ...) hit every source's common words, so a broken
+    // apply step (chars untouched) fails it.
+    import org.apache.spark.sql.functions._
+    val rows = Catalog.queries("d67_bpe_fertility")(spark, TestSpark.sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val charTotals = graft.Tables(spark, TestSpark.sf001, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(sum(length(col("term"))).as("n_chars"))
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("n_chars")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (w, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      assert(w > 0L && t >= w, s"$src: n_tokens $t below n_words $w")
+      assert(t < charTotals(src),
+        s"$src: no compression over char-level ($t vs ${charTotals(src)})")
+      val f = r.getAs[Double]("fertility")
+      assert(f >= 1.0 && f <= charTotals(src).toDouble / w,
+        s"$src: fertility $f outside [1, chars/word]")
+    }
+  }
 }
