@@ -4069,14 +4069,18 @@ object TextQueries {
   private[operators] val cmW = 16L
 
   /** The d (row, bucket) coordinates of one term under the row-salted
-    * 48-bit md5 hashes — one bounded array literal per term, no join. */
-  private def cmRb(term: org.apache.spark.sql.Column) =
+    * 48-bit md5 hashes — one bounded array literal per term, no join.
+    * The base hash is width-independent (mod w applied last), so
+    * counter matrices at nested widths aggregate EXACTLY (the d68
+    * dial-curve theorem). */
+  private def cmRbW(term: org.apache.spark.sql.Column, w: Long) =
     array((0 until cmD).map { r =>
       struct(lit(r).as("r"),
         pmod(conv(substring(md5(concat(lit(s"cm$r:"), term)
           .cast("binary")), 1, 12), 16, 10).cast("long"),
-          lit(cmW)).as("b"))
+          lit(w)).as("b"))
     }: _*)
+  private def cmRb(term: org.apache.spark.sql.Column) = cmRbW(term, cmW)
 
   /** The streamable half: one token scan → the d·w-cell counter
     * matrix via one (r, b)-keyed hash agg. Complete-mode state on a
@@ -4107,6 +4111,84 @@ object TextQueries {
   private def d65(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     cmEstimate(cmCounters(docs), termCountsAgg(docs))
+  }
+
+  // ---- d68: count-min width dial curve (the sketch's error audit) ----
+  // The x10/v25 dial-audit pattern applied to d65: per width w, the
+  // corpus-level overcount profile (how many terms collide, total and
+  // worst-case overcounted mass) — the table an operator reads to set
+  // w against a memory budget. The dials are NESTED (each divides the
+  // next) and the base hash is width-independent, so a narrow matrix
+  // is EXACTLY the bucket-sum of a wider one: every counter only
+  // gains mass as w shrinks, min-over-rows preserves the ordering,
+  // and the whole error column is monotone non-increasing in w — a
+  // THEOREM, not an empirical trend, spec-pinned like the v25
+  // monotonicity gate. One corpus pass builds the vocabulary counts;
+  // each dial adds only vocabulary-bounded work (the est join per w).
+  private[operators] val cmDials = Seq(8L, 16L, 64L)
+
+  /** Counter matrix at width w derived from the vocabulary counts
+    * (no second corpus pass — Σ_tokens ≡ Σ_terms cnt·1). */
+  private def cmCountersOfCounts(counts: DataFrame, w: Long): DataFrame =
+    counts
+      .select(col("cnt"), explode(cmRbW(col("term"), w)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("cnt")).as("tot"))
+
+  /** Per-term estimates at width w (the d65 tail, parameterized). */
+  private[graft] def cmEstimateAt(counts: DataFrame, w: Long): DataFrame =
+    counts
+      .select(col("term"), col("cnt"), explode(cmRbW(col("term"), w)).as("rb"))
+      .select(col("term"), col("cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cmCountersOfCounts(counts, w)), Seq("r", "b"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("tot")).as("cnt_est"))
+      .select(col("term"), col("cnt").as("cnt_exact"), col("cnt_est"),
+        (col("cnt_est") - col("cnt")).as("overcount"))
+
+  private def d68(s: SparkSession, dir: String): DataFrame = {
+    require(cmDials.sliding(2).forall {
+      case Seq(a, b) => b % a == 0
+      case _ => true
+    }, "dial widths must nest for the monotonicity theorem")
+    val counts = termCountsAgg(Tables(s, dir, "documents"))
+    cmDials.map { w =>
+      cmEstimateAt(counts, w)
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("overcount") > 0L, 1L).otherwise(0L))
+            .as("n_collided"),
+          sum(col("overcount")).as("total_overcount"),
+          max(col("overcount")).as("max_overcount"))
+        .select(lit(w).as("w"), col("n_terms"), col("n_collided"),
+          col("total_overcount"), col("max_overcount"))
+    }.reduce(_.unionAll(_))
+  }
+  private[operators] val d68Sql = {
+    def dial(w: Long) =
+      s"""SELECT CAST($w AS BIGINT) AS w,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(CASE WHEN e.cnt_est > e.cnt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_collided,
+         |  CAST(SUM(e.cnt_est - e.cnt) AS BIGINT) AS total_overcount,
+         |  CAST(MAX(e.cnt_est - e.cnt) AS BIGINT) AS max_overcount
+         |FROM (
+         |  SELECT hb.term, hb.cnt, MIN(ctr.tot) AS cnt_est
+         |  FROM (SELECT term, cnt, r.range AS r,
+         |      CAST('0x' || substr(md5('cm' || CAST(r.range AS VARCHAR) || ':' || term), 1, 12) AS BIGINT) % $w AS b
+         |    FROM c CROSS JOIN range($cmD) r) hb
+         |  JOIN (SELECT r.range AS r,
+         |      CAST('0x' || substr(md5('cm' || CAST(r.range AS VARCHAR) || ':' || term), 1, 12) AS BIGINT) % $w AS b,
+         |      CAST(SUM(cnt) AS BIGINT) AS tot
+         |    FROM c CROSS JOIN range($cmD) r GROUP BY 1, 2) ctr
+         |    ON hb.r = ctr.r AND hb.b = ctr.b
+         |  GROUP BY 1, 2) e""".stripMargin
+    s"""WITH t AS (SELECT
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1)
+       |${cmDials.map(dial).mkString(" UNION ALL ")}""".stripMargin
   }
   private[operators] val d65Sql =
     s"""WITH t AS (SELECT
@@ -4367,7 +4449,8 @@ object TextQueries {
     Q("d64_quantile_sketch", d64, Some(d64Sql)),
     Q("d65_countmin_sketch", d65, Some(d65Sql)),
     Q("d66_bpe_merges", d66, Some(d66Sql)),
-    Q("d67_bpe_fertility", d67, Some(d67Sql)))
+    Q("d67_bpe_fertility", d67, Some(d67Sql)),
+    Q("d68_countmin_dial_curve", d68, Some(d68Sql)))
 
 
 }

@@ -350,6 +350,36 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       "some term should own a clean bucket in one of the 3 rows")
   }
 
+  test("d68 dial curve is monotone by the nested-counter theorem, per term") {
+    // dials nest (8 | 16 | 64) and the base hash is width-independent,
+    // so a narrow counter is the exact bucket-sum of wider ones: every
+    // term's estimate is non-increasing in w — assert it PER TERM at
+    // consecutive dials, and on the rolled-up curve
+    val curve = Catalog.queries("d68_countmin_dial_curve")(
+      spark, TestSpark.sf001).collect()
+      .sortBy(_.getAs[Long]("w"))
+    assert(curve.map(_.getAs[Long]("w")) sameElements Array(8L, 16L, 64L))
+    curve.sliding(2).foreach {
+      case Array(narrow, wide) =>
+        assert(wide.getAs[Long]("total_overcount") <=
+          narrow.getAs[Long]("total_overcount"), "total not monotone")
+        assert(wide.getAs[Long]("max_overcount") <=
+          narrow.getAs[Long]("max_overcount"), "max not monotone")
+        assert(wide.getAs[Long]("n_collided") <=
+          narrow.getAs[Long]("n_collided"), "collisions not monotone")
+      case _ =>
+    }
+    val counts = TextQueries.termCountsAgg(
+      graft.Tables(spark, TestSpark.sf001, "documents"))
+    def estMap(w: Long): Map[String, Long] =
+      TextQueries.cmEstimateAt(counts, w).collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("cnt_est")).toMap
+    val (e16, e64) = (estMap(16L), estMap(64L))
+    e16.foreach { case (t, e) =>
+      assert(e64(t) <= e, s"term $t: est at w=64 (${e64(t)}) above w=16 ($e)")
+    }
+  }
+
   test("d65 counter matrix conserves total token mass in every row") {
     // each of the d rows receives every token exactly once, so each
     // row's counters sum to N — the mass-conservation invariant that
