@@ -426,6 +426,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "restored counters must carry batch 1's term mass forward")
   }
 
+  test("streaming count-min matrix (s34 engine) restores counter cells across restart") {
+    // the counter family's FIXED-key-domain member (d·w cells, keys
+    // exist from batch 1): recovery here is purely about restored
+    // VALUES — the post-restart matrix must equal the single-pass
+    // batch matrix cell-for-cell, and must not equal the batch-2-only
+    // matrix (which would mean the state store came back empty and
+    // batch 1's mass was dropped).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("cm-ckpt")
+    val name = "graft_cm_recovery_sink"
+    val mem = MemoryStream[(Long, String)]
+    import graft.operators.TextQueries
+
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text")
+    def start() = TextQueries.cmCounters(docs(mem.toDF()))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    val batch1 = Seq((1L, "alpha beta alpha gamma"),
+      (2L, "beta delta"))
+    val batch2 = Seq((3L, "alpha epsilon beta beta"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cells(spark.table(name)) ==
+      cells(TextQueries.cmCounters(docs(batch1.toDF()))),
+      "run 1 matrix diverges from the batch matrix")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = cells(spark.table(name))
+    val want = cells(TextQueries.cmCounters(docs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      s"restarted matrix != single-pass batch matrix (cell state " +
+        s"lost?):\ngot $got\nwant $want")
+    assert(got != cells(TextQueries.cmCounters(docs(batch2.toDF()))),
+      "final matrix must not equal the batch-2-only matrix — restored " +
+        "cells must carry batch 1's mass forward")
+  }
+
   test("streaming quantile sketch (s33 engine) restores compactor state across restart") {
     // the sketch-as-state family's newest member: run 2 only sees
     // batch 2, so the final quantiles cover batch 1's values only via
