@@ -3801,32 +3801,42 @@ object TextQueries {
       (fz, bd)
     }
 
-  private def d60(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
-    val survivors = Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN)
-      .filter(length(trim($"text")) > 0)
-      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
-      .join(bloomDrop, Seq("doc_id"), "left_anti")
-      .select($"source", $"doc_id",
-        size(TextOps.tokens($"text")).cast("long").as("w"))
+  /** Screened docs → E-S weighted per-source top-k: the manifest tail
+    * every generation shares (only the verdict anti-joins differ). */
+  private def manifestSample(screened: DataFrame): DataFrame = {
+    val survivors = screened
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"))
       .withColumn("u",
-        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":ws"))
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))
           .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
           / 16777216.0)
       .withColumn("prio",
         expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)"))
     graft.vec.VectorOps.topKPerQuery(
-        survivors.select($"source".as("qid"), $"doc_id".as("vec_id"),
-          $"prio".cast("double").as("score")), curK)
-      .select($"qid".as("source"), $"rank", $"vec_id".as("doc_id"),
-        $"score".cast("bigint").as("prio_micro"))
+        survivors.select(col("source").as("qid"), col("doc_id").as("vec_id"),
+          col("prio").cast("double").as("score")), curK)
+      .select(col("qid").as("source"), col("rank"),
+        col("vec_id").as("doc_id"),
+        col("score").cast("bigint").as("prio_micro"))
   }
-  private lazy val d60Sql = {
+
+  private def d60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
+    manifestSample(Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN)
+      .filter(length(trim($"text")) > 0)
+      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
+      .join(bloomDrop, Seq("doc_id"), "left_anti"))
+  }
+  /** The composed-manifest oracle, parameterized by extra verdict CTEs
+    * and extra survivor predicates (d60 passes none; d69 adds the
+    * semantic screen). */
+  private def manifestSql(extraCtes: String, extraFilter: String) = {
     // d58's golden VALUES re-skinned as a flagged-doc CTE: strip the
     // golden's SELECT header down to the doc ids
-    s"""WITH fz AS (SELECT DISTINCT doc_id FROM (${GoldenOracles.d58})),
+    s"""WITH $extraCtes fz AS (SELECT DISTINCT doc_id FROM (${GoldenOracles.d58})),
        |t0 AS (SELECT doc_id, source,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
@@ -3853,7 +3863,7 @@ object TextQueries {
        |      CAST(len(toks) AS BIGINT) AS w
        |    FROM t0 WHERE doc_id >= $fuzzyEvalN
        |      AND doc_id NOT IN (SELECT doc_id FROM fz)
-       |      AND doc_id NOT IN (SELECT doc_id FROM bd)),
+       |      AND doc_id NOT IN (SELECT doc_id FROM bd)$extraFilter),
        |  p AS (SELECT source, doc_id,
        |      CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
        |          || ':ws'), 1, 6) AS INT) + 0.5e0) / 16777216.0e0)
@@ -3866,6 +3876,43 @@ object TextQueries {
        |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
        |  prio AS prio_micro
        |FROM r WHERE rn <= $curK""".stripMargin
+  }
+  private lazy val d60Sql = manifestSql("", "")
+
+  // ---- d69: curation manifest v3 (the semantic rung composed in) ----
+  // d60 plus the paraphrase screen: survivors must ALSO clear v31's
+  // embedding-cosine decontamination (vec_id indexes doc_id, the
+  // fixture's row alignment), so the manifest now composes all three
+  // contamination modalities — token-fuzzy (d58), Bloom-membership
+  // (d57), and semantic (v31) — each applied AS DEPLOYED with its own
+  // eval universe (the d60 doctrine; v31's is vec_id < 50). The
+  // semantic verdict set is the output of a stateless zero-shuffle
+  // projection, so the composition cost is one more bounded
+  // anti-join; every stage remains an independently oracle-gated
+  // engine and the composed oracle inlines v31's SQL as a CTE.
+  private def d69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
+    manifestSample(Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN)
+      .filter(length(trim($"text")) > 0)
+      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
+      .join(bloomDrop, Seq("doc_id"), "left_anti")
+      .join(VectorQueries.semanticFlaggedIds(s, dir),
+        Seq("doc_id"), "left_anti"))
+  }
+  private lazy val d69Sql = {
+    val cos = graft.vec.VectorOps.cosineSql("c.embedding", "ev.e")
+    val semCte =
+      s"""sem AS (SELECT DISTINCT c.vec_id AS doc_id
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id >= ${VectorQueries.sdEvalN}) c
+         |  CROSS JOIN (SELECT embedding AS e FROM embeddings
+         |        WHERE vec_id < ${VectorQueries.sdEvalN}) ev
+         |  WHERE $cos >= ${VectorQueries.sdTau}e0),
+         |""".stripMargin
+    manifestSql(semCte,
+      "\n      AND doc_id NOT IN (SELECT doc_id FROM sem)")
   }
 
   // ---- d63: incremental near-dup index maintenance ----
@@ -4450,7 +4497,8 @@ object TextQueries {
     Q("d65_countmin_sketch", d65, Some(d65Sql)),
     Q("d66_bpe_merges", d66, Some(d66Sql)),
     Q("d67_bpe_fertility", d67, Some(d67Sql)),
-    Q("d68_countmin_dial_curve", d68, Some(d68Sql)))
+    Q("d68_countmin_dial_curve", d68, Some(d68Sql)),
+    Q("d69_curation_manifest_v3", d69, Some(d69Sql)))
 
 
 }

@@ -2037,6 +2037,13 @@ object VectorQueries {
     semanticScreen(embeddings(s, dir).filter($"vec_id" >= sdEvalN),
       evalMatrix(s, dir))
   }
+
+  /** v31's verdict set as doc ids (vec_id indexes doc_id in the
+    * fixture's row alignment, the v22/x03 correspondence) — the
+    * bounded anti-join side the composed manifest consumes (d69). */
+  private[graft] def semanticFlaggedIds(s: SparkSession, dir: String)
+      : DataFrame =
+    v31(s, dir).select(col("vec_id").as("doc_id"))
   private[operators] val v31Sql = {
     val cos = VectorOps.cosineSql("c.embedding", "ev.e")
     s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e

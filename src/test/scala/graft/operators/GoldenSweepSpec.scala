@@ -47,13 +47,14 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 20 golden-gated queries: every Catalog entry whose oracle is
-    * a pinned GoldenOracles VALUES table — verbatim (the 18 pure
-    * goldens and s24, gated on GoldenOracles.d58 itself) or embedded
-    * (d60, whose SQL oracle inlines that golden as a CTE). */
+  /** The 26 golden-gated queries: every Catalog entry whose oracle is
+    * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
+    * and s24, gated on GoldenOracles.d58 itself) or embedded (d60 and
+    * d69, whose SQL oracles inline that golden as a CTE). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
     "d58_fuzzy_decontam_prod", "d60_curation_manifest_v2",
+    "d69_curation_manifest_v3",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
     "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
@@ -122,6 +123,36 @@ class GoldenSweepSpec extends AnyFunSuite {
       assert(badRanks.count() == 0,
         s"per-source sample is not a dense rank prefix of size <= 5 at $sfDir")
     } finally d60.unpersist()
+  }
+
+  test("d69 manifest v3 holds the semantic rung against the LIVE screen, any scale") {
+    // d69 inherits d60's gate-scale-pinned oracle (the inlined d58
+    // golden), so the sweep re-proves its composition contract
+    // structurally: everything d60's sweep test checks, plus the new
+    // rung — no sampled doc may be flagged by the LIVE semantic
+    // screen at the sweep dir
+    import org.apache.spark.sql.functions._
+    val d69 = Catalog.queries("d69_curation_manifest_v3")(spark, sfDir)
+      .cache()
+    try {
+      assert(d69.count() > 0, s"d69 returned no rows at $sfDir")
+      val sampled = d69.select(col("doc_id")).distinct()
+      val semFlagged = Catalog.queries("v31_semantic_decontam")(spark, sfDir)
+        .select(col("vec_id").as("doc_id")).distinct()
+      assert(sampled.join(semFlagged, "doc_id").count() == 0,
+        s"sampled ∩ live semantic-flagged must be empty at $sfDir")
+      val flagged = Catalog.queries("d58_fuzzy_decontam_prod")(spark, sfDir)
+        .select(col("doc_id")).distinct()
+      assert(sampled.join(flagged, "doc_id").count() == 0,
+        s"sampled ∩ live fuzzy-flagged must be empty at $sfDir")
+      assert(d69.filter(col("doc_id") < TextQueries.fuzzyEvalN).count() == 0,
+        s"eval-suite docs leaked into the v3 sample at $sfDir")
+      val badRanks = d69.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+        .filter(col("mx") =!= col("n") || col("n") > 5)
+      assert(badRanks.count() == 0,
+        s"per-source v3 sample is not a dense rank prefix of size <= 5 at $sfDir")
+    } finally d69.unpersist()
   }
 
   test("v25 recall curve is monotone and exact at the full probe budget, any scale") {

@@ -287,6 +287,28 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       "fixture assumption: eval clone 290 exists and is screened out")
   }
 
+  test("manifest v3 (d69) also screens the semantic rung, non-vacuously") {
+    // v3's addition: no v31-flagged (paraphrase-contaminated) doc may
+    // reach the sample — and the rung must actually matter: the v3
+    // sample must differ from v2's (the semantic screen removes
+    // candidates v2 admitted), or composing it was a no-op
+    import spark.implicits._
+    val dir = TestSpark.sf001
+    val semFlagged = Catalog.queries("v31_semantic_decontam")(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    val v3 = Catalog.queries("d69_curation_manifest_v3")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val v2 = Catalog.queries("d60_curation_manifest_v2")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert((v3 & semFlagged).isEmpty,
+      s"semantically contaminated docs sampled: ${v3 & semFlagged}")
+    assert(v3 != v2,
+      "the semantic rung must change the sample on the fixture")
+    assert((v2 & semFlagged).nonEmpty,
+      "fixture assumption: v2 admits at least one doc the semantic " +
+        "screen would drop (otherwise the non-vacuity claim is hollow)")
+  }
+
   test("production fuzzy decontamination (d58) finds every d53 hit and respects the boundary") {
     // d58 is d53 on the native xxhash64 engine over the FULL corpus;
     // a hash swap must not lose true clones — every (doc, eval) pair
