@@ -510,7 +510,60 @@ object EventQueries {
       |    AS decayed_value
       |FROM c GROUP BY 1""".stripMargin
 
+  // ---- q42: error-burst detection (gaps-and-islands runs) ----
+  // The MATCH_RECOGNIZE-shaped sequence operator next to q36's funnel
+  // and q18's sessionizer: per user, maximal runs of CONSECUTIVE
+  // 'error' events in that user's event order (an alerting pipeline's
+  // "N failures in a row" signal). Batch shape is the classic
+  // gaps-and-islands rewrite — two user-keyed row_numbers whose
+  // difference is constant within a run — so every exchange is on
+  // user_id (one partitioning reused by both windows and the aggs)
+  // and per-user window state is one counter, never a cross-user
+  // sort. The streaming form replaces the windows with O(1) keyed
+  // state per user (StreamingOps.errorRuns: last-seen cursor, open
+  // run, closed-run rollup — the x11/s30 window→state rewrite), which
+  // is how an unbounded event feed runs this with constant memory.
+  private[operators] val q42MinRun = 2L
+
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val e = Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"event_type" === "error")
+    val we = Window.partitionBy($"user_id").orderBy($"rn".asc)
+    val runs = e
+      .withColumn("island", $"rn" - row_number().over(we))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy($"user_id")
+      .agg(sum(when($"len" >= q42MinRun, 1L).otherwise(0L)).as("n_runs"),
+        max($"len").as("longest_run"),
+        sum($"len").as("n_errors"))
+      .filter($"longest_run" >= q42MinRun)
+  }
+  private[operators] val q42Sql =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |    event_type = 'error' AS err,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |er AS (SELECT user_id,
+       |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+       |      AS island
+       |  FROM e WHERE err),
+       |runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM er GROUP BY 1, 2)
+       |SELECT user_id,
+       |  CAST(SUM(CASE WHEN len >= $q42MinRun THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_runs,
+       |  CAST(MAX(len) AS BIGINT) AS longest_run,
+       |  CAST(SUM(len) AS BIGINT) AS n_errors
+       |FROM runs GROUP BY 1
+       |HAVING MAX(len) >= $q42MinRun""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q42_error_runs", q42, Some(q42Sql)),
     Q("q41_decayed_counts", q41, Some(q41Sql)),
     Q("q40_sliding_distinct", q40, Some(q40Sql)),
     Q("q38_incremental_rollup", q38, Some(q17Sql)),

@@ -1136,6 +1136,26 @@ object StreamingQueries {
       TextQueries.bpeSegmentation(s, dir, merges))
   }
 
+  // ---- s38: streaming error-burst detection (q42's runs live) ----
+  // The gaps-and-islands windows rewritten as O(1) keyed state
+  // (StreamingOps.errorRuns — last-seen cursor, open run, closed-run
+  // rollup per user, the x11/s30 window→state rewrite), so the alert
+  // "N consecutive failures" fires from an unbounded feed with
+  // constant memory per user. Append mode; on the single-batch
+  // fixture the emission IS batch q42, so q42's SQL oracle gates the
+  // stateful path end-to-end; cross-batch run stitching and the
+  // late-event guard are proven on MemoryStreams (ErrorRunsSpec).
+  private def s38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, raw =>
+      StreamingOps.errorRuns(
+        raw.select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          ($"event_type" === "error").as("is_error"))
+          .as[StreamingOps.UserEvent],
+        EventQueries.q42MinRun).toDF(),
+      mode = "append")
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1212,5 +1232,6 @@ object StreamingQueries {
     Q("s34_stream_countmin", s34, Some(TextQueries.d65Sql)),
     Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)),
     Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)),
-    Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)))
+    Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)),
+    Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)))
 }

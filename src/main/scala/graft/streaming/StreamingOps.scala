@@ -194,6 +194,54 @@ object StreamingOps {
       }
   }
 
+  final case class UserEvent(user_id: Long, us: Long, event_id: Long,
+      is_error: Boolean)
+  final case class RunState(lastUs: Long, lastId: Long, curRun: Long,
+      nRuns: Long, longest: Long, nErrors: Long)
+  final case class RunStats(user_id: Long, n_runs: Long,
+      longest_run: Long, n_errors: Long)
+
+  /** Live error-burst detection (the streaming form of q42's
+    * gaps-and-islands windows): per-user state is O(1) — last-seen
+    * (us, event_id) cursor, open run length, closed-run rollup — so
+    * an unbounded event feed counts consecutive-failure bursts with
+    * constant memory per user, where the batch form's two windows
+    * would buffer the user's event order. Events are sorted within
+    * each batch; across batches the cursor enforces order (an event
+    * at or before it is late data and dropped — the x11/s30 guard).
+    * Emission per batch is the user's CURRENT rollup with the open
+    * run folded in, filtered to qualifying users; on ordered input
+    * the final emission equals batch q42 exactly. */
+  def errorRuns(events: Dataset[UserEvent], minRun: Long)
+      : Dataset[RunStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[RunState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+          var st = state.getOption.getOrElse(
+            RunState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          for (r <- sorted
+               if r.us > st.lastUs || (r.us == st.lastUs && r.event_id > st.lastId)) {
+            st =
+              if (r.is_error)
+                st.copy(lastUs = r.us, lastId = r.event_id,
+                  curRun = st.curRun + 1L, nErrors = st.nErrors + 1L)
+              else
+                st.copy(lastUs = r.us, lastId = r.event_id, curRun = 0L,
+                  nRuns = st.nRuns + (if (st.curRun >= minRun) 1L else 0L),
+                  longest = math.max(st.longest, st.curRun))
+          }
+          state.update(st)
+          val longest = math.max(st.longest, st.curRun)
+          val nRuns = st.nRuns + (if (st.curRun >= minRun) 1L else 0L)
+          if (longest >= minRun)
+            Iterator.single(RunStats(uid, nRuns, longest, st.nErrors))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup on a signature column with watermark-bounded
     * state — the streaming form of d01_dedup_exact. Dedup key is the
     * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested
