@@ -3833,10 +3833,14 @@ object TextQueries {
   /** The composed-manifest oracle, parameterized by extra verdict CTEs
     * and extra survivor predicates (d60 passes none; d69 adds the
     * semantic screen). */
-  private def manifestSql(extraCtes: String, extraFilter: String) = {
+  /** The screen-verdict CTEs every composed audit shares: fz (the
+    * inlined d58 golden), the t0→bd Bloom-majority pipeline, and
+    * optionally extra verdict CTEs (d69's sem). Tails differ: the
+    * manifests sample, the report (d70) explains. */
+  private def screenCtesSql(extraCtes: String) =
     // d58's golden VALUES re-skinned as a flagged-doc CTE: strip the
     // golden's SELECT header down to the doc ids
-    s"""WITH $extraCtes fz AS (SELECT DISTINCT doc_id FROM (${GoldenOracles.d58})),
+    s"""$extraCtes fz AS (SELECT DISTINCT doc_id FROM (${GoldenOracles.d58})),
        |t0 AS (SELECT doc_id, source,
        |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM documents WHERE length(trim(text)) > 0),
@@ -3858,8 +3862,14 @@ object TextQueries {
        |    FROM cp LEFT JOIN ep ON cp.pos = ep.pos GROUP BY 1, 2),
        |  bd AS (SELECT doc_id FROM (SELECT doc_id, COUNT(*) AS tot,
        |      SUM(allset) AS hits FROM g GROUP BY 1)
-       |    WHERE hits * 2 > tot),
-       |  sv AS (SELECT source, doc_id,
+       |    WHERE hits * 2 > tot)""".stripMargin
+
+  private def manifestSql(extraCtes: String, extraFilter: String) = {
+    // NOTE: screenCtesSql is already margin-stripped — concatenate,
+    // never re-interpolate it under another stripMargin (its SQL `||`
+    // operators at line starts would be re-stripped as margins)
+    s"WITH ${screenCtesSql(extraCtes)},\n" +
+    s"""  sv AS (SELECT source, doc_id,
        |      CAST(len(toks) AS BIGINT) AS w
        |    FROM t0 WHERE doc_id >= $fuzzyEvalN
        |      AND doc_id NOT IN (SELECT doc_id FROM fz)
@@ -3901,19 +3911,67 @@ object TextQueries {
       .join(VectorQueries.semanticFlaggedIds(s, dir),
         Seq("doc_id"), "left_anti"))
   }
-  private lazy val d69Sql = {
+  /** v31's verdict set as an oracle CTE (shared by d69/d70). */
+  private lazy val semCteSql = {
     val cos = graft.vec.VectorOps.cosineSql("c.embedding", "ev.e")
-    val semCte =
-      s"""sem AS (SELECT DISTINCT c.vec_id AS doc_id
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        WHERE vec_id >= ${VectorQueries.sdEvalN}) c
-         |  CROSS JOIN (SELECT embedding AS e FROM embeddings
-         |        WHERE vec_id < ${VectorQueries.sdEvalN}) ev
-         |  WHERE $cos >= ${VectorQueries.sdTau}e0),
-         |""".stripMargin
-    manifestSql(semCte,
-      "\n      AND doc_id NOT IN (SELECT doc_id FROM sem)")
+    s"""sem AS (SELECT DISTINCT c.vec_id AS doc_id
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id >= ${VectorQueries.sdEvalN}) c
+       |  CROSS JOIN (SELECT embedding AS e FROM embeddings
+       |        WHERE vec_id < ${VectorQueries.sdEvalN}) ev
+       |  WHERE $cos >= ${VectorQueries.sdTau}e0),
+       |""".stripMargin
   }
+  private lazy val d69Sql = manifestSql(semCteSql,
+    "\n      AND doc_id NOT IN (SELECT doc_id FROM sem)")
+
+  // ---- d70: contamination report (per-doc verdict provenance) ----
+  // The explainability table a curation run ships next to its
+  // manifest: for every corpus doc, WHICH screens flagged it — the
+  // token-fuzzy verdict (d58), the Bloom-majority verdict (d57), the
+  // semantic verdict (v31) — plus the roll-up a reviewer reads
+  // (n_flags, keep). The manifests (d60/d69) answer "what survived";
+  // this answers "why did everything else drop", which is what audit
+  // trails and screen-drift dashboards consume. Scale shape: three
+  // left joins of the corpus id spine against BOUNDED verdict sets
+  // (each the output of an already-gated screen; the verdict frames
+  // are the same SessionCache'd d60 sides plus v31's stateless
+  // projection) — no gram or vector work happens here at all.
+  private def d70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
+    def tagged(df: DataFrame, c: String) =
+      df.select(col("doc_id"), lit(1L).as(c))
+    Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN)
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source")
+      .join(tagged(fuzzyFlagged, "ff"), Seq("doc_id"), "left")
+      .join(tagged(bloomDrop, "fb"), Seq("doc_id"), "left")
+      .join(tagged(VectorQueries.semanticFlaggedIds(s, dir), "fs"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"ff", lit(0L)).as("flag_fuzzy"),
+        coalesce($"fb", lit(0L)).as("flag_bloom"),
+        coalesce($"fs", lit(0L)).as("flag_semantic"))
+      .withColumn("n_flags",
+        $"flag_fuzzy" + $"flag_bloom" + $"flag_semantic")
+      .withColumn("keep", when($"n_flags" === 0L, 1L).otherwise(0L))
+  }
+  private lazy val d70Sql =
+    s"WITH ${screenCtesSql(semCteSql)}\n" +
+    s"""SELECT doc_id, source, flag_fuzzy, flag_bloom, flag_semantic,
+       |  flag_fuzzy + flag_bloom + flag_semantic AS n_flags,
+       |  CAST(CASE WHEN flag_fuzzy + flag_bloom + flag_semantic = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (SELECT doc_id, source,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM fz) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS flag_fuzzy,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM bd) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS flag_bloom,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM sem) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS flag_semantic
+       |  FROM t0 WHERE doc_id >= $fuzzyEvalN)""".stripMargin
 
   // ---- d63: incremental near-dup index maintenance ----
   // The d34/v28 merge-don't-recompute contract applied to MinHash LSH:
@@ -4498,7 +4556,8 @@ object TextQueries {
     Q("d66_bpe_merges", d66, Some(d66Sql)),
     Q("d67_bpe_fertility", d67, Some(d67Sql)),
     Q("d68_countmin_dial_curve", d68, Some(d68Sql)),
-    Q("d69_curation_manifest_v3", d69, Some(d69Sql)))
+    Q("d69_curation_manifest_v3", d69, Some(d69Sql)),
+    Q("d70_contamination_report", d70, Some(d70Sql)))
 
 
 }

@@ -372,6 +372,38 @@ class SketchAndQuantileSpec extends AnyFunSuite {
       "some term should own a clean bucket in one of the 3 rows")
   }
 
+  test("d70 report explains exactly what the manifests enforce") {
+    // the provenance table must agree with the pipelines that consume
+    // its verdicts: v3's sample lives entirely in the keep set, v2's
+    // sample clears the two screens it applies (but may include
+    // semantically-flagged docs — that's what v3 fixed), and the
+    // roll-up columns are pure functions of the flags
+    import spark.implicits._
+    val dir = TestSpark.sf001
+    val rows = Catalog.queries("d70_contamination_report")(spark, dir)
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val (ff, fb, fs) = (r.getAs[Long]("flag_fuzzy"),
+        r.getAs[Long]("flag_bloom"), r.getAs[Long]("flag_semantic"))
+      assert(r.getAs[Long]("n_flags") == ff + fb + fs, s"bad n_flags: $r")
+      assert(r.getAs[Long]("keep") == (if (ff + fb + fs == 0) 1L else 0L),
+        s"bad keep: $r")
+    }
+    val keep = rows.filter(_.getAs[Long]("keep") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val twoScreenClear = rows.filter(r => r.getAs[Long]("flag_fuzzy") == 0L
+      && r.getAs[Long]("flag_bloom") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val v3 = Catalog.queries("d69_curation_manifest_v3")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val v2 = Catalog.queries("d60_curation_manifest_v2")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v3.subsetOf(keep), s"v3 sampled outside keep: ${v3 -- keep}")
+    assert(v2.subsetOf(twoScreenClear),
+      s"v2 sampled docs its own screens flag: ${v2 -- twoScreenClear}")
+  }
+
   test("d68 dial curve is monotone by the nested-counter theorem, per term") {
     // dials nest (8 | 16 | 64) and the base hash is width-independent,
     // so a narrow counter is the exact bucket-sum of wider ones: every
