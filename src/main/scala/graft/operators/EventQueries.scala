@@ -562,7 +562,60 @@ object EventQueries {
        |FROM runs GROUP BY 1
        |HAVING MAX(len) >= $q42MinRun""".stripMargin
 
+  // ---- q43: last-touch purchase attribution (running-state window) ----
+  // The attribution staple: each purchase credits the user's most
+  // recent preceding click within the attribution window (1 hour).
+  // Batch shape: ONE user-keyed ordered window carrying a running
+  // conditional max (the last click's timestamp) — no self-join, no
+  // per-purchase probe — then a user-keyed rollup. Money rides as
+  // integer CENTS (floor-form per event) so the sums are exact
+  // BIGINTs in both engines. The streaming form keeps just that
+  // running max as O(1) keyed state per user (StreamingOps
+  // .attributionStats — the q42/x11 window→state rewrite), which is
+  // how the live attribution feed runs with constant memory.
+  private[operators] val q43WindowUs = 3600000000L // 1 hour
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("last_click",
+        max(when($"event_type" === "click", $"us")).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("attributed",
+        when($"last_click".isNotNull &&
+          $"us" - $"last_click" <= q43WindowUs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"attributed").as("n_attributed"),
+        sum(when($"attributed" === 1L,
+          expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .otherwise(0L)).as("attr_value_cents"))
+  }
+  private[operators] val q43Sql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |    epoch_us(ts) AS us,
+       |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS last_click
+       |  FROM events),
+       |p AS (SELECT user_id, value,
+       |    CASE WHEN last_click IS NOT NULL
+       |      AND us - last_click <= $q43WindowUs THEN 1 ELSE 0 END
+       |      AS attributed
+       |  FROM e WHERE event_type = 'purchase')
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+       |  CAST(SUM(CASE WHEN attributed = 1
+       |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+       |    AS BIGINT) AS attr_value_cents
+       |FROM p GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q43_purchase_attribution", q43, Some(q43Sql)),
     Q("q42_error_runs", q42, Some(q42Sql)),
     Q("q41_decayed_counts", q41, Some(q41Sql)),
     Q("q40_sliding_distinct", q40, Some(q40Sql)),

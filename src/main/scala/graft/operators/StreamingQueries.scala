@@ -1156,6 +1156,28 @@ object StreamingQueries {
       mode = "append")
   }
 
+  // ---- s39: streaming purchase attribution (q43's running max live) ----
+  // The running-conditional-max window rewritten as O(1) keyed state
+  // (StreamingOps.attributionStats — last click's timestamp plus the
+  // rollup per user), so last-touch attribution runs on the live feed
+  // with constant memory. Money rides as integer cents end-to-end.
+  // Append mode; on the single-batch fixture the emission IS batch
+  // q43, so q43's SQL oracle gates the stateful path; cross-batch
+  // click→purchase stitching and the replay guard are proven on
+  // MemoryStreams (ErrorRunsSpec's sibling leg, AttributionSpec).
+  private def s39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runStream(s, dir, raw =>
+      StreamingOps.attributionStats(
+        raw.select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          ($"event_type" === "click").as("is_click"),
+          ($"event_type" === "purchase").as("is_purchase"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+          .as[StreamingOps.AttrEvent],
+        EventQueries.q43WindowUs).toDF(),
+      mode = "append")
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1233,5 +1255,6 @@ object StreamingQueries {
     Q("s35_stream_semantic_decontam", s35, Some(VectorQueries.v31Sql)),
     Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)),
     Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)),
-    Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)))
+    Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)),
+    Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)))
 }

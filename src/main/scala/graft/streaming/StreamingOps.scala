@@ -242,6 +242,54 @@ object StreamingOps {
       }
   }
 
+  final case class AttrEvent(user_id: Long, us: Long, event_id: Long,
+      is_click: Boolean, is_purchase: Boolean, cents: Long)
+  final case class AttrState(lastUs: Long, lastId: Long, lastClickUs: Long,
+      nPurchases: Long, nAttributed: Long, attrCents: Long)
+  final case class AttrStats(user_id: Long, n_purchases: Long,
+      n_attributed: Long, attr_value_cents: Long)
+
+  /** Live last-touch attribution (the streaming form of q43's
+    * running-max window): per-user state is O(1) — last-seen cursor,
+    * the last click's timestamp, and the attribution rollup — so the
+    * attribution feed runs on unbounded input with constant memory
+    * per user. Events sort within each batch; across batches the
+    * cursor drops late/replayed events (the q42/s38 guard). Emission
+    * per batch is the user's CURRENT rollup; on ordered input the
+    * final emission equals batch q43 exactly. */
+  def attributionStats(events: Dataset[AttrEvent], windowUs: Long)
+      : Dataset[AttrStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+          var st = state.getOption.getOrElse(
+            AttrState(Long.MinValue, Long.MinValue, Long.MinValue,
+              0L, 0L, 0L))
+          for (r <- sorted
+               if r.us > st.lastUs || (r.us == st.lastUs && r.event_id > st.lastId)) {
+            if (r.is_purchase) {
+              val hit = st.lastClickUs != Long.MinValue &&
+                r.us - st.lastClickUs <= windowUs
+              st = st.copy(lastUs = r.us, lastId = r.event_id,
+                nPurchases = st.nPurchases + 1L,
+                nAttributed = st.nAttributed + (if (hit) 1L else 0L),
+                attrCents = st.attrCents + (if (hit) r.cents else 0L))
+            } else
+              st = st.copy(lastUs = r.us, lastId = r.event_id,
+                lastClickUs =
+                  if (r.is_click) r.us else st.lastClickUs)
+          }
+          state.update(st)
+          if (st.nPurchases > 0L)
+            Iterator.single(AttrStats(uid, st.nPurchases,
+              st.nAttributed, st.attrCents))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup on a signature column with watermark-bounded
     * state — the streaming form of d01_dedup_exact. Dedup key is the
     * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested
