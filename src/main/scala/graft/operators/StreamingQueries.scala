@@ -1178,6 +1178,41 @@ object StreamingQueries {
       mode = "append")
   }
 
+  // ---- s40: streaming exact-substring-dedup probe (d71 live) ----
+  // The suffix-array-method dedup on arrival: each streamed document
+  // computes its positioned L-gram hashes STATELESSLY (the same
+  // posexplode tree d71 runs in batch) and probes the batch-built
+  // dup-gram ledger via a stream-static equi-join on the gram hash —
+  // no streaming state, no watermark; per-site hits land in the
+  // append sink and the per-doc islands merge (bounded by doc length)
+  // runs batch-side over it. The ledger is one row per duplicated
+  // gram — corpus-proportional — so the probe must plan as a SHUFFLED
+  // join, never a broadcast (the s25/x06 ledger discipline, pinned in
+  // PlanDisciplineSpec). On the whole-corpus fixture the probe's span
+  // table IS d71, so d71's SQL oracle gates the streamed path
+  // bit-for-bit.
+  private def s40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ledger = TextQueries.dupGramLedger(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val hits = TextQueries.gramSites(raw)
+      .join(ledger, "gh").select($"doc_id", $"pos")
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = hits.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    TextQueries.dupSpansOf(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1256,5 +1291,6 @@ object StreamingQueries {
     Q("s36_stream_decayed_counts", s36, Some(EventQueries.q41Sql)),
     Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)),
     Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)),
-    Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)))
+    Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)),
+    Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline over the `documents` table: exact dedup,
@@ -4487,6 +4488,156 @@ object TextQueries {
        |    * 1e6 + 0.5) / 1e6 AS fertility
        |FROM st JOIN seg USING (term) GROUP BY 1""".stripMargin
 
+  // ---- d71/d72: exact substring dedup at L-token resolution ----
+  // The suffix-array dedup method (Lee et al., "Deduplicating Training
+  // Data Makes Language Models Better") re-expressed as its standard
+  // distributed approximation: instead of building a corpus suffix
+  // array, slide an L-token window over every document (POSITIONED
+  // grams, not the distinct shingle SET the MinHash family uses), call
+  // a window duplicated when its gram text occurs at >= 2 sites
+  // corpus-wide, and merge overlapping/touching duplicated windows
+  // into maximal per-doc spans (gaps-and-islands). Any repeated
+  // substring of >= L tokens is covered exactly; shorter repeats are
+  // ignored by construction — L is the method's only dial.
+  //
+  // Scale shape: one tokenize pass → posexplode to (doc, pos, md5)
+  // sites → ONE hash-agg shuffle on the gram hash builds the
+  // dup-gram ledger → ONE shuffled equi-join probes sites against it
+  // (the ledger is corpus-proportional, so it is NEVER broadcast nor
+  // collected — the x06/s25-lesson shape, pinned in
+  // PlanDisciplineSpec) → the islands merge runs per-doc windows whose
+  // partitions are bounded by document length. Everything is integer
+  // math on token positions, so the whole operator is cross-engine
+  // exact.
+  private[operators] val dupL = 8
+
+  /** Positioned L-gram sites: (doc_id, pos, gh = md5 of the L-token
+    * gram starting at pos). Positions are 0-based token indexes. */
+  private[operators] def gramSites(docs: DataFrame): DataFrame = {
+    val parts = (0 until dupL).map(j => s"toks[i + $j]").mkString(", ")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= dupL)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $dupL), " +
+          s"i -> md5(cast(concat_ws(' ', $parts) as binary)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gh"))
+  }
+
+  /** Islands merge: duplicated-window start positions → maximal
+    * per-doc spans [span_start, span_end). Two L-windows merge when
+    * their token coverage overlaps or touches (pos <= prev + L); the
+    * window partitions by doc, so state is bounded by doc length. */
+  private[operators] def dupSpansOf(hits: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("ns", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + dupL, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + dupL).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  /** The dup-gram ledger: every gram hash with >= 2 corpus sites. One
+    * row per duplicated gram — corpus-proportional, so consumers join
+    * it SHUFFLED, never broadcast (the x06/s25 ledger discipline;
+    * pinned for the s40 stream in PlanDisciplineSpec). */
+  private[operators] def dupGramLedger(s: SparkSession, dir: String)
+      : DataFrame =
+    gramSites(Tables(s, dir, "documents"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("gh"))
+
+  private def d71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = gramSites(Tables(s, dir, "documents"))
+    val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"gh")
+    dupSpansOf(sites.join(dup, "gh").select($"doc_id", $"pos"))
+  }
+  // shared CTE prefix: positioned grams + their md5 (DuckDB unnest
+  // form of the posexplode)
+  private val dupGramCte = {
+    val cat = (1 to dupL).map(j => s"toks[pos + $j]").mkString(" || ' ' || ")
+    s"""t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |p AS (SELECT doc_id, unnest(generate_series(1, len(toks) - $dupL + 1)) - 1 AS pos, toks
+       |  FROM t WHERE len(toks) >= $dupL),
+       |g AS (SELECT doc_id, pos, md5($cat) AS gh FROM p)""".stripMargin
+  }
+  private val dupIslandsSql =
+    s"""m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos > lag(pos) OVER w + $dupL THEN 1 ELSE 0 END AS ns
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (SELECT doc_id, pos, SUM(ns) OVER
+       |    (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)""".stripMargin
+  private[operators] val d71Sql =
+    s"""WITH $dupGramCte,
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+       |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+       |$dupIslandsSql
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + $dupL AS span_end,
+       |  MAX(pos) + $dupL - MIN(pos) AS span_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+       |FROM sp GROUP BY doc_id, sid""".stripMargin
+
+  // d72: the APPLY side with keeper semantics — every duplicated gram
+  // keeps its first corpus occurrence (min (doc_id, pos)) and marks
+  // every later site removable; removable windows merge into spans
+  // and roll up to the per-doc scrub ledger (how many tokens exact
+  // substring dedup would cut, and the ppm it frees). rank >= 2 alone
+  // defines removable — a gram with a second site IS duplicated — so
+  // the keeper election and the dup test are one window function over
+  // the same gh-key shuffle d71 already pays. Docs shorter than L
+  // tokens carry no windows and are excluded from the ledger (they
+  // have no removable content by construction).
+  private def d72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val sites = gramSites(docs)
+    val keeperW = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    val removable = sites
+      .withColumn("rn", row_number().over(keeperW))
+      .filter($"rn" >= 2).select($"doc_id", $"pos")
+    val cut = dupSpansOf(removable)
+      .groupBy($"doc_id").agg(sum($"span_tokens").as("dup_tokens"))
+    docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= dupL)
+      .join(cut, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        ($"n_tokens" - coalesce($"dup_tokens", lit(0L))).as("clean_tokens"),
+        expr("coalesce(dup_tokens, 0L) * 1000000 div n_tokens").as("dup_ppm"))
+  }
+  private[operators] val d72Sql =
+    s"""WITH $dupGramCte,
+       |r AS (SELECT doc_id, pos, row_number() OVER
+       |    (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM g),
+       |h AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$dupIslandsSql,
+       |spans AS (SELECT doc_id, MAX(pos) + $dupL - MIN(pos) AS span_tokens
+       |  FROM sp GROUP BY doc_id, sid),
+       |cut AS (SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY 1),
+       |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM t WHERE len(toks) >= $dupL)
+       |SELECT sz.doc_id, n_tokens,
+       |  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(n_tokens - COALESCE(dup_tokens, 0) AS BIGINT) AS clean_tokens,
+       |  CAST(COALESCE(dup_tokens, 0) * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+       |FROM sz LEFT JOIN cut ON sz.doc_id = cut.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4557,7 +4708,9 @@ object TextQueries {
     Q("d67_bpe_fertility", d67, Some(d67Sql)),
     Q("d68_countmin_dial_curve", d68, Some(d68Sql)),
     Q("d69_curation_manifest_v3", d69, Some(d69Sql)),
-    Q("d70_contamination_report", d70, Some(d70Sql)))
+    Q("d70_contamination_report", d70, Some(d70Sql)),
+    Q("d71_dup_spans", d71, Some(d71Sql)),
+    Q("d72_dup_span_scrub", d72, Some(d72Sql)))
 
 
 }

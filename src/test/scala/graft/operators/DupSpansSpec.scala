@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the exact-substring-dedup family (d71/d72): the
+  * suffix-array method at L-token resolution. Hand-computed fixture
+  * corpus with known repeated runs, plus structural invariants on the
+  * real corpus (span disjointness, coverage bounds, d71/d72
+  * consistency). The cross-engine value check is the driver's DuckDB
+  * oracle; these pin the algebra the oracle can't see (island merge
+  * boundaries, keeper election, within-doc repeats).
+  */
+class DupSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L = 8 // must equal TextQueries.dupL
+
+  /** Fixture corpus: a 10-token run R shared by docs 0 and 1, a fully
+    * unique doc 2, and doc 3 repeating an 8-token run within itself. */
+  private lazy val fixtureDir: String = {
+    val r = (0 until 10).map(i => s"w$i").mkString(" ")
+    val x = (0 until L).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, r + " " + (0 until 12).map(i => s"u$i").mkString(" ")),
+      (1L, (0 until 5).map(i => s"v$i").mkString(" ") + " " + r +
+        " v5 v6 v7"),
+      (2L, (0 until 12).map(i => s"z$i").mkString(" ")),
+      (3L, x + " y0 y1 y2 " + x))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dupspans").toString
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("src0").as("source"), length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dupL is the L this spec hand-computes against") {
+    assert(TextQueries.dupL == L)
+  }
+
+  test("d71 finds exactly the shared and self-repeated runs, islands merged") {
+    val got = Catalog.queries("d71_dup_spans")(spark, fixtureDir)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_dup_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // R is 10 tokens → 3 dup windows per site, merged into one span
+    // covering all 10 tokens; doc 3's self-repeat gives two 8-token
+    // spans (keeper semantics do NOT apply to d71 — every dup site
+    // reports); doc 2 contributes nothing.
+    assert(got == Set(
+      (0L, 0L, 10L, 10L, 3L),
+      (1L, 5L, 15L, 10L, 3L),
+      (3L, 0L, 8L, 8L, 1L),
+      (3L, 11L, 19L, 8L, 1L)))
+  }
+
+  test("d72 keeps first corpus occurrence and charges later sites only") {
+    val got = Catalog.queries("d72_dup_span_scrub")(spark, fixtureDir)
+      .select($"doc_id", $"n_tokens", $"dup_tokens", $"clean_tokens",
+        $"dup_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 0 owns R's first occurrence → charged nothing; doc 1 pays
+    // the full 10-token cover; doc 3's second self-occurrence pays 8.
+    assert(got == Set(
+      (0L, 22L, 0L, 22L, 0L),
+      (1L, 18L, 10L, 8L, 10000000L / 18L),
+      (2L, 12L, 0L, 12L, 0L),
+      (3L, 19L, 8L, 11L, 8000000L / 19L)))
+  }
+
+  test("spans are disjoint, in-bounds, and window-covered on the real corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val nToks = docs.filter(length(trim($"text")) > 0)
+      .select($"doc_id", size(graft.text.TextOps.tokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val spans = Catalog.queries("d71_dup_spans")(spark, TestSpark.sf001)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_dup_grams")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    spans.foreach { case (id, s0, s1, w, g) =>
+      assert(s0 >= 0 && s1 <= nToks(id), s"span out of doc bounds: $id")
+      assert(w == s1 - s0 && w >= L, s"span narrower than L: $id")
+      // g dup windows of length L cover at most g+L-1 and at least L
+      // tokens, and never more than the span
+      assert(g >= 1 && w <= g + L - 1, s"cover bound violated: $id")
+    }
+    // islands are maximal: within a doc, consecutive spans are
+    // separated by at least one uncovered token
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3, s"touching spans: $a $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
+    // d71 covers ALL dup sites, d72 only non-keeper sites — so every
+    // doc's d72 charge is bounded by its d71 cover, and corpus-wide
+    // at least one keeper doc is charged strictly less
+    val cover = Catalog.queries("d71_dup_spans")(spark, TestSpark.sf001)
+      .groupBy($"doc_id").agg(sum($"span_tokens").as("c"))
+      .as[(Long, Long)].collect().toMap
+    val charged = Catalog.queries("d72_dup_span_scrub")(spark, TestSpark.sf001)
+      .select($"doc_id", $"dup_tokens", $"n_tokens", $"clean_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    charged.foreach { case (id, dup, n, clean) =>
+      assert(dup <= cover.getOrElse(id, 0L), s"charge exceeds cover: $id")
+      assert(clean == n - dup && dup >= 0 && dup <= n, s"ledger broken: $id")
+    }
+    val strictlyLess = charged.count { case (id, dup, _, _) =>
+      cover.getOrElse(id, 0L) > dup }
+    assert(strictlyLess > 0, "no keeper was ever spared — election broken?")
+  }
+}

@@ -698,6 +698,39 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("s40 dup-span probe never broadcasts the dup-gram ledger (corpus-proportional static side)") {
+    // the dup-gram ledger is one row per duplicated L-gram — it grows
+    // with the corpus — so the stream-static probe must stay free to
+    // plan as a shuffled equi-join (d71's batch shape); the s25
+    // keeper-ledger pin applied to exact substring dedup.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+      val ledger = TextQueries.dupGramLedger(spark, TestSpark.sf0001)
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((7L, "graft dup span probe tokens " * 4))
+      val hits = TextQueries.gramSites(mem.toDF()
+          .select(col("_1").as("doc_id"), col("_2").as("text")))
+        .join(ledger, "gh")
+      val q = hits.writeStream.format("memory").queryName("s40_plan_probe")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val p = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.isEmpty,
+        s"dup-gram ledger must not broadcast into the stream:\n$p")
+      assert(p.toString.contains("SortMergeJoin") ||
+        p.toString.contains("ShuffledHashJoin"),
+        s"expected a shuffled stream-static equi-join:\n$p")
+    }
+  }
+
   test("v31 semantic screen is a stateless projection: no exchange, no join") {
     // the eval matrix is a bounded literal inside the projection, so
     // the whole screen must plan as scan → filter → project — any
