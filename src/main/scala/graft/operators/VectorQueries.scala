@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   * (band, code) bucket join; candidate count per band is bounded by the
   * bucket size, and bands/bits are the recall/cost dials.
   */
+/** Semantic-decontamination dials shared across query objects.
+  * Standalone (no other state) so a cross-OBJECT SQL-literal
+  * interpolation can never observe a partially-initialized object:
+  * `VectorQueries.v22Sql` (a val) reads `TextQueries.d45Sql`, and
+  * `TextQueries.d69Sql/d70Sql` interpolate these dials — with the
+  * dials living inside VectorQueries, whichever object initialized
+  * SECOND would read 0 mid-cycle and bake a degenerate `>= 0`
+  * threshold into its oracle SQL (the CatalogSpec zero-constant
+  * test caught this when a spec touched VectorQueries first). */
+private[operators] object VectorDials {
+  val sdEvalN = 50L
+  val sdTau = 0.30
+}
+
 object VectorQueries {
 
   private val nQueries = 5
@@ -2002,8 +2016,8 @@ object VectorQueries {
   // decontamination pass would anti-join away; ties break to the
   // lowest eval_id via the negated-id struct field (exact long math),
   // matching the oracle's (score DESC, eval_id) window order.
-  private[operators] val sdEvalN = 50L
-  private[operators] val sdTau = 0.30
+  private[operators] val sdEvalN = VectorDials.sdEvalN
+  private[operators] val sdTau = VectorDials.sdTau
 
   /** Stateless screen: corpus rows (vec_id, v) against the gathered
     * eval matrix. Bounded: evals.length == sdEvalN by construction. */
@@ -2058,6 +2072,95 @@ object VectorQueries {
        |FROM r WHERE rn = 1 AND score >= ${fmtD(sdTau)}""".stripMargin
   }
 
+  // ---- v32: PCA leading component (one-pass Gram + power iteration) ----
+  // Embedding-space whitening/analysis primitive: the corpus
+  // covariance's top eigenpair, computed the only way that scales —
+  // ONE distributed pass accumulates the d×d Gram matrix and the mean
+  // vector, then the O(d²)-sized summary power-iterates on the
+  // driver. The driver never sees a row: its state is d(d+1)/2 + d
+  // fixed accumulators (2,080 + 64 here), the same
+  // bounded-stats-gather → driver-scalars role the K-Means centroids
+  // and DAMDS reductions play. At 100 TB the plan is unchanged — the
+  // explode inflates each row to d(d+1)/2 upper-triangle terms, but
+  // map-side partial aggregation collapses every partition to the
+  // SAME 2,080 keys before the one shuffle, so the exchange carries
+  // O(d² · partitions), never O(rows).
+  //
+  // Determinism (the golden-pinning premise): per-row products are
+  // snapped to DECIMAL(30,15) BEFORE summing, so the Gram sums are
+  // exact and order-independent — bit-identical under any
+  // partitioning (GoldenSweepSpec re-proves at sf0.1) — and the
+  // power iteration runs on the driver from those exact sums with a
+  // fixed start vector and iteration count, so the whole output is a
+  // constant of the fixture. Gated by a pinned golden (the n02/x02
+  // pattern); the eigen-math is independently proven in PcaSpec
+  // (residual, Rayleigh maximality, norm, invariance).
+  private val pcaDim = 64
+  private val pcaIters = 400
+
+  /** Exact upper-triangle Gram + mean sums: (i, j, sp = Σ v_i·v_j,
+    * sx = Σ v_i carried on the diagonal rows, cnt = n on (0,0)). */
+  private[operators] def gramSums(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter(size(col("v")) === pcaDim)
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, ${pcaDim - 1}), i -> " +
+          s"transform(sequence(i, ${pcaDim - 1}), j -> struct(" +
+          "i as i, j as j, " +
+          "cast(v[i] * v[j] as decimal(30,15)) as p, " +
+          "case when j = i then cast(v[i] as decimal(30,15)) " +
+          "else cast(0 as decimal(30,15)) end as x))))")).as("t"))
+      .groupBy($"t.i", $"t.j")
+      .agg(sum($"t.p").as("sp"), sum($"t.x").as("sx"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Driver tail: covariance from the exact sums, power iteration,
+    * deterministic sign (largest-|loading| component positive, lowest
+    * index on ties), 6dp snap. */
+  private[operators] def pcaOf(e: DataFrame): Seq[(Long, Double, Double, Double)] = {
+    val d = pcaDim
+    val g = Array.ofDim[Double](d, d)
+    val sv = new Array[Double](d)
+    var n = 0L
+    // bounded gather: exactly d(d+1)/2 = 2,080 summary rows
+    gramSums(e).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val p = r.getDecimal(2).doubleValue()
+      g(i)(j) = p; g(j)(i) = p
+      if (i == j) { sv(i) = r.getDecimal(3).doubleValue() }
+      if (i == 0 && j == 0) n = r.getLong(4)
+    }
+    require(n > 0, "pca: empty embedding table")
+    val mu = sv.map(_ / n)
+    val c = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mu(i) * mu(j))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }; s
+      }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until pcaIters) {
+      val w = matvec(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val cv = matvec(v)
+    val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+    val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(m) < 0) v = v.map(x => -x)
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until d).map(i =>
+      (i.toLong, r6(v(i)), r6(lambda), r6(lambda / trace)))
+  }
+
+  private def v32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pcaOf(embeddings(s, dir))
+      .toDF("dim", "loading", "eigenvalue", "var_ratio")
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -2089,5 +2192,6 @@ object VectorQueries {
     Q("v28_ivf_incremental", v28, Some(GoldenOracles.v28)),
     Q("v29_mmr_rerank", v29, Some(v29Sql)),
     Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)),
-    Q("v31_semantic_decontam", v31, Some(v31Sql)))
+    Q("v31_semantic_decontam", v31, Some(v31Sql)),
+    Q("v32_pca_power", v32, Some(GoldenOracles.v32)))
 }

@@ -8,9 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * The driver's DuckDB gate proves every registered query at sf0.01,
   * and the sf0.1 oracle sweep re-proves every SQL-expressed oracle at
   * ten times that — but the golden-gated queries (pinned VALUES
-  * tables, 20 as of r13: 18 pure goldens plus s24, whose oracle IS
-  * GoldenOracles.d58 verbatim, and d60, whose SQL oracle inlines that
-  * golden as a CTE — ADVICE r12) are constants of the gate scale, so
+  * tables — the pure goldens plus s24, whose oracle IS
+  * GoldenOracles.d58 verbatim, and d60/d69, whose SQL oracles inline
+  * that golden as a CTE — ADVICE r12; `goldenNames` below is the
+  * authoritative list) are constants of the gate scale, so
   * the 10× sweep is blind to them (VERDICT r9 §missing 1). A sweep
   * harness must therefore NOT re-run s24's or d60's "SQL" at sf0.1 —
   * d60's embedded flagged-doc list is a gate-scale constant while its
@@ -47,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 26 golden-gated queries: every Catalog entry whose oracle is
+  /** The 27 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60 and
     * d69, whose SQL oracles inline that golden as a CTE). */
@@ -61,7 +62,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "s30_stream_scene_segments",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve", "v28_ivf_incremental",
-    "v30_filtered_recall_curve",
+    "v30_filtered_recall_curve", "v32_pca_power",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments")
 
