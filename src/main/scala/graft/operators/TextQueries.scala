@@ -3917,10 +3917,10 @@ object TextQueries {
     val cos = graft.vec.VectorOps.cosineSql("c.embedding", "ev.e")
     s"""sem AS (SELECT DISTINCT c.vec_id AS doc_id
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE vec_id >= ${VectorQueries.sdEvalN}) c
+       |        WHERE vec_id >= ${VectorDials.sdEvalN}) c
        |  CROSS JOIN (SELECT embedding AS e FROM embeddings
-       |        WHERE vec_id < ${VectorQueries.sdEvalN}) ev
-       |  WHERE $cos >= ${VectorQueries.sdTau}e0),
+       |        WHERE vec_id < ${VectorDials.sdEvalN}) ev
+       |  WHERE $cos >= ${VectorDials.sdTau}e0),
        |""".stripMargin
   }
   private lazy val d69Sql = manifestSql(semCteSql,
@@ -4638,6 +4638,108 @@ object TextQueries {
        |  CAST(COALESCE(dup_tokens, 0) * 1000000 // n_tokens AS BIGINT) AS dup_ppm
        |FROM sz LEFT JOIN cut ON sz.doc_id = cut.doc_id""".stripMargin
 
+  // ---- d73: MinHash LSH S-curve dial audit (bands × rows sweep) ----
+  // The design tool that picks the near-dup family's (bands, rows)
+  // dial: for every nested split of the k=16-slot md5-minhash
+  // signature — (16,1), (8,2), (4,4: the production d10 dial), (2,8)
+  // — the empirical band-capture rate as a function of true Jaccard,
+  // next to the theoretical S-curve 1-(1-s^r)^b (spec-side). The
+  // corpus's own pair population is BIMODAL here (background ~0,
+  // clones ~0.9 — nothing in the S-curve's decision region), so the
+  // audit builds CONTROLLED-overlap pairs instead: each doc against
+  // its own p/10-prefix (p = 2,4,6,8). Prefix 3-gram shingles are a
+  // subset of the doc's, so true Jaccard is exactly |sh(prefix)| /
+  // |sh(doc)| ≈ p/10 — every curve region populated by construction.
+  //
+  // Scale shape: NO pair join at all — both signatures and all four
+  // band verdicts are computed row-locally (band codes of an aligned
+  // pair match iff their slot runs are equal), so the audit is one
+  // scan → ×4 explode → projection → 4×11-key hash agg: linear,
+  // streamable, and unlike the classic quadratic audit it could run
+  // over the whole corpus at 100 TB (here it runs on the d05 slice
+  // for the gate). Because the four splits are NESTED powers of two,
+  // a matching r-slot run contains its matching r/2 sub-runs — so
+  // per-pair capture is monotone-contained in r and every bin's
+  // n_captured is non-increasing from r=1 to r=8 (a theorem,
+  // spec-pinned in LshDialSpec — the d68 nested-widths doctrine).
+  // Integer outputs; the bin index is one divide + floor,
+  // IEEE-identical cross-engine.
+  private val lshSliceN = 100
+  private val lshCfgs = Seq(16, 8, 4, 2) // bands; rows = 16/bands
+  private val lshPs = Seq(2, 4, 6, 8) // prefix tenths
+
+  private def sigOfSh(shCol: String) = expr(
+    s"""transform(sequence(0, ${mhK - 1}), i ->
+       |  array_min(transform($shCol, x ->
+       |    md5(cast(concat(cast(i as string), ' ', x) as binary)))))"""
+      .stripMargin)
+
+  private def d73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .filter($"doc_id" < lshSliceN && length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15) // p=2 prefix still has >= 1 shingle
+      .withColumn("p", explode(lit(lshPs.toArray)))
+      .withColumn("ptoks", expr("slice(toks, 1, (size(toks) * p + 9) div 10)"))
+      .withColumn("shf", TextOps.shingles("toks", 3))
+      .withColumn("shp", TextOps.shingles("ptoks", 3))
+      .withColumn("jbin", expr(
+        "cast(floor(size(shp) / cast(size(shf) as double) * 10) as bigint)"))
+      .withColumn("sigf", sigOfSh("shf"))
+      .withColumn("sigp", sigOfSh("shp"))
+    val cfgs = lshCfgs.map { b =>
+      val r = mhK / b
+      s"struct(cast($b as bigint) as bands, cast($r as bigint) as rows_per_band, " +
+        s"exists(sequence(0, ${b - 1}), t -> " +
+        s"slice(sigf, t * $r + 1, $r) = slice(sigp, t * $r + 1, $r)) as hit)"
+    }.mkString(", ")
+    base.select($"jbin", explode(expr(s"array($cfgs)")).as("cfg"))
+      .groupBy($"cfg.bands".as("bands"),
+        $"cfg.rows_per_band".as("rows_per_band"), $"jbin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(cfg.hit as bigint)")).as("n_captured"))
+      .select($"bands", $"rows_per_band", $"jbin", $"n_pairs", $"n_captured",
+        expr("n_captured * 1000000 div n_pairs").as("capture_ppm"))
+  }
+  private val d73Sql = {
+    val perCfg = lshCfgs.map { b =>
+      val r = mhK / b
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  jbin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN len(list_filter(generate_series(0, ${b - 1}),
+         |      t -> sigf[t * $r + 1 : t * $r + $r] = sigp[t * $r + 1 : t * $r + $r]))
+         |    > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_captured,
+         |  CAST(SUM(CASE WHEN len(list_filter(generate_series(0, ${b - 1}),
+         |      t -> sigf[t * $r + 1 : t * $r + $r] = sigp[t * $r + 1 : t * $r + $r]))
+         |    > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS capture_ppm
+         |FROM x GROUP BY jbin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE doc_id < $lshSliceN AND length(trim(text)) > 0),
+       |b0 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 15),
+       |v AS (SELECT doc_id, p.range AS p, toks,
+       |    toks[1 : (len(toks) * p.range + 9) // 10] AS ptoks
+       |  FROM b0 CROSS JOIN range(2, 9, 2) p),
+       |w AS (SELECT doc_id, p,
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shf,
+       |    list_distinct(list_transform(generate_series(1, len(ptoks) - 2),
+       |      i -> ptoks[i] || ' ' || ptoks[i + 1] || ' ' || ptoks[i + 2])) AS shp
+       |  FROM v),
+       |x AS (SELECT doc_id, p,
+       |    CAST(floor(len(shp) / CAST(len(shf) AS DOUBLE) * 10) AS BIGINT) AS jbin,
+       |    list_transform(generate_series(0, ${mhK - 1}), i ->
+       |      list_min(list_transform(shf,
+       |        s -> md5(CAST(i AS VARCHAR) || ' ' || s)))) AS sigf,
+       |    list_transform(generate_series(0, ${mhK - 1}), i ->
+       |      list_min(list_transform(shp,
+       |        s -> md5(CAST(i AS VARCHAR) || ' ' || s)))) AS sigp
+       |  FROM w)
+       |$perCfg""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4710,7 +4812,8 @@ object TextQueries {
     Q("d69_curation_manifest_v3", d69, Some(d69Sql)),
     Q("d70_contamination_report", d70, Some(d70Sql)),
     Q("d71_dup_spans", d71, Some(d71Sql)),
-    Q("d72_dup_span_scrub", d72, Some(d72Sql)))
+    Q("d72_dup_span_scrub", d72, Some(d72Sql)),
+    Q("d73_lsh_dial_curve", d73, Some(d73Sql)))
 
 
 }
