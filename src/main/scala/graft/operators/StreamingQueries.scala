@@ -1213,6 +1213,39 @@ object StreamingQueries {
     TextQueries.dupSpansOf(s.table(name))
   }
 
+  // ---- s41: streaming PCA (Gram sums as complete-mode state) ----
+  // v32's one-pass Gram accumulation lifted onto the embedding
+  // stream — the sketch-as-stream-state family's algebra member
+  // (s18 HLL registers, s26 heap, s33 compactor, s34 counters):
+  // arriving vectors fold into the d(d+1)/2 + d DECIMAL register
+  // rows via one complete-mode aggregation — state is 2,080 keys at
+  // ANY corpus size, and because per-row products snap to decimal
+  // before summing, the streamed registers are bit-identical to the
+  // batch pass under any arrival order. The power-iteration tail
+  // runs batch-side on the final register table, so v32's pinned
+  // golden gates the whole stateful path.
+  private def s41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"vec_id", graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = VectorQueries.gramSums(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VectorQueries.pcaFromSums(s.table(name).collect())
+      .toDF("dim", "loading", "eigenvalue", "var_ratio")
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1292,5 +1325,6 @@ object StreamingQueries {
     Q("s37_stream_bpe_fertility", s37, Some(TextQueries.d67Sql)),
     Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)),
     Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)),
-    Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)))
+    Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)),
+    Q("s41_stream_pca", s41, Some(GoldenOracles.v32)))
 }

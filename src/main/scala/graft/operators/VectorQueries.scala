@@ -2100,7 +2100,7 @@ object VectorQueries {
 
   /** Exact upper-triangle Gram + mean sums: (i, j, sp = Σ v_i·v_j,
     * sx = Σ v_i carried on the diagonal rows, cnt = n on (0,0)). */
-  private[operators] def gramSums(e: DataFrame): DataFrame = {
+  private[graft] def gramSums(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.filter(size(col("v")) === pcaDim)
       .select(explode(expr(
@@ -2118,13 +2118,20 @@ object VectorQueries {
   /** Driver tail: covariance from the exact sums, power iteration,
     * deterministic sign (largest-|loading| component positive, lowest
     * index on ties), 6dp snap. */
-  private[operators] def pcaOf(e: DataFrame): Seq[(Long, Double, Double, Double)] = {
+  private[operators] def pcaOf(e: DataFrame): Seq[(Long, Double, Double, Double)] =
+    pcaFromSums(gramSums(e).collect())
+
+  /** The same tail from already-materialized summary rows — the
+    * streamed deployment (s41) lands `gramSums` in a complete-mode
+    * sink and hands the final register table here. */
+  private[operators] def pcaFromSums(rows: Array[org.apache.spark.sql.Row])
+      : Seq[(Long, Double, Double, Double)] = {
     val d = pcaDim
     val g = Array.ofDim[Double](d, d)
     val sv = new Array[Double](d)
     var n = 0L
     // bounded gather: exactly d(d+1)/2 = 2,080 summary rows
-    gramSums(e).collect().foreach { r =>
+    rows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val p = r.getDecimal(2).doubleValue()
       g(i)(j) = p; g(j)(i) = p

@@ -471,6 +471,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "cells must carry batch 1's mass forward")
   }
 
+  test("streaming PCA registers (s41 engine) restore exact Gram sums across restart") {
+    // the counter family's DECIMAL member: 2,080 fixed (i, j) keys
+    // whose values are exact decimal sums, so recovery is provable
+    // bit-for-bit — the post-restart register table must equal the
+    // single-pass batch table on every cell (no tolerance), and must
+    // not equal the batch-2-only table (empty-state restart).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("pca-ckpt")
+    val name = "graft_pca_recovery_sink"
+    val mem = MemoryStream[(Long, Seq[Double])]
+    import graft.operators.VectorQueries
+
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("vec_id", "v")
+    def start() = VectorQueries.gramSums(vecs(mem.toDF()))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(64)(j => ((seed * 64 + j) % 7 - 3) * 0.25)
+
+    val batch1 = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))
+    val batch2 = Seq((4L, vec(4)), (5L, vec(5)))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cells(spark.table(name)) ==
+      cells(VectorQueries.gramSums(vecs(batch1.toDF()))),
+      "run 1 registers diverge from the batch pass")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = cells(spark.table(name))
+    val want = cells(VectorQueries.gramSums(vecs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      "restarted registers != single-pass batch registers (decimal " +
+        "sum state lost?)")
+    assert(got != cells(VectorQueries.gramSums(vecs(batch2.toDF()))),
+      "final registers must not equal the batch-2-only pass — restored " +
+        "sums must carry batch 1's mass forward")
+  }
+
   test("streaming quantile sketch (s33 engine) restores compactor state across restart") {
     // the sketch-as-state family's newest member: run 2 only sees
     // batch 2, so the final quantiles cover batch 1's values only via
