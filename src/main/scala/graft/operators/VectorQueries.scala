@@ -2124,8 +2124,9 @@ object VectorQueries {
   /** The same tail from already-materialized summary rows — the
     * streamed deployment (s41) lands `gramSums` in a complete-mode
     * sink and hands the final register table here. */
-  private[operators] def pcaFromSums(rows: Array[org.apache.spark.sql.Row])
-      : Seq[(Long, Double, Double, Double)] = {
+  /** Covariance matrix from the exact summary rows. */
+  private def covFromSums(rows: Array[org.apache.spark.sql.Row])
+      : Array[Array[Double]] = {
     val d = pcaDim
     val g = Array.ofDim[Double](d, d)
     val sv = new Array[Double](d)
@@ -2140,7 +2141,15 @@ object VectorQueries {
     }
     require(n > 0, "pca: empty embedding table")
     val mu = sv.map(_ / n)
-    val c = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mu(i) * mu(j))
+    Array.tabulate(d, d)((i, j) => g(i)(j) / n - mu(i) * mu(j))
+  }
+
+  /** Power iteration on a dense symmetric matrix: fixed start, fixed
+    * count, deterministic sign (largest-|component| positive, lowest
+    * index on ties). Returns (v, lambda). */
+  private def powerIterate(c: Array[Array[Double]])
+      : (Array[Double], Double) = {
+    val d = c.length
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(d) { i =>
         var s = 0.0; var j = 0
@@ -2156,16 +2165,65 @@ object VectorQueries {
     val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
     val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
     if (v(m) < 0) v = v.map(x => -x)
-    val trace = (0 until d).map(i => c(i)(i)).sum
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    (0 until d).map(i =>
+    (v, lambda)
+  }
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private[operators] def pcaFromSums(rows: Array[org.apache.spark.sql.Row])
+      : Seq[(Long, Double, Double, Double)] = {
+    val c = covFromSums(rows)
+    val (v, lambda) = powerIterate(c)
+    val trace = c.indices.map(i => c(i)(i)).sum
+    v.indices.map(i =>
       (i.toLong, r6(v(i)), r6(lambda), r6(lambda / trace)))
+  }
+
+  /** Top-k eigenpairs by power iteration + deflation
+    * (C ← C − λ·vvᵀ after each extraction). Driver-side O(k·d²) on
+    * the same bounded summary — no second corpus pass. */
+  private[operators] def pcaTopK(rows: Array[org.apache.spark.sql.Row],
+      k: Int): Seq[(Int, Array[Double], Double)] = {
+    var c = covFromSums(rows)
+    val d = c.length
+    (0 until k).map { comp =>
+      val (v, lambda) = powerIterate(c)
+      c = Array.tabulate(d, d)((i, j) => c(i)(j) - lambda * v(i) * v(j))
+      (comp, v, lambda)
+    }
   }
 
   private def v32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     pcaOf(embeddings(s, dir))
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
+  }
+
+  // ---- v33: covariance spectrum profile (top-3, deflation) ----
+  // The dimensionality audit downstream dials consult (how many
+  // matryoshka dims to keep, whether PQ subspaces are balanced,
+  // whether the corpus drifted anisotropic): eigenvalues and
+  // explained-variance ratios of the top components, extracted by
+  // repeated power iteration + deflation from the SAME bounded
+  // summary v32 gathers — one corpus pass total, O(k·d²) driver
+  // flops, nothing new crosses the wire. Same golden-pinning premise
+  // as v32 (exact decimal sums + fixed-recipe driver tail); spectrum
+  // laws (descending λ, orthogonal loadings, v32 consistency) are
+  // spec-pinned in PcaSpec.
+  private val pcaSpectrumK = 3
+
+  private def v33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = gramSums(embeddings(s, dir)).collect()
+    val trace = {
+      val c = covFromSums(rows)
+      c.indices.map(i => c(i)(i)).sum
+    }
+    var cum = 0.0
+    pcaTopK(rows, pcaSpectrumK).map { case (comp, _, lambda) =>
+      cum += lambda
+      (comp.toLong, r6(lambda), r6(lambda / trace), r6(cum / trace))
+    }.toDF("comp", "eigenvalue", "var_ratio", "cum_ratio")
   }
 
   val all: Seq[Q] = Seq(
@@ -2200,5 +2258,6 @@ object VectorQueries {
     Q("v29_mmr_rerank", v29, Some(v29Sql)),
     Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)),
     Q("v31_semantic_decontam", v31, Some(v31Sql)),
-    Q("v32_pca_power", v32, Some(GoldenOracles.v32)))
+    Q("v32_pca_power", v32, Some(GoldenOracles.v32)),
+    Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33)))
 }

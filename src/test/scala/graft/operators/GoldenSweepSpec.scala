@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 28 golden-gated queries: every Catalog entry whose oracle is
+  /** The 29 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60 and
     * d69, whose SQL oracles inline that golden as a CTE). */
@@ -62,7 +62,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "s30_stream_scene_segments", "s41_stream_pca",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve", "v28_ivf_incremental",
-    "v30_filtered_recall_curve", "v32_pca_power",
+    "v30_filtered_recall_curve", "v32_pca_power", "v33_pca_spectrum",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments")
 

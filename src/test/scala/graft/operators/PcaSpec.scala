@@ -69,6 +69,37 @@ class PcaSpec extends AnyFunSuite {
     assert(ratio > 0 && ratio <= 1.0, s"var_ratio $ratio")
   }
 
+  test("v33 spectrum: descending eigenvalues, near-orthogonal loadings, v32-consistent") {
+    val rows = VectorQueries.gramSums(emb(TestSpark.sf001)).collect()
+    val eig = VectorQueries.pcaTopK(rows, 3)
+    val lambdas = eig.map(_._3)
+    assert(lambdas == lambdas.sorted.reverse, s"not descending: $lambdas")
+    assert(lambdas.forall(_ > 0), s"non-positive eigenvalue: $lambdas")
+    // pairwise orthogonality up to power-iteration convergence on a
+    // tight spectrum
+    for (a <- eig; b <- eig if a._1 < b._1) {
+      val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.05,
+        s"components ${a._1},${b._1} not orthogonal: $dot")
+    }
+    // component 0 IS v32's eigenpair (same summary, same recipe)
+    // v32 reports the 6dp snap of the same unsnapped lambda
+    val v32 = VectorQueries.pcaFromSums(rows)
+    assert(v32.head._3 ==
+      math.floor(eig.head._3 * 1e6 + 0.5) / 1e6,
+      "v33 comp 0 eigenvalue diverges from v32")
+    // each eigenpair satisfies Cv = λv on the independent covariance
+    val (c, d) = covOf(TestSpark.sf001)
+    eig.foreach { case (comp, v, lambda) =>
+      val cv = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val resid = math.sqrt(
+        v.indices.map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+      assert(resid <= 0.05 * lambda,
+        s"component $comp residual $resid vs lambda $lambda")
+    }
+  }
+
   test("pca output is exactly partition-invariant (the decimal-snap premise)") {
     val e = emb(TestSpark.sf001)
     val a = VectorQueries.pcaOf(e)
