@@ -4740,6 +4740,62 @@ object TextQueries {
        |$perCfg""".stripMargin
   }
 
+  // ---- d74: per-source dataset card (the curation datasheet) ----
+  // The table a curation run PUBLISHES next to its manifest — the
+  // "datasheet for the dataset": per source, corpus volume (docs,
+  // tokens), every screen's flag counts (token-fuzzy d58, Bloom d57,
+  // semantic v31 — via the d70 per-doc report), the surviving-doc
+  // count, and the exact-substring duplication charge (d72's scrub
+  // ledger) as tokens and ppm. Everything here is a rollup of
+  // already-gated engines — no gram, hash, or vector work happens in
+  // this query; its scale cost is the d70/d72 subplans it composes
+  // (SessionCache'd screens, one d72 gram pass) plus one 20-key hash
+  // agg. The oracle composes the same sibling oracles (d70's, with
+  // the d58 golden inlined — so this card is gate-scale-pinned and
+  // listed in GoldenSweepSpec's golden classification; its
+  // composition contract is re-proven live at the sweep scale there).
+  private def d74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val report = d70(s, dir)
+    val toksz = Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN && length(trim($"text")) > 0)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_toks"))
+    val dup = d72(s, dir).select($"doc_id", $"dup_tokens".as("dup_t"))
+    report.join(toksz, "doc_id").join(dup, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"flag_fuzzy").as("n_flag_fuzzy"),
+        sum($"flag_bloom").as("n_flag_bloom"),
+        sum($"flag_semantic").as("n_flag_semantic"),
+        sum($"keep").as("n_keep"),
+        sum(coalesce($"dup_t", lit(0L))).as("dup_tokens"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_flag_fuzzy",
+        $"n_flag_bloom", $"n_flag_semantic", $"n_keep", $"dup_tokens",
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+  }
+  private lazy val d74Sql =
+    "WITH rep AS (SELECT * FROM (\n" + d70Sql + "\n) repq),\n" +
+      "scrub AS (SELECT * FROM (\n" + d72Sql + "\n) scrubq),\n" +
+      s"""sz AS (SELECT doc_id, CAST(len(string_split(lower(trim(
+         |    regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+         |    AS n_toks
+         |  FROM documents
+         |  WHERE doc_id >= $fuzzyEvalN AND length(trim(text)) > 0)
+         |SELECT rep.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(flag_fuzzy) AS BIGINT) AS n_flag_fuzzy,
+         |  CAST(SUM(flag_bloom) AS BIGINT) AS n_flag_bloom,
+         |  CAST(SUM(flag_semantic) AS BIGINT) AS n_flag_semantic,
+         |  CAST(SUM(keep) AS BIGINT) AS n_keep,
+         |  CAST(SUM(COALESCE(scrub.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         |  CAST(SUM(COALESCE(scrub.dup_tokens, 0)) * 1000000
+         |    // SUM(n_toks) AS BIGINT) AS dup_ppm
+         |FROM rep JOIN sz USING (doc_id)
+         |LEFT JOIN scrub ON rep.doc_id = scrub.doc_id
+         |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4813,7 +4869,8 @@ object TextQueries {
     Q("d70_contamination_report", d70, Some(d70Sql)),
     Q("d71_dup_spans", d71, Some(d71Sql)),
     Q("d72_dup_span_scrub", d72, Some(d72Sql)),
-    Q("d73_lsh_dial_curve", d73, Some(d73Sql)))
+    Q("d73_lsh_dial_curve", d73, Some(d73Sql)),
+    Q("d74_source_datasheet", d74, Some(d74Sql)))
 
 
 }

@@ -48,14 +48,16 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 29 golden-gated queries: every Catalog entry whose oracle is
+  /** The 31 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
-    * and s24, gated on GoldenOracles.d58 itself) or embedded (d60 and
-    * d69, whose SQL oracles inline that golden as a CTE). */
+    * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
+    * d69, d70 and d74, whose SQL oracles inline that golden as a
+    * CTE). */
   private val goldenNames = Seq(
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
     "d58_fuzzy_decontam_prod", "d60_curation_manifest_v2",
-    "d69_curation_manifest_v3",
+    "d69_curation_manifest_v3", "d70_contamination_report",
+    "d74_source_datasheet",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "n02_damds_embed", "q31_approx_stats",
     "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
@@ -154,6 +156,58 @@ class GoldenSweepSpec extends AnyFunSuite {
       assert(badRanks.count() == 0,
         s"per-source v3 sample is not a dense rank prefix of size <= 5 at $sfDir")
     } finally d69.unpersist()
+  }
+
+  test("d74 datasheet reconciles with the LIVE screens and ledgers, any scale") {
+    // d74's oracle inlines the d58 golden (via d70's CTEs), so the
+    // sweep re-proves the card's composition contract against the
+    // LIVE engines at the sweep dir: per-source doc counts match the
+    // corpus directly, the semantic flag column matches v31 live, the
+    // keep column complements the union of live flag sets, and the
+    // duplication charge matches the live d72 scrub ledger (whose own
+    // SQL oracle is scale-free).
+    import org.apache.spark.sql.functions._
+    val card = Catalog.queries("d74_source_datasheet")(spark, sfDir).cache()
+    try {
+      assert(card.count() > 0, s"d74 returned no rows at $sfDir")
+      val uni = graft.Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") >= TextQueries.fuzzyEvalN &&
+          length(trim(col("text"))) > 0)
+      val wantDocs = uni.groupBy(col("source"))
+        .agg(count(lit(1)).as("want_docs"))
+      val badDocs = card.join(wantDocs, "source")
+        .filter(col("n_docs") =!= col("want_docs"))
+      assert(badDocs.count() == 0, s"n_docs diverges from the corpus at $sfDir")
+      val semLive = Catalog.queries("v31_semantic_decontam")(spark, sfDir)
+        .select(col("vec_id").as("doc_id")).distinct()
+        .join(uni.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("want_sem"))
+      val badSem = card.join(semLive, Seq("source"), "left")
+        .filter(col("n_flag_semantic") =!= coalesce(col("want_sem"), lit(0L)))
+      assert(badSem.count() == 0, s"semantic flags diverge from v31 at $sfDir")
+      val dupLive = Catalog.queries("d72_dup_span_scrub")(spark, sfDir)
+        .join(uni.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(sum(col("dup_tokens")).as("want_dup"))
+      val badDup = card.join(dupLive, Seq("source"), "left")
+        .filter(col("dup_tokens") =!= coalesce(col("want_dup"), lit(0L)))
+      assert(badDup.count() == 0, s"dup charge diverges from d72 at $sfDir")
+      // keep complements the union of live flag sets
+      val fuzzy = Catalog.queries("d58_fuzzy_decontam_prod")(spark, sfDir)
+        .select(col("doc_id")).distinct()
+      val bloom = Catalog.queries("d57_bloom_contamination")(spark, sfDir)
+        .filter(col("n_bloom_hits") * 2 > col("total_5grams"))
+        .select(col("doc_id")).distinct()
+      val sem = Catalog.queries("v31_semantic_decontam")(spark, sfDir)
+        .select(col("vec_id").as("doc_id")).distinct()
+      val wantKeep = uni.select(col("doc_id"), col("source"))
+        .join(fuzzy.union(bloom).union(sem).distinct()
+          .withColumn("fl", lit(1L)), Seq("doc_id"), "left")
+        .filter(col("fl").isNull)
+        .groupBy(col("source")).agg(count(lit(1)).as("want_keep"))
+      val badKeep = card.join(wantKeep, Seq("source"), "left")
+        .filter(col("n_keep") =!= coalesce(col("want_keep"), lit(0L)))
+      assert(badKeep.count() == 0, s"keep column diverges from the live screens at $sfDir")
+    } finally card.unpersist()
   }
 
   test("v25 recall curve is monotone and exact at the full probe budget, any scale") {
