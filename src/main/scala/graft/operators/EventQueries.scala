@@ -614,7 +614,62 @@ object EventQueries {
        |    AS BIGINT) AS attr_value_cents
        |FROM p GROUP BY 1""".stripMargin
 
+  // ---- q44: session path mining (frequent event-type trigrams) ----
+  // The journey-analysis primitive next to q36's fixed funnel: instead
+  // of checking ONE prescribed order, mine every consecutive
+  // 3-step path users actually take within a session (q18's 30-min
+  // sessionizer) and report occurrence/session/user support. Scale
+  // shape: the only per-row state is two LEAD slots inside per-user
+  // windows (bounded by a user's history, the q18/q33 discipline);
+  // the rollup key domain is |event_type|³ — a constant, not a
+  // corpus function — so the agg is map-side-collapsed like d65's
+  // matrix. All integer outputs.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sessioned = Tables(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when($"us" - lag($"us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w2 = Window.partitionBy($"user_id", $"sid")
+      .orderBy($"ts".asc, $"event_id".asc)
+    sessioned
+      .withColumn("e2", lead($"event_type", 1).over(w2))
+      .withColumn("e3", lead($"event_type", 2).over(w2))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"),
+        $"user_id", $"sid")
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"user_id", $"sid").as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+  }
+  private val q44Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |se AS (SELECT user_id, event_id, ts, event_type,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |p AS (SELECT user_id, sid, event_type,
+      |    LEAD(event_type, 1) OVER w AS e2,
+      |    LEAD(event_type, 2) OVER w AS e3
+      |  FROM se WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |  CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q44_session_paths", q44, Some(q44Sql)),
     Q("q43_purchase_attribution", q43, Some(q43Sql)),
     Q("q42_error_runs", q42, Some(q42Sql)),
     Q("q41_decayed_counts", q41, Some(q41Sql)),

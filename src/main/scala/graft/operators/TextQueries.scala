@@ -4796,6 +4796,42 @@ object TextQueries {
          |LEFT JOIN scrub ON rep.doc_id = scrub.doc_id
          |GROUP BY 1""".stripMargin
 
+  // ---- d75: classifier calibration curve (reliability diagram) ----
+  // The audit that decides whether d38's quality score can gate a
+  // corpus: bin the classifier score (width 0.02 — floor(qscore·50),
+  // on the 6dp-snapped score so the bin edge can't straddle a ulp)
+  // and report, per bin, how often the INDEPENDENT gopher rule-set
+  // (d43) passes the same document — the reliability diagram / ECE
+  // table every deployed filter ships with. A calibrated score shows
+  // pass-rate rising with the bin; a flat curve means the classifier
+  // threshold is noise against the rules. Scale shape: both inputs
+  // are one-pass gated engines; this is a doc-key join + a
+  // ~20-bin-key hash agg (constant domain, map-side collapsed). The
+  // universe is the intersection of both engines' domains (d43 scores
+  // docs of >= 10 tokens). All integer outputs; SQL-composed oracle.
+  private def d75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = d38(s, dir)
+      .select($"doc_id",
+        expr("cast(floor(qscore * 50) as bigint)").as("score_bin"))
+    val rules = d43(s, dir).select($"doc_id", $"gopher_pass")
+    scored.join(rules, "doc_id")
+      .groupBy($"score_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"gopher_pass").as("n_pass"))
+      .select($"score_bin", $"n_docs", $"n_pass",
+        expr("n_pass * 1000000 div n_docs").as("pass_ppm"))
+  }
+  private lazy val d75Sql =
+    "WITH q75 AS (SELECT * FROM (\n" + d38Sql + "\n) q75q),\n" +
+      "g75 AS (SELECT * FROM (\n" + d43Sql + "\n) g75q)\n" +
+      """SELECT CAST(floor(qscore * 50) AS BIGINT) AS score_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(gopher_pass) AS BIGINT) AS n_pass,
+        |  CAST(SUM(gopher_pass) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+        |FROM q75 JOIN g75 USING (doc_id)
+        |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4870,7 +4906,8 @@ object TextQueries {
     Q("d71_dup_spans", d71, Some(d71Sql)),
     Q("d72_dup_span_scrub", d72, Some(d72Sql)),
     Q("d73_lsh_dial_curve", d73, Some(d73Sql)),
-    Q("d74_source_datasheet", d74, Some(d74Sql)))
+    Q("d74_source_datasheet", d74, Some(d74Sql)),
+    Q("d75_quality_calibration", d75, Some(d75Sql)))
 
 
 }
