@@ -343,7 +343,97 @@ object MlQueries {
        |FROM sil GROUP BY 1""".stripMargin
   }
 
+  // ---- m08: 2-component Gaussian mixture EM over quality scores ----
+  // The iterative-ML pattern beyond K-Means (I2's driver loop with
+  // soft assignments): fit a two-Gaussian mixture to d38's classifier
+  // scores so the keep/drop threshold comes from the DATA's own
+  // bimodality instead of a hand-picked cut — the mixture-split
+  // thresholding step real curation pipelines run on quality and
+  // perplexity scores. Each EM iteration is ONE distributed pass: the
+  // current parameters fold into the expression tree as LITERALS
+  // (codegen'd, no UDF, no broadcast), executors compute per-row
+  // responsibilities and their sufficient statistics, and only
+  // 7 scalars cross the wire (the K-Means/I3 driver discipline).
+  //
+  // Determinism (golden premise): every per-row statistic — r, r·x,
+  // r·x², and the row's log-density in micro-nats — is snapped
+  // (DECIMAL(30,15) / integer micro-nats) BEFORE summing, so each
+  // M-step sees exact order-independent sums and the whole trajectory
+  // is a constant of the fixture under any partitioning
+  // (GoldenSweepSpec re-proves at sf0.1). EM's monotone-loglik
+  // theorem is spec-pinned in GmmSpec on the per-iteration history.
+  private[operators] val gmmIters = 50
+  private[operators] final case class GmmParams(w1: Double, m1: Double,
+      v1: Double, w2: Double, m2: Double, v2: Double)
+
+  private[operators] def gmmScores(s: SparkSession, dir: String): DataFrame =
+    TextQueries.qualityClassify(Tables(s, dir, "documents"))
+      .select(col("qscore").as("x"))
+
+  /** One E+M round: aggregate decimal-snapped sufficient statistics
+    * under the CURRENT params (literals in the plan), update on the
+    * driver. Returns (new params, total log-likelihood in micro-nats
+    * under the current params). */
+  private[operators] def gmmStep(scores: DataFrame, p: GmmParams)
+      : (GmmParams, Long) = {
+    def dens(w: Double, m: Double, v: Double) =
+      s"($w * exp(-(x - $m) * (x - $m) / (2 * $v)) / sqrt(2 * pi() * $v))"
+    val f1 = dens(p.w1, p.m1, p.v1)
+    val f2 = dens(p.w2, p.m2, p.v2)
+    val tot = s"($f1 + $f2 + 1e-300)"
+    def snap(e: String) = s"cast($e as decimal(30,15))"
+    val agg = scores.select(
+      expr(s"sum(${snap(s"$f1 / $tot")})").as("r1"),
+      expr(s"sum(${snap(s"$f1 / $tot * x")})").as("s1"),
+      expr(s"sum(${snap(s"$f1 / $tot * x * x")})").as("q1"),
+      expr(s"sum(${snap(s"$f2 / $tot")})").as("r2"),
+      expr(s"sum(${snap(s"$f2 / $tot * x")})").as("s2"),
+      expr(s"sum(${snap(s"$f2 / $tot * x * x")})").as("q2"),
+      expr(s"sum(cast(floor(ln($tot) * 1e6 + 0.5) as bigint))").as("ll"),
+      count(lit(1)).as("n")).head()
+    def d(i: Int) = agg.getDecimal(i).doubleValue()
+    val (r1, s1, q1, r2, s2, q2) = (d(0), d(1), d(2), d(3), d(4), d(5))
+    val n = agg.getLong(7).toDouble
+    def m(su: Double, r: Double) = su / r
+    def v(qu: Double, su: Double, r: Double) =
+      math.max(qu / r - (su / r) * (su / r), 1e-5) // variance floor
+    (GmmParams(r1 / n, m(s1, r1), v(q1, s1, r1),
+      r2 / n, m(s2, r2), v(q2, s2, r2)), agg.getLong(6))
+  }
+
+  /** Fixed-init, fixed-count EM; returns the parameter/loglik
+    * trajectory (head = init, last = final). */
+  private[operators] def gmmFit(scores: DataFrame)
+      : Seq[(GmmParams, Long)] = {
+    val init = GmmParams(0.5, -0.05, 0.0025, 0.5, 0.05, 0.0025)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(GmmParams, Long)]
+    var p = init
+    for (_ <- 0 until gmmIters) {
+      val (np, ll) = gmmStep(scores, p)
+      hist += ((p, ll))
+      p = np
+    }
+    hist += ((p, gmmStep(scores, p)._2))
+    hist.toSeq
+  }
+
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = gmmFit(gmmScores(s, dir))
+    val (p, ll) = hist.last
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // components reported low-mean-first (deterministic order)
+    val comps =
+      if (p.m1 <= p.m2)
+        Seq((0L, p.w1, p.m1, p.v1), (1L, p.w2, p.m2, p.v2))
+      else Seq((0L, p.w2, p.m2, p.v2), (1L, p.w1, p.m1, p.v1))
+    comps.map { case (c, w, m, v) =>
+      (c, r6(w), r6(m), r6(math.sqrt(v)), ll)
+    }.toDF("comp", "weight", "mean", "stddev", "loglik_micronats")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("m08_gmm_quality", m08, Some(GoldenOracles.m08)),
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, Some(m03Sql)),

@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 31 golden-gated queries: every Catalog entry whose oracle is
+  /** The 32 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
     * d69, d70 and d74, whose SQL oracles inline that golden as a
@@ -59,6 +59,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "d69_curation_manifest_v3", "d70_contamination_report",
     "d74_source_datasheet",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
+    "m08_gmm_quality",
     "n02_damds_embed", "q31_approx_stats",
     "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
     "s30_stream_scene_segments", "s41_stream_pca",
