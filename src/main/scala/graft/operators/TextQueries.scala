@@ -4832,6 +4832,55 @@ object TextQueries {
         |FROM q75 JOIN g75 USING (doc_id)
         |GROUP BY 1""".stripMargin
 
+  // ---- d76: classifier ranking audit (Mann-Whitney AUC vs gopher) ----
+  // d75's calibration sibling: does d38's score RANK good docs above
+  // bad ones at all? AUC as the Mann-Whitney statistic against the
+  // independent gopher verdict, computed the only way that scales —
+  // never a global per-row sort: scores collapse to per-VALUE
+  // (pos, neg) counts first (the snapped score domain is bounded by
+  // the 6dp grain, not the corpus), and AUC comes from a running-sum
+  // window over that value table:
+  //   2·AUC·n⁺n⁻ = Σ_v [ 2·n⁺(v)·cumNeg(<v) + n⁺(v)·n⁻(v) ]
+  // (the tie term is the midrank correction). Doubling keeps every
+  // intermediate an exact BIGINT, so the audit is cross-engine exact
+  // with a floor-ppm output.
+  private def d76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"qscore")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byVal = d38(s, dir).select($"doc_id", $"qscore")
+      .join(d43(s, dir).select($"doc_id", $"gopher_pass"), "doc_id")
+      .groupBy($"qscore")
+      .agg(sum($"gopher_pass").as("npos"),
+        sum(lit(1L) - $"gopher_pass").as("nneg"))
+      .withColumn("cum_neg", coalesce(sum($"nneg").over(w), lit(0L)))
+    byVal
+      .select(
+        sum($"npos").as("n_pos"), sum($"nneg").as("n_neg"),
+        sum($"npos" * $"cum_neg" * 2 + $"npos" * $"nneg").as("num2"))
+      .select($"n_pos", $"n_neg",
+        expr("num2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+  private lazy val d76Sql =
+    "WITH q76 AS (SELECT * FROM (\n" + d38Sql + "\n) q76q),\n" +
+      "g76 AS (SELECT * FROM (\n" + d43Sql + "\n) g76q),\n" +
+      """bv AS (SELECT qscore,
+        |    CAST(SUM(gopher_pass) AS BIGINT) AS npos,
+        |    CAST(SUM(1 - gopher_pass) AS BIGINT) AS nneg
+        |  FROM q76 JOIN g76 USING (doc_id) GROUP BY 1),
+        |cu AS (SELECT qscore, npos, nneg,
+        |    CAST(COALESCE(SUM(nneg) OVER (ORDER BY qscore
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_neg
+        |  FROM bv),
+        |t AS (SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nneg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(npos * cum_neg * 2 + npos * nneg) AS BIGINT) AS num2
+        |  FROM cu)
+        |SELECT n_pos, n_neg,
+        |  num2 * 1000000 // (2 * n_pos * n_neg) AS auc_ppm
+        |FROM t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4907,7 +4956,8 @@ object TextQueries {
     Q("d72_dup_span_scrub", d72, Some(d72Sql)),
     Q("d73_lsh_dial_curve", d73, Some(d73Sql)),
     Q("d74_source_datasheet", d74, Some(d74Sql)),
-    Q("d75_quality_calibration", d75, Some(d75Sql)))
+    Q("d75_quality_calibration", d75, Some(d75Sql)),
+    Q("d76_quality_auc", d76, Some(d76Sql)))
 
 
 }
