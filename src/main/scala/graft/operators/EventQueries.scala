@@ -646,7 +646,7 @@ object EventQueries {
         countDistinct($"user_id", $"sid").as("n_sessions"),
         countDistinct($"user_id").as("n_users"))
   }
-  private val q44Sql =
+  private[operators] val q44Sql =
     """WITH g AS (
       |  SELECT user_id, event_id, ts, event_type,
       |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER

@@ -402,18 +402,26 @@ object MlQueries {
   }
 
   /** Fixed-init, fixed-count EM; returns the parameter/loglik
-    * trajectory (head = init, last = final). */
+    * trajectory (head = init, last = final). The score frame is
+    * persisted for the loop — every round re-reads ONE double per doc
+    * instead of re-running the upstream scoring pipeline (the r13
+    * bench caught m08 re-tokenizing the corpus 51 times) — and
+    * unpersisted before returning. Caching changes nothing
+    * semantically: the per-round sums are snapped exact either way. */
   private[operators] def gmmFit(scores: DataFrame)
       : Seq[(GmmParams, Long)] = {
     val init = GmmParams(0.5, -0.05, 0.0025, 0.5, 0.05, 0.0025)
     val hist = scala.collection.mutable.ArrayBuffer.empty[(GmmParams, Long)]
-    var p = init
-    for (_ <- 0 until gmmIters) {
-      val (np, ll) = gmmStep(scores, p)
-      hist += ((p, ll))
-      p = np
-    }
-    hist += ((p, gmmStep(scores, p)._2))
+    val cached = scores.persist()
+    try {
+      var p = init
+      for (_ <- 0 until gmmIters) {
+        val (np, ll) = gmmStep(cached, p)
+        hist += ((p, ll))
+        p = np
+      }
+      hist += ((p, gmmStep(cached, p)._2))
+    } finally cached.unpersist()
     hist.toSeq
   }
 

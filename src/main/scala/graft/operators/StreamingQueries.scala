@@ -1156,6 +1156,29 @@ object StreamingQueries {
       mode = "append")
   }
 
+  // ---- s42: streaming session-path mining (q44's trigrams live) ----
+  // The LEAD windows rewritten as O(1) keyed state (StreamingOps
+  // .sessionPaths — cursor, session index, last two event types per
+  // user), so path hits stream off the live feed with constant
+  // memory; the support rollup (occurrences / sessions / users) runs
+  // batch-side over the append sink, and on the single-batch fixture
+  // the hits ARE batch q44's trigram rows, so q44's SQL oracle gates
+  // the stateful path. Cross-batch session stitching and the replay
+  // guard are proven on MemoryStreams (PathStreamSpec).
+  private def s42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hits = runStream(s, dir, raw =>
+      StreamingOps.sessionPaths(
+        raw.select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type".as("et")).as[StreamingOps.PathEvent],
+        1800000000L).toDF(),
+      mode = "append")
+    hits.groupBy($"path")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"user_id", $"sess_idx").as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   // ---- s39: streaming purchase attribution (q43's running max live) ----
   // The running-conditional-max window rewritten as O(1) keyed state
   // (StreamingOps.attributionStats — last click's timestamp plus the
@@ -1326,5 +1349,6 @@ object StreamingQueries {
     Q("s38_stream_error_runs", s38, Some(EventQueries.q42Sql)),
     Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)),
     Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)),
-    Q("s41_stream_pca", s41, Some(GoldenOracles.v32)))
+    Q("s41_stream_pca", s41, Some(GoldenOracles.v32)),
+    Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)))
 }

@@ -4513,13 +4513,18 @@ object TextQueries {
 
   /** Positioned L-gram sites: (doc_id, pos, gh = md5 of the L-token
     * gram starting at pos). Positions are 0-based token indexes. */
-  private[operators] def gramSites(docs: DataFrame): DataFrame = {
-    val parts = (0 until dupL).map(j => s"toks[i + $j]").mkString(", ")
+  private[operators] def gramSites(docs: DataFrame): DataFrame =
+    gramSitesL(docs, dupL)
+
+  /** The same at an explicit resolution `l` (d77 sweeps this dial;
+    * everything else runs the production dupL). */
+  private[operators] def gramSitesL(docs: DataFrame, l: Int): DataFrame = {
+    val parts = (0 until l).map(j => s"toks[i + $j]").mkString(", ")
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= dupL)
+      .filter(size(col("toks")) >= l)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $dupL), " +
+        s"transform(sequence(0, size(toks) - $l), " +
           s"i -> md5(cast(concat_ws(' ', $parts) as binary)))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
@@ -4529,17 +4534,20 @@ object TextQueries {
     * per-doc spans [span_start, span_end). Two L-windows merge when
     * their token coverage overlaps or touches (pos <= prev + L); the
     * window partitions by doc, so state is bounded by doc length. */
-  private[operators] def dupSpansOf(hits: DataFrame): DataFrame = {
+  private[operators] def dupSpansOf(hits: DataFrame): DataFrame =
+    dupSpansOfL(hits, dupL)
+
+  private[operators] def dupSpansOfL(hits: DataFrame, l: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hits
       .withColumn("ns", when(lag(col("pos"), 1).over(w).isNull ||
-        col("pos") > lag(col("pos"), 1).over(w) + dupL, 1L).otherwise(0L))
+        col("pos") > lag(col("pos"), 1).over(w) + l, 1L).otherwise(0L))
       .withColumn("sid", sum(col("ns")).over(run))
       .groupBy(col("doc_id"), col("sid"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + dupL).as("span_end"),
+        (max(col("pos")) + l).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"),
@@ -4881,6 +4889,63 @@ object TextQueries {
         |  num2 * 1000000 // (2 * n_pos * n_neg) AS auc_ppm
         |FROM t""".stripMargin
 
+  // ---- d77: substring-dedup resolution dial curve (L sweep) ----
+  // The dial audit for d71/d72's one dial: at which L does exact
+  // substring dedup bite, and how much does it charge? For the
+  // NESTED resolutions L = 4, 8 (production), 16: duplicated window
+  // sites, docs affected, and islands-merged token cover. Because the
+  // Ls are nested, a duplicated L-window's sub-windows at L/2 are
+  // duplicated too — so sites, docs, and cover are all non-increasing
+  // in L (theorems, pinned in DupSpansSpec — the d68/d73
+  // nested-widths doctrine applied to the suffix-array method). Each
+  // rung is the d71 engine verbatim at its L: one hash-agg shuffle +
+  // one shuffled join + per-doc windows; all integer outputs.
+  private val dupLs = Seq(4, 8, 16)
+
+  private def d77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupLs.map { l =>
+      val sites = gramSitesL(Tables(s, dir, "documents"), l)
+      val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).select($"gh")
+      val hits = sites.join(dup, "gh").select($"doc_id", $"pos")
+      val siteAgg = hits.agg(count(lit(1)).as("n_dup_sites"),
+        countDistinct($"doc_id").as("n_docs_hit"))
+      val coverAgg = dupSpansOfL(hits, l)
+        .agg(coalesce(sum($"span_tokens"), lit(0L)).as("dup_tokens"))
+      siteAgg.crossJoin(coverAgg)
+        .select(lit(l.toLong).as("l"), $"n_dup_sites", $"n_docs_hit",
+          $"dup_tokens")
+    }.reduce(_.unionAll(_))
+  }
+  private val d77Sql = {
+    def rung(l: Int) = {
+      val cat = (1 to l).map(j => s"toks[pos + $j]").mkString(" || ' ' || ")
+      s"""SELECT * FROM (WITH t AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |p AS (SELECT doc_id, unnest(generate_series(1, len(toks) - $l + 1)) - 1 AS pos, toks
+         |  FROM t WHERE len(toks) >= $l),
+         |g AS (SELECT doc_id, pos, md5($cat) AS gh FROM p),
+         |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+         |m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+         |      OR pos > lag(pos) OVER w + $l THEN 1 ELSE 0 END AS ns
+         |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sp AS (SELECT doc_id, pos, SUM(ns) OVER
+         |    (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m),
+         |spans AS (SELECT doc_id, MAX(pos) + $l - MIN(pos) AS span_tokens
+         |  FROM sp GROUP BY doc_id, sid)
+         |SELECT CAST($l AS BIGINT) AS l,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_dup_sites,
+         |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM h) AS n_docs_hit,
+         |  (SELECT CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) FROM spans)
+         |    AS dup_tokens)""".stripMargin
+    }
+    dupLs.map(rung).mkString("\nUNION ALL\n")
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -4957,7 +5022,8 @@ object TextQueries {
     Q("d73_lsh_dial_curve", d73, Some(d73Sql)),
     Q("d74_source_datasheet", d74, Some(d74Sql)),
     Q("d75_quality_calibration", d75, Some(d75Sql)),
-    Q("d76_quality_auc", d76, Some(d76Sql)))
+    Q("d76_quality_auc", d76, Some(d76Sql)),
+    Q("d77_dup_dial_curve", d77, Some(d77Sql)))
 
 
 }

@@ -290,6 +290,49 @@ object StreamingOps {
       }
   }
 
+  final case class PathEvent(user_id: Long, us: Long, event_id: Long,
+      et: String)
+  final case class PathState(lastUs: Long, lastId: Long, sessIdx: Long,
+      p1: String, p2: String)
+  final case class PathHit(user_id: Long, sess_idx: Long, path: String)
+
+  /** Live session-path mining (the streaming form of q44's in-session
+    * trigram windows): per-user state is O(1) — last-seen cursor, the
+    * session index, and the last TWO event types — so an unbounded
+    * feed emits every completed 3-step path with constant memory per
+    * user, where the batch form's LEAD windows would buffer the
+    * session. A >gapUs silence starts a new session and clears the
+    * path context (q18's sessionizer rule); the cursor drops
+    * late/replayed events (the q42/s38 guard). Each emitted hit
+    * carries (user, session) so the support rollup (occurrences /
+    * sessions / users) runs batch-side over the sink; on ordered
+    * input the hits equal batch q44's trigram rows exactly. */
+  def sessionPaths(events: Dataset[PathEvent], gapUs: Long)
+      : Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[PathEvent], state: GroupState[PathState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
+          var st = state.getOption.getOrElse(
+            PathState(Long.MinValue, Long.MinValue, 0L, "", ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
+          for (r <- sorted
+               if r.us > st.lastUs || (r.us == st.lastUs && r.event_id > st.lastId)) {
+            val newSess = st.lastUs != Long.MinValue && r.us - st.lastUs > gapUs
+            val (sessIdx, p1, p2) =
+              if (newSess) (st.sessIdx + 1L, "", "")
+              else (st.sessIdx, st.p1, st.p2)
+            if (p1.nonEmpty && p2.nonEmpty)
+              out += PathHit(uid, sessIdx, s"$p2>$p1>${r.et}")
+            st = PathState(r.us, r.event_id, sessIdx, r.et, p1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a signature column with watermark-bounded
     * state — the streaming form of d01_dedup_exact. Dedup key is the
     * SIGNATURE ALONE (dropDuplicatesWithinWatermark): a re-ingested

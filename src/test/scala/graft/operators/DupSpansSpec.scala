@@ -99,6 +99,22 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("d77 dial curve: nested resolutions shrink monotonically (containment theorem)") {
+    // a duplicated L-window's L/2 sub-windows are duplicated too, so
+    // every metric is non-increasing as L doubles across 4 -> 8 -> 16
+    val rows = Catalog.queries("d77_dup_dial_curve")(spark, TestSpark.sf001)
+      .select($"l", $"n_dup_sites", $"n_docs_hit", $"dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"sites grew with L: $a -> $b")
+      assert(a._3 >= b._3, s"docs grew with L: $a -> $b")
+      assert(a._4 >= b._4, s"cover grew with L: $a -> $b")
+    }
+    // the production dial must actually bite on the fixture
+    assert(rows(1)._2 > 0, "no dup sites at the production L")
+  }
+
   test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
     // d71 covers ALL dup sites, d72 only non-keeper sites — so every
     // doc's d72 charge is bounded by its d71 cover, and corpus-wide
