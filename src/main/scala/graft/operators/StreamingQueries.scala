@@ -1269,6 +1269,45 @@ object StreamingQueries {
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
   }
 
+  // ---- s43: streaming copy-flow attribution (d78 live) ----
+  // The provenance diagnostic on arrival: each streamed doc's gram
+  // sites (stateless posexplode, source carried through) probe the
+  // batch-built copy-flow ledger — one row per duplicated gram with
+  // its origin site and source — via a stream-static SHUFFLED
+  // equi-join (corpus-proportional ledger, the s40/s25 no-broadcast
+  // discipline); a site that IS the origin drops, every other match
+  // emits an (origin source → this source) flow row into the append
+  // sink, and the matrix rollup (with its distinct-doc column, which
+  // streaming aggs can't do) runs batch-side. Zero streaming state;
+  // on the whole-corpus fixture the flows are exactly d78's non-
+  // keeper sites, so d78's SQL oracle gates the streamed path.
+  private def s43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ledger = TextQueries.copyFlowLedger(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val flows = TextQueries.gramSitesSrc(raw)
+      .join(ledger, "gh")
+      .filter(!($"doc_id" === $"kdoc" && $"pos" === $"kpos"))
+      .select($"src_from", $"source".as("src_to"), $"doc_id")
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = flows.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .groupBy($"src_from", $"src_to")
+      .agg(count(lit(1)).as("n_sites"),
+        countDistinct($"doc_id").as("n_docs"))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1350,5 +1389,6 @@ object StreamingQueries {
     Q("s39_stream_attribution", s39, Some(EventQueries.q43Sql)),
     Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)),
     Q("s41_stream_pca", s41, Some(GoldenOracles.v32)),
-    Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)))
+    Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)),
+    Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)))
 }

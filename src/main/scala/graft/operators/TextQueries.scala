@@ -4530,6 +4530,40 @@ object TextQueries {
         col("col").as("gh"))
   }
 
+  /** Gram sites with the doc's source carried through the explode —
+    * free in the projection, and saves the d78/s43 consumers a join
+    * back to the documents table. */
+  private[operators] def gramSitesSrc(docs: DataFrame): DataFrame = {
+    val parts = (0 until dupL).map(j => s"toks[i + $j]").mkString(", ")
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= dupL)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $dupL), " +
+          s"i -> md5(cast(concat_ws(' ', $parts) as binary)))")))
+      .select(col("doc_id"), col("source"),
+        col("pos").cast("long").as("pos"), col("col").as("gh"))
+  }
+
+  /** Copy-flow ledger: one row per DUPLICATED gram — its hash, origin
+    * site (first corpus occurrence), and origin source. Corpus-
+    * proportional, so consumers join it SHUFFLED (the s40 ledger
+    * discipline); s43 probes it stream-static. */
+  private[operators] def copyFlowLedger(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    gramSitesSrc(Tables(s, dir, "documents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sites_g", count(lit(1)).over(full))
+      .filter($"rn" === 1 && $"n_sites_g" >= 2)
+      .select($"gh", $"source".as("src_from"),
+        $"doc_id".as("kdoc"), $"pos".as("kpos"))
+  }
+
   /** Islands merge: duplicated-window start positions → maximal
     * per-doc spans [span_start, span_end). Two L-windows merge when
     * their token coverage overlaps or touches (pos <= prev + L); the
@@ -4946,6 +4980,41 @@ object TextQueries {
     dupLs.map(rung).mkString("\nUNION ALL\n")
   }
 
+  // ---- d78: cross-source copy flows (who duplicates whom) ----
+  // The provenance diagnostic on top of d72's keeper election: every
+  // duplicated L-gram's first corpus occurrence names the ORIGIN
+  // source, every later site names a DESTINATION — so the (origin,
+  // destination) site counts form the copy-flow matrix a curation
+  // review reads to find scraped mirrors, templated feeds, and
+  // intra-source boilerplate (the diagonal). Scale shape: the same
+  // single gh-key shuffle d72 pays, with the origin source carried by
+  // a first_value window over each gram's (tiny) site group; the
+  // rollup key domain is |sources|² — constant. All integer outputs.
+  private def d78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    gramSitesSrc(Tables(s, dir, "documents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("src_from", first($"source").over(w))
+      .filter($"rn" >= 2)
+      .groupBy($"src_from", $"source".as("src_to"))
+      .agg(count(lit(1)).as("n_sites"),
+        countDistinct($"doc_id").as("n_docs"))
+  }
+  private[operators] val d78Sql =
+    s"""WITH $dupGramCte,
+       |sited AS (SELECT g.doc_id, g.pos, g.gh, d.source FROM g
+       |  JOIN documents d ON g.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER w AS rn,
+       |    first_value(source) OVER w AS src_from
+       |  FROM sited WINDOW w AS (PARTITION BY gh ORDER BY doc_id, pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT src_from, source AS src_to,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sites,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM r WHERE rn >= 2 GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5023,7 +5092,8 @@ object TextQueries {
     Q("d74_source_datasheet", d74, Some(d74Sql)),
     Q("d75_quality_calibration", d75, Some(d75Sql)),
     Q("d76_quality_auc", d76, Some(d76Sql)),
-    Q("d77_dup_dial_curve", d77, Some(d77Sql)))
+    Q("d77_dup_dial_curve", d77, Some(d77Sql)),
+    Q("d78_copy_flows", d78, Some(d78Sql)))
 
 
 }

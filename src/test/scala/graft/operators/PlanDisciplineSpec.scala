@@ -731,6 +731,39 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("s43 copy-flow probe never broadcasts the copy-flow ledger") {
+    // one row per duplicated gram with its origin site — corpus-
+    // proportional like the s25/s40 ledgers, so the stream-static
+    // probe must stay a shuffled equi-join
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+      val ledger = TextQueries.copyFlowLedger(spark, TestSpark.sf0001)
+      val mem = MemoryStream[(Long, String, String)]
+      mem.addData((7L, "graft copy flow probe tokens " * 4, "srcX"))
+      val flows = TextQueries.gramSitesSrc(mem.toDF()
+          .select(col("_1").as("doc_id"), col("_2").as("text"),
+            col("_3").as("source")))
+        .join(ledger, "gh")
+      val q = flows.writeStream.format("memory").queryName("s43_plan_probe")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val p = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.isEmpty,
+        s"copy-flow ledger must not broadcast into the stream:\n$p")
+      assert(p.toString.contains("SortMergeJoin") ||
+        p.toString.contains("ShuffledHashJoin"),
+        s"expected a shuffled stream-static equi-join:\n$p")
+    }
+  }
+
   test("v31 semantic screen is a stateless projection: no exchange, no join") {
     // the eval matrix is a bounded literal inside the projection, so
     // the whole screen must plan as scan → filter → project — any
