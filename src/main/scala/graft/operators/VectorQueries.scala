@@ -2239,6 +2239,75 @@ object VectorQueries {
     }.toDF("comp", "eigenvalue", "var_ratio", "cum_ratio")
   }
 
+
+  // ---- v34: whitened near-dup (all-but-the-top on a shipped artifact) --
+  // The de-biasing step embedding pipelines run before cosine dedup
+  // (Mu & Viswanath's "all-but-the-top"): remove the corpus's
+  // dominant direction so near-dup pairs reflect content, not the
+  // shared anisotropy every vector carries. The direction is a
+  // SHIPPED MODEL ARTIFACT — the 6dp-snapped top component v32
+  // pinned — baked below as constants exactly like the LSH
+  // hyperplanes, so the transform is a stateless projection (no
+  // recompute per corpus, the production deployment shape) and the
+  // whole query stays plain-SQL oracled at ANY scale: the whitening
+  // arithmetic is per-element IEEE with a literal vector, and both
+  // cosines are the proven index-order folds. Pairs are the v03
+  // exact-slice audit shape; the zero-norm guard keeps a vector
+  // parallel to u (cosine undefined) out of BOTH engines' outputs.
+  private val abttU: Array[Double] = Array(
+    -0.209626, -0.120402, 0.036587, 0.012094, 0.075126, 0.013136,
+    0.09035, 0.286836, 0.049306, 0.413959, 0.064976, 0.182134,
+    0.065092, -0.036948, 0.171103, -0.185477, 0.088527, -0.158147,
+    -0.029968, 0.032337, 0.061112, -0.110798, -0.083678, -0.054475,
+    0.020352, 0.199868, -0.037453, 0.149508, -0.17261, -0.00558,
+    -0.05864, 0.062714, 0.296445, 0.105973, -0.032147, 0.103897,
+    0.044353, 0.061351, 0.01244, 0.021626, -0.116679, 0.005378,
+    -0.24064, 0.096265, -0.028845, -0.224539, 0.008878, -0.079491,
+    -0.084032, -0.118098, 0.120949, 0.072738, -0.017227, 0.081655,
+    -0.015771, -0.066837, -0.054708, -0.051427, 0.059774, -0.09076,
+    0.122247, 0.050385, -0.218209, -0.101769)
+
+  private def v34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uc = typedLit(abttU.toSeq)
+    val w = embeddings(s, dir).filter($"vec_id" < sliceN)
+      .withColumn("dp", VectorOps.dotLit($"v", abttU))
+      .withColumn("w", zip_with($"v", uc, (x, y) => x - $"dp" * y))
+      .filter(VectorOps.dot($"w", $"w") > 0.0)
+    val a = w.select($"vec_id".as("id_a"), $"v".as("va"), $"w".as("wa"))
+    val b = w.select($"vec_id".as("id_b"), $"v".as("vb"), $"w".as("wb"))
+    a.join(b, $"id_a" < $"id_b")
+      .withColumn("cw", VectorOps.cosine($"wa", $"wb"))
+      .filter($"cw" >= dupTau)
+      .select($"id_a", $"id_b",
+        round(VectorOps.cosine($"va", $"vb"), 6).as("cosine_raw"),
+        round($"cw", 6).as("cosine_w"))
+  }
+  private lazy val v34Sql = {
+    val uLit = "[" + abttU.map(_.toString).mkString(", ") + "]"
+    val cosW = VectorOps.cosineSql("a.w", "b.w")
+    val cosRaw = VectorOps.cosineSql("a.v", "b.v")
+    s"""WITH u AS (SELECT $uLit::DOUBLE[] AS uv),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < $sliceN),
+       |d AS (SELECT vec_id, v, uv,
+       |    ${VectorOps.dotSql("v", "uv")} AS dp
+       |  FROM e CROSS JOIN u),
+       |wv AS (SELECT vec_id, v,
+       |    list_transform(generate_series(1, len(v)),
+       |      i -> v[i] - dp * uv[i]) AS w
+       |  FROM d),
+       |g AS (SELECT * FROM wv
+       |  WHERE ${VectorOps.dotSql("w", "w")} > 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($cosRaw, 6) AS cosine_raw,
+       |  round($cosW, 6) AS cosine_w
+       |FROM g a JOIN g b ON a.vec_id < b.vec_id
+       |WHERE $cosW >= $dupTau""".stripMargin
+  }
+
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -2272,5 +2341,6 @@ object VectorQueries {
     Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)),
     Q("v31_semantic_decontam", v31, Some(v31Sql)),
     Q("v32_pca_power", v32, Some(GoldenOracles.v32)),
-    Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33)))
+    Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33)),
+    Q("v34_whitened_dedup", v34, Some(v34Sql)))
 }
