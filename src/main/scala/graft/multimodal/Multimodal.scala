@@ -138,6 +138,48 @@ object Multimodal {
     }.toDF("media_id", "features")
   }
 
+  /** Perceptual average-hash (aHash) in one partition pass: decode →
+    * grayscale (per-pixel channel mean) → 8×8 block-mean downsample →
+    * one bit per cell (cell > global cell mean), packed MSB-first into
+    * a long. Real math over the decoded tensor — with a real codec
+    * only `decodeImage` changes. Requires width and height divisible
+    * by 8 (the fixture's 16×16 is). */
+  def aHash(media: Dataset[MediaRecord], codec: Codec = FakeCodec)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val t = codec.decodeImage(r.meta, r.payload)
+        val (wd, ht, c) = (t.width, t.height, t.channels)
+        require(wd % 8 == 0 && ht % 8 == 0, s"aHash needs 8|w and 8|h: $wd x $ht")
+        val (bw, bh) = (wd / 8, ht / 8)
+        val cells = new Array[Double](64)
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < wd) {
+            var g = 0.0
+            var ch = 0
+            val base = (y * wd + x) * c
+            while (ch < c) { g += (t.pixels(base + ch) & 0xff).toDouble; ch += 1 }
+            cells((y / bh) * 8 + (x / bw)) += g / c
+            x += 1
+          }
+          y += 1
+        }
+        val mean = cells.sum / 64.0
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (cells(i) > mean) h |= 1L << (63 - i)
+          i += 1
+        }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "phash")
+  }
+
   /** Nearest-neighbor resize of decoded images — real math over the
     * (fake-)decoded tensor, emitted as a new tensor per record.
     */

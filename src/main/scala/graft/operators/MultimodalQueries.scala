@@ -470,7 +470,43 @@ object MultimodalQueries {
     sceneSegments(Multimodal.frameMeans(videoMedia(docs)))
   }
 
+  // ---- x12: perceptual-hash near-dup (aHash + Hamming banding) ----
+  // The image near-dup rung the block family can't see: x06/x08 match
+  // BYTES, a perceptual hash matches PICTURES — re-encoded or
+  // slightly-corrupted copies share most aHash bits. Scale shape is
+  // the d07 simhash discipline applied to media: one decode pass →
+  // 64-bit hash per image (no pixels leave the task), split into four
+  // 16-bit bands, bucket self-join on (band, code), exact-Hamming
+  // verify on the candidates — precision vs the threshold is 1 by
+  // construction, capture is GUARANTEED for Hamming ≤ 3 (pigeonhole
+  // over 4 bands) and probabilistic beyond (the d10-banding recall
+  // story) — and only ids+hashes cross the shuffle. With the stub
+  // codec only
+  // identical payloads decode alike (the x04 caveat), so the fixture
+  // exercises the full banding/verify machinery on the clone set;
+  // a real codec changes decodeImage only. Golden-gated (the x02
+  // premise: per-record deterministic decode, partition-invariant —
+  // sweep-re-proven); kernel laws in MultimodalSpec.
+  private val phashTau = 15L
+
+  private def x12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Multimodal.aHash(media(s, dir))
+    val banded = h.select($"media_id", $"phash",
+        posexplode(expr("transform(sequence(0, 3), b -> " +
+          "(phash >> (b * 16)) & 65535)")).as(Seq("band", "code")))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
+        $"x.media_id" < $"y.media_id")
+      .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"),
+        bit_count($"x.phash".bitwiseXOR($"y.phash")).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= phashTau)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("x12_phash_neardup", x12, Some(GoldenOracles.x12)),
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),
     Q("x03_frame_sample", x03, Some(x03Sql)),

@@ -98,6 +98,70 @@ class MultimodalSpec extends AnyFunSuite {
       spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet").count())
   }
 
+  test("aHash: 8x8 mean-threshold law, payload-determined, clones at distance 0") {
+    // 16x16 so the 8|w, 8|h contract holds; doc 4 is a byte-identical
+    // clone of doc 1 — same payload must hash identically
+    val docs = Seq(
+      (1L, "hello multimodal world"),
+      (2L, "a second, longer document with more bytes in it"),
+      (4L, "hello multimodal world")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val m = Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
+      format = "fake", width = 16, height = 16, channels = 3)
+    val h = Multimodal.aHash(m).as[(Long, Long)].collect().toMap
+    assert(h.size == 3)
+    assert(h(1L) == h(4L), "identical payloads must aHash identically")
+    assert(h(1L) != h(2L), "distinct payloads should not collide here")
+    // independent recompute of doc 1's hash from the decoded tensor
+    val rec = m.filter($"media_id" === 1L).collect().head
+    val t = Multimodal.FakeCodec.decodeImage(rec.meta, rec.payload)
+    val cells = new Array[Double](64)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val base = (y * 16 + x) * 3
+      val g = (0 until 3).map(c => (t.pixels(base + c) & 0xff).toDouble).sum / 3
+      cells((y / 2) * 8 + (x / 2)) += g
+    }
+    val mean = cells.sum / 64.0
+    var want = 0L
+    for (i <- 0 until 64) if (cells(i) > mean) want |= 1L << (63 - i)
+    assert(h(1L) == want, "aHash diverges from the 8x8 mean-threshold law")
+  }
+
+  test("x12 banding: clone pairs captured at distance 0, every pair verified") {
+    // the pigeonhole leg (hamming <= 3 -> some 16-bit band agrees) on
+    // an injected exact clone, plus the precision law on real output:
+    // every emitted pair's hamming recomputed from the hashes must
+    // match and sit within tau, and the pair must share a band
+    val dir = graft.TestSpark.sf0001
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .union(spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"doc_id" === 0L)
+        .select(lit(999999L).as("doc_id"), $"text".cast("binary").as("payload")))
+    val m = Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
+      format = "fake", width = 16, height = 16, channels = 3)
+    val h = Multimodal.aHash(m).as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(999999L))
+    val banded = Multimodal.aHash(m)
+      .select($"media_id", $"phash",
+        posexplode(expr("transform(sequence(0, 3), b -> " +
+          "(phash >> (b * 16)) & 65535)")).as(Seq("band", "code")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
+        $"x.media_id" < $"y.media_id")
+      .select($"x.media_id", $"y.media_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 999999L)),
+      "an exact clone (hamming 0) must be captured by the banding")
+    pairs.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(h(a) ^ h(b))
+      val shares = (0 until 4).exists(k =>
+        ((h(a) >> (k * 16)) & 0xffffL) == ((h(b) >> (k * 16)) & 0xffffL))
+      assert(shares, s"pair ($a,$b) emitted without a shared band")
+      assert(d >= 0 && d <= 64)
+    }
+  }
+
   test("audioFeatures: windows cover all samples, rms/zcr in range") {
     val df = Multimodal.audioFeatures(mediaDf(kind = "audio"), windowSamples = 100)
     val rows = df.where($"media_id" === 1L).collect()
