@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  private def media(s: SparkSession, dir: String) = {
+  private def media(s: SparkSession, dir: String) = mediaOf(s, dir)
+
+  private[operators] def mediaOf(s: SparkSession, dir: String) = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
@@ -491,19 +493,29 @@ object MultimodalQueries {
 
   private def x12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = Multimodal.aHash(media(s, dir))
-    val banded = h.select($"media_id", $"phash",
-        posexplode(expr("transform(sequence(0, 3), b -> " +
-          "(phash >> (b * 16)) & 65535)")).as(Seq("band", "code")))
-    banded.as("x").join(banded.as("y"),
+    val banded = phashBanded(Multimodal.aHash(media(s, dir)))
+    phashPairs(banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
         $"x.media_id" < $"y.media_id")
-      .select($"x.media_id".as("id_a"), $"y.media_id".as("id_b"),
-        bit_count($"x.phash".bitwiseXOR($"y.phash")).cast("long")
+      .select($"x.media_id".as("id_x"), $"y.media_id".as("id_y"),
+        $"x.phash".as("ph_x"), $"y.phash".as("ph_y")))
+  }
+
+  /** The banded phash index + the pair tail, factored so the batch
+    * query and the s44 stream probe share one shape. */
+  private[operators] def phashBanded(h: DataFrame): DataFrame =
+    h.select(col("media_id"), col("phash"),
+      posexplode(expr("transform(sequence(0, 3), b -> " +
+        "(phash >> (b * 16)) & 65535)")).as(Seq("band", "code")))
+
+  private[operators] def phashPairs(cands: DataFrame): DataFrame =
+    cands
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        bit_count(col("ph_x").bitwiseXOR(col("ph_y"))).cast("long")
           .as("hamming"))
       .distinct()
-      .filter($"hamming" <= phashTau)
-  }
+      .filter(col("hamming") <= phashTau && col("id_a") < col("id_b"))
 
   val all: Seq[Q] = Seq(
     Q("x12_phash_neardup", x12, Some(GoldenOracles.x12)),

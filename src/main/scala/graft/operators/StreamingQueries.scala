@@ -1308,6 +1308,48 @@ object StreamingQueries {
         countDistinct($"doc_id").as("n_docs"))
   }
 
+  // ---- s44: streaming perceptual-hash probe (x12 live) ----
+  // Image near-dup on arrival: each streamed media record decodes and
+  // aHashes in the stateless partition pass (the same kernel x12
+  // runs), its four 16-bit band codes probe the batch-built banded
+  // phash index via a stream-static SHUFFLED join (one row per
+  // (media, band) — corpus-proportional, the s25/s40/s43 ledger
+  // discipline), candidate rows land in the append sink, and the
+  // exact-Hamming verify + dedup tail runs batch-side through the
+  // SAME phashPairs x12 uses. Zero streaming state; on the
+  // whole-corpus fixture the pairs are exactly x12's, so its pinned
+  // golden gates the streamed path.
+  private def s44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseBanded = MultimodalQueries.phashBanded(
+      Multimodal.aHash(MultimodalQueries.mediaOf(s, dir)))
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val streamBanded = MultimodalQueries.phashBanded(
+      Multimodal.aHash(Multimodal.ingest(raw, "doc_id", "payload",
+        kind = "image", format = "fake",
+        width = 16, height = 16, channels = 3)))
+    val cands = streamBanded.as("x").join(baseBanded.as("y"),
+        $"x.band" === $"y.band" && $"x.code" === $"y.code" &&
+        $"x.media_id" =!= $"y.media_id")
+      .select($"x.media_id".as("id_x"), $"y.media_id".as("id_y"),
+        $"x.phash".as("ph_x"), $"y.phash".as("ph_y"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = cands.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MultimodalQueries.phashPairs(s.table(name))
+  }
+
   // ---- s12: streaming K-Means (micro-batch centroid refinement) ----
   // The §2.8 north-star extension: iterative ML driven by a stream.
   // Centroids are DRIVER state (k×d doubles — the same scalars-only
@@ -1390,5 +1432,6 @@ object StreamingQueries {
     Q("s40_stream_dup_spans", s40, Some(TextQueries.d71Sql)),
     Q("s41_stream_pca", s41, Some(GoldenOracles.v32)),
     Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)),
-    Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)))
+    Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)),
+    Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)))
 }
