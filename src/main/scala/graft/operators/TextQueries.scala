@@ -3804,10 +3804,16 @@ object TextQueries {
 
   /** Screened docs → E-S weighted per-source top-k: the manifest tail
     * every generation shares (only the verdict anti-joins differ). */
-  private def manifestSample(screened: DataFrame): DataFrame = {
-    val survivors = screened
+  private def manifestSample(screened: DataFrame): DataFrame =
+    manifestSampleWeighted(screened
       .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("w"))
+        size(TextOps.tokens(col("text"))).cast("long").as("w")))
+
+  /** The E-S sampling tail over explicit (source, doc_id, w) rows —
+    * d60/d69 weight by raw token count, d79 by the dedup-aware clean
+    * count. */
+  private def manifestSampleWeighted(survivors0: DataFrame): DataFrame = {
+    val survivors = survivors0
       .withColumn("u",
         (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))
           .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
@@ -5015,6 +5021,59 @@ object TextQueries {
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM r WHERE rn >= 2 GROUP BY 1, 2""".stripMargin
 
+  // ---- d79: curation manifest v4 (dedup-aware sampling weights) ----
+  // The manifest ladder's fourth rung: v3's three contamination
+  // screens unchanged, but the E-S sampling weight becomes the doc's
+  // CLEAN token count (d72's scrub ledger) instead of its raw length
+  // — so a doc whose mass is substring-duplicated boilerplate
+  // competes with the weight of its unique content only, and a FULLY
+  // duplicated doc (clean = 0) leaves the pool entirely. This is the
+  // practice point of exact substring dedup: sampling by unique mass,
+  // not raw mass. Every stage stays an independently gated engine;
+  // the composed oracle joins d72's SQL into the sv weight CTE. Docs
+  // below the gram resolution (< 8 tokens) carry their raw length —
+  // they have no measurable duplication by construction.
+  private def d79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
+    val scrub = d72(s, dir).select($"doc_id", $"clean_tokens")
+    manifestSampleWeighted(Tables(s, dir, "documents")
+      .filter($"doc_id" >= fuzzyEvalN)
+      .filter(length(trim($"text")) > 0)
+      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
+      .join(bloomDrop, Seq("doc_id"), "left_anti")
+      .join(VectorQueries.semanticFlaggedIds(s, dir),
+        Seq("doc_id"), "left_anti")
+      .join(scrub, Seq("doc_id"), "left")
+      .select($"source", $"doc_id",
+        coalesce($"clean_tokens",
+          size(TextOps.tokens($"text")).cast("long")).as("w"))
+      .filter($"w" > 0))
+  }
+  private lazy val d79Sql =
+    s"WITH ${screenCtesSql(semCteSql)},\n" +
+      "scrub AS (SELECT * FROM (\n" + d72Sql + "\n) scrubq),\n" +
+      s"""  sv AS (SELECT t0.source, t0.doc_id,
+         |      CAST(COALESCE(sc.clean_tokens, len(t0.toks)) AS BIGINT) AS w
+         |    FROM t0 LEFT JOIN scrub sc ON t0.doc_id = sc.doc_id
+         |    WHERE t0.doc_id >= $fuzzyEvalN
+         |      AND t0.doc_id NOT IN (SELECT doc_id FROM fz)
+         |      AND t0.doc_id NOT IN (SELECT doc_id FROM bd)
+         |      AND t0.doc_id NOT IN (SELECT doc_id FROM sem)
+         |      AND COALESCE(sc.clean_tokens, len(t0.toks)) > 0),
+         |  p AS (SELECT source, doc_id,
+         |      CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |          || ':ws'), 1, 6) AS INT) + 0.5e0) / 16777216.0e0)
+         |        / w * 1e6 + 0.5) AS BIGINT) AS prio
+         |    FROM sv),
+         |  r AS (SELECT source, doc_id, prio,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY prio DESC, doc_id) AS rn
+         |    FROM p)
+         |SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
+         |  prio AS prio_micro
+         |FROM r WHERE rn <= $curK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5093,7 +5152,8 @@ object TextQueries {
     Q("d75_quality_calibration", d75, Some(d75Sql)),
     Q("d76_quality_auc", d76, Some(d76Sql)),
     Q("d77_dup_dial_curve", d77, Some(d77Sql)),
-    Q("d78_copy_flows", d78, Some(d78Sql)))
+    Q("d78_copy_flows", d78, Some(d78Sql)),
+    Q("d79_curation_manifest_v4", d79, Some(d79Sql)))
 
 
 }

@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 34 golden-gated queries: every Catalog entry whose oracle is
+  /** The 35 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
     * d69, d70 and d74, whose SQL oracles inline that golden as a
@@ -57,6 +57,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "d06_minhash_lsh", "d07_simhash", "d08_fingerprints",
     "d58_fuzzy_decontam_prod", "d60_curation_manifest_v2",
     "d69_curation_manifest_v3", "d70_contamination_report",
+    "d79_curation_manifest_v4",
     "d74_source_datasheet",
     "g01_gaussian_generator", "m05_kmeans_scalable_init",
     "m08_gmm_quality",
@@ -158,6 +159,41 @@ class GoldenSweepSpec extends AnyFunSuite {
       assert(badRanks.count() == 0,
         s"per-source v3 sample is not a dense rank prefix of size <= 5 at $sfDir")
     } finally d69.unpersist()
+  }
+
+  test("d79 manifest v4 holds the dedup-aware weight contract live, any scale") {
+    // d79 inherits the gate-scale-pinned screens (the inlined d58
+    // golden), so the sweep re-proves its composition structurally:
+    // the v3 screen contract (no sampled doc flagged by any LIVE
+    // screen), plus the new rung's law — every sampled doc has LIVE
+    // clean_tokens > 0 under d72 (a fully-duplicated doc must never
+    // be sampled; that exclusion is the point of the v4 weights).
+    import org.apache.spark.sql.functions._
+    val d79 = Catalog.queries("d79_curation_manifest_v4")(spark, sfDir)
+      .cache()
+    try {
+      assert(d79.count() > 0, s"d79 returned no rows at $sfDir")
+      val sampled = d79.select(col("doc_id")).distinct()
+      for ((name, ids) <- Seq(
+          "d58" -> Catalog.queries("d58_fuzzy_decontam_prod")(spark, sfDir)
+            .select(col("doc_id")),
+          "d57" -> Catalog.queries("d57_bloom_contamination")(spark, sfDir)
+            .filter(col("n_bloom_hits") * 2 > col("total_5grams"))
+            .select(col("doc_id")),
+          "v31" -> Catalog.queries("v31_semantic_decontam")(spark, sfDir)
+            .select(col("vec_id").as("doc_id"))))
+        assert(sampled.join(ids.distinct(), "doc_id").count() == 0,
+          s"sampled ∩ live $name-flagged must be empty at $sfDir")
+      val zeroClean = Catalog.queries("d72_dup_span_scrub")(spark, sfDir)
+        .filter(col("clean_tokens") === 0L).select(col("doc_id"))
+      assert(sampled.join(zeroClean, "doc_id").count() == 0,
+        s"a fully-duplicated doc was sampled at $sfDir")
+      val badRanks = d79.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+        .filter(col("mx") =!= col("n") || col("n") > 5)
+      assert(badRanks.count() == 0,
+        s"per-source v4 sample is not a dense rank prefix of size <= 5 at $sfDir")
+    } finally d79.unpersist()
   }
 
   test("d74 datasheet reconciles with the LIVE screens and ledgers, any scale") {
