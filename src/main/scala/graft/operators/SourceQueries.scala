@@ -104,7 +104,56 @@ object SourceQueries {
        |  ((r.range * 13 + c.range * 7) % 32768) * (1.0 / 32767) AS w
        |FROM range($sdN) r CROSS JOIN range($sdN) c""".stripMargin
 
+  // ---- p04: CSV sink → scan round-trip (quoting/escape/multiline) ----
+  // The interchange format every ingest pipeline still meets. The
+  // corpus text is CSV-benign at every SF (no quotes, commas, or
+  // newlines — probed), so the round-trip is made non-trivial by
+  // UNIONING three hostile rows — embedded quotes, commas, and a real
+  // newline — before writing: the writer must quote+escape them, the
+  // reader must reassemble the multi-line record, and every byte must
+  // survive (md5 compared, corpus rows included). The reader takes an
+  // EXPLICIT schema (no inference pass — the two-scan trap) and
+  // multiLine only because the fixture proves the embedded-newline
+  // path; bulk CSV ingest without embedded newlines keeps the
+  // splittable default.
+  private val csvHostile = Seq(
+    (1000001L, "a,b \"quoted\" text"),
+    (1000002L, "line1\nline2"),
+    (1000003L, " leading and trailing "))
+
+  private def p04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val docs = graft.Tables(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .unionAll(csvHostile.toDF("doc_id", "text"))
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("quoteAll", "true")
+      // the WRITER trims by default — a silent byte-mangler this
+      // round-trip exists to catch
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    s.read
+      .schema("doc_id LONG, text STRING")
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(out)
+      .select($"doc_id", md5($"text".cast("binary")).as("text_md5"))
+  }
+  private val p04Sql = {
+    val lits = csvHostile.map { case (id, t) =>
+      val sqlLit = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"SELECT CAST($id AS BIGINT) AS doc_id, md5('$sqlLit') AS text_md5"
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT doc_id, md5(text) AS text_md5 FROM documents
+       |UNION ALL
+       |$lits""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("p04_csv_roundtrip", p04, Some(p04Sql)),
     Q("p01_points_text_roundtrip", p01, Some(p01Sql)),
     Q("p02_wholefile_matrix_roundtrip", p02, Some(p02Sql)),
     Q("p03_sideread_join_roundtrip", p03, Some(p03Sql)))
