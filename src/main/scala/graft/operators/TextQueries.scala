@@ -5074,6 +5074,71 @@ object TextQueries {
          |  prio AS prio_micro
          |FROM r WHERE rn <= $curK""".stripMargin
 
+  // ---- d80: Zipf slope fit over the ranked term distribution ----
+  // The corpus-statistics audit next to d32 (vocab growth) and d52
+  // (token gini): least-squares slope of ln(freq) against ln(rank)
+  // over the top-R terms — the Zipf exponent a language-likeness /
+  // synthetic-data screen reads (natural corpora sit near -1; flat
+  // slopes flag templated or shuffled text). Scale shape: one
+  // tokenize pass → vocabulary-bounded term counts (the d55 key
+  // domain) → bounded top-R gather via ordered aggregation — the
+  // regression folds run over a list ORDERED BY RANK on both engines
+  // (DuckDB list(… ORDER BY), Spark sort_array∘collect_list), so
+  // every sum is an index-order fold and the only cross-engine
+  // freedom is ln()'s ulp, absorbed by the micro snap (the manifest
+  // prio precedent). R = 64 keeps the driver row bounded and the fit
+  // in Zipf's head where the law holds.
+  private val zipfR = 64
+
+  private def d80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = termCountsAgg(Tables(s, dir, "documents"))
+      .select($"term", $"cnt",
+        row_number().over(Window.orderBy($"cnt".desc, $"term")).as("r"))
+      .filter($"r" <= zipfR)
+    ranked
+      .select(sort_array(collect_list(struct($"r", $"cnt"))).as("pts"))
+      .select(
+        // n is the ACTUAL point count — the head may be shorter than
+        // R when the vocabulary is (a literal R here once produced a
+        // garbage slope on a 31-term vocabulary)
+        expr("cast(size(pts) as double)").as("n"),
+        expr(s"aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r))").as("sx"),
+        expr(s"aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.cnt))").as("sy"),
+        expr(s"aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r) * ln(p.cnt))").as("sxy"),
+        expr(s"aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r) * ln(p.r))").as("sxx"))
+      .select(
+        expr("cast(n as bigint)").as("r_terms"),
+        expr("cast(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) " +
+          "* 1e6 + 0.5) as bigint)").as("slope_micro"),
+        expr("cast(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) " +
+          "/ n * 1e6 + 0.5) as bigint)").as("intercept_micro"))
+  }
+  private val d80Sql =
+    s"""WITH tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+       |    FROM documents WHERE length(trim(text)) > 0) GROUP BY 1),
+       |rk AS (SELECT term, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, term) AS r
+       |  FROM tc QUALIFY r <= $zipfR),
+       |pts AS (SELECT list(ln(r) ORDER BY r) AS lx,
+       |    list(ln(cnt) ORDER BY r) AS ly FROM rk),
+       |sums AS (SELECT
+       |    CAST(len(lx) AS DOUBLE) AS n,
+       |    list_reduce(lx, (a, v) -> a + v) AS sx,
+       |    list_reduce(ly, (a, v) -> a + v) AS sy,
+       |    list_reduce(list_transform(generate_series(1, len(lx)),
+       |      i -> lx[i] * ly[i]), (a, v) -> a + v) AS sxy,
+       |    list_reduce(list_transform(lx, v -> v * v), (a, v) -> a + v) AS sxx
+       |  FROM pts)
+       |SELECT CAST(n AS BIGINT) AS r_terms,
+       |  CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+       |    * 1e6 + 0.5) AS BIGINT) AS slope_micro,
+       |  CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+       |    * sx) / n * 1e6 + 0.5) AS BIGINT) AS intercept_micro
+       |FROM sums""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5153,7 +5218,8 @@ object TextQueries {
     Q("d76_quality_auc", d76, Some(d76Sql)),
     Q("d77_dup_dial_curve", d77, Some(d77Sql)),
     Q("d78_copy_flows", d78, Some(d78Sql)),
-    Q("d79_curation_manifest_v4", d79, Some(d79Sql)))
+    Q("d79_curation_manifest_v4", d79, Some(d79Sql)),
+    Q("d80_zipf_fit", d80, Some(d80Sql)))
 
 
 }
