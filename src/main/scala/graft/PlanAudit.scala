@@ -21,7 +21,9 @@ object PlanAudit {
       else Seq("q01_pricing_summary", "q03_join_agg", "q10_topk",
         "d01_dedup_exact", "d06_minhash_lsh", "v01_knn_exact",
         "v04_cosine_dup_lsh", "m01_kmeans_assign", "v14_knn_graph",
-        "d34_incremental_dedup", "d35_partitioned_corpus")
+        "d34_incremental_dedup", "d35_partitioned_corpus",
+        "d71_dup_spans", "v32_pca_power", "v34_whitened_dedup",
+        "x12_phash_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

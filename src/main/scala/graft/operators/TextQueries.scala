@@ -5139,6 +5139,56 @@ object TextQueries {
        |    * sx) / n * 1e6 + 0.5) AS BIGINT) AS intercept_micro
        |FROM sums""".stripMargin
 
+  // ---- d81: per-source Zipf slopes (the slice-level d80) ----
+  // The deployment form of the language-likeness audit: corpora are
+  // screened per SLICE, and a source whose slope sits far from its
+  // peers is templated, shuffled, or machine-generated. Same
+  // determinism discipline as d80 — rank-ordered list folds per
+  // source, actual head size in the fit — with the (source, term)
+  // count table d67's fertility audit already uses as the only
+  // corpus-sized stage (vocabulary-bounded keys per source).
+  private def d81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
+    val sums = bpeSourceTermCounts(Tables(s, dir, "documents"))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" <= zipfR)
+      .groupBy($"source")
+      .agg(sort_array(collect_list(struct($"r", $"cnt"))).as("pts"))
+      .select($"source",
+        expr("cast(size(pts) as double)").as("n"),
+        expr("aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r))").as("sx"),
+        expr("aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.cnt))").as("sy"),
+        expr("aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r) * ln(p.cnt))").as("sxy"),
+        expr("aggregate(pts, cast(0.0 as double), (a, p) -> a + ln(p.r) * ln(p.r))").as("sxx"))
+    sums.select($"source",
+      expr("cast(n as bigint)").as("r_terms"),
+      expr("cast(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) " +
+        "* 1e6 + 0.5) as bigint)").as("slope_micro"))
+  }
+  private val d81Sql =
+    s"""WITH tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+       |    FROM documents WHERE length(trim(text)) > 0) GROUP BY 1, 2),
+       |rk AS (SELECT source, term, cnt,
+       |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS r
+       |  FROM tc QUALIFY r <= $zipfR),
+       |pts AS (SELECT source, list(ln(r) ORDER BY r) AS lx,
+       |    list(ln(cnt) ORDER BY r) AS ly FROM rk GROUP BY 1),
+       |sums AS (SELECT source,
+       |    CAST(len(lx) AS DOUBLE) AS n,
+       |    list_reduce(lx, (a, v) -> a + v) AS sx,
+       |    list_reduce(ly, (a, v) -> a + v) AS sy,
+       |    list_reduce(list_transform(generate_series(1, len(lx)),
+       |      i -> lx[i] * ly[i]), (a, v) -> a + v) AS sxy,
+       |    list_reduce(list_transform(lx, v -> v * v), (a, v) -> a + v) AS sxx
+       |  FROM pts)
+       |SELECT source, CAST(n AS BIGINT) AS r_terms,
+       |  CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+       |    * 1e6 + 0.5) AS BIGINT) AS slope_micro
+       |FROM sums""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5219,7 +5269,8 @@ object TextQueries {
     Q("d77_dup_dial_curve", d77, Some(d77Sql)),
     Q("d78_copy_flows", d78, Some(d78Sql)),
     Q("d79_curation_manifest_v4", d79, Some(d79Sql)),
-    Q("d80_zipf_fit", d80, Some(d80Sql)))
+    Q("d80_zipf_fit", d80, Some(d80Sql)),
+    Q("d81_source_zipf", d81, Some(d81Sql)))
 
 
 }
