@@ -425,6 +425,21 @@ object MlQueries {
     hist.toSeq
   }
 
+  /** The real distributed DAG behind the eager m08 (one EM round's
+    * sufficient-statistics aggregation under the init params) — the
+    * Catalog.auditPlan hook (q35/v32 eager discipline). */
+  private[operators] def m08Plan(s: SparkSession, dir: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    def dens(w: Double, m: Double, v: Double) =
+      s"($w * exp(-(x - $m) * (x - $m) / (2 * $v)) / sqrt(2 * pi() * $v))"
+    val f1 = dens(0.5, -0.05, 0.0025); val f2 = dens(0.5, 0.05, 0.0025)
+    val tot = s"($f1 + $f2 + 1e-300)"
+    gmmScores(s, dir).select(
+      org.apache.spark.sql.functions.expr(
+        s"sum(cast($f1 / $tot as decimal(30,15)))").as("r1"))
+      .queryExecution.executedPlan
+  }
+
   private def m08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hist = gmmFit(gmmScores(s, dir))
@@ -441,7 +456,7 @@ object MlQueries {
   }
 
   val all: Seq[Q] = Seq(
-    Q("m08_gmm_quality", m08, Some(GoldenOracles.m08)),
+    Q("m08_gmm_quality", m08, Some(GoldenOracles.m08), planFn = Some(m08Plan)),
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
     Q("m02_kmeans_step", m02, Some(m02Sql)),
     Q("m03_kmeans_loop", m03, Some(m03Sql)),

@@ -4953,6 +4953,9 @@ object TextQueries {
         countDistinct($"doc_id").as("n_docs_hit"))
       val coverAgg = dupSpansOfL(hits, l)
         .agg(coalesce(sum($"span_tokens"), lit(0L)).as("dup_tokens"))
+      // 1-row × 1-row scalar attach — the only sanctioned crossJoin
+      // shape (two global aggregates of the same rung zipped into one
+      // output row; nothing corpus-sized on either side)
       siteAgg.crossJoin(coverAgg)
         .select(lit(l.toLong).as("l"), $"n_dup_sites", $"n_docs_hit",
           $"dup_tokens")

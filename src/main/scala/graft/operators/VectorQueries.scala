@@ -2212,6 +2212,14 @@ object VectorQueries {
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
   }
 
+  /** The real distributed DAG behind the eager v32/v33 (their
+    * registered frames are driver-materialized local rows) — the
+    * Catalog.auditPlan hook, so plan walks see the Gram pass, not a
+    * LocalTableScan (the q35 eager-query discipline). */
+  private[operators] def pcaPlan(s: SparkSession, dir: String)
+      : org.apache.spark.sql.execution.SparkPlan =
+    gramSums(embeddings(s, dir)).queryExecution.executedPlan
+
   // ---- v33: covariance spectrum profile (top-3, deflation) ----
   // The dimensionality audit downstream dials consult (how many
   // matryoshka dims to keep, whether PQ subspaces are balanced,
@@ -2340,7 +2348,7 @@ object VectorQueries {
     Q("v29_mmr_rerank", v29, Some(v29Sql)),
     Q("v30_filtered_recall_curve", v30, Some(GoldenOracles.v30)),
     Q("v31_semantic_decontam", v31, Some(v31Sql)),
-    Q("v32_pca_power", v32, Some(GoldenOracles.v32)),
-    Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33)),
+    Q("v32_pca_power", v32, Some(GoldenOracles.v32), planFn = Some(pcaPlan)),
+    Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33), planFn = Some(pcaPlan)),
     Q("v34_whitened_dedup", v34, Some(v34Sql)))
 }
