@@ -115,6 +115,39 @@ class DupSpansSpec extends AnyFunSuite {
     assert(rows(1)._2 > 0, "no dup sites at the production L")
   }
 
+  test("islands merge equals a plain-Scala reference on 200 random position sets") {
+    // seeded randomized cross-check of the gaps-and-islands window
+    // algebra: one DataFrame pass over 200 synthetic docs with random
+    // hit positions, compared per doc against an independent interval
+    // union computed in plain Scala
+    val rnd = new scala.util.Random(4242)
+    val docs = (0 until 200).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      val hits = Seq.fill(n)(rnd.nextInt(60).toLong).distinct.sorted
+      id.toLong -> hits
+    }
+    def reference(hits: Seq[Long]): Seq[(Long, Long)] = {
+      // union of [p, p+L) intervals, touching intervals merged
+      hits.foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + L)) :: rest
+          case _ => (p, p + L) :: acc
+        }
+      }.reverse
+    }
+    val hitRows = docs.flatMap { case (id, hs) => hs.map(id -> _) }
+    val got = TextQueries.dupSpansOf(
+        hitRows.toDF("doc_id", "pos"))
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+      .toMap
+    docs.foreach { case (id, hs) =>
+      assert(got.getOrElse(id, Seq.empty) == reference(hs),
+        s"doc $id: ${got.getOrElse(id, Seq.empty)} vs ${reference(hs)}")
+    }
+  }
+
   test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
     // d71 covers ALL dup sites, d72 only non-keeper sites — so every
     // doc's d72 charge is bounded by its d71 cover, and corpus-wide
