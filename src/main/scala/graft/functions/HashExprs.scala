@@ -194,6 +194,37 @@ object HashKernels2 {
     mins
   }
 
+  /** Positioned L-gram hashes: one xxhash64 per window start, over the
+    * same tokens-joined-by-' ' byte stream `minhashShingles` builds —
+    * the production-hash sibling of the md5 gram pipeline (exact
+    * substring dedup, d82), POSITIONED (no distinct: slot i is the
+    * gram starting at token i). */
+  def gramHashes(toks: ArrayData, l: Int): Array[Long] = {
+    val numToks = toks.numElements()
+    if (numToks < l) return null
+    val out = new Array[Long](numToks - l + 1)
+    var buf = new Array[Byte](256)
+    var i = 0
+    while (i <= numToks - l) {
+      var len = 0
+      var j = 0
+      while (j < l) {
+        val s = toks.getUTF8String(i + j)
+        val nb = s.numBytes
+        if (len + nb + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + nb + 1))
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
+        if (j < l - 1) { buf(len) = ' '; len += 1 }
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    out
+  }
+
   /** One-pass sign-LSH band codes: project v on every hyperplane (flat
     * row-major planes matrix), take sign bits, pack `bitsPerBand` bits
     * per band with the band index folded into the high bits —
@@ -248,6 +279,39 @@ final case class MinHashShinglesExpr(child: Expression, n: Int, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashShinglesExpr =
+    copy(child = newChild)
+}
+
+/** gram_hashes(tokens: array<string>, l) → array<bigint>: one xxhash64
+  * per positioned L-gram window (the d82 production-hash kernel). */
+final case class GramHashesExpr(child: Expression, l: Int)
+    extends UnaryExpression {
+  require(l > 0 && l <= 1024, s"bad l=$l")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType),
+        ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // fewer than l tokens -> null
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = HashKernels2.gramHashes(input.asInstanceOf[ArrayData], l)
+    if (h == null) null else new GenericArrayData(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("gh")
+      s"""long[] $tmp = graft.functions.HashKernels2.gramHashes($c, $l);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
     copy(child = newChild)
 }
 
@@ -591,6 +655,8 @@ object GraftFunctions {
     column(MinHashSigExpr(expression(shingles), k))
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     column(MinHashShinglesExpr(expression(tokens), n, k))
+  def gramHashes(tokens: Column, l: Int): Column =
+    column(GramHashesExpr(expression(tokens), l))
   def signLsh(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
     val dim = planes.head.length
     column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))

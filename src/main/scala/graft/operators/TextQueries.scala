@@ -5192,6 +5192,32 @@ object TextQueries {
        |    * 1e6 + 0.5) AS BIGINT) AS slope_micro
        |FROM sums""".stripMargin
 
+  // ---- d82: exact substring dedup, production hash (native kernel) --
+  // The d06-vs-d10 pairing applied to the suffix-array method: d71's
+  // pipeline with the interpreted md5-HOF gram hashing replaced by
+  // ONE codegen'd Catalyst expression (GramHashesExpr — xxhash64 per
+  // positioned window over a reusable byte buffer, no per-gram string
+  // materialization). Spans depend only on the EQUALITY PATTERN of
+  // gram hashes, and both hashes are collision-free on any realistic
+  // corpus slice (64-bit over ≤ millions of grams), so the output is
+  // value-identical to d71 — giving the native path d71's full SQL
+  // oracle rather than a golden (DupSpansSpec additionally pins
+  // d82 ≡ d71 frame equality and the kernel ≡ HOF-md5 pattern
+  // equivalence is implied by the shared oracle).
+  private def d82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= dupL)
+      .select($"doc_id", posexplode(
+        graft.functions.GraftFunctions.gramHashes($"toks", dupL)))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("gh"))
+    val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"gh")
+    dupSpansOf(sites.join(dup, "gh").select($"doc_id", $"pos"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5273,7 +5299,8 @@ object TextQueries {
     Q("d78_copy_flows", d78, Some(d78Sql)),
     Q("d79_curation_manifest_v4", d79, Some(d79Sql)),
     Q("d80_zipf_fit", d80, Some(d80Sql)),
-    Q("d81_source_zipf", d81, Some(d81Sql)))
+    Q("d81_source_zipf", d81, Some(d81Sql)),
+    Q("d82_dup_spans_prod", d82, Some(d71Sql)))
 
 
 }

@@ -103,6 +103,40 @@ class HashExprsSpec extends AnyFunSuite {
       uni.getAs[scala.collection.Seq[Long]]("fused"))
   }
 
+  test("native gramHashes equals per-window xxhash64 of the joined gram") {
+    import spark.implicits._
+    val l = 8
+    val rows = docs()
+      .filter(size($"toks") >= l)
+      .select($"doc_id", $"toks",
+        GraftFunctions.gramHashes($"toks", l).as("gh"),
+        expr(s"transform(sequence(0, size(toks) - $l), i -> " +
+          s"xxhash64(concat_ws(' ', ${(0 until l).map(j => s"toks[i + $j]").mkString(", ")})))")
+          .as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("gh") ==
+        r.getAs[scala.collection.Seq[Long]]("ref"), s"doc ${r.get(0)}")
+    }
+    // short input -> null (the reference expr can't even run there:
+    // sequence(0, negative) descends — the engine always guards
+    // size >= l first, as d71/d82 do)
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(GraftFunctions.gramHashes($"toks", l).as("gh")).head()
+    assert(short.isNullAt(0), "fewer than l tokens must yield null")
+    // multi-byte tokens take the buffer-copy path
+    val uni = Seq(Seq("héllo", "wörld", "日本語", "x",
+        "y", "z", "emoji🙂", "w", "v")).toDF("toks")
+      .select(GraftFunctions.gramHashes($"toks", l).as("gh"),
+        expr(s"transform(sequence(0, size(toks) - $l), i -> " +
+          s"xxhash64(concat_ws(' ', ${(0 until l).map(j => s"toks[i + $j]").mkString(", ")})))")
+          .as("ref"))
+      .head()
+    assert(uni.getAs[scala.collection.Seq[Long]]("gh") ==
+      uni.getAs[scala.collection.Seq[Long]]("ref"))
+  }
+
   test("native signLsh equals the HOF band-code form on real embeddings") {
     import spark.implicits._
     import graft.vec.VectorOps
@@ -167,7 +201,8 @@ class HashExprsSpec extends AnyFunSuite {
     import spark.implicits._
     val plan = docs()
       .select(GraftFunctions.simhash64($"toks").as("s"),
-        GraftFunctions.minhashSignature($"toks", 8).as("m"))
+        GraftFunctions.minhashSignature($"toks", 8).as("m"),
+        GraftFunctions.gramHashes($"toks", 8).as("g"))
       .queryExecution.executedPlan.toString
     // the * marker on the Project = inside a WholeStageCodegen stage
     val projLine = plan.linesIterator

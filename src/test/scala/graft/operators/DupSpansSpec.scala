@@ -148,6 +148,18 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("d82 (native xxhash64 kernel) produces exactly d71's spans") {
+    // spans depend only on the equality pattern of gram hashes; both
+    // hashes are collision-free here, so the native path must equal
+    // the md5 pipeline row for row
+    val a = Catalog.queries("d71_dup_spans")(spark, TestSpark.sf001)
+      .collect().map(_.toSeq).toSet
+    val b = Catalog.queries("d82_dup_spans_prod")(spark, TestSpark.sf001)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "hash swap changed the span set")
+    assert(a.nonEmpty)
+  }
+
   test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
     // d71 covers ALL dup sites, d72 only non-keeper sites — so every
     // doc's d72 charge is bounded by its d71 cover, and corpus-wide
