@@ -1265,6 +1265,8 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     }
+    // bounded gather: the sink holds exactly d(d+1)/2 = 2,080
+    // register rows at any corpus size
     VectorQueries.pcaFromSums(s.table(name).collect())
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
   }
