@@ -5218,6 +5218,70 @@ object TextQueries {
     dupSpansOf(sites.join(dup, "gh").select($"doc_id", $"pos"))
   }
 
+  // ---- d83: substring-dedup APPLY (the scrubbed corpus itself) ----
+  // The deliverable the d71→d72 ladder exists for: every doc re-
+  // emitted with its REMOVABLE spans (non-first occurrences, keeper
+  // semantics) cut out — keeper copies keep their text, later copies
+  // lose exactly the duplicated runs, and a fully-duplicated doc
+  // collapses to empty. Docs below the gram resolution pass through
+  // whole. The reconstruction is one HOF projection per doc (filter
+  // positions outside the span set, re-join tokens) against the
+  // span list collected per doc — bounded per-doc state, the same
+  // gh-shuffle cost as d72, nothing new at scale. Output carries the
+  // scrubbed text as md5 (the d33 emitted-corpus convention) plus
+  // the kept-token ledger, so the whole apply is cross-engine exact.
+  private def d83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = gramSites(Tables(s, dir, "documents"))
+    val keeperW = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    val removable = sites
+      .withColumn("rn", row_number().over(keeperW))
+      .filter($"rn" >= 2).select($"doc_id", $"pos")
+    val spansByDoc = dupSpansOf(removable)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct(
+        $"span_start".as("a"), $"span_end".as("b")))).as("spans"))
+    Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .join(spansByDoc, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce($"spans",
+        expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(toks) - 1), p -> " +
+          "NOT exists(spans, s -> p >= s.a AND p < s.b))"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size($"kept").cast("long").as("kept_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(kept, p -> toks[p])")).cast("binary"))
+          .as("clean_md5"))
+  }
+  private val d83Sql =
+    s"""WITH $dupGramCte,
+       |r AS (SELECT doc_id, pos, row_number() OVER
+       |    (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM g),
+       |h AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$dupIslandsSql,
+       |spans AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + $dupL AS b
+       |  FROM sp GROUP BY doc_id, sid),
+       |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
+       |    toks FROM t),
+       |cov AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos
+       |  JOIN spans s ON pos.doc_id = s.doc_id
+       |    AND pos.p >= s.a AND pos.p < s.b),
+       |kept AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p + 1] AS tok
+       |  FROM pos LEFT JOIN cov
+       |    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+       |  WHERE cov.p IS NULL),
+       |out AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  COALESCE(out.kept_tokens, 0) AS kept_tokens,
+       |  COALESCE(out.clean_md5, md5('')) AS clean_md5
+       |FROM t LEFT JOIN out ON t.doc_id = out.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5300,7 +5364,8 @@ object TextQueries {
     Q("d79_curation_manifest_v4", d79, Some(d79Sql)),
     Q("d80_zipf_fit", d80, Some(d80Sql)),
     Q("d81_source_zipf", d81, Some(d81Sql)),
-    Q("d82_dup_spans_prod", d82, Some(d71Sql)))
+    Q("d82_dup_spans_prod", d82, Some(d71Sql)),
+    Q("d83_dup_span_apply", d83, Some(d83Sql)))
 
 
 }

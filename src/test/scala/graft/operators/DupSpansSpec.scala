@@ -160,6 +160,28 @@ class DupSpansSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("d83 apply agrees with d72's ledger: kept = total - charged, short docs pass whole") {
+    val charges = Catalog.queries("d72_dup_span_scrub")(spark, TestSpark.sf001)
+      .select($"doc_id", $"n_tokens", $"dup_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val applied = Catalog.queries("d83_dup_span_apply")(spark, TestSpark.sf001)
+      .select($"doc_id", $"n_tokens", $"kept_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(applied.nonEmpty)
+    applied.foreach { case (id, n, kept) =>
+      charges.get(id) match {
+        case Some((n72, dup)) =>
+          assert(n == n72 && kept == n - dup,
+            s"doc $id: apply kept $kept, ledger says ${n - dup}")
+        case None =>
+          // below the gram resolution: no measurable duplication
+          assert(kept == n, s"short doc $id lost tokens")
+      }
+    }
+    assert(applied.exists { case (_, n, kept) => kept < n },
+      "apply never cut anything — vacuous on this fixture?")
+  }
+
   test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
     // d71 covers ALL dup sites, d72 only non-keeper sites — so every
     // doc's d72 charge is bounded by its d71 cover, and corpus-wide
