@@ -370,75 +370,94 @@ object MlQueries {
     TextQueries.qualityClassify(Tables(s, dir, "documents"))
       .select(col("qscore").as("x"))
 
-  /** One E+M round: aggregate decimal-snapped sufficient statistics
-    * under the CURRENT params (literals in the plan), update on the
-    * driver. Returns (new params, total log-likelihood in micro-nats
-    * under the current params). */
-  private[operators] def gmmStep(scores: DataFrame, p: GmmParams)
-      : (GmmParams, Long) = {
-    def dens(w: Double, m: Double, v: Double) =
-      s"($w * exp(-(x - $m) * (x - $m) / (2 * $v)) / sqrt(2 * pi() * $v))"
-    val f1 = dens(p.w1, p.m1, p.v1)
-    val f2 = dens(p.w2, p.m2, p.v2)
-    val tot = s"($f1 + $f2 + 1e-300)"
-    def snap(e: String) = s"cast($e as decimal(30,15))"
-    val agg = scores.select(
-      expr(s"sum(${snap(s"$f1 / $tot")})").as("r1"),
-      expr(s"sum(${snap(s"$f1 / $tot * x")})").as("s1"),
-      expr(s"sum(${snap(s"$f1 / $tot * x * x")})").as("q1"),
-      expr(s"sum(${snap(s"$f2 / $tot")})").as("r2"),
-      expr(s"sum(${snap(s"$f2 / $tot * x")})").as("s2"),
-      expr(s"sum(${snap(s"$f2 / $tot * x * x")})").as("q2"),
-      expr(s"sum(cast(floor(ln($tot) * 1e6 + 0.5) as bigint))").as("ll"),
-      count(lit(1)).as("n")).head()
-    def d(i: Int) = agg.getDecimal(i).doubleValue()
-    val (r1, s1, q1, r2, s2, q2) = (d(0), d(1), d(2), d(3), d(4), d(5))
-    val n = agg.getLong(7).toDouble
-    def m(su: Double, r: Double) = su / r
-    def v(qu: Double, su: Double, r: Double) =
-      math.max(qu / r - (su / r) * (su / r), 1e-5) // variance floor
-    (GmmParams(r1 / n, m(s1, r1), v(q1, s1, r1),
-      r2 / n, m(s2, r2), v(q2, s2, r2)), agg.getLong(6))
+  /** The ONE distributed pass m08 makes: the exact (x, count)
+    * histogram of the score column. qscore is 6dp-snapped into
+    * [-0.5, 0.5] (`TextQueries.qualityClassify`), so the domain is
+    * bounded at ≤ 1,000,001 distinct values (in practice a few
+    * thousand) — a hash-agg whose result a driver can hold no matter
+    * the corpus size. Every EM quantity is a function of x only, so
+    * the histogram is a lossless sufficient statistic: per-row
+    * snapped contributions for equal x are identical, making
+    * Σ_rows snap(f(x)) ≡ Σ_x count(x)·snap(f(x)) exactly. */
+  private[operators] def gmmHistogram(scores: DataFrame)
+      : Array[(Double, Long)] = // bounded gather: ≤ 1e6 rows by snap domain
+    scores.groupBy("x").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+
+  /** One E+M round over the histogram, driver-side, replaying the
+    * distributed decimal discipline BIT-EXACTLY: each per-x
+    * contribution is computed in IEEE double with the same
+    * association order the SQL expression tree had, snapped to
+    * DECIMAL(30,15) via the same Double.toString → HALF_UP route
+    * Spark's double→decimal cast takes, and scaled by the exact
+    * integer count before the (exact) decimal sum. The log-likelihood
+    * stays integer micro-nats. Returns (new params, loglik under the
+    * CURRENT params). */
+  private[operators] def gmmStepHist(hist: Array[(Double, Long)],
+      p: GmmParams): (GmmParams, Long) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def snap(d: Double): JBD = // == cast(double as decimal(30,15))
+      new JBD(java.lang.Double.toString(d)).setScale(15, RoundingMode.HALF_UP)
+    def dens(w: Double, m: Double, v: Double, x: Double): Double =
+      w * math.exp(-(x - m) * (x - m) / (2 * v)) / math.sqrt(2 * math.Pi * v)
+    var (r1, s1, q1) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
+    var (r2, s2, q2) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
+    var ll = 0L; var n = 0L
+    hist.foreach { case (x, cnt) =>
+      val f1 = dens(p.w1, p.m1, p.v1, x)
+      val f2 = dens(p.w2, p.m2, p.v2, x)
+      val tot = f1 + f2 + 1e-300
+      val c = JBD.valueOf(cnt)
+      r1 = r1.add(snap(f1 / tot).multiply(c))
+      s1 = s1.add(snap(f1 / tot * x).multiply(c))
+      q1 = q1.add(snap(f1 / tot * x * x).multiply(c))
+      r2 = r2.add(snap(f2 / tot).multiply(c))
+      s2 = s2.add(snap(f2 / tot * x).multiply(c))
+      q2 = q2.add(snap(f2 / tot * x * x).multiply(c))
+      ll += cnt * math.floor(math.log(tot) * 1e6 + 0.5).toLong
+      n += cnt
+    }
+    val nd = n.toDouble
+    def m(su: JBD, r: JBD) = su.doubleValue() / r.doubleValue()
+    def v(qu: JBD, su: JBD, r: JBD) = {
+      val (q, s, rr) = (qu.doubleValue(), su.doubleValue(), r.doubleValue())
+      math.max(q / rr - (s / rr) * (s / rr), 1e-5) // variance floor
+    }
+    (GmmParams(r1.doubleValue() / nd, m(s1, r1), v(q1, s1, r1),
+      r2.doubleValue() / nd, m(s2, r2), v(q2, s2, r2)), ll)
   }
 
   /** Fixed-init, fixed-count EM; returns the parameter/loglik
-    * trajectory (head = init, last = final). The score frame is
-    * persisted for the loop — every round re-reads ONE double per doc
-    * instead of re-running the upstream scoring pipeline (the r13
-    * bench caught m08 re-tokenizing the corpus 51 times) — and
-    * unpersisted before returning. Caching changes nothing
-    * semantically: the per-round sums are snapped exact either way. */
+    * trajectory (head = init, last = final). ONE corpus pass total:
+    * the exact score histogram (see gmmHistogram — the 6dp snap
+    * bounds its domain), then all EM rounds run driver-side over the
+    * histogram with decimal-exact sufficient statistics identical by
+    * construction to the per-row distributed form (r13's bench found
+    * the old shape scanning the corpus 51 times; at 100 TB that is
+    * 51 cluster-wide scans for a 1-D two-component fit). */
   private[operators] def gmmFit(scores: DataFrame)
       : Seq[(GmmParams, Long)] = {
     val init = GmmParams(0.5, -0.05, 0.0025, 0.5, 0.05, 0.0025)
+    val h = gmmHistogram(scores)
     val hist = scala.collection.mutable.ArrayBuffer.empty[(GmmParams, Long)]
-    val cached = scores.persist()
-    try {
-      var p = init
-      for (_ <- 0 until gmmIters) {
-        val (np, ll) = gmmStep(cached, p)
-        hist += ((p, ll))
-        p = np
-      }
-      hist += ((p, gmmStep(cached, p)._2))
-    } finally cached.unpersist()
+    var p = init
+    for (_ <- 0 until gmmIters) {
+      val (np, ll) = gmmStepHist(h, p)
+      hist += ((p, ll))
+      p = np
+    }
+    hist += ((p, gmmStepHist(h, p)._2))
     hist.toSeq
   }
 
-  /** The real distributed DAG behind the eager m08 (one EM round's
-    * sufficient-statistics aggregation under the init params) — the
-    * Catalog.auditPlan hook (q35/v32 eager discipline). */
+  /** The real distributed DAG behind the eager m08 — the single
+    * histogram scan that is now m08's ONLY corpus pass (all EM rounds
+    * run driver-side over it) — the Catalog.auditPlan hook (q35/v32
+    * eager discipline). */
   private[operators] def m08Plan(s: SparkSession, dir: String)
-      : org.apache.spark.sql.execution.SparkPlan = {
-    def dens(w: Double, m: Double, v: Double) =
-      s"($w * exp(-(x - $m) * (x - $m) / (2 * $v)) / sqrt(2 * pi() * $v))"
-    val f1 = dens(0.5, -0.05, 0.0025); val f2 = dens(0.5, 0.05, 0.0025)
-    val tot = s"($f1 + $f2 + 1e-300)"
-    gmmScores(s, dir).select(
-      org.apache.spark.sql.functions.expr(
-        s"sum(cast($f1 / $tot as decimal(30,15)))").as("r1"))
+      : org.apache.spark.sql.execution.SparkPlan =
+    gmmScores(s, dir).groupBy("x").agg(count(lit(1)).as("c"))
       .queryExecution.executedPlan
-  }
 
   private def m08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

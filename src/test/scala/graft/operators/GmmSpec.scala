@@ -68,4 +68,47 @@ class GmmSpec extends AnyFunSuite {
     val b = MlQueries.gmmFit(scores.repartition(13))
     assert(a == b, "EM statistics leaked partial-aggregation order")
   }
+
+  test("histogram step equals the per-row distributed aggregation bit-for-bit") {
+    // the single-scan premise: the driver-side histogram EM round must
+    // reproduce EXACTLY what a per-row distributed decimal aggregation
+    // under the same params computes (the pre-r14 m08 shape, rebuilt
+    // here as the independent oracle). Run at two points on the
+    // trajectory — the fixed init and a mid-fit parameter set — so
+    // both the well-separated and the near-converged regimes are
+    // covered.
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    def perRowStep(p: MlQueries.GmmParams): (MlQueries.GmmParams, Long) = {
+      def dens(w: Double, m: Double, v: Double) =
+        s"($w * exp(-(x - $m) * (x - $m) / (2 * $v)) / sqrt(2 * pi() * $v))"
+      val f1 = dens(p.w1, p.m1, p.v1)
+      val f2 = dens(p.w2, p.m2, p.v2)
+      val tot = s"($f1 + $f2 + 1e-300)"
+      def snap(e: String) = s"cast($e as decimal(30,15))"
+      val agg = scores.select(
+        expr(s"sum(${snap(s"$f1 / $tot")})").as("r1"),
+        expr(s"sum(${snap(s"$f1 / $tot * x")})").as("s1"),
+        expr(s"sum(${snap(s"$f1 / $tot * x * x")})").as("q1"),
+        expr(s"sum(${snap(s"$f2 / $tot")})").as("r2"),
+        expr(s"sum(${snap(s"$f2 / $tot * x")})").as("s2"),
+        expr(s"sum(${snap(s"$f2 / $tot * x * x")})").as("q2"),
+        expr(s"sum(cast(floor(ln($tot) * 1e6 + 0.5) as bigint))").as("ll"),
+        count(lit(1)).as("n")).head()
+      def d(i: Int) = agg.getDecimal(i).doubleValue()
+      val n = agg.getLong(7).toDouble
+      def m(su: Double, r: Double) = su / r
+      def v(qu: Double, su: Double, r: Double) =
+        math.max(qu / r - (su / r) * (su / r), 1e-5)
+      (MlQueries.GmmParams(d(0) / n, m(d(1), d(0)), v(d(2), d(1), d(0)),
+        d(3) / n, m(d(4), d(3)), v(d(5), d(4), d(3))), agg.getLong(6))
+    }
+    val h = MlQueries.gmmHistogram(scores)
+    for (p <- Seq(hist.head._1, hist(hist.size / 2)._1)) {
+      val fast = MlQueries.gmmStepHist(h, p)
+      val slow = perRowStep(p)
+      assert(fast == slow,
+        s"histogram EM round diverged from the per-row form at $p:\n" +
+          s"  hist:   $fast\n  perRow: $slow")
+    }
+  }
 }
