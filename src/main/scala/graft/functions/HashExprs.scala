@@ -679,4 +679,7 @@ object GraftFunctions {
   /** KMV bottom-k: the k smallest DISTINCT bigint values, ascending. */
   def minKDistinct(v: Column, k: Int): Column =
     column(MinKDistinctAgg(expression(v), k).toAggregateExpression())
+  /** Exact decimal PCA summary: upper-triangle Gram + mean registers. */
+  def gramRegisters(v: Column, dim: Int): Column =
+    column(GramRegisterAgg(expression(v), dim).toAggregateExpression())
 }

@@ -2080,11 +2080,10 @@ object VectorQueries {
   // driver. The driver never sees a row: its state is d(d+1)/2 + d
   // fixed accumulators (2,080 + 64 here), the same
   // bounded-stats-gather → driver-scalars role the K-Means centroids
-  // and DAMDS reductions play. At 100 TB the plan is unchanged — the
-  // explode inflates each row to d(d+1)/2 upper-triangle terms, but
-  // map-side partial aggregation collapses every partition to the
-  // SAME 2,080 keys before the one shuffle, so the exchange carries
-  // O(d² · partitions), never O(rows).
+  // and DAMDS reductions play. At 100 TB the plan is unchanged — each
+  // map task folds its rows into ONE d(d+1)/2-register aggregation
+  // buffer (GramRegisterAgg; no Generate, no row amplification), so
+  // the one exchange carries O(d² · tasks) bytes, never O(rows).
   //
   // Determinism (the golden-pinning premise): per-row products are
   // snapped to DECIMAL(30,15) BEFORE summing, so the Gram sums are
@@ -2099,20 +2098,23 @@ object VectorQueries {
   private val pcaIters = 400
 
   /** Exact upper-triangle Gram + mean sums: (i, j, sp = Σ v_i·v_j,
-    * sx = Σ v_i carried on the diagonal rows, cnt = n on (0,0)). */
+    * sx = Σ v_i carried on the diagonal rows, cnt = n on every row).
+    * ONE register-buffer aggregate (graft.functions.GramRegisterAgg):
+    * each map task folds its rows into a single d(d+1)/2-register
+    * buffer with the same snap-to-DECIMAL(30,15)-before-summing
+    * discipline, partials merge by exact integer addition, and the
+    * final buffer unfolds into the 2,080 summary rows — no Generate,
+    * no per-product hash-agg probe, no 2,080× row amplification (the
+    * r13 s41 finding: the explode form pushed rows·d(d+1)/2 structs
+    * through the aggregation machinery; bit-identical output proven
+    * in GramRegisterSpec/PcaSpec). */
   private[graft] def gramSums(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.filter(size(col("v")) === pcaDim)
-      .select(explode(expr(
-        s"flatten(transform(sequence(0, ${pcaDim - 1}), i -> " +
-          s"transform(sequence(i, ${pcaDim - 1}), j -> struct(" +
-          "i as i, j as j, " +
-          "cast(v[i] * v[j] as decimal(30,15)) as p, " +
-          "case when j = i then cast(v[i] as decimal(30,15)) " +
-          "else cast(0 as decimal(30,15)) end as x))))")).as("t"))
-      .groupBy($"t.i", $"t.j")
-      .agg(sum($"t.p").as("sp"), sum($"t.x").as("sx"),
-        count(lit(1)).as("cnt"))
+      .agg(graft.functions.GraftFunctions.gramRegisters($"v", pcaDim).as("regs"))
+      .select(explode($"regs").as("t"))
+      .select($"t.i".as("i"), $"t.j".as("j"), $"t.sp".as("sp"),
+        $"t.sx".as("sx"), $"t.cnt".as("cnt"))
   }
 
   /** Driver tail: covariance from the exact sums, power iteration,

@@ -61,6 +61,29 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"classifier scoring explodes:\n$p")
   }
 
+  test("pca gram summary folds into one register buffer: no Generate, object hash agg") {
+    // v32/v33/s41's scale contract (VERDICT r13 §wrong 2): the
+    // d(d+1)/2 Gram registers accumulate inside ONE
+    // TypedImperativeAggregate buffer per task — an explode rewrite
+    // would pass the golden and push rows·2,080 structs through the
+    // aggregation machinery (and 8.8 s of it through s41's state
+    // store every trigger).
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), graft.vec.VectorOps.toDouble(col("embedding")).as("v"))
+    val p = VectorQueries.gramSums(e).queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"register agg not object-hash:\n$p")
+    assert(p.contains("graft_gram_registers"), s"native register agg missing:\n$p")
+    // the ONLY Generate allowed is the post-agg unfold of the single
+    // 2,080-element register row — nothing below the partial agg may
+    // explode (that was the rows×2,080 amplification)
+    val belowPartials = p.substring(p.indexOf("partial_graft_gram_registers"))
+    assert(!belowPartials.contains("Generate"),
+      s"gram summary explodes below the register agg:\n$p")
+    assert(p.indexOf("Generate") == p.lastIndexOf("Generate"),
+      s"more than one Generate in the gram plan:\n$p")
+  }
+
   test("v16 computes all truncation rungs in one corpus pass") {
     // the MRL ladder's scale contract: 3 rungs + full-dim ground truth
     // from ONE scored projection — the only FileScans are the corpus
