@@ -182,6 +182,56 @@ class DupSpansSpec extends AnyFunSuite {
       "apply never cut anything — vacuous on this fixture?")
   }
 
+  test("min-struct keeper election equals the row_number window form (de-skew premise)") {
+    // r14 replaced the gh-partitioned row_number()/first_value windows
+    // with partial-aggregable min(struct(...)) + join-back (a hot
+    // gram's sites no longer funnel through one task). Same answers by
+    // construction — min over the same (doc_id, pos) ordering — pinned
+    // here against the old window forms on the real corpus.
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(spark, TestSpark.sf001, "documents")
+    val sites = TextQueries.gramSites(docs)
+    val keeperW = Window.partitionBy($"gh").orderBy($"doc_id", $"pos")
+    val windowRemovable = sites
+      .withColumn("rn", row_number().over(keeperW))
+      .filter($"rn" >= 2).select($"doc_id", $"pos")
+      .as[(Long, Long)].collect().toSet
+    val got = TextQueries.removableSites(sites)
+      .as[(Long, Long)].collect().toSet
+    assert(got == windowRemovable,
+      s"removable sites diverge: extra=${(got -- windowRemovable).take(5)} " +
+        s"missing=${(windowRemovable -- got).take(5)}")
+    // and the copy-flow ledger's origin election
+    val srcSites = TextQueries.gramSitesSrc(docs)
+    val full = keeperW.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val windowLedger = srcSites
+      .withColumn("rn", row_number().over(keeperW))
+      .withColumn("ng", count(lit(1)).over(full))
+      .filter($"rn" === 1 && $"ng" >= 2)
+      .select($"gh", $"source", $"doc_id", $"pos")
+      .as[(String, String, Long, Long)].collect().toSet
+    val gotLedger = TextQueries.copyFlowLedger(spark, TestSpark.sf001)
+      .select($"gh", $"src_from", $"kdoc", $"kpos")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(gotLedger == windowLedger, "copy-flow ledger origin election diverged")
+  }
+
+  test("d72/d78/d83 plans contain no Window over the gram hash (skew pin)") {
+    // the only Window nodes allowed in the family are the per-doc
+    // islands merges (partitioned by doc_id — state bounded by doc
+    // length); a Window partitioned by gh cannot partial-aggregate
+    // and re-introduces the hot-gram funnel
+    for (q <- Seq("d72_dup_span_scrub", "d78_copy_flows", "d83_dup_span_apply")) {
+      val p = Catalog.queries(q)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      val badWindows = p.linesIterator.filter(_.contains("Window "))
+        .filter(_.matches(".*\\[gh#\\d+.*")).toSeq
+      assert(badWindows.isEmpty,
+        s"$q windows over gh:\n${badWindows.mkString("\n")}")
+    }
+  }
+
   test("d72 is consistent with d71: per-doc charge never exceeds the dup cover") {
     // d71 covers ALL dup sites, d72 only non-keeper sites — so every
     // doc's d72 charge is bounded by its d71 cover, and corpus-wide
