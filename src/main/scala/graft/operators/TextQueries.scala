@@ -4867,6 +4867,22 @@ object TextQueries {
          |LEFT JOIN scrub ON rep.doc_id = scrub.doc_id
          |GROUP BY 1""".stripMargin
 
+  // The gopher verdict the two classifier audits (d75/d76) both join
+  // against is memoized per (session, dir) — the d60 screen pattern
+  // (VERDICT r13 next 5): the 5-resolution gram battery is the whole
+  // cost of either audit, and a sweep that runs d43+d75+d76 paid it
+  // three times. The gated d43 engine itself stays fresh (auditable);
+  // only the composed consumers read the cache.
+  private val gopherCache = new SessionCache[String, DataFrame](_.unpersist())
+
+  /** d43's per-doc verdict (doc_id, gopher_pass), persisted. */
+  private def gopherVerdicts(s: SparkSession, dir: String): DataFrame =
+    gopherCache.getOrBuild(s, dir) {
+      val v = d43(s, dir).select(col("doc_id"), col("gopher_pass")).persist()
+      v.count() // materialize under the builder's monitor
+      v
+    }
+
   // ---- d75: classifier calibration curve (reliability diagram) ----
   // The audit that decides whether d38's quality score can gate a
   // corpus: bin the classifier score (width 0.02 — floor(qscore·50),
@@ -4885,8 +4901,7 @@ object TextQueries {
     val scored = d38(s, dir)
       .select($"doc_id",
         expr("cast(floor(qscore * 50) as bigint)").as("score_bin"))
-    val rules = d43(s, dir).select($"doc_id", $"gopher_pass")
-    scored.join(rules, "doc_id")
+    scored.join(gopherVerdicts(s, dir), "doc_id")
       .groupBy($"score_bin")
       .agg(count(lit(1)).as("n_docs"),
         sum($"gopher_pass").as("n_pass"))
@@ -4920,7 +4935,7 @@ object TextQueries {
     val w = Window.orderBy($"qscore")
       .rowsBetween(Window.unboundedPreceding, -1)
     val byVal = d38(s, dir).select($"doc_id", $"qscore")
-      .join(d43(s, dir).select($"doc_id", $"gopher_pass"), "doc_id")
+      .join(gopherVerdicts(s, dir), "doc_id")
       .groupBy($"qscore")
       .agg(sum($"gopher_pass").as("npos"),
         sum(lit(1L) - $"gopher_pass").as("nneg"))
@@ -4930,7 +4945,14 @@ object TextQueries {
         sum($"npos").as("n_pos"), sum($"nneg").as("n_neg"),
         sum($"npos" * $"cum_neg" * 2 + $"npos" * $"nneg").as("num2"))
       .select($"n_pos", $"n_neg",
-        expr("num2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+        // single-class guard (ADVICE r13): with no positives or no
+        // negatives AUC is undefined — pin the degenerate output to
+        // NULL explicitly in BOTH engines rather than relying on each
+        // engine's divide-by-zero behavior (Spark non-ANSI nulls,
+        // DuckDB // errors), so the audit can't diverge exactly when
+        // the corpus is most suspect
+        expr("case when n_pos = 0 or n_neg = 0 then cast(null as bigint) " +
+          "else num2 * 1000000 div (2 * n_pos * n_neg) end").as("auc_ppm"))
   }
   private lazy val d76Sql =
     "WITH q76 AS (SELECT * FROM (\n" + d38Sql + "\n) q76q),\n" +
@@ -4949,7 +4971,8 @@ object TextQueries {
         |    CAST(SUM(npos * cum_neg * 2 + npos * nneg) AS BIGINT) AS num2
         |  FROM cu)
         |SELECT n_pos, n_neg,
-        |  num2 * 1000000 // (2 * n_pos * n_neg) AS auc_ppm
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE num2 * 1000000 // (2 * n_pos * n_neg) END AS auc_ppm
         |FROM t""".stripMargin
 
   // ---- d77: substring-dedup resolution dial curve (L sweep) ----

@@ -44,6 +44,31 @@ class GopherAndPerplexitySpec extends AnyFunSuite {
     assert(ids == Set(2L), s"length gate wrong: $ids")
   }
 
+  test("d76 pins the single-class corpus to NULL auc (divide guard, ADVICE r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every doc diverse → every gopher verdict is PASS → n_neg = 0 →
+    // AUC undefined; the guard must emit NULL (not an engine-specific
+    // divide-by-zero artifact) in exactly this regime
+    val docs = (1L to 4L).map(id =>
+      (id, (1 to 30).map(i => s"w${id}x$i").mkString(" ")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-d76-degenerate").toFile
+    tmp.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("src0").as("source"), length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+    val row = Catalog.queries("d76_quality_auc")(spark, tmp.getAbsolutePath)
+      .collect().head
+    val (nPos, nNeg) = (row.getAs[Long]("n_pos"), row.getAs[Long]("n_neg"))
+    assert(nPos + nNeg > 0 && (nPos == 0L || nNeg == 0L),
+      s"fixture is not single-class: pos=$nPos neg=$nNeg")
+    assert(row.isNullAt(row.fieldIndex("auc_ppm")),
+      s"degenerate AUC must be NULL, got ${row.get(row.fieldIndex("auc_ppm"))}")
+  }
+
   test("d44 wsum arithmetic matches hand computation under constant LM arrays") {
     import spark.implicits._
     // constant arrays make the bucket hash irrelevant: every bigram
