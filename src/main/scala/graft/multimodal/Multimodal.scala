@@ -139,11 +139,20 @@ object Multimodal {
   }
 
   /** Perceptual average-hash (aHash) in one partition pass: decode →
-    * grayscale (per-pixel channel mean) → 8×8 block-mean downsample →
+    * grayscale (per-pixel channel mean) → 8×8 block downsample →
     * one bit per cell (cell > global cell mean), packed MSB-first into
     * a long. Real math over the decoded tensor — with a real codec
-    * only `decodeImage` changes. Requires width and height divisible
-    * by 8 (the fixture's 16×16 is). */
+    * only `decodeImage` changes.
+    *
+    * Works for ANY decoded dimensions (ADVICE r13 — a single
+    * non-8-divisible record must not fail the whole x12/s44 query):
+    * each pixel lands in cell (y*8/ht, x*8/wd). When 8 | wd and
+    * 8 | ht every cell holds the same pixel count, and the bits are
+    * computed by comparing cell SUMS — bit-identical to the original
+    * fixed-block kernel (the x12/s44 golden premise). Unequal blocks
+    * (non-divisible dims) compare cell MEANS instead, the unbiased
+    * generalization; an empty cell (an axis under 8 px) contributes
+    * mean 0. */
   def aHash(media: Dataset[MediaRecord], codec: Codec = FakeCodec)
       : DataFrame = {
     val spark = media.sparkSession
@@ -151,33 +160,48 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val t = codec.decodeImage(r.meta, r.payload)
-        val (wd, ht, c) = (t.width, t.height, t.channels)
-        require(wd % 8 == 0 && ht % 8 == 0, s"aHash needs 8|w and 8|h: $wd x $ht")
-        val (bw, bh) = (wd / 8, ht / 8)
-        val cells = new Array[Double](64)
-        var y = 0
-        while (y < ht) {
-          var x = 0
-          while (x < wd) {
-            var g = 0.0
-            var ch = 0
-            val base = (y * wd + x) * c
-            while (ch < c) { g += (t.pixels(base + ch) & 0xff).toDouble; ch += 1 }
-            cells((y / bh) * 8 + (x / bw)) += g / c
-            x += 1
-          }
-          y += 1
-        }
-        val mean = cells.sum / 64.0
-        var h = 0L
-        var i = 0
-        while (i < 64) {
-          if (cells(i) > mean) h |= 1L << (63 - i)
-          i += 1
-        }
-        (r.media_id, h)
+        (r.media_id, aHashOf(t))
       }
     }.toDF("media_id", "phash")
+  }
+
+  /** The aHash kernel over a decoded tensor (pure — spec'd directly). */
+  private[multimodal] def aHashOf(t: ImageTensor): Long = {
+    val (wd, ht, c) = (t.width, t.height, t.channels)
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < ht) {
+      val cy = y * 8 / ht // == y / (ht/8) when 8 | ht
+      var x = 0
+      while (x < wd) {
+        var g = 0.0
+        var ch = 0
+        val base = (y * wd + x) * c
+        while (ch < c) { g += (t.pixels(base + ch) & 0xff).toDouble; ch += 1 }
+        val cell = cy * 8 + x * 8 / wd
+        sums(cell) += g / c
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val uniform = wd % 8 == 0 && ht % 8 == 0
+    // uniform blocks: compare SUMS (bit-identical to the fixed-block
+    // kernel the x12/s44 goldens pinned — equal counts make sums and
+    // means order-equivalent in exact arithmetic, but dividing could
+    // flip a borderline bit in IEEE); unequal blocks: compare MEANS
+    val cells =
+      if (uniform) sums
+      else Array.tabulate(64)(i => if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+    val mean = cells.sum / 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) h |= 1L << (63 - i)
+      i += 1
+    }
+    h
   }
 
   /** Nearest-neighbor resize of decoded images — real math over the

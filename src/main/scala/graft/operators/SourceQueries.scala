@@ -17,10 +17,31 @@ object SourceQueries {
 
   private val nPts = 500
 
+  /** Per-key scratch dirs, memoized for the JVM lifetime (ADVICE r13:
+    * p04 wrote a fresh corpus-sized CSV copy per invocation and never
+    * deleted it, so repeated bench/correctness runs steadily leaked
+    * disk). Every sink here writes with Overwrite, so reruns replace
+    * the previous copy in place; a shutdown hook removes the trees
+    * (deleteOnExit cannot remove non-empty directories). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratch(key: String): String =
+    scratchDirs.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+      }
+      p.toString
+    })
+
   // ---- p01: K1 text sink → S8 line source → S5 point scan ----
   private def p01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-points").toString
+    val out = scratch("p01") // fixture is formula-defined: one slot
     val pts = s.range(nPts).select(
       (($"id" * 37 % 1000) / 1000.0).as("x"),
       (($"id" * 11 % 1000) / 1000.0).as("y"))
@@ -123,7 +144,7 @@ object SourceQueries {
 
   private def p04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val out = scratch(s"p04:$dir") // corpus-sized copy: keyed by dir
     val docs = graft.Tables(s, dir, "documents")
       .select($"doc_id", $"text")
       .unionAll(csvHostile.toDF("doc_id", "text"))

@@ -292,8 +292,13 @@ object StreamingOps {
 
   final case class PathEvent(user_id: Long, us: Long, event_id: Long,
       et: String)
+  /** `filled` counts the prior-event slots actually holding a value
+    * (0..2) — the warm-up sentinel. Overloading the empty string for
+    * "unfilled" would make an empty-string event_type indistinguishable
+    * from "no prior event" and silently suppress its trigrams,
+    * diverging from batch q44's LEAD windows (ADVICE r13). */
   final case class PathState(lastUs: Long, lastId: Long, sessIdx: Long,
-      p1: String, p2: String)
+      p1: String, p2: String, filled: Int)
   final case class PathHit(user_id: Long, sess_idx: Long, path: String)
 
   /** Live session-path mining (the streaming form of q44's in-session
@@ -316,17 +321,18 @@ object StreamingOps {
         (uid: Long, rows: Iterator[PathEvent], state: GroupState[PathState]) =>
           val sorted = rows.toArray.sortBy(r => (r.us, r.event_id))
           var st = state.getOption.getOrElse(
-            PathState(Long.MinValue, Long.MinValue, 0L, "", ""))
+            PathState(Long.MinValue, Long.MinValue, 0L, "", "", 0))
           val out = scala.collection.mutable.ArrayBuffer.empty[PathHit]
           for (r <- sorted
                if r.us > st.lastUs || (r.us == st.lastUs && r.event_id > st.lastId)) {
             val newSess = st.lastUs != Long.MinValue && r.us - st.lastUs > gapUs
-            val (sessIdx, p1, p2) =
-              if (newSess) (st.sessIdx + 1L, "", "")
-              else (st.sessIdx, st.p1, st.p2)
-            if (p1.nonEmpty && p2.nonEmpty)
+            val (sessIdx, p1, p2, filled) =
+              if (newSess) (st.sessIdx + 1L, "", "", 0)
+              else (st.sessIdx, st.p1, st.p2, st.filled)
+            if (filled >= 2)
               out += PathHit(uid, sessIdx, s"$p2>$p1>${r.et}")
-            st = PathState(r.us, r.event_id, sessIdx, r.et, p1)
+            st = PathState(r.us, r.event_id, sessIdx, r.et, p1,
+              math.min(filled + 1, 2))
           }
           state.update(st)
           out.iterator

@@ -127,6 +127,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h(1L) == want, "aHash diverges from the 8x8 mean-threshold law")
   }
 
+  test("aHash handles non-8-divisible dimensions (ADVICE r13: no executor throw)") {
+    // a 10x6 record must hash (cell = (y*8/ht, x*8/wd), mean-of-means
+    // threshold), not fail the whole query; and on 8-divisible dims
+    // the generalized kernel is the identical sum-comparison path
+    val docs = Seq((7L, "odd sized image payload")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val m = Multimodal.ingest(docs, "doc_id", "payload", kind = "image",
+      format = "fake", width = 10, height = 6, channels = 3)
+    val h = Multimodal.aHash(m).as[(Long, Long)].collect().toMap
+    assert(h.contains(7L), "non-conforming record dropped or failed")
+    // independent recompute with per-cell means
+    val rec = m.collect().head
+    val t = Multimodal.FakeCodec.decodeImage(rec.meta, rec.payload)
+    val sums = new Array[Double](64); val cnt = new Array[Long](64)
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val base = (y * 10 + x) * 3
+      val g = (0 until 3).map(c => (t.pixels(base + c) & 0xff).toDouble).sum / 3
+      val cell = (y * 8 / 6) * 8 + (x * 8 / 10)
+      sums(cell) += g; cnt(cell) += 1
+    }
+    val cells = Array.tabulate(64)(i => if (cnt(i) > 0) sums(i) / cnt(i) else 0.0)
+    val mean = cells.sum / 64.0
+    var want = 0L
+    for (i <- 0 until 64) if (cells(i) > mean) want |= 1L << (63 - i)
+    assert(h(7L) == want, "generalized aHash diverges from the mean-of-means law")
+  }
+
   test("x12 banding: clone pairs captured at distance 0, every pair verified") {
     // the pigeonhole leg (hamming <= 3 -> some 16-bit band agrees) on
     // an injected exact clone, plus the precision law on real output:

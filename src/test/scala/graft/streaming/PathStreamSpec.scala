@@ -62,6 +62,31 @@ class PathStreamSpec extends AnyFunSuite {
       s"unexpected hit set: $hits")
   }
 
+  test("an empty-string event type is a real path step, not a warm-up hole") {
+    // ADVICE r13: the old state overloaded "" as the unfilled-slot
+    // sentinel, so an empty event_type silently suppressed its
+    // trigrams — diverging from batch q44's LEAD windows, which emit
+    // paths containing empty types. The filled-slot counter must emit
+    // them.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("path3-ckpt"); val out = tmp("path3-out")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    mem.addData((9L, 1000L, 1L, "a"), (9L, 2000L, 2L, ""),
+      (9L, 3000L, 3L, "c"), (9L, 4000L, 4L, "d"))
+    val q = StreamingOps.sessionPaths(
+        mem.toDF().toDF("user_id", "us", "event_id", "et")
+          .as[StreamingOps.PathEvent], gapUs)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val hits = spark.read.parquet(out)
+      .select($"user_id", $"sess_idx", $"path")
+      .as[(Long, Long, String)].collect().toSet
+    assert(hits == Set((9L, 0L, "a>>c"), (9L, 0L, ">c>d")),
+      s"empty-type steps suppressed or mangled: $hits")
+  }
+
   test("a replayed or late event never fabricates a trigram") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = tmp("path2-ckpt"); val out = tmp("path2-out")
