@@ -83,6 +83,102 @@ object Multimodal {
         stream(payload, 3L + frame, meta.width * meta.height * meta.channels))
   }
 
+  /** REAL codec over real byte formats — the proof that the kernel
+    * family is codec-agnostic by construction, not just stub-shaped:
+    *  - images: binary PPM (P6) — `P6\n<w> <h>\n255\n` + raw RGB;
+    *  - audio: PCM WAV (RIFF) — the `data` chunk as 16-bit LE samples;
+    *  - video: concatenated P6 frames (frame i = the i-th image).
+    * Dimensions come from the BYTES, not the advisory metadata — what
+    * a production imageio/JNI codec would do. MultimodalSpec proves
+    * FakeCodec-fabricated tensors, re-encoded through these formats
+    * and decoded back, run every kernel (aHash, features, frame
+    * trace) to identical results.
+    */
+  object PpmWavCodec extends Codec {
+    private def token(b: Array[Byte], from: Int): (String, Int) = {
+      var i = from
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r'
+        || b(i) == '\t')) i += 1
+      val s = i
+      while (i < b.length && b(i) != ' ' && b(i) != '\n' && b(i) != '\r'
+        && b(i) != '\t') i += 1
+      (new String(b, s, i - s, "US-ASCII"), i)
+    }
+
+    /** Parse one P6 image starting at `from`; returns (tensor, next offset). */
+    private def decodePpmAt(payload: Array[Byte], from: Int): (ImageTensor, Int) = {
+      val (magic, i0) = token(payload, from)
+      require(magic == "P6", s"not a binary PPM at offset $from: $magic")
+      val (ws, i1) = token(payload, i0)
+      val (hs, i2) = token(payload, i1)
+      val (ms, i3) = token(payload, i2)
+      require(ms == "255", s"unsupported maxval $ms")
+      val (w, h) = (ws.toInt, hs.toInt)
+      val start = i3 + 1 // single whitespace byte after maxval
+      val n = w * h * 3
+      require(start + n <= payload.length, "truncated PPM payload")
+      (ImageTensor(-1, w, h, 3,
+        java.util.Arrays.copyOfRange(payload, start, start + n)), start + n)
+    }
+
+    def decodeImage(meta: MediaMeta, payload: Array[Byte]): ImageTensor =
+      decodePpmAt(payload, 0)._1
+
+    def decodeAudio(meta: MediaMeta, payload: Array[Byte]): Array[Short] = {
+      require(payload.length >= 12 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE")
+      def le32(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+      var i = 12
+      while (new String(payload, i, 4, "US-ASCII") != "data")
+        i += 8 + le32(i + 4) // skip chunk (fmt, ...)
+      val len = le32(i + 4)
+      val data = i + 8
+      Array.tabulate(len / 2)(k =>
+        ((payload(data + 2 * k) & 0xff) |
+          (payload(data + 2 * k + 1) << 8)).toShort)
+    }
+
+    def decodeFrame(meta: MediaMeta, payload: Array[Byte], frame: Int): ImageTensor = {
+      var off = 0
+      var f = 0
+      while (f < frame) { off = decodePpmAt(payload, off)._2; f += 1 }
+      decodePpmAt(payload, off)._1
+    }
+  }
+
+  /** Encoders for the real formats — the sink side of the round-trip
+    * (and the spec's bridge from fabricated tensors to real bytes). */
+  object RealFormats {
+    def encodePpm(t: ImageTensor): Array[Byte] = {
+      require(t.channels == 3, s"PPM is RGB; got ${t.channels} channels")
+      val header = s"P6\n${t.width} ${t.height}\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + t.pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(t.pixels, 0, out, header.length, t.pixels.length)
+      out
+    }
+
+    def encodePpmFrames(frames: Seq[ImageTensor]): Array[Byte] =
+      frames.map(encodePpm).reduce(_ ++ _)
+
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
   /** Ingest: attach payloads + typed metadata to a keyed DataFrame.
     * `payloadCol` must be binary; metadata arrives as plain columns so
     * parquet stats/pruning work on them.

@@ -189,6 +189,87 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real codec (PPM/WAV) round-trips and runs every kernel to the stub's results") {
+    // codec-agnosticism proven on REAL bytes (VERDICT r13 next 6):
+    // fabricate tensors/samples with the stub, ENCODE them through the
+    // real formats (binary PPM, PCM WAV, concatenated-P6 video),
+    // decode with the real parser, and require every kernel — aHash,
+    // image features, audio features, frame trace — to produce
+    // byte-identical results to the stub path on the originals.
+    val texts = Seq((1L, "real codec doc one"), (2L, "another payload"))
+    val stubDocs = texts.toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val stubImg = Multimodal.ingest(stubDocs, "doc_id", "payload",
+      kind = "image", format = "fake", width = 16, height = 16, channels = 3)
+
+    // ---- images: stub tensor -> PPM bytes -> real decode ----
+    val ppmRows = stubImg.collect().map { r =>
+      val t = Multimodal.FakeCodec.decodeImage(r.meta, r.payload)
+      (r.media_id, Multimodal.RealFormats.encodePpm(t))
+    }.toSeq
+    val realImg = Multimodal.ingest(ppmRows.toDF("doc_id", "payload"),
+      "doc_id", "payload", kind = "image", format = "ppm",
+      width = 16, height = 16, channels = 3)
+    // decoded tensors are identical
+    ppmRows.foreach { case (id, bytes) =>
+      val want = Multimodal.FakeCodec.decodeImage(
+        stubImg.filter($"media_id" === id).collect().head.meta,
+        texts.find(_._1 == id).get._2.getBytes)
+      val got = Multimodal.PpmWavCodec.decodeImage(null, bytes)
+      assert(got.width == want.width && got.height == want.height &&
+        got.channels == want.channels &&
+        java.util.Arrays.equals(got.pixels, want.pixels),
+        s"PPM round-trip mangled tensor $id")
+    }
+    val stubHash = Multimodal.aHash(stubImg).as[(Long, Long)].collect().toMap
+    val realHash = Multimodal.aHash(realImg, Multimodal.PpmWavCodec)
+      .as[(Long, Long)].collect().toMap
+    assert(stubHash == realHash, "aHash diverges between stub and real codec")
+    val stubFeat = Multimodal.imageFeatures(stubImg)
+      .as[(Long, Array[Float])].collect().toMap
+    val realFeat = Multimodal.imageFeatures(realImg, Multimodal.PpmWavCodec)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(stubFeat.keySet == realFeat.keySet &&
+      stubFeat.forall { case (k, v) => v.sameElements(realFeat(k)) },
+      "image features diverge between stub and real codec")
+
+    // ---- audio: stub samples -> WAV bytes -> real decode ----
+    val stubAud = Multimodal.ingest(stubDocs, "doc_id", "payload",
+      kind = "audio", format = "fake", sampleRate = 8000, durationMs = 50L)
+    val wavRows = stubAud.collect().map { r =>
+      (r.media_id,
+        Multimodal.RealFormats.encodeWav(
+          Multimodal.FakeCodec.decodeAudio(r.meta, r.payload), 8000))
+    }.toSeq
+    val realAud = Multimodal.ingest(wavRows.toDF("doc_id", "payload"),
+      "doc_id", "payload", kind = "audio", format = "wav",
+      sampleRate = 8000, durationMs = 50L)
+    val stubWin = Multimodal.audioFeatures(stubAud, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val realWin = Multimodal.audioFeatures(realAud, 64, Multimodal.PpmWavCodec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stubWin == realWin, "audio features diverge between stub and real codec")
+
+    // ---- video: stub frames -> concatenated P6 -> real frame trace ----
+    val nFrames = 4
+    val stubVid = Multimodal.ingest(stubDocs, "doc_id", "payload",
+      kind = "video", format = "fake", width = 16, height = 16,
+      channels = 3, frames = nFrames)
+    val vidRows = stubVid.collect().map { r =>
+      (r.media_id, Multimodal.RealFormats.encodePpmFrames(
+        (0 until nFrames).map(f =>
+          Multimodal.FakeCodec.decodeFrame(r.meta, r.payload, f))))
+    }.toSeq
+    val realVid = Multimodal.ingest(vidRows.toDF("doc_id", "payload"),
+      "doc_id", "payload", kind = "video", format = "ppms",
+      width = 16, height = 16, channels = 3, frames = nFrames)
+    val stubTrace = Multimodal.frameMeans(stubVid)
+      .collect().map(_.toString).sorted.toSeq
+    val realTrace = Multimodal.frameMeans(realVid, 1, Multimodal.PpmWavCodec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stubTrace == realTrace, "frame trace diverges between stub and real codec")
+  }
+
   test("audioFeatures: windows cover all samples, rms/zcr in range") {
     val df = Multimodal.audioFeatures(mediaDf(kind = "audio"), windowSamples = 100)
     val rows = df.where($"media_id" === 1L).collect()
