@@ -232,6 +232,72 @@ object Bench {
         System.err.println(s"[bench] damds_dist probe FAILED: ${e.getMessage}")
         ""
       }
+    // Large distributed-DAMDS probe (VERDICT r13 next 7): n=256 is
+    // orchestration-dominated — at n=4096 x 32 blocks each CG matvec
+    // moves real data through the shuffle-allgather path (16.7M-cell
+    // distance matrix, 512 KB of block rows per allgather), so a
+    // regression in the distributed kernels' THROUGHPUT (not just
+    // their job count) becomes visible round-over-round. Same seeded
+    // synthetic construction, so stress/cg_count double as the
+    // determinism checksum; one timed run (the small probe already
+    // warmed the code path, and the matrix build itself is ~10^9
+    // driver flops we don't want to pay twice).
+    val dd4k =
+      try {
+        import graft.damds.{Damds, DamdsKernels}
+        val nD = 4096; val dDim = 3; val splits = 32; val latent = 8
+        val rnd = new java.util.Random(29L)
+        val pts = Array.fill(nD, latent)(rnd.nextDouble())
+        val shorts = new Array[Short](nD * nD)
+        var mx = 0.0
+        var i = 0
+        while (i < nD) { // max distance first (two passes beat storing doubles)
+          var j = 0
+          while (j < nD) {
+            var s2 = 0.0; var k = 0
+            while (k < latent) {
+              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+            }
+            val dv = math.sqrt(s2)
+            if (dv > mx) mx = dv
+            j += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < nD) {
+          var j = 0
+          while (j < nD) {
+            var s2 = 0.0; var k = 0
+            while (k < latent) {
+              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+            }
+            shorts(i * nD + j) = graft.mm.FixedPoint.encode(math.sqrt(s2) / mx)
+            j += 1
+          }
+          i += 1
+        }
+        val blocks = graft.mm.MatrixIO.rowSplits(nD, splits).zipWithIndex
+          .map { case ((start, rows), idx) =>
+            DamdsKernels.DamdsBlock(idx, start, rows, nD,
+              java.util.Arrays.copyOfRange(shorts, start * nD, (start + rows) * nD),
+              Array.empty[Short])
+          }
+        val ds = spark.createDataset(blocks)(
+          org.apache.spark.sql.Encoders.product[DamdsKernels.DamdsBlock])
+        val rInit = new java.util.Random(31L)
+        val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
+        val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
+          maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
+        val t0 = System.nanoTime()
+        val r = Damds.run(spark, ds, initX, nD, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        s""","damds_dist_4k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
+          s""""stress":${Bench.fmt("%.6f", math.rint(r.state.stress * 1e6) / 1e6)},"cg_count":${r.state.cgCount}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] damds_dist_4k probe FAILED: ${e.getMessage}")
+        ""
+      }
     // Host/env fingerprint (VERDICT r10): a committed builder snapshot
     // and the driver's re-run of the same code can differ ~9% globally
     // from host conditions alone; recording the machine and a fixed
@@ -315,7 +381,7 @@ object Bench {
         case (k, Seq(a, b)) if a > 0 && b > 0 && (a > 3 * b || b > 3 * a) =>
           "\"" + k + "\":\"" + (if (a > b) "sweep1" else "sweep2") + "\""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"samples":$rawSamples,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)},${r3(sweep2Sec)}],"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$gm$dd}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"samples":$rawSamples,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)},${r3(sweep2Sec)}],"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$gm$dd$dd4k}"""
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
@@ -325,7 +391,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$gm$dd}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$gm$dd$dd4k}"""
     spark.stop()
     // printed last, after spark.stop(), so nothing can land after it in
     // the captured tail

@@ -4986,7 +4986,7 @@ object TextQueries {
   // nested-widths doctrine applied to the suffix-array method). Each
   // rung is the d71 engine verbatim at its L: one hash-agg shuffle +
   // one shuffled join + per-doc windows; all integer outputs.
-  private val dupLs = Seq(4, 8, 16)
+  private val dupLs = Seq(4, 8, 16, 32) // nested powers; 8 = production
 
   private def d77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

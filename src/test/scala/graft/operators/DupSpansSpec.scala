@@ -102,10 +102,13 @@ class DupSpansSpec extends AnyFunSuite {
   test("d77 dial curve: nested resolutions shrink monotonically (containment theorem)") {
     // a duplicated L-window's L/2 sub-windows are duplicated too, so
     // every metric is non-increasing as L doubles across 4 -> 8 -> 16
+    // -> 32 (the fourth rung registers the containment theorem in the
+    // ORACLE at every gate/sweep scale, not just this spec — VERDICT
+    // r13 next 8)
     val rows = Catalog.queries("d77_dup_dial_curve")(spark, TestSpark.sf001)
       .select($"l", $"n_dup_sites", $"n_docs_hit", $"dup_tokens")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
-    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L, 32L))
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a._2 >= b._2, s"sites grew with L: $a -> $b")
       assert(a._3 >= b._3, s"docs grew with L: $a -> $b")
