@@ -4,9 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims.{column, expression}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst expressions for the text-dedup hash kernels.
   *
@@ -647,6 +648,110 @@ final case class TermCountsExpr(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Per-doc n-gram repetition statistics for the Gopher rule battery
+  * (d43): for each window width n, the max single-gram occurrence
+  * count, the total occurrences of repeated grams, and the window
+  * count — computed row-locally in one kernel call.
+  *
+  * The explode form shuffled ~Σ n (= 24×) token-count (doc, n, gram)
+  * rows through TWO hash aggregations per scored corpus; this kernel
+  * is a map-only projection (zero Exchange, zero Generate — pinned in
+  * GopherAndPerplexitySpec), per-row memory bounded by document length.
+  * Exactness: grams are compared as TOKEN SEQUENCES via per-doc
+  * interned ids — identical to the concat_ws(' ') string equality the
+  * explode form grouped on, since whitespace-split tokens cannot
+  * contain the separator (no hashing shortcut, no collision risk).
+  */
+object GopherKernels {
+  /** int[]-keyed map entry: exact sequence equality, cached hash. */
+  private final class Key(val ids: Array[Int], val hash: Int) {
+    override def hashCode(): Int = hash
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(ids, k.ids)
+      case _ => false
+    }
+  }
+
+  /** Returns structs (n, max_c, dup_occ, tot) in `ns` order. */
+  def gopherStats(toks: ArrayData, ns: Array[Int]): GenericArrayData = {
+    val len = toks.numElements()
+    val ids = new Array[Int](len)
+    val intern = new java.util.HashMap[UTF8String, Integer](len * 2)
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      var id = intern.get(t)
+      if (id == null) { id = Integer.valueOf(intern.size); intern.put(t, id) }
+      ids(i) = id.intValue()
+      i += 1
+    }
+    val out = new Array[Any](ns.length)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      val windows = len - n + 1
+      var maxC = 0L
+      var dupOcc = 0L
+      if (windows > 0) {
+        val counts = new java.util.HashMap[Key, Array[Long]](windows * 2)
+        var p = 0
+        while (p < windows) {
+          val w = java.util.Arrays.copyOfRange(ids, p, p + n)
+          val key = new Key(w, java.util.Arrays.hashCode(w))
+          val slot = counts.get(key)
+          if (slot == null) counts.put(key, Array(1L)) else slot(0) += 1L
+          p += 1
+        }
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()(0)
+          if (c > maxC) maxC = c
+          if (c > 1L) dupOcc += c
+        }
+      }
+      out(k) = new GenericInternalRow(Array[Any](
+        n, maxC, dupOcc, math.max(windows, 0).toLong))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** gopher_stats(toks: array<string>) →
+  * array<struct<n int, max_c bigint, dup_occ bigint, tot bigint>>,
+  * one row per window width in `ns` order (see [[GopherKernels]]). */
+final case class GopherStatsExpr(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 64), s"bad ns=$ns")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (DataType.equalsStructurally(child.dataType, ArrayType(StringType), ignoreNullability = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("max_c", LongType, nullable = false),
+      StructField("dup_occ", LongType, nullable = false),
+      StructField("tot", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gopher_stats"
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherKernels.gopherStats(input.asInstanceOf[ArrayData], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("gopherNs", nsArr, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GopherKernels.gopherStats($c, $nsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the native kernels. */
 object GraftFunctions {
   def simhash64(tokens: Column): Column =
@@ -682,4 +787,7 @@ object GraftFunctions {
   /** Exact decimal PCA summary: upper-triangle Gram + mean registers. */
   def gramRegisters(v: Column, dim: Int): Column =
     column(GramRegisterAgg(expression(v), dim).toAggregateExpression())
+  /** Per-doc Gopher repetition statistics, one struct per width. */
+  def gopherStats(toks: Column, ns: Seq[Int]): Column =
+    column(GopherStatsExpr(expression(toks), ns))
 }

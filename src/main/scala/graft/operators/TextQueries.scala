@@ -2110,35 +2110,33 @@ object TextQueries {
   // single IEEE divisions of exact integer masses, so the verdict
   // compare cannot straddle a ulp cross-engine.
   private val gopherNs = Seq(2, 3, 4, 5, 10)
+  // The whole battery is ONE native kernel call per doc
+  // (GopherStatsExpr: per-width max/dup/total gram-occurrence counts
+  // over per-doc interned token-id sequences — exactly the statistics
+  // the old explode form shuffled ~24× token-count (doc, n, gram)
+  // rows through two hash aggregations to reach). Zero Exchange, zero
+  // Generate (pinned in GopherAndPerplexitySpec): repetition scoring now
+  // pipelines with the scan like d38/d39, which is the property that
+  // matters when the battery gates a 100 TB corpus. Identical
+  // verdicts: gram equality is token-sequence equality in both forms
+  // (whitespace-split tokens cannot contain the join separator), and
+  // the frac arithmetic is the same long-mass division.
   private[operators] def gopherRules(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs
+    docs
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 10)
-    val grams = toks.select($"doc_id",
-        size($"toks").cast("long").as("n_tokens"),
-        explode(expr(
-          s"flatten(transform(array(${gopherNs.mkString(", ")}), n -> " +
-            "transform(sequence(0, size(toks) - n), " +
-            "i -> named_struct('n', n, 'gram', " +
-            "concat_ws(' ', slice(toks, i + 1, n))))))")).as("g"))
-      .select($"doc_id", $"n_tokens", $"g.n".as("n"), $"g.gram".as("gram"))
-    val perN = grams
-      .groupBy($"doc_id", $"n_tokens", $"n", $"gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_tokens", $"n")
-      .agg(max($"c").as("max_c"),
-        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_occ"),
-        sum($"c").as("tot"))
-    def topFrac(n: Int) =
-      ((max(when($"n" === n, $"max_c")) * n).cast("double") / $"n_tokens")
-        .as(s"top${n}_frac")
-    def dupFrac(n: Int) =
-      (max(when($"n" === n, $"dup_occ")).cast("double") /
-        max(when($"n" === n, $"tot"))).as(s"dup${n}_frac")
-    perN.groupBy($"doc_id", $"n_tokens")
-      .agg(topFrac(2), topFrac(3), topFrac(4), dupFrac(5), dupFrac(10))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        graft.functions.GraftFunctions.gopherStats($"toks", gopherNs).as("st"))
+      .select($"doc_id", $"n_tokens",
+        (($"st"(0).getField("max_c") * 2).cast("double") / $"n_tokens").as("top2_frac"),
+        (($"st"(1).getField("max_c") * 3).cast("double") / $"n_tokens").as("top3_frac"),
+        (($"st"(2).getField("max_c") * 4).cast("double") / $"n_tokens").as("top4_frac"),
+        ($"st"(3).getField("dup_occ").cast("double") /
+          $"st"(3).getField("tot")).as("dup5_frac"),
+        ($"st"(4).getField("dup_occ").cast("double") /
+          $"st"(4).getField("tot")).as("dup10_frac"))
       .withColumn("gopher_pass",
         ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 &&
           $"top4_frac" <= 0.16 && $"dup5_frac" <= 0.15 &&

@@ -44,6 +44,62 @@ class GopherAndPerplexitySpec extends AnyFunSuite {
     assert(ids == Set(2L), s"length gate wrong: $ids")
   }
 
+  test("native gopher kernel equals the explode+groupBy form bit-for-bit on the corpus") {
+    // r14 replaced the (doc, n, gram) explode through two hash aggs
+    // with one per-doc kernel call (GopherStatsExpr). Same statistics
+    // by construction — gram equality is token-sequence equality in
+    // both forms — re-proven here value-identically (fracs are IEEE
+    // doubles: same masses, same single division) against the old
+    // form rebuilt as the oracle, on the real corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, dir, "documents")
+    val toks = docs
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", graft.text.TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 10)
+    val grams = toks.select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        explode(expr(
+          "flatten(transform(array(2, 3, 4, 5, 10), n -> " +
+            "transform(sequence(0, size(toks) - n), " +
+            "i -> named_struct('n', n, 'gram', " +
+            "concat_ws(' ', slice(toks, i + 1, n))))))")).as("g"))
+      .select($"doc_id", $"n_tokens", $"g.n".as("n"), $"g.gram".as("gram"))
+    val perN = grams
+      .groupBy($"doc_id", $"n_tokens", $"n", $"gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n")
+      .agg(max($"c").as("max_c"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_occ"),
+        sum($"c").as("tot"))
+    def topFrac(n: Int) =
+      ((max(when($"n" === n, $"max_c")) * n).cast("double") / $"n_tokens")
+        .as(s"top${n}_frac")
+    def dupFrac(n: Int) =
+      (max(when($"n" === n, $"dup_occ")).cast("double") /
+        max(when($"n" === n, $"tot"))).as(s"dup${n}_frac")
+    val oldForm = perN.groupBy($"doc_id", $"n_tokens")
+      .agg(topFrac(2), topFrac(3), topFrac(4), dupFrac(5), dupFrac(10))
+      .withColumn("gopher_pass",
+        ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 &&
+          $"top4_frac" <= 0.16 && $"dup5_frac" <= 0.15 &&
+          $"dup10_frac" <= 0.10).cast("long"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = TextQueries.gopherRules(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == oldForm,
+      s"native battery diverges from the explode form: " +
+        s"${got.zip(oldForm).find(p => p._1 != p._2)}")
+  }
+
+  test("d43 battery is one projection: no Exchange, no Generate (scale pin)") {
+    val p = Catalog.queries("d43_gopher_rules")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopher battery shuffles:\n$p")
+    assert(!p.contains("Generate"), s"gopher battery explodes:\n$p")
+  }
+
   test("d76 pins the single-class corpus to NULL auc (divide guard, ADVICE r13)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
