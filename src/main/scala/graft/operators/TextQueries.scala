@@ -667,19 +667,28 @@ object TextQueries {
     // 32-bit simhash from the first 8 md5 nibbles per token: bit b set
     // iff Σ_tokens (±1 by token-bit b) > 0 — same sign rule and band
     // blocking as d07, at a width both engines can bit-slice; 8-bit
-    // bands keep bucket fan-in sub-quadratic (256 buckets per band)
-    val h = Tables(s, dir, "documents")
+    // bands keep bucket fan-in sub-quadratic (256 buckets per band).
+    // Shape: the sign sum for bit b over T tokens with c_b set bits is
+    // 2*c_b - T, so one codegen'd explode + hash-agg (32 integer sums
+    // with map-side partials, collapsing to one row per doc) replaces
+    // the 32 interpreted folds the HOF form ran per document — exact
+    // integers end-to-end, identical bits. A doc here always has ≥ 1
+    // token (nonempty trimmed text), so explode drops nothing.
+    val tokenBits = Tables(s, dir, "documents")
       .filter($"doc_id" < oracleSliceN)
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .withColumn("vals", expr(
-        "transform(toks, t -> cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint))"))
-      .select($"doc_id", expr(
-        """aggregate(transform(sequence(0, 31), b ->
-          |  case when aggregate(vals, cast(0 as bigint),
-          |      (a, v) -> a + (shiftright(v, b) & 1) * 2 - 1) > 0
-          |    then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end),
-          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin).as("simhash"))
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .select($"doc_id",
+        expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("v"))
+    val bitCols = (0 until 32).map(b =>
+      sum(shiftright($"v", b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val h = tokenBits
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+      .select($"doc_id",
+        (0 until 32).map(b =>
+            when(lit(2L) * col(s"c$b") - $"n" > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val b = h.select($"doc_id", $"simhash", explode(array((0 until 4).map { i =>
       (shiftright($"simhash", i * 8).bitwiseAND(lit(255L)) + lit(i.toLong * 256))
     }: _*)).as("code"))
