@@ -474,6 +474,103 @@ object MlQueries {
     }.toDF("comp", "weight", "mean", "stddev", "loglik_micronats")
   }
 
+  // ---- m09: ridge distillation of the quality classifier ----
+  // The interpretability audit production filter stacks run next to
+  // d38: fit a linear model predicting the hashed classifier's score
+  // from two cheap surface features (average token length, stopword
+  // ratio) so a reviewer can read WHAT the black-box filter rewards —
+  // and a drifting coefficient flags a filter regression before it
+  // reshapes the corpus. Fit = ridge normal equations, k=3 with
+  // intercept (λ = 1e-3 on every coefficient, guaranteeing the 3×3
+  // system is nonsingular even on degenerate slices).
+  //
+  // Scale shape: ONE corpus pass — a map-only feature projection
+  // (d38's zero-shuffle scoring plus two d03 ratios, no join between
+  // the score and feature legs) into a single 9-register hash agg;
+  // the "solve" is a scalar Cramer expression over the one aggregate
+  // row. No iteration, no driver loop, no second pass: the gradient-
+  // descent shape (a pass per step — the pre-fix m08 anti-pattern)
+  // is exactly what normal equations exist to avoid at 100 TB.
+  //
+  // Exactness: features are micro-snapped to BIGINT per row
+  // (identical doubles both engines → identical integers), products
+  // and sums are exact integer arithmetic in DECIMAL(38,0) (order-
+  // independent; BIGINT would already hold sf0.1 but not 10^12 docs),
+  // and the closed-form solve is ONE shared expression string per
+  // coefficient — identical IEEE op order by construction — snapped
+  // floor-form to micro.
+  private val ridgeDets: (String, String, String, String) = (
+    "(a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02))",
+    "(b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2) + a02*(b1*a12 - a11*b2))",
+    "(a00*(b1*a22 - a12*b2) - b0*(a01*a22 - a12*a02) + a02*(a01*b2 - b1*a02))",
+    "(a00*(a11*b2 - b1*a12) - a01*(a01*b2 - b1*a02) + b0*(a01*a12 - a11*a02))")
+  // the A = X'X + λI / b = X'y entries from the integer sum registers,
+  // identical text both engines (CAST casing is syntax, not op order)
+  private val ridgeA: Seq[(String, String)] = Seq(
+    "a00" -> "cast(n as double) + 1e-3",
+    "a01" -> "cast(s1 as double) / 1e6",
+    "a02" -> "cast(s2 as double) / 1e6",
+    "a11" -> "cast(s11 as double) / 1e12 + 1e-3",
+    "a12" -> "cast(s12 as double) / 1e12",
+    "a22" -> "cast(s22 as double) / 1e12 + 1e-3",
+    "b0" -> "cast(sy as double) / 1e6",
+    "b1" -> "cast(s1y as double) / 1e12",
+    "b2" -> "cast(s2y as double) / 1e12")
+
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = TextQueries.qualityFeatureFrame(Tables(s, dir, "documents"))
+      .select(
+        expr("cast(floor(x1 * 1e6 + 0.5) as bigint)").as("ix1"),
+        expr("cast(floor(x2 * 1e6 + 0.5) as bigint)").as("ix2"),
+        expr("cast(floor(y * 1e6 + 0.5) as bigint)").as("iy"))
+    def d38sum(e: String) = sum(expr(e).cast("decimal(38,0)"))
+    val g = f.agg(
+      count(lit(1)).as("n"),
+      d38sum("ix1").as("s1"), d38sum("ix2").as("s2"), d38sum("iy").as("sy"),
+      d38sum("ix1 * ix1").as("s11"), d38sum("ix1 * ix2").as("s12"),
+      d38sum("ix2 * ix2").as("s22"),
+      d38sum("ix1 * iy").as("s1y"), d38sum("ix2 * iy").as("s2y"))
+    val a = g.select(($"n" +: ridgeA.map { case (nm, e) => expr(e).as(nm) }): _*)
+    val (det, d0, d1, d2) = ridgeDets
+    a.select($"n".as("n_docs"),
+      expr(s"cast(floor($d0 / $det * 1e6 + 0.5) as bigint)").as("b0_micro"),
+      expr(s"cast(floor($d1 / $det * 1e6 + 0.5) as bigint)").as("b1_micro"),
+      expr(s"cast(floor($d2 / $det * 1e6 + 0.5) as bigint)").as("b2_micro"))
+  }
+  private lazy val m09Sql = {
+    val (det, d0, d1, d2) = ridgeDets
+    val aCols = ridgeA.map { case (nm, e) =>
+      e.replace("cast(", "CAST(").replace(" as double)", " AS DOUBLE)") +
+        s" AS $nm"
+    }.mkString(",\n|    ")
+    s"""WITH f AS (
+       |${TextQueries.qualityFeatureSql}
+       |),
+       |j AS (SELECT CAST(floor(x1 * 1e6 + 0.5) AS BIGINT) AS ix1,
+       |    CAST(floor(x2 * 1e6 + 0.5) AS BIGINT) AS ix2,
+       |    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS iy
+       |  FROM f),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(ix1 AS DECIMAL(38,0))) AS s1,
+       |    SUM(CAST(ix2 AS DECIMAL(38,0))) AS s2,
+       |    SUM(CAST(iy AS DECIMAL(38,0))) AS sy,
+       |    SUM(CAST(ix1 * ix1 AS DECIMAL(38,0))) AS s11,
+       |    SUM(CAST(ix1 * ix2 AS DECIMAL(38,0))) AS s12,
+       |    SUM(CAST(ix2 * ix2 AS DECIMAL(38,0))) AS s22,
+       |    SUM(CAST(ix1 * iy AS DECIMAL(38,0))) AS s1y,
+       |    SUM(CAST(ix2 * iy AS DECIMAL(38,0))) AS s2y
+       |  FROM j),
+       |a AS (SELECT n,
+       |    $aCols
+       |  FROM g)
+       |SELECT n AS n_docs,
+       |  CAST(floor($d0 / $det * 1e6 + 0.5) AS BIGINT) AS b0_micro,
+       |  CAST(floor($d1 / $det * 1e6 + 0.5) AS BIGINT) AS b1_micro,
+       |  CAST(floor($d2 / $det * 1e6 + 0.5) AS BIGINT) AS b2_micro
+       |FROM a""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("m08_gmm_quality", m08, Some(GoldenOracles.m08), planFn = Some(m08Plan)),
     Q("m01_kmeans_assign", m01, Some(m01Sql)),
@@ -483,5 +580,6 @@ object MlQueries {
     Q("m05_kmeans_scalable_init", m05, Some(GoldenOracles.m05)),
     Q("m06_kmeans_elbow", m06, Some(m06Sql)),
     Q("m07_silhouette", m07, Some(m07Sql)),
+    Q("m09_ridge_fit", m09, Some(m09Sql)),
     Q("g01_gaussian_generator", g01, Some(GoldenOracles.g01)))
 }

@@ -1391,6 +1391,29 @@ object StreamingQueries {
     s.createDataFrame(rows).toDF("cid", "dim", "mean")
   }
 
+  // ---- s45: entropy/secret screening on arrival ----
+  // d84's entropy screen is stateless (one map-only projection — no
+  // explode, no state store, no watermark), so it lifts onto the
+  // document stream unchanged — the scan-on-ingest form a secret
+  // scanner actually deploys (leaked credentials must be caught
+  // BEFORE the document lands in the lake, not on the next batch
+  // sweep). Append mode, the s11/s13 pattern; gated by d84's batch
+  // oracle exactly.
+  private def s45(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.entropyScreen(raw).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -1435,5 +1458,6 @@ object StreamingQueries {
     Q("s41_stream_pca", s41, Some(GoldenOracles.v32)),
     Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)),
     Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)),
-    Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)))
+    Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)),
+    Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)))
 }

@@ -1639,28 +1639,64 @@ object TextQueries {
       "i -> concat_ws(' ', toks[i], toks[i + 1])) " +
       "ELSE cast(array() as array<string>) END)"
 
-  /** The classifier transform itself — stateless column ops only, so
-    * the same expression tree runs over a batch scan or a document
-    * readStream (s13, the d36/s11 pattern). Input needs
-    * (doc_id, text). */
-  private[operators] def qualityClassify(docs: DataFrame,
-      buckets: Int = qcBuckets): DataFrame = {
+  /** The d38 gram-weight fold over a `grams` column — the one scoring
+    * expression qualityClassify and m09's feature frame share. */
+  private[operators] def gramWsumExpr(buckets: Int = qcBuckets): String = {
     val bucketOf = (g: String) =>
       s"pmod(cast(conv(substring(md5(cast($g as binary)), 1, 6), 16, 10) " +
         s"as long), $buckets)"
     val weightOf = (g: String) =>
       s"(cast(conv(substring(md5(cast(concat('qw:', cast(${bucketOf(g)} " +
         "as string)) as binary)), 1, 6), 16, 10) as double) / 16777216.0 - 0.5)"
+    s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"
+  }
+
+  /** The classifier transform itself — stateless column ops only, so
+    * the same expression tree runs over a batch scan or a document
+    * readStream (s13, the d36/s11 pattern). Input needs
+    * (doc_id, text). */
+  private[operators] def qualityClassify(docs: DataFrame,
+      buckets: Int = qcBuckets): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
-      .withColumn("wsum", expr(
-        s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"))
+      .withColumn("wsum", expr(gramWsumExpr(buckets)))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         (floor(col("wsum") / size(col("grams")) * 1e6 + 0.5) / 1e6).as("qscore"))
       .withColumn("keep", (col("qscore") >= 0.0).cast("long"))
-  }
+
+  /** Per-doc surface features + the d38 score in ONE projection —
+    * m09's regression frame: x1 = average token length, x2 = stopword
+    * ratio (the d03 forms, proven IEEE-identical cross-engine), y =
+    * the snapped classifier score. One tokenize pass, no join between
+    * the feature and score legs. */
+  private[operators] def qualityFeatureFrame(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("grams", expr(uniBigramExpr))
+      .select(col("doc_id"),
+        (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size(col("toks")))
+          .as("x1"),
+        (expr(hitCount("toks", stopEn)) / size(col("toks"))).as("x2"),
+        (floor(expr(gramWsumExpr()) / size(col("grams")) * 1e6 + 0.5) / 1e6)
+          .as("y"))
+
+  /** DuckDB mirror of [[qualityFeatureFrame]] — a CTE body yielding
+    * (doc_id, x1, x2, y). */
+  private[operators] lazy val qualityFeatureSql =
+    s"""SELECT f.doc_id, f.x1, f.x2, q.qscore AS y
+       |  FROM (SELECT doc_id,
+       |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |        / len(toks) AS x1,
+       |      CAST(${duckHitCount("toks", stopEn)} AS DOUBLE) / len(toks) AS x2
+       |    FROM (SELECT doc_id, text,
+       |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |      FROM documents WHERE length(trim(text)) > 0) t) f
+       |  JOIN (
+       |$d38Sql
+       |  ) q ON f.doc_id = q.doc_id""".stripMargin
 
   private def d38(s: SparkSession, dir: String): DataFrame =
     qualityClassify(Tables(s, dir, "documents"))
@@ -5332,6 +5368,125 @@ object TextQueries {
        |  COALESCE(out.clean_md5, md5('')) AS clean_md5
        |FROM t LEFT JOIN out ON t.doc_id = out.doc_id""".stripMargin
 
+  // ---- d84: entropy screen + planted-secret detector ----
+  // Two character-statistics audits curation pipelines run before
+  // training, in ONE map-only projection (the d38/d43 shape — zero
+  // shuffles, pipelineable into any scan at 100 TB):
+  //  * per-doc Shannon entropy of the character and token
+  //    distributions — the garbage/templated-text dial (natural prose
+  //    sits ~4 bits/char; near-0 means repeated filler, near-log2(V)
+  //    means shuffled/random junk), the screen that catches what
+  //    d13's repetition ratio and d43's gopher battery miss when the
+  //    repetition has no aligned n-gram structure;
+  //  * a credential/secret detector: long base64-charset tokens
+  //    (>=16 chars, letters+digits) whose CHAR entropy clears
+  //    3.5 bits — the standard high-entropy-string rule secret
+  //    scanners apply before a corpus ships. The fixture corpus
+  //    plants none (all counters legitimately 0 — cross-engine
+  //    checked as 0), so the detection arm is additionally proven on
+  //    planted keys in EntropyScreenSpec.
+  //
+  // Exactness: counts are integers (length-difference per alphabet
+  // char — no char-level explode, no per-doc groupBy); the only float
+  // work is Σ n·ln(n) folded in the FIXED literal alphabet order on
+  // both engines (identical IEEE op order; Spark's 0.0-seeded fold
+  // equals DuckDB's first-element-seeded fold because 0.0 + x is
+  // exact), token folds run over the SORTED distinct-token list, and
+  // every entropy is micro-snapped floor-form before output or
+  // threshold compare.
+  private val entAlphabet: Seq[Char] =
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " +/=_-.,:;!?".toSeq
+  private val entThresholdMicro = 3500000L // 3.5 bits
+  private def entArr(quoteList: Seq[String] => String): String =
+    quoteList(entAlphabet.map(c => s"'$c'"))
+  private val entArrSpark = entArr(l => s"array(${l.mkString(",")})")
+  private val entArrDuck = entArr(l => s"[${l.mkString(",")}]")
+
+  /** Per-token char-entropy micro-bits over the fixed alphabet —
+    * candidate tokens are charset-filtered into the alphabet, so no
+    * residual class is needed. `tv` is the lambda variable holding
+    * the token. */
+  private def tokBitsSpark(tv: String): String =
+    s"cast(floor((ln(length($tv)) - aggregate(transform($entArrSpark, " +
+      s"c -> length($tv) - length(replace($tv, c, ''))), " +
+      s"cast(0.0 as double), (a, n) -> a + n * ln(greatest(n, 1))) " +
+      s"/ length($tv)) / ln(2.0) * 1e6 + 0.5) as bigint)"
+  private def tokBitsDuck(tv: String): String =
+    s"CAST(floor((ln(length($tv)) - list_reduce(list_transform(" +
+      s"list_transform($entArrDuck, c -> length($tv) - " +
+      s"length(replace($tv, c, ''))), n -> n * ln(greatest(n, 1))), " +
+      s"(a, x) -> a + x) / length($tv)) / ln(2.0) * 1e6 + 0.5) AS BIGINT)"
+
+  /** The stateless d84 transform — column ops only, so the same tree
+    * runs over a batch scan or a document readStream (s45, the
+    * s11/s13 pattern). Input needs (doc_id, text). */
+  private[operators] def entropyScreen(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("ccnts", expr(
+        s"transform($entArrSpark, c -> length(text) - length(replace(text, c, '')))"))
+      .withColumn("cother", expr(
+        "length(text) - aggregate(ccnts, cast(0 as bigint), (a, n) -> a + n)"))
+      .withColumn("char_entropy_micro", expr(
+        "cast(floor((ln(length(text)) - (aggregate(ccnts, cast(0.0 as double), " +
+          "(a, n) -> a + n * ln(greatest(n, 1))) + cother * ln(greatest(cother, 1))) " +
+          "/ length(text)) / ln(2.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("tcnts", expr(
+        "transform(array_sort(array_distinct(toks)), " +
+          "c -> size(filter(toks, t -> t = c)))"))
+      .withColumn("token_entropy_micro", expr(
+        "cast(floor((ln(size(toks)) - aggregate(tcnts, cast(0.0 as double), " +
+          "(a, n) -> a + n * ln(n)) / size(toks)) / ln(2.0) * 1e6 + 0.5) as bigint)"))
+      .withColumn("cands", expr(
+        "filter(split(trim(text), '\\\\s+'), t -> length(t) >= 16 " +
+          "AND t rlike '^[A-Za-z0-9+/=_-]+$' AND t rlike '[0-9]' " +
+          "AND t rlike '[A-Za-z]')"))
+      .withColumn("cand_micro", expr(
+        s"transform(cands, t -> ${tokBitsSpark("t")})"))
+      .select(col("doc_id"), col("char_entropy_micro"), col("token_entropy_micro"),
+        size(col("cands")).cast("long").as("n_candidates"),
+        size(expr(s"filter(cand_micro, m -> m >= $entThresholdMicro)"))
+          .cast("long").as("n_flagged"),
+        expr("CASE WHEN size(cands) = 0 THEN -1 ELSE array_max(cand_micro) END")
+          .cast("long").as("max_candidate_micro"))
+
+  private def d84(s: SparkSession, dir: String): DataFrame =
+    entropyScreen(Tables(s, dir, "documents"))
+  private[operators] lazy val d84Sql =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |c AS (SELECT doc_id, text, toks,
+       |    list_transform($entArrDuck,
+       |      c -> length(text) - length(replace(text, c, ''))) AS ccnts,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> length(t) >= 16
+       |        AND regexp_full_match(t, '[A-Za-z0-9+/=_-]+')
+       |        AND regexp_matches(t, '[0-9]')
+       |        AND regexp_matches(t, '[A-Za-z]')) AS cands
+       |  FROM t),
+       |c2 AS (SELECT *,
+       |    length(text) - list_reduce(ccnts, (a, n) -> a + n) AS cother,
+       |    list_transform(list_sort(list_distinct(toks)),
+       |      c -> len(list_filter(toks, t -> t = c))) AS tcnts,
+       |    list_transform(cands, t -> ${tokBitsDuck("t")}) AS cand_micro
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(floor((ln(length(text)) - (list_reduce(list_transform(ccnts,
+       |      n -> n * ln(greatest(n, 1))), (a, x) -> a + x)
+       |      + cother * ln(greatest(cother, 1))) / length(text))
+       |    / ln(2.0) * 1e6 + 0.5) AS BIGINT) AS char_entropy_micro,
+       |  CAST(floor((ln(len(toks)) - list_reduce(list_transform(tcnts,
+       |      n -> n * ln(n)), (a, x) -> a + x) / len(toks))
+       |    / ln(2.0) * 1e6 + 0.5) AS BIGINT) AS token_entropy_micro,
+       |  CAST(len(cands) AS BIGINT) AS n_candidates,
+       |  CAST(len(list_filter(cand_micro, m -> m >= $entThresholdMicro))
+       |    AS BIGINT) AS n_flagged,
+       |  CAST(CASE WHEN len(cands) = 0 THEN -1 ELSE list_max(cand_micro) END
+       |    AS BIGINT) AS max_candidate_micro
+       |FROM c2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5415,7 +5570,8 @@ object TextQueries {
     Q("d80_zipf_fit", d80, Some(d80Sql)),
     Q("d81_source_zipf", d81, Some(d81Sql)),
     Q("d82_dup_spans_prod", d82, Some(d71Sql)),
-    Q("d83_dup_span_apply", d83, Some(d83Sql)))
+    Q("d83_dup_span_apply", d83, Some(d83Sql)),
+    Q("d84_entropy_screen", d84, Some(d84Sql)))
 
 
 }

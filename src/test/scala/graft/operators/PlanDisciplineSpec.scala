@@ -61,6 +61,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"classifier scoring explodes:\n$p")
   }
 
+  test("d84 entropy screen is one map-only projection: no Exchange, no Generate") {
+    // the secret/entropy screen's scale contract (the d38 discipline):
+    // per-char counts come from length-difference folds over the
+    // literal alphabet, never a char-level explode + per-doc groupBy —
+    // a rewrite that way would pass the oracle and put a (doc, char)
+    // shuffle with corpus×chars rows on every scanned corpus.
+    val p = plan("d84_entropy_screen")
+    assert(!p.contains("Exchange"), s"entropy screen shuffles:\n$p")
+    assert(!p.contains("Generate"), s"entropy screen explodes:\n$p")
+  }
+
   test("pca gram summary folds into one register buffer: no Generate, object hash agg") {
     // v32/v33/s41's scale contract (VERDICT r13 §wrong 2): the
     // d(d+1)/2 Gram registers accumulate inside ONE
