@@ -2318,6 +2318,73 @@ object VectorQueries {
   }
 
 
+  // ---- v35: label-propagation communities over the kNN graph ----
+  // The community layer between v10's connected components (pure
+  // reachability — one LSH artifact bridges two real clusters into
+  // one blob) and v18's centroid-conditioned profile (needs k fixed
+  // up front): synchronous label propagation on the kNN graph finds
+  // DENSE neighborhoods — topic/template communities — with no k and
+  // no distance threshold, the grouping a curation run reads to
+  // sample diversely or to cap any one template family's token share.
+  // Deterministic variant (LPA's usual tie chaos removed): per round,
+  // every node adopts the most frequent label among its kNN
+  // out-neighbors, ties broken by SMALLEST label; isolated nodes keep
+  // their own; `lpaRounds` fixed synchronous rounds (the m03/n09
+  // fixed-iteration discipline).
+  //
+  // Scale shape: per round, one join of labels to the edge list
+  // (keyed by neighbor) and two hash aggs — (node, label) counts,
+  // then the per-node argmax as min(struct(-count, label)), the d72
+  // keeper-election form: partial-aggregable, never a window over a
+  // skewable key. Edges reuse v21's memoized persisted edge set;
+  // per-round lineage is cut with localCheckpoint (the
+  // ConnectedComponents discipline). All-integer → cross-engine
+  // exact; the oracle replays the same rounds as an unrolled CTE
+  // chain.
+  private val lpaRounds = 4
+  private def v35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = prEdges(s, dir) // (src, dst, outdeg) — outdeg unused
+    val nodes = embeddings(s, dir).select($"vec_id")
+    var labels = nodes.select($"vec_id", $"vec_id".as("lbl"))
+    for (_ <- 1 to lpaRounds) {
+      val won = edges
+        .join(labels.select($"vec_id".as("dst"), $"lbl"), "dst")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+        .groupBy($"src")
+        .agg(min(struct((-$"c").as("nc"), $"lbl")).as("w"))
+        .select($"src".as("vec_id"), $"w.lbl".as("nlbl"))
+      labels = labels.join(won, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"nlbl", $"lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    val sz = labels.groupBy($"lbl").agg(count(lit(1)).as("csize"))
+    labels.join(sz, "lbl")
+      .select($"vec_id", $"lbl".as("community"), $"csize")
+  }
+  private lazy val v35Sql = {
+    def round(t: Int): String = {
+      val prev = s"l${t - 1}"
+      s"""c$t AS (SELECT e.src, $prev.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM edges e JOIN $prev ON $prev.vec_id = e.dst GROUP BY 1, 2),
+         |w$t AS (SELECT src AS vec_id, lbl FROM (SELECT src, lbl,
+         |    row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |  FROM c$t) WHERE rn = 1),
+         |l$t AS (SELECT p.vec_id, COALESCE(w$t.lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN w$t USING (vec_id))""".stripMargin
+    }
+    s"""WITH knn AS ($v14Sql),
+       |edges AS (SELECT vec_id AS src, nbr AS dst FROM knn),
+       |l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
+       |""".stripMargin +
+      (1 to lpaRounds).map(round).mkString(",\n") +
+      s""",
+         |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
+         |  FROM l$lpaRounds GROUP BY 1)
+         |SELECT l.vec_id, l.lbl AS community, sz.csize
+         |FROM l$lpaRounds l JOIN sz USING (lbl)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -2352,5 +2419,6 @@ object VectorQueries {
     Q("v31_semantic_decontam", v31, Some(v31Sql)),
     Q("v32_pca_power", v32, Some(GoldenOracles.v32), planFn = Some(pcaPlan)),
     Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33), planFn = Some(pcaPlan)),
-    Q("v34_whitened_dedup", v34, Some(v34Sql)))
+    Q("v34_whitened_dedup", v34, Some(v34Sql)),
+    Q("v35_lpa_communities", v35, Some(v35Sql)))
 }
