@@ -517,9 +517,16 @@ object MlQueries {
     "b1" -> "cast(s1y as double) / 1e12",
     "b2" -> "cast(s2y as double) / 1e12")
 
-  private def m09(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val f = TextQueries.qualityFeatureFrame(Tables(s, dir, "documents"))
+  /** The m09 pipeline from a (doc_id, text) frame: micro-snap the
+    * features, fold the 9 integer sum registers in one hash agg, and
+    * solve the 3×3 system as a scalar Cramer expression over the one
+    * aggregate row. Stateless-then-aggregate column ops only, so the
+    * same tree runs over a batch scan or a document readStream in
+    * complete mode (s46 — the register-maintenance shape s41's PCA
+    * stream uses). */
+  private[operators] def ridgeFit(docs: org.apache.spark.sql.DataFrame)
+      : DataFrame = {
+    val f = TextQueries.qualityFeatureFrame(docs)
       .select(
         expr("cast(floor(x1 * 1e6 + 0.5) as bigint)").as("ix1"),
         expr("cast(floor(x2 * 1e6 + 0.5) as bigint)").as("ix2"),
@@ -531,14 +538,18 @@ object MlQueries {
       d38sum("ix1 * ix1").as("s11"), d38sum("ix1 * ix2").as("s12"),
       d38sum("ix2 * ix2").as("s22"),
       d38sum("ix1 * iy").as("s1y"), d38sum("ix2 * iy").as("s2y"))
-    val a = g.select(($"n" +: ridgeA.map { case (nm, e) => expr(e).as(nm) }): _*)
+    val a = g.select((col("n") +:
+      ridgeA.map { case (nm, e) => expr(e).as(nm) }): _*)
     val (det, d0, d1, d2) = ridgeDets
-    a.select($"n".as("n_docs"),
+    a.select(col("n").as("n_docs"),
       expr(s"cast(floor($d0 / $det * 1e6 + 0.5) as bigint)").as("b0_micro"),
       expr(s"cast(floor($d1 / $det * 1e6 + 0.5) as bigint)").as("b1_micro"),
       expr(s"cast(floor($d2 / $det * 1e6 + 0.5) as bigint)").as("b2_micro"))
   }
-  private lazy val m09Sql = {
+
+  private def m09(s: SparkSession, dir: String): DataFrame =
+    ridgeFit(Tables(s, dir, "documents"))
+  private[operators] lazy val m09Sql = {
     val (det, d0, d1, d2) = ridgeDets
     val aCols = ridgeA.map { case (nm, e) =>
       e.replace("cast(", "CAST(").replace(" as double)", " AS DOUBLE)") +

@@ -1414,6 +1414,34 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s46: streaming ridge-fit register maintenance ----
+  // m09's nine integer sum registers are a mergeable sufficient
+  // statistic, so the live form of the distillation audit is a
+  // complete-mode streaming aggregate over arriving documents (the
+  // s41 PCA-register shape): each micro-batch folds its docs into the
+  // register state, and the Cramer solve projects the CURRENT
+  // coefficients after every trigger — a drifting coefficient pages
+  // before the filter regression reshapes the corpus. Gated by m09's
+  // batch oracle exactly (single-batch fixture ⇒ final state ≡ batch
+  // registers, and the solve is the same shared expression string).
+  private def s46(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = MlQueries.ridgeFit(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_stream_hourly", s01, Some(s01Sql)),
     Q("s02_stream_sessions", s02, Some(s02Sql)),
@@ -1459,5 +1487,6 @@ object StreamingQueries {
     Q("s42_stream_session_paths", s42, Some(EventQueries.q44Sql)),
     Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)),
     Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)),
-    Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)))
+    Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)),
+    Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)))
 }
