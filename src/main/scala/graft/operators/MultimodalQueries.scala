@@ -472,6 +472,67 @@ object MultimodalQueries {
     sceneSegments(Multimodal.frameMeans(videoMedia(docs)))
   }
 
+  // ---- x13: audio silence/speech segmentation (energy VAD) ----
+  // The audio-curation primitive next to x11's video scenes: per-window
+  // RMS energy (x05's one-pass decode kernel at a finer window) split
+  // into voiced/silent by an energy threshold — the classic
+  // energy-gate VAD — then consecutive same-state windows merged into
+  // runs and rolled up per clip (segment count, voiced mass, longest
+  // voiced run, first voiced window). Speech-heavy clips route to
+  // transcription; silence-dominated ones are padding a curation run
+  // drops before paying for ASR. Scale shape: the Window and aggs are
+  // keyed by media_id (per-clip state = `windows` rows — the x11
+  // segmentation discipline), the corpus exchange carries 3 scalars
+  // per window, nothing driver-side. The threshold sits at the
+  // fixture's median window RMS so the stub codec's hash-noise
+  // exercises the full run machinery; a real codec changes only
+  // decodeAudio (MultimodalSpec proves the tail on synthetic
+  // two-state audio with known runs). Oracle: pinned golden (the
+  // x02/x05/x11 premise — per-record deterministic decode,
+  // partition-invariant, cross-checked out-of-JVM at pinning time).
+  private[operators] val vadTau = 18820.0
+  private val vadWindow = 100
+
+  /** The documents fixture as fake 8 kHz / 250 ms audio clips —
+    * shared by x05-style feature passes and x13 (works over a batch
+    * scan or a readStream unchanged). */
+  private[operators] def audioMedia(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] =
+    Multimodal.ingest(docs, "doc_id", "payload", kind = "audio",
+      format = "fake", sampleRate = 8000, durationMs = 250)
+
+  /** The codec-agnostic VAD tail: (media_id, window, rms) → one row
+    * per clip with voiced/silence run stats. */
+  private[graft] def silenceSegments(feat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("window"))
+    val st = feat
+      .withColumn("voiced", (col("rms") >= vadTau).cast("long"))
+      .withColumn("prev", lag(col("voiced"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull && col("voiced") =!= col("prev"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("cut")).over(w))
+    st
+      .groupBy(col("media_id"), col("seg"), col("voiced"))
+      .agg(count(lit(1)).as("len"), min(col("window")).as("start"))
+      .groupBy(col("media_id"))
+      .agg((max(col("seg")) + 1L).cast("long").as("n_segments"),
+        sum(when(col("voiced") === 1L, col("len")).otherwise(0L))
+          .cast("long").as("voiced_windows"),
+        coalesce(max(when(col("voiced") === 1L, col("len"))), lit(0L))
+          .cast("long").as("longest_voiced_run"),
+        coalesce(min(when(col("voiced") === 1L, col("start"))), lit(-1L))
+          .cast("long").as("first_voiced_window"))
+  }
+
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    silenceSegments(
+      Multimodal.audioFeatures(audioMedia(docs), windowSamples = vadWindow))
+  }
+
   // ---- x12: perceptual-hash near-dup (aHash + Hamming banding) ----
   // The image near-dup rung the block family can't see: x06/x08 match
   // BYTES, a perceptual hash matches PICTURES — re-encoded or
@@ -529,5 +590,6 @@ object MultimodalQueries {
     Q("x08_block_neardup", x08, Some(x08Sql)),
     Q("x09_modality_coverage", x09, Some(x09Sql)),
     Q("x10_cdc_dial_curve", x10, Some(GoldenOracles.x10)),
-    Q("x11_scene_segments", x11, Some(GoldenOracles.x11)))
+    Q("x11_scene_segments", x11, Some(GoldenOracles.x11)),
+    Q("x13_audio_vad", x13, Some(GoldenOracles.x13)))
 }

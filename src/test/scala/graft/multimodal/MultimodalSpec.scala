@@ -405,4 +405,33 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set((1L, 5L, -1L)), s"flat trace: $got")
   }
+
+  test("silenceSegments merges constructed voiced/silent runs exactly") {
+    import graft.operators.MultimodalQueries
+    import spark.implicits._
+    // trace around the VAD threshold (18820): silent [0..2],
+    // voiced [3..6], silent [7], voiced [8..9] -> 4 segments,
+    // 6 voiced windows, longest voiced run 4, first voiced window 3
+    val rms = Seq(100f, 200f, 50f, 30000f, 25000f, 19000f, 18820f,
+      18819.9f, 30000f, 22000f)
+    val feat = rms.zipWithIndex
+      .flatMap { case (r, w) => Seq((7L, w.toLong, r), (8L, w.toLong, r)) }
+      .toDF("media_id", "window", "rms")
+    val got = MultimodalQueries.silenceSegments(feat)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((7L, 4L, 6L, 4L, 3L), (8L, 4L, 6L, 4L, 3L)),
+      s"VAD segmentation diverged: $got")
+  }
+
+  test("silenceSegments: an all-silent clip is one segment with no voiced mass") {
+    import graft.operators.MultimodalQueries
+    import spark.implicits._
+    val feat = (0 until 6).map(w => (9L, w.toLong, 10f))
+      .toDF("media_id", "window", "rms")
+    val got = MultimodalQueries.silenceSegments(feat)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, 0L, 0L, -1L)), s"all-silent clip: $got")
+  }
 }

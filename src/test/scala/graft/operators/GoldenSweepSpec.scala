@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 35 golden-gated queries: every Catalog entry whose oracle is
+  /** The 36 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
     * d69, d70 and d74, whose SQL oracles inline that golden as a
@@ -69,7 +69,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "v30_filtered_recall_curve", "v32_pca_power", "v33_pca_spectrum",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments",
-    "x12_phash_neardup")
+    "x12_phash_neardup", "x13_audio_vad")
 
   /** Canonical form: every row rendered (Row.toString keeps the -0.0 /
     * 0.0 distinction and full double precision), sorted. */
