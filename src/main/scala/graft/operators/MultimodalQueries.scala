@@ -490,8 +490,8 @@ object MultimodalQueries {
   // two-state audio with known runs). Oracle: pinned golden (the
   // x02/x05/x11 premise — per-record deterministic decode,
   // partition-invariant, cross-checked out-of-JVM at pinning time).
-  private[operators] val vadTau = 18820.0
-  private val vadWindow = 100
+  private[graft] val vadTau = 18820.0
+  private[operators] val vadWindow = 100
 
   /** The documents fixture as fake 8 kHz / 250 ms audio clips —
     * shared by x05-style feature passes and x13 (works over a batch

@@ -934,6 +934,46 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s47: live audio VAD (stateful streaming x13) ----
+  // Audio clips arrive on a stream and segment as they decode — the
+  // s30 discipline applied to the energy gate: the batch form's
+  // per-clip lag Window doesn't lift onto a stream, so the streaming
+  // engine (StreamingOps.vadStats) replaces it with O(1) keyed state
+  // per clip — previous voiced state, segment count, voiced mass,
+  // current/longest voiced run — and an unbounded microphone feed
+  // segments with constant memory. Decode stays the one-pass
+  // audioFeatures kernel (samples never leave the task, batch and
+  // stream identically). On the single-batch fixture the final
+  // emission IS batch x13, so x13's golden gates the stateful path;
+  // cross-batch/kill-restart behavior is proven on MemoryStreams in
+  // VadStreamSpec.
+  private def s47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val wins = Multimodal
+      .audioFeatures(MultimodalQueries.audioMedia(raw),
+        windowSamples = MultimodalQueries.vadWindow)
+      .select($"media_id", $"window", $"rms")
+      .as[StreamingOps.AudioWindow]
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = StreamingOps
+        .vadStats(wins, tau = MultimodalQueries.vadTau)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s31: streaming near-dup probe against the static band index ----
   // d63's arrival half, completing the near-dup ladder the way s10
   // completes exact dedup: new documents STREAM in, each computes its
@@ -1488,5 +1528,6 @@ object StreamingQueries {
     Q("s43_stream_copy_flows", s43, Some(TextQueries.d78Sql)),
     Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)),
     Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)),
-    Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)))
+    Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)),
+    Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)))
 }

@@ -194,6 +194,56 @@ object StreamingOps {
       }
   }
 
+  final case class AudioWindow(media_id: Long, window: Long, rms: Float)
+  final case class VadState(lastWindow: Long, prevVoiced: Int,
+      nSegs: Long, voicedWindows: Long, curVoicedRun: Long,
+      longestVoiced: Long, firstVoiced: Long)
+  final case class VadStats(media_id: Long, n_segments: Long,
+      voiced_windows: Long, longest_voiced_run: Long,
+      first_voiced_window: Long)
+
+  /** Live energy-gate VAD (the streaming form of x13's batch window):
+    * per-clip state is O(1) — last window index, previous voiced
+    * state, segment count, voiced mass, current/longest voiced run,
+    * first voiced window — so an unbounded microphone feed segments
+    * with constant memory per stream where the batch form's per-clip
+    * window would buffer the trace. Windows sort within each batch;
+    * across batches lastWindow enforces order (late/replayed windows
+    * drop — the s30 guard). Emission per batch is the clip's CURRENT
+    * stats (every metric non-decreasing, first_voiced moves once off
+    * −1); on ordered input the final emission equals batch x13
+    * exactly (VadStreamSpec proves it across a kill/restart). */
+  def vadStats(wins: Dataset[AudioWindow], tau: Double): Dataset[VadStats] = {
+    import wins.sparkSession.implicits._
+    wins.groupByKey(_.media_id)
+      .flatMapGroupsWithState[VadState, VadStats](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (mediaId: Long, rows: Iterator[AudioWindow], state: GroupState[VadState]) =>
+          val sorted = rows.toArray.sortBy(_.window)
+          var st = state.getOption.getOrElse(
+            VadState(Long.MinValue, -1, 0L, 0L, 0L, 0L, -1L))
+          for (w <- sorted if w.window > st.lastWindow) {
+            val v = if (w.rms >= tau) 1 else 0
+            val newSeg = st.prevVoiced < 0 || v != st.prevVoiced
+            st = VadState(
+              lastWindow = w.window,
+              prevVoiced = v,
+              nSegs = st.nSegs + (if (newSeg) 1L else 0L),
+              voicedWindows = st.voicedWindows + v,
+              curVoicedRun =
+                if (v == 1) (if (newSeg) 1L else st.curVoicedRun + 1L) else 0L,
+              longestVoiced =
+                if (v == 0) math.max(st.longestVoiced, st.curVoicedRun)
+                else st.longestVoiced,
+              firstVoiced =
+                if (v == 1 && st.firstVoiced < 0L) w.window else st.firstVoiced)
+          }
+          state.update(st)
+          Iterator.single(VadStats(mediaId, st.nSegs, st.voicedWindows,
+            math.max(st.longestVoiced, st.curVoicedRun), st.firstVoiced))
+      }
+  }
+
   final case class UserEvent(user_id: Long, us: Long, event_id: Long,
       is_error: Boolean)
   final case class RunState(lastUs: Long, lastId: Long, curRun: Long,

@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 36 golden-gated queries: every Catalog entry whose oracle is
+  /** The 37 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
     * d69, d70 and d74, whose SQL oracles inline that golden as a
@@ -64,6 +64,7 @@ class GoldenSweepSpec extends AnyFunSuite {
     "n02_damds_embed", "q31_approx_stats",
     "s24_stream_fuzzy_decontam", "s29_stream_ann_search",
     "s30_stream_scene_segments", "s41_stream_pca", "s44_stream_phash_probe",
+    "s47_stream_audio_vad",
     "v05_knn_ivf", "v08_knn_pq_adc", "v09_knn_ivfpq", "v11_knn_ivfpq_disk",
     "v25_ivf_recall_curve", "v28_ivf_incremental",
     "v30_filtered_recall_curve", "v32_pca_power", "v33_pca_spectrum",
