@@ -524,7 +524,7 @@ object MlQueries {
     * same tree runs over a batch scan or a document readStream in
     * complete mode (s46 — the register-maintenance shape s41's PCA
     * stream uses). */
-  private[operators] def ridgeFit(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def ridgeFit(docs: org.apache.spark.sql.DataFrame)
       : DataFrame = {
     val f = TextQueries.qualityFeatureFrame(docs)
       .select(

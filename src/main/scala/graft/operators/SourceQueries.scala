@@ -173,8 +173,50 @@ object SourceQueries {
        |$lits""".stripMargin
   }
 
+  // ---- p05: JSON-lines sink → scan round-trip (escape/unicode) ----
+  // The other interchange format every ingest pipeline meets (web
+  // crawls and LLM corpora ship as JSONL). The hostile rows force the
+  // writer's escape paths — embedded quote, backslash, control chars
+  // (newline/tab land as \n/\t inside the string, keeping the file
+  // line-delimited and SPLITTABLE — the property that makes JSONL the
+  // 100 TB interchange format where p04's multiLine CSV is not), and
+  // non-ASCII incl. a surrogate-pair emoji, so the UTF-8 encode/decode
+  // path is proven byte-exact (md5-compared). The reader takes an
+  // EXPLICIT schema — no inference pass (the two-scan trap on a
+  // 100 TB lake).
+  private val jsonHostile = Seq(
+    (2000001L, "quote \" backslash \\ slash / end"),
+    (2000002L, "line1\nline2\ttabbed"),
+    (2000003L, "café naïve – emoji 😀"),
+    (2000004L, " leading and trailing "))
+
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(s"p05:$dir") // corpus-sized copy: keyed by dir
+    val docs = graft.Tables(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .unionAll(jsonHostile.toDF("doc_id", "text"))
+    docs.write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id LONG, text STRING")
+      .json(out)
+      .select($"doc_id", md5($"text".cast("binary")).as("text_md5"))
+  }
+  private val p05Sql = {
+    val lits = jsonHostile.map { case (id, t) =>
+      val sqlLit = t.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")
+        .replace("\t", "' || chr(9) || '")
+      s"SELECT CAST($id AS BIGINT) AS doc_id, md5('$sqlLit') AS text_md5"
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT doc_id, md5(text) AS text_md5 FROM documents
+       |UNION ALL
+       |$lits""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("p04_csv_roundtrip", p04, Some(p04Sql)),
+    Q("p05_jsonl_roundtrip", p05, Some(p05Sql)),
     Q("p01_points_text_roundtrip", p01, Some(p01Sql)),
     Q("p02_wholefile_matrix_roundtrip", p02, Some(p02Sql)),
     Q("p03_sideread_join_roundtrip", p03, Some(p03Sql)))

@@ -293,6 +293,55 @@ class StreamingRecoverySpec extends AnyFunSuite {
         "must carry batch 1's sums forward")
   }
 
+  test("streaming ridge fit (s46 engine) restores its sum registers across restart") {
+    // the 9-register decimal/count sum state behind the live
+    // classifier-distillation audit: run 2 only sees batch 2, so the
+    // final coefficients can cover batch 1 ONLY via the restored
+    // aggregation state, and the Cramer solve over the restored
+    // registers must equal the single-pass batch fit over the union.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("ridge-ckpt")
+    val name = "graft_ridge_recovery_sink"
+    val mem = MemoryStream[(Long, String)]
+    import graft.operators.MlQueries
+
+    def docs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text")
+    def start() =
+      MlQueries.ridgeFit(docs(mem.toDF()))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // docs with spread in token length and stopword mass so the
+    // 3x3 system is far from degenerate in every leg
+    val batch1 = Seq((1L, "the a of and to in is it"),
+      (2L, "supercalifragilistic expialidocious words only here"),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+    val batch2 = Seq((4L, "a a a a a a"),
+      (5L, "internationalization considerations require documentation"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(fit(spark.table(name)) ==
+      fit(MlQueries.ridgeFit(docs(batch1.toDF()))),
+      "run 1 coefficients diverge from the batch fit of batch 1")
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = fit(spark.table(name))
+    val want = fit(MlQueries.ridgeFit(docs((batch1 ++ batch2).toDF())))
+    assert(got == want,
+      s"restarted fit != single-pass batch fit (registers lost?):\n" +
+        s"got $got\nwant $want")
+    assert(got != fit(MlQueries.ridgeFit(docs(batch2.toDF()))),
+      "final fit must not equal the batch-2-only fit — state restore " +
+        "must carry batch 1's registers forward")
+  }
+
   test("streaming drift monitor (s22 engine) restores cell counters across restart") {
     // the remaining complete-mode counter shape (2^divBits rows of
     // generation counts): run 2 only sees batch 2, so the final
