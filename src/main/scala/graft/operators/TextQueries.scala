@@ -291,19 +291,21 @@ object TextQueries {
   // of the synthetic corpus is ~31 words present in every doc, which
   // would make idf constant): tf = occurrence count in the doc, smoothed
   // idf = ln((N+1)/(df+1)) + 1, top-5 terms per doc by (tfidf desc,
-  // term). Scale shape — ONE corpus pass: one explode → hash agg on
-  // (doc, term) (map-side partials absorb the per-doc repeats), df as
-  // a COUNT window over the term-partitioned tf rows (df per term =
-  // number of distinct docs holding it = tf's row count per term —
-  // reusing the aggregated rows instead of re-exploding the corpus for
-  // a second agg: the previous three-branch plan scanned and exploded
-  // the corpus three times, for tf, df and N), N as a broadcast scalar
-  // off the raw documents scan (no explode), and the per-doc top-5 via
-  // a window PARTITIONED BY doc_id — both window keys are
-  // high-cardinality, so every task sorts only its own slice. Ranking
-  // uses a score whose only rounding happens on the O(1)-sized idf
-  // before any multiply (see below), with the term string as total
-  // tiebreak.
+  // term). Scale shape — ONE corpus explode: hash agg on (doc, term)
+  // (map-side partials absorb the per-doc repeats), df as a
+  // partial-aggregable groupBy(term).count over the SAME tf rows (df
+  // per term = tf's row count per term) joined back on the term key —
+  // NOT a COUNT window over a term partition: a boilerplate trigram
+  // present in every doc makes that term's window partition
+  // corpus-sized and funnels it through one task, while the agg+join
+  // form partial-aggregates map-side and AQE can split the skewed
+  // probe side of the join (the r14-verdict d17 finding). N rides as
+  // a broadcast scalar off the raw documents scan (no explode), and
+  // the per-doc top-5 via a window PARTITIONED BY doc_id — doc_id is
+  // high-cardinality and each partition is a doc's own term list.
+  // Ranking uses a score whose only rounding happens on the
+  // O(1)-sized idf before any multiply (see below), with the term
+  // string as total tiebreak.
   private val tfidfTopN = 5
   private def d17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -321,7 +323,7 @@ object TextQueries {
       .filter(length(trim($"text")) > 0)
       .filter(size(TextOps.tokens($"text")) >= 3)
       .agg(count(lit(1)).as("n_docs"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     // cross-engine determinism: the ONE transcendental (ln) is rounded
     // to 6dp while still O(1)-sized, BEFORE the tf multiply — rounding
     // after the multiply would amplify a 1-ulp ln divergence by up to
@@ -329,7 +331,7 @@ object TextQueries {
     // there the arithmetic is exact: DECIMAL idf × integer tf, cast to
     // double (both engines IEEE-round the identical decimal, so the
     // ranked value is bit-equal)
-    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+    val scored = tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"term", $"tf",
         ($"tf" * round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0, 6)
@@ -1315,29 +1317,37 @@ object TextQueries {
   // (doc_id div `vocabBucket`; at production scale, ingest date) and
   // count tokens per bucket, terms FIRST seen per bucket, and the
   // cumulative vocabulary — the Heaps-law curve whose flattening says
-  // new data has stopped adding new language. Scale shape: one
-  // term-key agg for first occurrences, two bounded bucket aggs; the
-  // only window is the cumulative sum over ONE ROW PER BUCKET (a
-  // date-bounded handful at any corpus size), so the global-order
-  // window is over driver-scale cardinality, never the corpus.
+  // new data has stopped adding new language. Scale shape: ONE corpus
+  // explode shrunk immediately by a (bucket, term) hash agg (map-side
+  // combinable), then two bounded aggs over that vocabulary×buckets
+  // table; the only window is the cumulative sum over ONE ROW PER
+  // BUCKET (a date-bounded handful at any corpus size), so the
+  // global-order window is over driver-scale cardinality, never the
+  // corpus.
   private val vocabBucket = 50
   private def d32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE corpus pass: first occurrence via a min-window over the term
-    // key; a row with doc_id == first_doc IS a first-occurrence row, so
-    // new-terms-per-bucket is a filtered distinct count in the same
-    // bucket agg that counts tokens (no second scan, no join)
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
     val wCum = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
       .rowsBetween(Long.MinValue, 0)
-    Tables(s, dir, "documents")
+    // first occurrences as a term-key agg — NOT a min-window over the
+    // raw exploded token stream (a stopword's window partition is the
+    // corpus's total token count through one task; the agg form
+    // partial-aggregates map-side — the r14-verdict d32 finding).
+    // Both branches below the (bucket, term) agg share an identical
+    // shuffle, so ReuseExchange reads the corpus explode once.
+    val bt = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
-      .withColumn("first_doc", min($"doc_id").over(wTerm))
-      .groupBy(($"doc_id" / vocabBucket).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(when($"doc_id" === $"first_doc", $"term"))
-          .as("new_terms"))
+      .select(($"doc_id" / vocabBucket).cast("long").as("bucket"),
+        explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"bucket", $"term").agg(count(lit(1)).as("c"))
+    val pb = bt.groupBy($"bucket").agg(sum($"c").as("n_tokens"))
+    // bucket is monotone in doc_id, so min(bucket) IS the first
+    // occurrence's bucket
+    val nt = bt.groupBy($"term").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_terms"))
+    pb.join(nt, Seq("bucket"), "left")
+      .select($"bucket", $"n_tokens",
+        coalesce($"new_terms", lit(0L)).as("new_terms"))
       .withColumn("cum_vocab", sum($"new_terms").over(wCum))
   }
   private val d32Sql =
@@ -2974,9 +2984,9 @@ object TextQueries {
   // upsampling a source. Computed from the rank-weighted form
   // Σ(2i − n − 1)·fᵢ / (n·Σfᵢ) over frequencies sorted ascending.
   // Scale shape: one tokenize pass → (source, term) hash agg (the
-  // corpus-keyed shuffle) → a rank window whose partitions are
-  // bounded by the VOCABULARY domain, not the corpus (the d47
-  // argument) → per-source scalar agg. Exactness: the weighted terms
+  // corpus-keyed shuffle) → count-of-counts histogram whose windows
+  // are bounded by the count-value DOMAIN, not the vocabulary (the
+  // d47 argument) → per-source scalar agg. Exactness: the weighted terms
   // are exact integers folded through DECIMAL(38,0) (no bigint
   // overflow at production vocab·frequency scales, matching DuckDB's
   // HUGEINT sums), and the Gini is one IEEE division of the two
@@ -2987,15 +2997,28 @@ object TextQueries {
       .filter(length(trim($"text")) > 0)
       .select($"source", explode(TextOps.tokens($"text")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"c".asc, $"term".asc)
+    // Collapse the vocabulary to the COUNT-OF-COUNTS histogram per
+    // source before any window (Zipf makes distinct count values
+    // ~O(sqrt(occurrences)), so the windows below run over
+    // domain-bounded histogram rows — never a vocabulary-sized rank
+    // partition through one task, the r14-verdict d52 finding). The
+    // tie-group algebra is exact: the m terms tied at count c occupy
+    // ranks prev+1..prev+m, and the rank-weighted sum over that run
+    // telescopes to c*m*(2*prev + m - n) independent of any tiebreak
+    // order, so the histogram form is bit-identical to the oracle's
+    // row_number form (the d76 midrank precedent).
+    val cc = tf.groupBy($"source", $"c").agg(count(lit(1)).as("m"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wn = org.apache.spark.sql.expressions.Window.partitionBy($"source")
-    tf.withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wn))
+    cc.withColumn("prev", sum($"m").over(wCum) - $"m")
+      .withColumn("n", sum($"m").over(wn))
       .groupBy($"source")
-      .agg(max($"n").as("n_terms"), sum($"c").as("total_occ"),
-        sum((($"i" * 2 - $"n" - 1).cast("decimal(38,0)") *
-          $"c".cast("decimal(38,0)")).as("t")).as("num"))
+      .agg(max($"n").as("n_terms"), sum($"c" * $"m").as("total_occ"),
+        sum($"c".cast("decimal(38,0)") * $"m".cast("decimal(38,0)") *
+          ($"prev" * 2 + $"m" - $"n").cast("decimal(38,0)")).as("num"))
       .select($"source", $"n_terms", $"total_occ",
         expr("floor(cast(num as double) / " +
           "cast(n_terms * total_occ as double) * 1e6 + 0.5) / 1e6")
@@ -5185,12 +5208,22 @@ object TextQueries {
 
   private def d80(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ranked = termCountsAgg(Tables(s, dir, "documents"))
-      .select($"term", $"cnt",
-        row_number().over(Window.orderBy($"cnt".desc, $"term")).as("r"))
-      .filter($"r" <= zipfR)
-    ranked
-      .select(sort_array(collect_list(struct($"r", $"cnt"))).as("pts"))
+    // top-R via orderBy().limit() — Catalyst plans TakeOrderedAndProject
+    // (per-partition top-R heaps, driver merge of R rows), NOT a global
+    // no-partition rank window, which would total-sort the entire
+    // vocabulary through ONE task (the r14-verdict d80 finding). Ranks
+    // are assigned locally on the <= R surviving rows by an index
+    // transform over the (cnt desc, term) sorted array — same
+    // (r, cnt) points, no Window node anywhere in the plan.
+    val top = termCountsAgg(Tables(s, dir, "documents"))
+      .orderBy($"cnt".desc, $"term")
+      .limit(zipfR)
+    top
+      .select(array_sort(collect_list(
+        struct((-$"cnt").as("nc"), $"term", $"cnt"))).as("raw"))
+      .select(expr(
+        "transform(raw, (p, i) -> struct(i + 1 AS r, p.cnt AS cnt))")
+        .as("pts"))
       .select(
         // n is the ACTUAL point count — the head may be shorter than
         // R when the vocabulary is (a literal R here once produced a
@@ -5242,9 +5275,23 @@ object TextQueries {
   // corpus-sized stage (vocabulary-bounded keys per source).
   private def d81(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
+    // per-source top-R with the d41 salted-shard discipline: a first
+    // window partitioned by (source, term-hash shard) prunes to the
+    // top R per shard — partitions are vocab/S sized — and only the
+    // <= S*R survivors per source meet the final bounded window (a
+    // bare PARTITION BY source rank would serialize each source's
+    // whole vocabulary through one task — the r14-verdict d81
+    // finding). Per-source top-R is a subset of the union of shard
+    // top-Rs, so the prune is exact; the shard hash never leaves the
+    // plan.
+    val wShard = Window
+      .partitionBy($"source", pmod(hash($"term"), lit(loShards)))
+      .orderBy($"cnt".desc, $"term")
+    val wFinal = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
     val sums = bpeSourceTermCounts(Tables(s, dir, "documents"))
-      .withColumn("r", row_number().over(w))
+      .withColumn("srn", row_number().over(wShard))
+      .filter($"srn" <= zipfR).drop("srn")
+      .withColumn("r", row_number().over(wFinal))
       .filter($"r" <= zipfR)
       .groupBy($"source")
       .agg(sort_array(collect_list(struct($"r", $"cnt"))).as("pts"))

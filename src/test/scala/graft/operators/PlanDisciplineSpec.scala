@@ -798,6 +798,66 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("no Window over a term/vocab key in d17/d32/d52/d80/d81") {
+    // the no-Window-over-gh pin's sibling (r14 verdict): windows don't
+    // partial-aggregate, so a window PARTITIONED BY (or globally
+    // ordered over) a term/vocabulary key funnels a hot key's whole
+    // partition — corpus-sized for stopwords/boilerplate grams —
+    // through ONE post-shuffle task. The de-skewed forms: d17 df via
+    // groupBy(term)+join, d32 first-occurrence via a (bucket, term)
+    // agg + term-key min, d52 via the count-of-counts histogram, d80
+    // via TakeOrderedAndProject, d81 via the d41 salted-shard
+    // pre-prune. This pin fails any regression back to a term-keyed
+    // window partition.
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def windows(name: String): Seq[WindowExec] =
+        Catalog.queries(name)(spark, TestSpark.sf0001)
+          .queryExecution.executedPlan.collect { case w: WindowExec => w }
+      // d17/d32/d52: no window node may even SEE a term column — the
+      // surviving windows run post-agg (per-doc top-5, per-bucket cum,
+      // per-source histogram cum) where term is out of scope or a
+      // doc-bounded slice
+      for (name <- Seq("d32_vocab_growth", "d52_token_gini")) {
+        val offenders = windows(name).filter(w =>
+          (w.partitionSpec ++ w.orderSpec.map(_.child))
+            .exists(_.references.exists(_.name == "term")))
+        assert(offenders.isEmpty,
+          s"$name: window keyed on term: ${offenders.mkString("\n")}")
+      }
+      val d17w = windows("d17_tfidf_topterms")
+      assert(d17w.nonEmpty, "d17: per-doc top-5 window missing")
+      d17w.foreach { w =>
+        assert(w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(_.references.exists(_.name == "doc_id")),
+          s"d17: window not partitioned by doc_id: $w")
+      }
+      // d80: the global top-R must be a TakeOrderedAndProject — NO
+      // window anywhere (the old form total-sorted the vocabulary
+      // through one task)
+      val d80plan = Catalog.queries("d80_zipf_fit")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan
+      assert(d80plan.collect { case w: WindowExec => w }.isEmpty,
+        s"d80: window in the zipf plan:\n$d80plan")
+      assert(d80plan.toString.contains("TakeOrderedAndProject"),
+        s"d80: top-R is not TakeOrderedAndProject:\n$d80plan")
+      // d81: every source-only rank window must sit ABOVE the salted
+      // shard pre-prune (its subtree carries the srn <= R filter), and
+      // the shard window itself must exist (partition arity >= 2)
+      val d81w = windows("d81_source_zipf")
+      assert(d81w.exists(_.partitionSpec.size >= 2),
+        s"d81: salted shard pre-prune window missing: $d81w")
+      d81w.filter(_.partitionSpec.size == 1).foreach { w =>
+        import org.apache.spark.sql.execution.FilterExec
+        val pruned = w.child.collect { case f: FilterExec
+          if f.condition.toString.contains("srn") => f }
+        assert(pruned.nonEmpty,
+          s"d81: source-only window without the shard prune below it: $w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("v31 semantic screen is a stateless projection: no exchange, no join") {
     // the eval matrix is a bounded literal inside the projection, so
     // the whole screen must plan as scan → filter → project — any
