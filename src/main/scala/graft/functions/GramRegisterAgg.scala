@@ -202,8 +202,11 @@ final case class GramRegisterAgg(
     StructType(Seq(
       StructField("i", IntegerType, nullable = false),
       StructField("j", IntegerType, nullable = false),
-      StructField("sp", DecimalType(38, 15), nullable = false),
-      StructField("sx", DecimalType(38, 15), nullable = false),
+      // sp/sx are nullable: a register whose exact total no longer
+      // fits DECIMAL(38,15) evals to null (see eval), matching the
+      // non-ANSI decimal-sum overflow of the SQL form this replaced
+      StructField("sp", DecimalType(38, 15), nullable = true),
+      StructField("sx", DecimalType(38, 15), nullable = true),
       StructField("cnt", LongType, nullable = false))),
     containsNull = false)
 
@@ -238,6 +241,17 @@ final case class GramRegisterAgg(
     buf.merge(other); buf
   }
 
+  /** Decimal(38,15) wrap of an exact BigInteger total; null once the
+    * unscaled value outgrows precision 38 (|sum| >= 1e23) — the
+    * non-ANSI decimal-sum of the SQL form this aggregate replaced
+    * overflows to NULL, and a throwing Decimal.apply here would be a
+    * divergent failure mode at extreme row counts. */
+  private def snap38(unscaled: BigInteger): Any = {
+    val jbd = new JBigDecimal(unscaled, 15)
+    if (jbd.precision > 38) null
+    else org.apache.spark.sql.types.Decimal(jbd, 38, 15)
+  }
+
   override def eval(buf: GramRegisterBuffer): Any = {
     if (buf.cnt == 0L) return new GenericArrayData(Array.empty[Any])
     val rows = new Array[Any](dim * (dim + 1) / 2)
@@ -246,12 +260,10 @@ final case class GramRegisterAgg(
     var i = 0
     var r = 0
     while (i < dim) {
-      val sx = org.apache.spark.sql.types.Decimal(
-        new JBigDecimal(buf.total(dim * (dim + 1) / 2 + i), 15), 38, 15)
+      val sx = snap38(buf.total(dim * (dim + 1) / 2 + i))
       var j = i
       while (j < dim) {
-        val sp = org.apache.spark.sql.types.Decimal(
-          new JBigDecimal(buf.total(r), 15), 38, 15)
+        val sp = snap38(buf.total(r))
         rows(r) = new GenericInternalRow(
           Array[Any](i, j, sp, if (j == i) sx else zero, buf.cnt))
         j += 1

@@ -130,11 +130,23 @@ object Multimodal {
         new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE")
       def le32(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
         ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+      // chunk walk with a bounds guard (a malformed size field or a
+      // missing data chunk fails with a message, not an out-of-range
+      // read) and the RIFF pad rule: chunks are word-aligned, so an
+      // odd-sized chunk is followed by one pad byte not counted in its
+      // size field
       var i = 12
-      while (new String(payload, i, 4, "US-ASCII") != "data")
-        i += 8 + le32(i + 4) // skip chunk (fmt, ...)
+      while (i + 8 <= payload.length &&
+        new String(payload, i, 4, "US-ASCII") != "data") {
+        val sz = le32(i + 4)
+        require(sz >= 0, s"negative RIFF chunk size at offset $i")
+        i += 8 + sz + (sz & 1)
+      }
+      require(i + 8 <= payload.length, "RIFF/WAVE without a data chunk")
       val len = le32(i + 4)
       val data = i + 8
+      require(len >= 0 && data + len <= payload.length,
+        s"truncated WAVE data chunk: $len bytes at offset $data")
       Array.tabulate(len / 2)(k =>
         ((payload(data + 2 * k) & 0xff) |
           (payload(data + 2 * k + 1) << 8)).toShort)

@@ -532,12 +532,23 @@ object MlQueries {
         expr("cast(floor(x2 * 1e6 + 0.5) as bigint)").as("ix2"),
         expr("cast(floor(y * 1e6 + 0.5) as bigint)").as("iy"))
     def d38sum(e: String) = sum(expr(e).cast("decimal(38,0)"))
+    // products are taken in DECIMAL, never BIGINT: ix = floor(f*1e6)
+    // is unbounded above on pathological rows (a doc dominated by one
+    // multi-thousand-char token pushes avg_token_len*1e6 high enough
+    // that a BIGINT ix*ix wraps silently under non-ANSI semantics
+    // while DuckDB errors — divergent AND corrupt). Casting each
+    // factor to DECIMAL(19,0) first keeps the product exact on both
+    // engines: any bigint² < 8.7e37 fits 38 digits, and DuckDB's
+    // multiply width rule (19+19 = 38) accepts it.
+    def dprod(a: String, b: String) = sum(
+      expr(s"cast($a as decimal(19,0)) * cast($b as decimal(19,0))")
+        .cast("decimal(38,0)"))
     val g = f.agg(
       count(lit(1)).as("n"),
       d38sum("ix1").as("s1"), d38sum("ix2").as("s2"), d38sum("iy").as("sy"),
-      d38sum("ix1 * ix1").as("s11"), d38sum("ix1 * ix2").as("s12"),
-      d38sum("ix2 * ix2").as("s22"),
-      d38sum("ix1 * iy").as("s1y"), d38sum("ix2 * iy").as("s2y"))
+      dprod("ix1", "ix1").as("s11"), dprod("ix1", "ix2").as("s12"),
+      dprod("ix2", "ix2").as("s22"),
+      dprod("ix1", "iy").as("s1y"), dprod("ix2", "iy").as("s2y"))
     val a = g.select((col("n") +:
       ridgeA.map { case (nm, e) => expr(e).as(nm) }): _*)
     val (det, d0, d1, d2) = ridgeDets
@@ -566,11 +577,11 @@ object MlQueries {
        |    SUM(CAST(ix1 AS DECIMAL(38,0))) AS s1,
        |    SUM(CAST(ix2 AS DECIMAL(38,0))) AS s2,
        |    SUM(CAST(iy AS DECIMAL(38,0))) AS sy,
-       |    SUM(CAST(ix1 * ix1 AS DECIMAL(38,0))) AS s11,
-       |    SUM(CAST(ix1 * ix2 AS DECIMAL(38,0))) AS s12,
-       |    SUM(CAST(ix2 * ix2 AS DECIMAL(38,0))) AS s22,
-       |    SUM(CAST(ix1 * iy AS DECIMAL(38,0))) AS s1y,
-       |    SUM(CAST(ix2 * iy AS DECIMAL(38,0))) AS s2y
+       |    SUM(CAST(ix1 AS DECIMAL(19,0)) * CAST(ix1 AS DECIMAL(19,0))) AS s11,
+       |    SUM(CAST(ix1 AS DECIMAL(19,0)) * CAST(ix2 AS DECIMAL(19,0))) AS s12,
+       |    SUM(CAST(ix2 AS DECIMAL(19,0)) * CAST(ix2 AS DECIMAL(19,0))) AS s22,
+       |    SUM(CAST(ix1 AS DECIMAL(19,0)) * CAST(iy AS DECIMAL(19,0))) AS s1y,
+       |    SUM(CAST(ix2 AS DECIMAL(19,0)) * CAST(iy AS DECIMAL(19,0))) AS s2y
        |  FROM j),
        |a AS (SELECT n,
        |    $aCols

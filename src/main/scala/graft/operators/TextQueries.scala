@@ -5479,9 +5479,19 @@ object TextQueries {
         "cast(floor((ln(length(text)) - (aggregate(ccnts, cast(0.0 as double), " +
           "(a, n) -> a + n * ln(greatest(n, 1))) + cother * ln(greatest(cother, 1))) " +
           "/ length(text)) / ln(2.0) * 1e6 + 0.5) as bigint)"))
+      // token counts as run-lengths over the SORTED token array —
+      // O(n log n) per doc, where a count-by-filter over the distinct
+      // list is O(distinct × tokens) (quadratic on long high-diversity
+      // docs, the r15-advice finding). Run boundaries of the sorted
+      // array enumerate distinct tokens in sorted order, so the fold
+      // below consumes the exact count sequence the oracle's
+      // sorted-distinct transform produces — bit-identical entropy.
+      .withColumn("st", expr("array_sort(toks)"))
+      .withColumn("bidx", expr(
+        "filter(sequence(0, size(st) - 1), i -> i = 0 OR st[i] != st[i - 1])"))
       .withColumn("tcnts", expr(
-        "transform(array_sort(array_distinct(toks)), " +
-          "c -> size(filter(toks, t -> t = c)))"))
+        "zip_with(bidx, concat(slice(bidx, 2, size(bidx)), array(size(st))), " +
+          "(a, b) -> b - a)"))
       .withColumn("token_entropy_micro", expr(
         "cast(floor((ln(size(toks)) - aggregate(tcnts, cast(0.0 as double), " +
           "(a, n) -> a + n * ln(n)) / size(toks)) / ln(2.0) * 1e6 + 0.5) as bigint)"))
