@@ -4560,6 +4560,92 @@ object TextQueries {
        |    * 1e6 + 0.5) / 1e6 AS fertility
        |FROM st JOIN seg USING (term) GROUP BY 1""".stripMargin
 
+  // ---- d86: greedy BPE encode-apply (the canonical encoder) ----
+  // The production encoder d66's merge table ships into: segment text
+  // by applying each learned merge IN RANK ORDER, merging every
+  // occurrence left-to-right — the greedy encode real BPE tokenizers
+  // run on new text. d67's audit shares the trainer's SINGLE-fence
+  // symbol strings (' a b c '), where one replace pass under-merges
+  // repeated-symbol runs: consecutive ' a a ' occurrences share a
+  // fence space, so the scan skips every other pair (' a a a a '
+  // one-passes to ' aa a a ', and even iterating to fixpoint strands
+  // ' aa a aa ' alignments no real tokenizer produces). The encoder
+  // therefore wraps every symbol in its OWN fences (' a  b  c ' —
+  // two spaces between cells): a pair occurrence ' x  y ' consumes
+  // only its own cells' fences, so ONE non-overlapping replace pass
+  // merges exactly the canonical left-to-right pairing (' a  a  a  a '
+  // → ' aa  aa '), and rank order alone is the full greedy encode —
+  // a merge can never create an earlier-rank pair (new adjacencies
+  // always involve the freshly merged, strictly longer symbol), so
+  // one pass per merge reaches the tokenizer's fixpoint
+  // (BpeEncodeSpec proves re-running the whole chain is the identity,
+  // plus byte-exact decode(encode(term)) == term).
+  //
+  // Scale shape: the d67 discipline — the encoder runs over the
+  // DISTINCT-WORD vocabulary table (k replace projections, merges are
+  // driver constants, no join), and the corpus side reduces to
+  // (source, term) counts before joining segment lengths on the term
+  // key. Fertility over the REAL segmentation closes the tokenizer
+  // story: train (d66) → encode (d86) → audit (d67 proxy vs d86
+  // canonical). Oracle: the d66 unrolled-CTE replay extended with the
+  // per-merge encode chain — bit-for-bit the same replaces.
+
+  /** Canonical greedy encode over a (term, syms) frame in the
+    * OWN-FENCED representation (' a  b  c '): each merge, in rank
+    * order, as one cell-exact replace. */
+  private[graft] def bpeEncodeSyms(v0: DataFrame,
+      merges: Seq[(Long, String, Long, String)]): DataFrame = {
+    var v = v0
+    for ((_, pair, _, _) <- merges) {
+      val pq = pair.replace(" ", "  ").replace("'", "''")
+      val mq = pair.replace(" ", "").replace("'", "''")
+      v = v.withColumn("syms", expr(s"replace(syms, ' $pq ', ' $mq ')"))
+    }
+    v
+  }
+
+  /** Own-fenced char cells for every distinct corpus word. */
+  private[graft] def bpeEncodeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocab(s, dir).select(col("term"),
+      regexp_replace(col("term"), "(.)", " $1 ").as("syms"))
+
+  /** Vocabulary segmented by the canonical greedy encoder. */
+  private[graft] def bpeEncodeSegmentation(s: SparkSession, dir: String,
+      merges: Seq[(Long, String, Long, String)]): DataFrame =
+    bpeEncodeSyms(bpeEncodeVocab(s, dir), merges)
+
+  private def d86(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir)
+    bpeFertility(bpeSourceTermCounts(Tables(s, dir, "documents")),
+      bpeEncodeSegmentation(s, dir, merges).select(col("term"),
+        size(split(trim(col("syms")), "  ")).cast("long").as("n_sym")))
+  }
+  private[operators] val d86Sql = {
+    val enc = (1 to bpeK).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""e$i AS (SELECT term, replace(syms,
+         |    ' ' || replace(m$i.pair, ' ', '  ') || ' ',
+         |    ' ' || replace(m$i.pair, ' ', '') || ' ') AS syms
+         |  FROM $prev CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeCtePrefix,
+       |e0 AS (SELECT term,
+       |    regexp_replace(term, '(.)', ' \\1 ', 'g') AS syms FROM v0),
+       |$enc,
+       |seg AS (SELECT term, len(string_split(trim(syms), '  ')) AS n_sym
+       |  FROM e$bpeK),
+       |td AS (SELECT source,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest(toks) AS term FROM td) GROUP BY 1, 2)
+       |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+       |  floor(CAST(SUM(cnt * n_sym) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)
+       |    * 1e6 + 0.5) / 1e6 AS fertility
+       |FROM st JOIN seg USING (term) GROUP BY 1""".stripMargin
+  }
+
   // ---- d71/d72: exact substring dedup at L-token resolution ----
   // The suffix-array dedup method (Lee et al., "Deduplicating Training
   // Data Makes Language Models Better") re-expressed as its standard
@@ -4590,17 +4676,37 @@ object TextQueries {
 
   /** The same at an explicit resolution `l` (d77 sweeps this dial;
     * everything else runs the production dupL). */
-  private[operators] def gramSitesL(docs: DataFrame, l: Int): DataFrame = {
+  private[operators] def gramSitesL(docs: DataFrame, l: Int): DataFrame =
+    gramSitesOfToks(docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), l)
+
+  /** Gram sites over an already-tokenized (doc_id, toks) frame — the
+    * seam that lets d77's four L rungs share ONE tokenize pass. */
+  private[operators] def gramSitesOfToks(toks: DataFrame, l: Int): DataFrame = {
     val parts = (0 until l).map(j => s"toks[i + $j]").mkString(", ")
-    docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= l)
+    toks.filter(size(col("toks")) >= l)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $l), " +
           s"i -> md5(cast(concat_ws(' ', $parts) as binary)))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("gh"))
   }
+
+  // d77's four L rungs each re-derive gram sites from the SAME tokens
+  // column — the tokenize pass (scan + regex split) was the rungs'
+  // shared cost, paid four times (VERDICT r14 next 7). Memoized per
+  // (session, dir) under the gopher-verdict pattern; MEMORY_AND_DISK
+  // so a corpus-sized tokens column spills instead of evicting.
+  private val tokenizedCache = new SessionCache[String, DataFrame](_.unpersist())
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    tokenizedCache.getOrBuild(s, dir) {
+      val t = Tables(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // materialize under the builder's monitor
+      t
+    }
 
   /** Gram sites with the doc's source carried through the explode —
     * free in the projection, and saves the d78/s43 consumers a join
@@ -5057,7 +5163,7 @@ object TextQueries {
   private def d77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dupLs.map { l =>
-      val sites = gramSitesL(Tables(s, dir, "documents"), l)
+      val sites = gramSitesOfToks(tokenizedDocs(s, dir), l)
       val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
         .filter($"n" >= 2).select($"gh")
       val hits = sites.join(dup, "gh").select($"doc_id", $"pos")
@@ -5544,6 +5650,124 @@ object TextQueries {
        |    AS BIGINT) AS max_candidate_micro
        |FROM c2""".stripMargin
 
+  // ---- d85: HTML boilerplate extraction (main-content screen) ----
+  // The curation rung UPSTREAM of every text screen in this file: real
+  // corpora arrive as markup, and d01/d03/d43/d38 all assume someone
+  // already stripped the chrome. This is that someone — the
+  // trafilatura/jusText-shaped stage: drop <script>/<style> subtrees,
+  // split the page into text blocks at block-level tags, score each
+  // block by LENGTH and LINK DENSITY (boilerplate = short or
+  // link-saturated: nav bars, sidebars, footers), and keep the rest as
+  // the main content. Scale shape: ONE map-only projection (the
+  // d38/d84 discipline — zero shuffles, no explode; string HOFs over
+  // each page), so it pipelines into any crawl scan at 100 TB.
+  //
+  // The fixture corpus is plain text, so pages are SYNTHESIZED
+  // deterministically around it (title/script/nav/sidebar/footer
+  // chrome + the doc text as <p> blocks) — the extraction then has a
+  // ground truth: chrome dropped, body recovered. Both engines build
+  // and extract the identical page, and HtmlExtractSpec additionally
+  // proves byte-exact body recovery on constructed pages.
+  //
+  // Exactness: all string ops (regexp_replace, split, trim, replace)
+  // have identical semantics on identical inputs; the only numbers are
+  // integer lengths. The kept-block rule (len >= 20 AND 3·linklen <
+  // len) is integer arithmetic; md5 gates the extracted BYTES, not
+  // just the counts.
+  private val htmlBlockSplit =
+    "(?i)</?(?:p|div|nav|footer|header|h[1-6]|ul|ol|li|section|article|body|html|head|title|table|tr|td|br)[^>]*>"
+  private val htmlMinBlockChars = 20
+
+  /** Deterministic page chrome around each fixture doc: head with
+    * script+style (must vanish), nav + sidebar + footer (link-dense,
+    * must be dropped), doc text as <p> paragraphs (must survive). */
+  private[operators] def syntheticPages(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), expr(
+        "concat('<html><head><title>', source, '</title>'," +
+          "'<style>body{margin:0}</style>'," +
+          "'<script type=\"text/javascript\">track(', cast(doc_id as string), ');</script>'," +
+          "'</head><body>'," +
+          "'<nav><a href=\"/\">Home</a><a href=\"/about\">About</a>" +
+          "<a href=\"/contact\">Contact</a><a href=\"/login\">Log in</a></nav>'," +
+          "'<h1>', source, '</h1>'," +
+          "'<div class=\"content\"><p>', replace(text, '. ', '.</p><p>'), '</p></div>'," +
+          "'<div class=\"sidebar\"><a href=\"/t/alpha\">alpha stories</a>" +
+          "<a href=\"/t/beta\">beta stories</a><a href=\"/t/gamma\">gamma stories</a></div>'," +
+          "'<footer><a href=\"/tos\">Terms of Service</a>" +
+          "<a href=\"/privacy\">Privacy Policy</a>" +
+          "<a href=\"/cookies\">Cookie Settings</a>(c) 2026</footer>'," +
+          "'</body></html>')").as("html"))
+
+  /** The stateless extraction transform over a (doc_id, html) frame —
+    * column ops only (map-only), so the same tree pipelines into a
+    * batch crawl scan or a readStream. Keeps `main` for the spec;
+    * d85 projects the audited columns. */
+  private[operators] def htmlExtract(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("noscript", expr(
+        "regexp_replace(html, '(?is)<script.*?</script>|<style.*?</style>', '')"))
+      .withColumn("blocks", expr(
+        s"filter(transform(split(noscript, '$htmlBlockSplit'), " +
+          "b -> struct(trim(regexp_replace(b, '<[^>]*>', '')) AS txt, " +
+          "aggregate(regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), " +
+          "0, (a, x) -> a + length(x)) AS linklen)), " +
+          "s -> length(s.txt) > 0)"))
+      .withColumn("kept", expr(
+        s"filter(blocks, s -> length(s.txt) >= $htmlMinBlockChars " +
+          "AND s.linklen * 3 < length(s.txt))"))
+      .withColumn("main", expr(
+        "replace(replace(replace(replace(replace(" +
+          "array_join(transform(kept, s -> s.txt), chr(10))," +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39))," +
+          "'&amp;', '&')"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        length(col("main")).cast("long").as("main_len"),
+        md5(col("main").cast("binary")).as("main_md5"),
+        col("main"))
+
+  private def d85(s: SparkSession, dir: String): DataFrame =
+    htmlExtract(syntheticPages(Tables(s, dir, "documents"))).drop("main")
+  private[operators] val d85Sql =
+    s"""WITH pg AS (SELECT doc_id, concat('<html><head><title>', source, '</title>',
+       |    '<style>body{margin:0}</style>',
+       |    '<script type="text/javascript">track(', CAST(doc_id AS VARCHAR), ');</script>',
+       |    '</head><body>',
+       |    '<nav><a href="/">Home</a><a href="/about">About</a><a href="/contact">Contact</a><a href="/login">Log in</a></nav>',
+       |    '<h1>', source, '</h1>',
+       |    '<div class="content"><p>', replace(text, '. ', '.</p><p>'), '</p></div>',
+       |    '<div class="sidebar"><a href="/t/alpha">alpha stories</a><a href="/t/beta">beta stories</a><a href="/t/gamma">gamma stories</a></div>',
+       |    '<footer><a href="/tos">Terms of Service</a><a href="/privacy">Privacy Policy</a><a href="/cookies">Cookie Settings</a>(c) 2026</footer>',
+       |    '</body></html>') AS html
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |ns AS (SELECT doc_id, regexp_replace(html,
+       |    '(?is)<script.*?</script>|<style.*?</style>', '', 'g') AS noscript
+       |  FROM pg),
+       |bl AS (SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(noscript, '$htmlBlockSplit'),
+       |    b -> struct_pack(txt := trim(regexp_replace(b, '<[^>]*>', '', 'g')),
+       |      linklen := coalesce(list_aggregate(list_transform(
+       |        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |        x -> length(x)), 'sum'), 0))),
+       |    s -> length(s.txt) > 0) AS blocks
+       |  FROM ns),
+       |k AS (SELECT doc_id, blocks, list_filter(blocks,
+       |    s -> length(s.txt) >= $htmlMinBlockChars
+       |      AND s.linklen * 3 < length(s.txt)) AS kept
+       |  FROM bl),
+       |m AS (SELECT doc_id, blocks, kept,
+       |    replace(replace(replace(replace(replace(
+       |      array_to_string(list_transform(kept, s -> s.txt), chr(10)),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+       |      '&amp;', '&') AS main
+       |  FROM k)
+       |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(length(main) AS BIGINT) AS main_len, md5(main) AS main_md5
+       |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
     Q("d02_token_counts", d02, Some(d02Sql)),
@@ -5628,7 +5852,9 @@ object TextQueries {
     Q("d81_source_zipf", d81, Some(d81Sql)),
     Q("d82_dup_spans_prod", d82, Some(d71Sql)),
     Q("d83_dup_span_apply", d83, Some(d83Sql)),
-    Q("d84_entropy_screen", d84, Some(d84Sql)))
+    Q("d84_entropy_screen", d84, Some(d84Sql)),
+    Q("d85_html_extract", d85, Some(d85Sql)),
+    Q("d86_bpe_encode", d86, Some(d86Sql)))
 
 
 }
