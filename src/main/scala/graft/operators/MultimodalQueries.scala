@@ -578,7 +578,73 @@ object MultimodalQueries {
       .distinct()
       .filter(col("hamming") <= phashTau && col("id_a") < col("id_b"))
 
+  // ---- x14: REAL-format codec round-trip (oracle-gated) ----
+  // The real-bytes path, oracle-gated rather than spec-gated (VERDICT
+  // r14 next 8): every doc's payload bytes become a real P6 image
+  // (pixels = the leading bytes), a 2-frame concatenated-P6 video, and
+  // a RIFF/WAVE PCM clip (samples = LE byte pairs) via RealFormats;
+  // PpmWavCodec then PARSES those bytes back (header token walk,
+  // frame offset walk, chunk walk) and the md5 of every DECODED tensor
+  // is compared against DuckDB's md5 of the same byte slice of the
+  // source text — a codec that mis-walks any header/offset/chunk
+  // diverges on the hash. Universe = ASCII docs (octet_length =
+  // char_length, all fixture docs), so the oracle's VARCHAR substring
+  // slicing is byte-exact by construction. Scale shape: one
+  // mapPartitions projection, no shuffle — the d38 discipline with a
+  // JVM kernel.
+  private def x14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        octet_length(col("text")) >= 6)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { it =>
+      it.map { case (id, b) =>
+        val w = b.length / 6
+        val f0 = java.util.Arrays.copyOfRange(b, 0, 3 * w)
+        val f1 = java.util.Arrays.copyOfRange(b, 3 * w, 6 * w)
+        val meta = Multimodal.MediaMeta("video", "ppm", w, 1, 3, 16000, 0L, 2)
+        val img = Multimodal.PpmWavCodec.decodeImage(meta,
+          Multimodal.RealFormats.encodePpm(Multimodal.ImageTensor(id, w, 1, 3, f0)))
+        val fr1 = Multimodal.PpmWavCodec.decodeFrame(meta,
+          Multimodal.RealFormats.encodePpmFrames(Seq(
+            Multimodal.ImageTensor(id, w, 1, 3, f0),
+            Multimodal.ImageTensor(id, w, 1, 3, f1))), 1)
+        val n = b.length / 2
+        val samples = Array.tabulate(n)(k =>
+          ((b(2 * k) & 0xff) | (b(2 * k + 1) << 8)).toShort)
+        val dec = Multimodal.PpmWavCodec.decodeAudio(meta,
+          Multimodal.RealFormats.encodeWav(samples, 16000))
+        val le = new Array[Byte](dec.length * 2)
+        var k = 0
+        while (k < dec.length) {
+          le(2 * k) = (dec(k) & 0xff).toByte
+          le(2 * k + 1) = ((dec(k) >> 8) & 0xff).toByte
+          k += 1
+        }
+        (id, img.width.toLong, img.pixels, fr1.pixels, dec.length.toLong, le)
+      }
+    }.toDF("doc_id", "img_w", "img_px", "fr1_px", "wav_n", "wav_le")
+      .select(col("doc_id"), col("img_w"),
+        md5(col("img_px")).as("img_md5"),
+        md5(col("fr1_px")).as("frame1_md5"),
+        col("wav_n"), md5(col("wav_le")).as("wav_md5"))
+  }
+  private val x14Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) // 6 AS BIGINT) AS img_w,
+      |  md5(substring(text, 1, 3 * (length(text) // 6))) AS img_md5,
+      |  md5(substring(text, 3 * (length(text) // 6) + 1,
+      |    3 * (length(text) // 6))) AS frame1_md5,
+      |  CAST(length(text) // 2 AS BIGINT) AS wav_n,
+      |  md5(substring(text, 1, 2 * (length(text) // 2))) AS wav_md5
+      |FROM documents
+      |WHERE octet_length(encode(text)) = length(text)
+      |  AND length(text) >= 6""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("x14_real_codec_roundtrip", x14, Some(x14Sql)),
     Q("x12_phash_neardup", x12, Some(GoldenOracles.x12)),
     Q("x01_media_ingest", x01, Some(x01Sql)),
     Q("x02_image_features", x02, Some(GoldenOracles.x02)),

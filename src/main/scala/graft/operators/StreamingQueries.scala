@@ -1454,6 +1454,30 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s48: HTML main-content extraction on arrival ----
+  // d85's extraction is stateless (one map-only projection of string
+  // HOFs — no explode, no state, no watermark), so it lifts onto the
+  // crawl stream unchanged — the scan-on-ingest form a crawler
+  // actually deploys: pages are stripped to main content BEFORE the
+  // raw markup lands in the lake. Append mode, the s45 pattern; the
+  // synthetic-page wrap rides inside the projection; gated by d85's
+  // batch oracle exactly.
+  private def s48(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.htmlExtract(TextQueries.syntheticPages(raw))
+      .drop("main").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s46: streaming ridge-fit register maintenance ----
   // m09's nine integer sum registers are a mergeable sufficient
   // statistic, so the live form of the distillation audit is a
@@ -1529,5 +1553,6 @@ object StreamingQueries {
     Q("s44_stream_phash_probe", s44, Some(GoldenOracles.x12)),
     Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)),
     Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)),
-    Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)))
+    Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)),
+    Q("s48_stream_html_extract", s48, Some(TextQueries.d85Sql)))
 }
