@@ -5156,14 +5156,30 @@ object TextQueries {
   // duplicated too — so sites, docs, and cover are all non-increasing
   // in L (theorems, pinned in DupSpansSpec — the d68/d73
   // nested-widths doctrine applied to the suffix-array method). Each
-  // rung is the d71 engine verbatim at its L: one hash-agg shuffle +
-  // one shuffled join + per-doc windows; all integer outputs.
+  // rung is the d71 engine at its L: one hash-agg shuffle + one
+  // shuffled join + per-doc windows; all integer outputs. The rungs
+  // hash with the PRODUCTION kernel (GramHashesExpr, the d82
+  // codegen'd xxhash64) rather than the interpreted md5 HOF: every
+  // d77 output (site counts, docs hit, merged token cover) is a
+  // function of the gram-hash EQUALITY PATTERN only, and both hashes
+  // are collision-free on any realistic corpus slice, so the md5-form
+  // SQL oracle still gates the native path bit-for-bit — the d82
+  // precedent, which cut the same pipeline ~10×.
   private val dupLs = Seq(4, 8, 16, 32) // nested powers; 8 = production
+
+  /** d82's native gram sites over an already-tokenized frame. */
+  private[operators] def gramSitesNativeOfToks(toks: DataFrame, l: Int)
+      : DataFrame =
+    toks.filter(size(col("toks")) >= l)
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.gramHashes(col("toks"), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gh"))
 
   private def d77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dupLs.map { l =>
-      val sites = gramSitesOfToks(tokenizedDocs(s, dir), l)
+      val sites = gramSitesNativeOfToks(tokenizedDocs(s, dir), l)
       val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
         .filter($"n" >= 2).select($"gh")
       val hits = sites.join(dup, "gh").select($"doc_id", $"pos")
