@@ -354,9 +354,15 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
-    TextQueries.ledgerVerdict(s.table(name)
-      .withColumn("batch_keeper", min($"doc_id").over(w)))
+    // batch-internal keeper as a sig-key agg + join back — not a
+    // min-window over the dup-group sig partition (the d34 shape).
+    // The agg side re-aliases through toDF: a memory-sink view
+    // self-join fails attribute deduplication (conflicting sig#N on
+    // both sides → INTERNAL_ERROR), and toDF mints fresh expr ids.
+    val t = s.table(name)
+    val bk = s.table(name).toDF("sig", "doc_id", "hist_keeper")
+      .groupBy($"sig").agg(min($"doc_id").as("batch_keeper"))
+    TextQueries.ledgerVerdict(t.join(bk, "sig"))
   }
 
   // ---- s11: context-window chunking on arrival ----

@@ -1281,15 +1281,20 @@ object TextQueries {
   // ratios DO hit them, unlike d20's log sums).
   private def d31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE corpus pass (d17's window trick): first occurrence is a
-    // min-window over the gram key on the exploded rows — same gram-key
-    // shuffle as an agg + join-back, one fewer corpus scan
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sh")
-    Tables(s, dir, "documents")
+    // first occurrence as a partial-aggregable gram-key agg + join
+    // back on the gram — NOT a min-window over the sh partition (the
+    // d17/d32 finding applied to grams: a boilerplate trigram present
+    // in every doc makes that gram's window partition corpus-sized
+    // through ONE task, while the agg form collapses it map-side and
+    // AQE can split the skewed join probe). Both branches below the
+    // explode shuffle identically on sh, so ReuseExchange keeps this
+    // ONE corpus pass.
+    val ex = Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
-      .withColumn("first_doc", min($"doc_id").over(w))
+    val first = ex.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    ex.join(first, "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
@@ -1429,21 +1434,22 @@ object TextQueries {
 
   private def d34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE corpus pass: both the historical and batch-internal minima
-    // are conditional min-windows over the sig key (the d31 shape) —
-    // the ledger "probe" is the same sig-key shuffle the agg+join form
-    // pays, minus two extra corpus scans. In the deployed incremental
-    // form the ledger is a materialized table and only the batch
-    // scans; here both sides derive from one fixture read.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"sig")
-    ledgerVerdict(Tables(s, dir, "documents")
+    // both keeper minima as ONE partial-aggregable sig-key agg +
+    // join back on the sig — NOT conditional min-windows over the sig
+    // partition: the sig is a DUP-GROUP key, and a viral boilerplate
+    // doc duplicated millions of times is exactly the hot partition
+    // this operator exists to catch (the r13 gh-keeper finding; the
+    // min-when aggs collapse each hot sig to one row per mapper).
+    // Both branches shuffle identically on sig, so ReuseExchange
+    // keeps this one fixture read. In the deployed incremental form
+    // the ledger is a materialized table and only the batch scans.
+    val sigs = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", bowSig($"text").as("sig"))
-      .withColumn("hist_keeper",
-        min(when($"doc_id" < ledgerSplit, $"doc_id")).over(w))
-      .withColumn("batch_keeper",
-        min(when($"doc_id" >= ledgerSplit, $"doc_id")).over(w))
-      .filter($"doc_id" >= ledgerSplit))
+    val led = sigs.groupBy($"sig").agg(
+      min(when($"doc_id" < ledgerSplit, $"doc_id")).as("hist_keeper"),
+      min(when($"doc_id" >= ledgerSplit, $"doc_id")).as("batch_keeper"))
+    ledgerVerdict(sigs.filter($"doc_id" >= ledgerSplit).join(led, "sig"))
   }
   private[operators] val d34Sql =
     s"""WITH sigs AS (SELECT doc_id,

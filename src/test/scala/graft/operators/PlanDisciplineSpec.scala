@@ -855,6 +855,13 @@ class PlanDisciplineSpec extends AnyFunSuite {
         assert(pruned.nonEmpty,
           s"d81: source-only window without the shard prune below it: $w")
       }
+      // the gram/signature siblings (r15 sweep): d31's first-occurrence
+      // and d34's keeper election are agg+join forms — no window over
+      // the sh (boilerplate gram) or sig (dup-group) key may return
+      for (name <- Seq("d31_ngram_novelty", "d34_incremental_dedup")) {
+        assert(windows(name).isEmpty,
+          s"$name: window over a gram/sig key returned:\n${windows(name)}")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
