@@ -1484,6 +1484,27 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s49: secret redaction on arrival ----
+  // d87's scrub is stateless (one map-only projection), so it lifts
+  // onto the document stream unchanged — redact-before-landing, the
+  // deployment form of a PII/credential scrubber (leaked keys must
+  // never be written to the lake at all). Append mode, the s45/s48
+  // pattern; gated by d87's batch oracle exactly.
+  private def s49(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = TextQueries.secretScrub(raw).drop("scrubbed").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   // ---- s46: streaming ridge-fit register maintenance ----
   // m09's nine integer sum registers are a mergeable sufficient
   // statistic, so the live form of the distillation audit is a
@@ -1560,5 +1581,6 @@ object StreamingQueries {
     Q("s45_stream_entropy_screen", s45, Some(TextQueries.d84Sql)),
     Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)),
     Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)),
-    Q("s48_stream_html_extract", s48, Some(TextQueries.d85Sql)))
+    Q("s48_stream_html_extract", s48, Some(TextQueries.d85Sql)),
+    Q("s49_stream_secret_scrub", s49, Some(TextQueries.d87Sql)))
 }

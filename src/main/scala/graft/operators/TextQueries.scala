@@ -5672,6 +5672,63 @@ object TextQueries {
        |    AS BIGINT) AS max_candidate_micro
        |FROM c2""".stripMargin
 
+  // ---- d87: secret REDACTION apply (the d84 screen's apply leg) ----
+  // d84 counts; this emits — the screen→apply pairing the suite uses
+  // everywhere (d23/d33, d25/d27, d82/d83): the corpus AFTER secret
+  // scrubbing, with every flagged token (d84's exact rule — length,
+  // charset, letters+digits, char entropy >= 3.5 bits) replaced by a
+  // fixed '[REDACTED]' sentinel, whitespace canonicalized to single
+  // spaces (both engines tokenize on \s+ and re-join with ' ', so the
+  // emitted bytes are defined, not incidental). Still ONE map-only
+  // projection (the d38/d84 discipline). The fixture plants no
+  // secrets, so every fixture doc round-trips with n_redacted = 0 and
+  // the md5 gates the CANONICALIZED BYTES cross-engine (non-vacuous);
+  // the redaction arm itself is proven on planted keys in
+  // EntropyScreenSpec.
+  private val candShapeSpark =
+    "length(t) >= 16 AND t rlike '^[A-Za-z0-9+/=_-]+$' " +
+      "AND t rlike '[0-9]' AND t rlike '[A-Za-z]'"
+  private lazy val flagPredSpark =
+    s"$candShapeSpark AND ${tokBitsSpark("t")} >= $entThresholdMicro"
+  private val candShapeDuck =
+    "length(t) >= 16 AND regexp_full_match(t, '[A-Za-z0-9+/=_-]+') " +
+      "AND regexp_matches(t, '[0-9]') AND regexp_matches(t, '[A-Za-z]')"
+  private lazy val flagPredDuck =
+    s"$candShapeDuck AND ${tokBitsDuck("t")} >= $entThresholdMicro"
+
+  /** The stateless d87 transform — column ops only, so the same tree
+    * runs batch or streamed (s49). Keeps `scrubbed` for the spec. */
+  private[operators] def secretScrub(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("ws", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("scrubbed", expr(
+        "array_join(transform(ws, t -> CASE WHEN " + flagPredSpark +
+          " THEN '[REDACTED]' ELSE t END), ' ')"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(expr(s"filter(ws, t -> $flagPredSpark)")).cast("long")
+          .as("n_redacted"),
+        length(col("scrubbed")).cast("long").as("scrubbed_len"),
+        md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
+        col("scrubbed"))
+
+  private def d87(s: SparkSession, dir: String): DataFrame =
+    secretScrub(Tables(s, dir, "documents")).drop("scrubbed")
+  private[operators] lazy val d87Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sc AS (SELECT doc_id, ws,
+       |    array_to_string(list_transform(ws, t -> CASE WHEN $flagPredDuck
+       |      THEN '[REDACTED]' ELSE t END), ' ') AS scrubbed
+       |  FROM w)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(ws, t -> $flagPredDuck)) AS BIGINT)
+       |    AS n_redacted,
+       |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+       |  md5(scrubbed) AS scrubbed_md5
+       |FROM sc""".stripMargin
+
   // ---- d85: HTML boilerplate extraction (main-content screen) ----
   // The curation rung UPSTREAM of every text screen in this file: real
   // corpora arrive as markup, and d01/d03/d43/d38 all assume someone
@@ -5876,7 +5933,8 @@ object TextQueries {
     Q("d83_dup_span_apply", d83, Some(d83Sql)),
     Q("d84_entropy_screen", d84, Some(d84Sql)),
     Q("d85_html_extract", d85, Some(d85Sql)),
-    Q("d86_bpe_encode", d86, Some(d86Sql)))
+    Q("d86_bpe_encode", d86, Some(d86Sql)),
+    Q("d87_secret_scrub", d87, Some(d87Sql)))
 
 
 }

@@ -79,4 +79,37 @@ class EntropyScreenSpec extends AnyFunSuite {
     assert(out(1L)._1 == 0L)
     assert(out(2L)._1 == 1000000L, s"residual+a split must be 1 bit: $out")
   }
+
+  test("d87 redaction: planted key scrubbed, prose intact, whitespace canonical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = TextQueries.secretScrub(Seq(
+      (1L, "deploy token sk9A7qPb2XmZr4TtV8wQjL5nYc3H on  the\tci host"),
+      (2L, "padding aaaaaaaa1Aaaaaaaa1A tail"), // candidate, low entropy
+      (3L, "plain prose with no secrets at all"))
+      .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_redacted"), r.getAs[String]("scrubbed")))).toMap
+    assert(out(1L)._1 == 1L)
+    // the key is gone, the sentinel is in its slot, multi-space and
+    // tab whitespace canonicalized to single spaces
+    assert(out(1L)._2 ==
+      "deploy token [REDACTED] on the ci host", s"got <${out(1L)._2}>")
+    // low-entropy candidate and plain prose survive byte-exact
+    assert(out(2L)._1 == 0L &&
+      out(2L)._2 == "padding aaaaaaaa1Aaaaaaaa1A tail")
+    assert(out(3L)._1 == 0L &&
+      out(3L)._2 == "plain prose with no secrets at all")
+    // apply ≡ screen: n_redacted agrees with d84's n_flagged on the
+    // fixture corpus, doc for doc
+    val screenN = TextQueries.entropyScreen(
+      graft.Tables(spark, TestSpark.sf0001, "documents"))
+      .select(col("doc_id"), col("n_flagged"))
+    val scrubN = TextQueries.secretScrub(
+      graft.Tables(spark, TestSpark.sf0001, "documents"))
+      .select(col("doc_id"), col("n_redacted"))
+    val disagree = screenN.join(scrubN, "doc_id")
+      .filter(col("n_flagged") =!= col("n_redacted")).count()
+    assert(disagree == 0L, s"$disagree docs where apply != screen")
+  }
 }
