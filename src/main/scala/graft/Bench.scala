@@ -401,7 +401,7 @@ object Bench {
         }
         val flagships = Seq("d01_dedup_exact", "d82_dup_spans_prod",
           "d58_fuzzy_decontam_prod", "m08_gmm_quality", "v09_knn_ivfpq",
-          "v11_knn_ivfpq_disk")
+          "v11_knn_ivfpq_disk", "d85_html_extract", "d87_secret_scrub")
         def best2(name: String, dir: String): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()

@@ -95,6 +95,18 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"more than one Generate in the gram plan:\n$p")
   }
 
+  test("d85/d87 curation screens are map-only: no Exchange, no Generate") {
+    // the d38/d84 discipline for the two new screens: HTML extraction
+    // and secret redaction are string-HOF projections a crawl scan can
+    // pipeline — an explode+groupBy rewrite would pass the oracle and
+    // put a shuffle on every scanned corpus.
+    for (name <- Seq("d85_html_extract", "d87_secret_scrub")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      assert(!p.contains("Generate"), s"$name explodes:\n$p")
+    }
+  }
+
   test("v16 computes all truncation rungs in one corpus pass") {
     // the MRL ladder's scale contract: 3 rungs + full-dim ground truth
     // from ONE scored projection — the only FileScans are the corpus
