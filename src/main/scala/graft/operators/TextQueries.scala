@@ -5809,8 +5809,10 @@ object TextQueries {
 
   private def d85(s: SparkSession, dir: String): DataFrame =
     htmlExtract(syntheticPages(Tables(s, dir, "documents"))).drop("main")
-  private[operators] val d85Sql =
-    s"""WITH pg AS (SELECT doc_id, concat('<html><head><title>', source, '</title>',
+  /** The d85 CTE chain up to the extracted `main` content — shared
+    * with d88, which screens the EXTRACTED text. */
+  private val d85CtePrefix =
+    s"""pg AS (SELECT doc_id, concat('<html><head><title>', source, '</title>',
        |    '<style>body{margin:0}</style>',
        |    '<script type="text/javascript">track(', CAST(doc_id AS VARCHAR), ');</script>',
        |    '</head><body>',
@@ -5841,11 +5843,49 @@ object TextQueries {
        |      array_to_string(list_transform(kept, s -> s.txt), chr(10)),
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
        |      '&amp;', '&') AS main
-       |  FROM k)
+       |  FROM k)""".stripMargin
+  private[operators] val d85Sql =
+    s"""WITH $d85CtePrefix
        |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
        |  CAST(len(kept) AS BIGINT) AS n_kept,
        |  CAST(length(main) AS BIGINT) AS main_len, md5(main) AS main_md5
        |FROM m""".stripMargin
+
+  // ---- d88: quality screen over EXTRACTED content (d85 → d03) ----
+  // The composition d85 exists for: the curation funnel screens the
+  // main content, not the raw markup — link-soup chrome and script
+  // bodies would poison every length/punct/stopword statistic. This
+  // is d03's quality battery computed over d85's extracted text,
+  // proving the extraction stage actually FEEDS the downstream
+  // screens (composed oracle: the d85 CTE chain piped into d03's
+  // projection). Still zero shuffles end-to-end — extraction and
+  // screening fuse into one map-only projection over the page scan.
+  private def d88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    htmlExtract(syntheticPages(Tables(s, dir, "documents")))
+      .select($"doc_id", $"main".as("text"))
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_q"),
+        size($"toks").cast("long").as("n_tokens"),
+        (length(regexp_replace($"text", "[^.!?,;:]", "")) / length($"text"))
+          .as("punct_ratio"),
+        (expr(hitCount("toks", stopEn)) / size($"toks")).as("stop_ratio"),
+        (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size($"toks"))
+          .as("avg_token_len"))
+  }
+  private[operators] val d88Sql =
+    s"""WITH $d85CtePrefix,
+       |xt AS (SELECT doc_id, main AS text,
+       |    string_split(lower(trim(regexp_replace(main, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM m WHERE length(trim(main)) > 0)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(${duckHitCount("toks", stopEn)} AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+       |FROM xt""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("d01_dedup_exact", d01, Some(d01Sql)),
@@ -5934,7 +5974,8 @@ object TextQueries {
     Q("d84_entropy_screen", d84, Some(d84Sql)),
     Q("d85_html_extract", d85, Some(d85Sql)),
     Q("d86_bpe_encode", d86, Some(d86Sql)),
-    Q("d87_secret_scrub", d87, Some(d87Sql)))
+    Q("d87_secret_scrub", d87, Some(d87Sql)),
+    Q("d88_extracted_quality", d88, Some(d88Sql)))
 
 
 }

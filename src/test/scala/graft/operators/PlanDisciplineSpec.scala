@@ -100,7 +100,8 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // and secret redaction are string-HOF projections a crawl scan can
     // pipeline — an explode+groupBy rewrite would pass the oracle and
     // put a shuffle on every scanned corpus.
-    for (name <- Seq("d85_html_extract", "d87_secret_scrub")) {
+    for (name <- Seq("d85_html_extract", "d87_secret_scrub",
+        "d88_extracted_quality")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
       assert(!p.contains("Generate"), s"$name explodes:\n$p")
