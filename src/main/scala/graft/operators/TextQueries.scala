@@ -5729,6 +5729,51 @@ object TextQueries {
        |  md5(scrubbed) AS scrubbed_md5
        |FROM sc""".stripMargin
 
+  // ---- d89: per-source ingest funnel report (d85 + d87 rollup) ----
+  // The dashboard row a 100 TB crawl ingest emits per source per
+  // batch: pages seen → pages with extractable main content (d85) →
+  // docs/tokens redacted by the secret screen (d87) → extracted
+  // character mass. Scale shape: both stages are map-only projections
+  // of the SAME documents scan, joined back on the high-cardinality
+  // doc_id key (slim per-doc rows, AQE-splittable), then one
+  // |sources|-key hash agg (bounded domain, map-side combined). The
+  // oracle composes the d85 and d87 CTE chains into one rollup.
+  private def d89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val ext = htmlExtract(syntheticPages(docs))
+      .select($"doc_id", $"n_kept", $"main")
+    val scrub = secretScrub(docs).select($"doc_id", $"n_redacted")
+    docs.filter(length(trim($"text")) > 0).select($"doc_id", $"source")
+      .join(ext, "doc_id").join(scrub, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(($"n_kept" >= 1).cast("long")).as("n_extracted"),
+        sum(($"n_redacted" >= 1).cast("long")).as("n_docs_redacted"),
+        sum($"n_redacted").as("n_tokens_redacted"),
+        sum(length($"main")).cast("long").as("extracted_chars"))
+  }
+  private[operators] lazy val d89Sql =
+    s"""WITH $d85CtePrefix,
+       |w89 AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sc89 AS (SELECT doc_id,
+       |    len(list_filter(ws, t -> $flagPredDuck)) AS n_redacted
+       |  FROM w89),
+       |src AS (SELECT doc_id, source FROM documents
+       |  WHERE length(trim(text)) > 0)
+       |SELECT src.source, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(SUM(CASE WHEN len(kept) >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extracted,
+       |  CAST(SUM(CASE WHEN n_redacted >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_redacted,
+       |  CAST(SUM(n_redacted) AS BIGINT) AS n_tokens_redacted,
+       |  CAST(SUM(length(main)) AS BIGINT) AS extracted_chars
+       |FROM src JOIN m ON src.doc_id = m.doc_id
+       |JOIN sc89 ON src.doc_id = sc89.doc_id
+       |GROUP BY 1""".stripMargin
+
   // ---- d85: HTML boilerplate extraction (main-content screen) ----
   // The curation rung UPSTREAM of every text screen in this file: real
   // corpora arrive as markup, and d01/d03/d43/d38 all assume someone
@@ -5975,7 +6020,8 @@ object TextQueries {
     Q("d85_html_extract", d85, Some(d85Sql)),
     Q("d86_bpe_encode", d86, Some(d86Sql)),
     Q("d87_secret_scrub", d87, Some(d87Sql)),
-    Q("d88_extracted_quality", d88, Some(d88Sql)))
+    Q("d88_extracted_quality", d88, Some(d88Sql)),
+    Q("d89_ingest_funnel", d89, Some(d89Sql)))
 
 
 }
