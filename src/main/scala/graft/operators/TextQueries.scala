@@ -5696,18 +5696,24 @@ object TextQueries {
   private lazy val flagPredDuck =
     s"$candShapeDuck AND ${tokBitsDuck("t")} >= $entThresholdMicro"
 
-  /** The stateless d87 transform — column ops only, so the same tree
-    * runs batch or streamed (s49). Keeps `scrubbed` for the spec. */
-  private[operators] def secretScrub(docs: DataFrame): DataFrame =
-    docs.filter(length(trim(col("text"))) > 0)
+  /** The scrub column chain WITHOUT the output projection — appends
+    * ws/scrubbed/n_redacted, the d89 fusion seam. */
+  private[operators] def scrubCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", expr("split(trim(text), '\\\\s+')"))
       .withColumn("scrubbed", expr(
         "array_join(transform(ws, t -> CASE WHEN " + flagPredSpark +
           " THEN '[REDACTED]' ELSE t END), ' ')"))
+      .withColumn("n_redacted",
+        size(expr(s"filter(ws, t -> $flagPredSpark)")).cast("long"))
+
+  /** The stateless d87 transform — column ops only, so the same tree
+    * runs batch or streamed (s49). Keeps `scrubbed` for the spec. */
+  private[operators] def secretScrub(docs: DataFrame): DataFrame =
+    scrubCols(docs.filter(length(trim(col("text"))) > 0))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
-        size(expr(s"filter(ws, t -> $flagPredSpark)")).cast("long")
-          .as("n_redacted"),
+        col("n_redacted"),
         length(col("scrubbed")).cast("long").as("scrubbed_len"),
         md5(col("scrubbed").cast("binary")).as("scrubbed_md5"),
         col("scrubbed"))
@@ -5733,22 +5739,23 @@ object TextQueries {
   // The dashboard row a 100 TB crawl ingest emits per source per
   // batch: pages seen → pages with extractable main content (d85) →
   // docs/tokens redacted by the secret screen (d87) → extracted
-  // character mass. Scale shape: both stages are map-only projections
-  // of the SAME documents scan, joined back on the high-cardinality
-  // doc_id key (slim per-doc rows, AQE-splittable), then one
+  // character mass. Scale shape: both stages' column chains FUSE into
+  // one map-only projection of one documents scan (no doc_id joins
+  // between parallel projections of the same corpus), then one
   // |sources|-key hash agg (bounded domain, map-side combined). The
   // oracle composes the d85 and d87 CTE chains into one rollup.
   private def d89(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-    val ext = htmlExtract(syntheticPages(docs))
-      .select($"doc_id", $"n_kept", $"main")
-    val scrub = secretScrub(docs).select($"doc_id", $"n_redacted")
-    docs.filter(length(trim($"text")) > 0).select($"doc_id", $"source")
-      .join(ext, "doc_id").join(scrub, "doc_id")
-      .groupBy($"source")
+    // extraction + scrub columns FUSED into one projection of one
+    // scan (syntheticPages carries source/text through, so both
+    // column chains stack) — no doc_id joins between parallel
+    // projections of the same corpus; the only shuffle is the
+    // bounded sources-key agg
+    val fused = scrubCols(htmlExtractCols(
+      syntheticPages(Tables(s, dir, "documents"))))
+    fused.groupBy($"source")
       .agg(count(lit(1)).as("n_pages"),
-        sum(($"n_kept" >= 1).cast("long")).as("n_extracted"),
+        sum((size($"kept") >= 1).cast("long")).as("n_extracted"),
         sum(($"n_redacted" >= 1).cast("long")).as("n_docs_redacted"),
         sum($"n_redacted").as("n_tokens_redacted"),
         sum(length($"main")).cast("long").as("extracted_chars"))
@@ -5807,7 +5814,7 @@ object TextQueries {
     * must be dropped), doc text as <p> paragraphs (must survive). */
   private[operators] def syntheticPages(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("source"), col("text"), expr(
         "concat('<html><head><title>', source, '</title>'," +
           "'<style>body{margin:0}</style>'," +
           "'<script type=\"text/javascript\">track(', cast(doc_id as string), ');</script>'," +
@@ -5823,11 +5830,12 @@ object TextQueries {
           "<a href=\"/cookies\">Cookie Settings</a>(c) 2026</footer>'," +
           "'</body></html>')").as("html"))
 
-  /** The stateless extraction transform over a (doc_id, html) frame —
-    * column ops only (map-only), so the same tree pipelines into a
-    * batch crawl scan or a readStream. Keeps `main` for the spec;
-    * d85 projects the audited columns. */
-  private[operators] def htmlExtract(pages: DataFrame): DataFrame =
+  /** The extraction column chain WITHOUT the output projection —
+    * appends blocks/kept/main to whatever frame carries `html`, so
+    * compositions (d89) can fuse extraction with other per-doc
+    * columns into ONE projection instead of joining parallel
+    * projections of the same scan. */
+  private[operators] def htmlExtractCols(pages: DataFrame): DataFrame =
     pages
       .withColumn("noscript", expr(
         "regexp_replace(html, '(?is)<script.*?</script>|<style.*?</style>', '')"))
@@ -5845,6 +5853,13 @@ object TextQueries {
           "array_join(transform(kept, s -> s.txt), chr(10))," +
           "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39))," +
           "'&amp;', '&')"))
+
+  /** The stateless extraction transform over a (doc_id, html) frame —
+    * column ops only (map-only), so the same tree pipelines into a
+    * batch crawl scan or a readStream. Keeps `main` for the spec;
+    * d85 projects the audited columns. */
+  private[operators] def htmlExtract(pages: DataFrame): DataFrame =
+    htmlExtractCols(pages)
       .select(col("doc_id"),
         size(col("blocks")).cast("long").as("n_blocks"),
         size(col("kept")).cast("long").as("n_kept"),

@@ -106,6 +106,13 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
       assert(!p.contains("Generate"), s"$name explodes:\n$p")
     }
+    // d89 fuses both column chains into one projection of one scan:
+    // no join, one FileScan, and the only exchange is the bounded
+    // sources-key aggregation
+    val p89 = plan("d89_ingest_funnel")
+    assert(!p89.contains("Join"), s"d89 joins parallel projections:\n$p89")
+    assert(p89.linesIterator.count(_.contains("FileScan")) == 1,
+      s"d89 rescans the corpus:\n$p89")
   }
 
   test("v16 computes all truncation rungs in one corpus pass") {
