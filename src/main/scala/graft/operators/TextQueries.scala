@@ -5709,7 +5709,7 @@ object TextQueries {
 
   /** The stateless d87 transform — column ops only, so the same tree
     * runs batch or streamed (s49). Keeps `scrubbed` for the spec. */
-  private[operators] def secretScrub(docs: DataFrame): DataFrame =
+  private[graft] def secretScrub(docs: DataFrame): DataFrame =
     scrubCols(docs.filter(length(trim(col("text"))) > 0))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
@@ -5812,7 +5812,7 @@ object TextQueries {
   /** Deterministic page chrome around each fixture doc: head with
     * script+style (must vanish), nav + sidebar + footer (link-dense,
     * must be dropped), doc text as <p> paragraphs (must survive). */
-  private[operators] def syntheticPages(docs: DataFrame): DataFrame =
+  private[graft] def syntheticPages(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"), col("text"), expr(
         "concat('<html><head><title>', source, '</title>'," +
@@ -5858,7 +5858,7 @@ object TextQueries {
     * column ops only (map-only), so the same tree pipelines into a
     * batch crawl scan or a readStream. Keeps `main` for the spec;
     * d85 projects the audited columns. */
-  private[operators] def htmlExtract(pages: DataFrame): DataFrame =
+  private[graft] def htmlExtract(pages: DataFrame): DataFrame =
     htmlExtractCols(pages)
       .select(col("doc_id"),
         size(col("blocks")).cast("long").as("n_blocks"),
