@@ -293,13 +293,17 @@ object TextQueries {
   // idf = ln((N+1)/(df+1)) + 1, top-5 terms per doc by (tfidf desc,
   // term). Scale shape — ONE corpus explode: hash agg on (doc, term)
   // (map-side partials absorb the per-doc repeats), df as a
-  // partial-aggregable groupBy(term).count over the SAME tf rows (df
-  // per term = tf's row count per term) joined back on the term key —
+  // partial-aggregable groupBy(term).count over the tf rows (df per
+  // term = tf's row count per term) joined back on the term key —
   // NOT a COUNT window over a term partition: a boilerplate trigram
   // present in every doc makes that term's window partition
   // corpus-sized and funnels it through one task, while the agg+join
   // form partial-aggregates map-side and AQE can split the skewed
-  // probe side of the join (the r14-verdict d17 finding). N rides as
+  // probe side of the join (the r14-verdict d17 finding). The df
+  // branch re-derives tf from a second scan (Spark shares no
+  // subtrees across join branches), so the skew safety costs one
+  // extra map-side-collapsed corpus pass — the same two-pass
+  // structure the oracle's CTEs spell out. N rides as
   // a broadcast scalar off the raw documents scan (no explode), and
   // the per-doc top-5 via a window PARTITIONED BY doc_id — doc_id is
   // high-cardinality and each partition is a doc's own term list.
@@ -1286,9 +1290,10 @@ object TextQueries {
     // d17/d32 finding applied to grams: a boilerplate trigram present
     // in every doc makes that gram's window partition corpus-sized
     // through ONE task, while the agg form collapses it map-side and
-    // AQE can split the skewed join probe). Both branches below the
-    // explode shuffle identically on sh, so ReuseExchange keeps this
-    // ONE corpus pass.
+    // AQE can split the skewed join probe). The first-occurrence
+    // branch re-derives the explode from a second scan — the skew
+    // safety costs one extra map-side-collapsed corpus pass, the
+    // oracle's own two-CTE structure.
     val ex = Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
@@ -1322,11 +1327,13 @@ object TextQueries {
   // (doc_id div `vocabBucket`; at production scale, ingest date) and
   // count tokens per bucket, terms FIRST seen per bucket, and the
   // cumulative vocabulary — the Heaps-law curve whose flattening says
-  // new data has stopped adding new language. Scale shape: ONE corpus
-  // explode shrunk immediately by a (bucket, term) hash agg (map-side
-  // combinable), then two bounded aggs over that vocabulary×buckets
-  // table; the only window is the cumulative sum over ONE ROW PER
-  // BUCKET (a date-bounded handful at any corpus size), so the
+  // new data has stopped adding new language. Scale shape: two
+  // map-side-collapsed corpus passes (token counts per bucket; first
+  // occurrences per term — Spark shares no subtrees across join
+  // branches, and the optimizer collapses the nt branch's inner agg
+  // into its term-key agg anyway), matching the oracle's CTE
+  // structure; the only window is the cumulative sum over ONE ROW
+  // PER BUCKET (a date-bounded handful at any corpus size), so the
   // global-order window is over driver-scale cardinality, never the
   // corpus.
   private val vocabBucket = 50
@@ -1338,8 +1345,6 @@ object TextQueries {
     // raw exploded token stream (a stopword's window partition is the
     // corpus's total token count through one task; the agg form
     // partial-aggregates map-side — the r14-verdict d32 finding).
-    // Both branches below the (bucket, term) agg share an identical
-    // shuffle, so ReuseExchange reads the corpus explode once.
     val bt = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select(($"doc_id" / vocabBucket).cast("long").as("bucket"),
@@ -1440,9 +1445,9 @@ object TextQueries {
     // doc duplicated millions of times is exactly the hot partition
     // this operator exists to catch (the r13 gh-keeper finding; the
     // min-when aggs collapse each hot sig to one row per mapper).
-    // Both branches shuffle identically on sig, so ReuseExchange
-    // keeps this one fixture read. In the deployed incremental form
-    // the ledger is a materialized table and only the batch scans.
+    // The ledger branch re-reads the fixture (two slim scans); in the
+    // deployed incremental form the ledger is a materialized table
+    // and only the batch scans.
     val sigs = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", bowSig($"text").as("sig"))
