@@ -424,6 +424,41 @@ class MultimodalSpec extends AnyFunSuite {
       s"VAD segmentation diverged: $got")
   }
 
+  test("PpmWavCodec RIFF walk: odd-sized chunk pad, missing data, truncation") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val meta = Multimodal.MediaMeta("audio", "wav", 0, 0, 0, 8000, 0L, 0)
+    val samples = Array[Short](100, -200, 300)
+    // a spec-valid WAV with an odd-length junk chunk BEFORE data: the
+    // 3-byte chunk is followed by one pad byte not counted in its
+    // size field — a walk that ignores the pad lands mid-chunk and
+    // misparses or throws
+    val base = Multimodal.RealFormats.encodeWav(samples, 8000)
+    val junk = ByteBuffer.allocate(8 + 3 + 1).order(ByteOrder.LITTLE_ENDIAN)
+      .put("JUNK".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)).array()
+    val withJunk = ByteBuffer
+      .allocate(base.length + junk.length).order(ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 12).put(junk).put(base, 12, base.length - 12).array()
+    // fix the RIFF size field for the inserted bytes
+    ByteBuffer.wrap(withJunk).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withJunk.length - 8)
+    assert(Multimodal.PpmWavCodec.decodeAudio(meta, withJunk).toSeq ==
+      samples.toSeq, "odd-chunk pad byte must be skipped")
+    // a RIFF/WAVE with no data chunk fails with a message, not an
+    // out-of-range read
+    val noData = java.util.Arrays.copyOfRange(withJunk, 0, 12 + junk.length)
+    ByteBuffer.wrap(noData).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, noData.length - 8)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.PpmWavCodec.decodeAudio(meta, noData))
+    assert(e1.getMessage.contains("without a data chunk"))
+    // a data chunk whose size field overruns the payload fails clearly
+    val truncated = java.util.Arrays.copyOfRange(base, 0, base.length - 2)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.PpmWavCodec.decodeAudio(meta, truncated))
+    assert(e2.getMessage.contains("truncated"))
+  }
+
   test("silenceSegments: an all-silent clip is one segment with no voiced mass") {
     import graft.operators.MultimodalQueries
     import spark.implicits._
