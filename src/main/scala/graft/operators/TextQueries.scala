@@ -261,6 +261,11 @@ object TextQueries {
   // (shard, bin); both engines compute the identical integer window
   // math, so the assignment is exactly oracle-checked.
   private val packBudget = 1024 // tokens per bin
+  // the parallelism dial: each shard's running sum is inherently
+  // sequential (one task), so production sets shards to O(cluster
+  // cores) and bins stay (shard, bin)-identified; the fixture pins 8
+  // because the shard count is part of the output contract (bin ids)
+  // and the oracle must replay it exactly
   private val packShards = 8
   private def d16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
