@@ -2385,6 +2385,94 @@ object VectorQueries {
          |FROM l$lpaRounds l JOIN sz USING (lbl)""".stripMargin
   }
 
+  // ---- v36: embedding outlier screen (centroid-distance z-score) ----
+  // The noise filter an embedding-space curation run applies before
+  // dedup/clustering trusts the space: vectors far from the corpus
+  // centroid (truncated docs, encoder failures, garbage modalities)
+  // get z-scored on their Euclidean distance and flagged, rolled up
+  // per label so a poisoned class is visible at a glance. Scale
+  // shape: TWO corpus passes — per-dim sums (a dims-bounded 64-key
+  // hash agg with map-side partials; the centroid returns as ONE
+  // broadcast row, the d77 sanctioned scalar attach) then a map-only
+  // score projection + the distance-stat scalars + a labels-bounded
+  // rollup. Never an all-pairs anything; the z-score needs global
+  // moments, so two passes is the floor.
+  //
+  // Exactness: elements are micro-snapped to BIGINT before the
+  // per-dim sums (exact, order-free — the m09 register discipline),
+  // the centroid is DEFINED as the snapped-element mean (identical
+  // IEEE derivation both engines), distances are index-order folds
+  // (Spark's 0.0-seeded fold == DuckDB's first-element-seeded fold;
+  // squares are never -0.0), the distance moments ride the same
+  // micro-snap route, and z is floor-snapped to micro before the
+  // threshold compare — so the flag bit cannot diverge cross-engine.
+  private val outlierZMicro = 2000000L // z >= 2.0 flags
+
+  private def v36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        VectorOps.toDouble($"embedding").as("v"))
+    val sums = e.select(posexplode(expr(
+        "transform(v, x -> cast(floor(x * 1e6 + 0.5) as bigint))")))
+      .groupBy($"pos").agg(sum($"col").as("s"), count(lit(1)).as("n"))
+    val centroid = sums
+      .select(sort_array(collect_list(struct($"pos", $"s"))).as("ps"),
+        max($"n").as("n"))
+      .select(expr("transform(ps, p -> cast(p.s as double) / 1e6 / n)")
+        .as("m"))
+    val scored = e.crossJoin(broadcast(centroid))
+      .select($"vec_id", $"label",
+        expr("sqrt(aggregate(zip_with(v, m, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x))").as("dist"))
+    val stats = scored.agg(
+      count(lit(1)).as("nv"),
+      sum(expr("cast(floor(dist * 1e6 + 0.5) as bigint)")).as("sd"),
+      sum(expr("cast(floor(dist * dist * 1e6 + 0.5) as bigint)")).as("sq"))
+    val mu = "cast(sd as double) / 1e6 / nv"
+    scored.crossJoin(broadcast(stats))
+      .select($"label",
+        expr(s"cast(floor((dist - $mu) / " +
+          s"sqrt(greatest(cast(sq as double) / 1e6 / nv - ($mu) * ($mu), " +
+          "1e-12)) * 1e6 + 0.5) as bigint)").as("z_micro"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(($"z_micro" >= outlierZMicro).cast("long")).as("n_outliers"),
+        max($"z_micro").as("max_z_micro"))
+  }
+  private val v36Sql = {
+    val mu = "CAST(sd AS DOUBLE) / 1e6 / nv"
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sums AS (SELECT i AS pos,
+       |    SUM(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM e, UNNEST(generate_series(1, len(v))) AS u(i)
+       |  GROUP BY 1),
+       |ct AS (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS ss,
+       |    MAX(n) AS n FROM sums),
+       |ctm AS (SELECT list_transform(ss, s -> s / 1e6 / n) AS m FROM ct),
+       |d AS (SELECT vec_id, label,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+       |      i -> (v[i] - m[i]) * (v[i] - m[i])), (a, x) -> a + x)) AS dist
+       |  FROM e CROSS JOIN ctm),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+       |    SUM(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS sd,
+       |    SUM(CAST(floor(dist * dist * 1e6 + 0.5) AS BIGINT)) AS sq
+       |  FROM d),
+       |z AS (SELECT label,
+       |    CAST(floor((dist - $mu) /
+       |      sqrt(greatest(CAST(sq AS DOUBLE) / 1e6 / nv - ($mu) * ($mu),
+       |        1e-12)) * 1e6 + 0.5) AS BIGINT) AS z_micro
+       |  FROM d CROSS JOIN st)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CASE WHEN z_micro >= $outlierZMicro THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  MAX(z_micro) AS max_z_micro
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("v01_knn_exact", v01, Some(v01Sql)),
     Q("v02_knn_ann_lsh", v02, Some(v02Sql)),
@@ -2420,5 +2508,7 @@ object VectorQueries {
     Q("v32_pca_power", v32, Some(GoldenOracles.v32), planFn = Some(pcaPlan)),
     Q("v33_pca_spectrum", v33, Some(GoldenOracles.v33), planFn = Some(pcaPlan)),
     Q("v34_whitened_dedup", v34, Some(v34Sql)),
-    Q("v35_lpa_communities", v35, Some(v35Sql)))
+    Q("v35_lpa_communities", v35, Some(v35Sql)),
+    Q("v36_embedding_outliers", v36, Some(v36Sql)))
+
 }
