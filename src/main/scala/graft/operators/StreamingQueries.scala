@@ -1317,6 +1317,37 @@ object StreamingQueries {
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
   }
 
+  // ---- s50: live embedding-centroid register maintenance ----
+  // v36's per-dim micro-snapped sums are a mergeable sufficient
+  // statistic (exact integer registers, dims × (s, n) rows), so the
+  // live form of the outlier screen's centroid is a complete-mode
+  // streaming aggregate over arriving embeddings — the s41/s46
+  // register-maintenance shape: each micro-batch folds its vectors
+  // into the 64-row state, a drifting centroid pages before the
+  // embedding space moves under the dedup/ANN indexes. Gated by the
+  // sums table's own SQL oracle (single-batch fixture ⇒ final state
+  // ≡ batch sums, and the registers are order-free exact integers).
+  private def s50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+      .select(graft.vec.VectorOps.toDouble($"embedding").as("v"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = VectorQueries.centroidSums(raw).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s43: streaming copy-flow attribution (d78 live) ----
   // The provenance diagnostic on arrival: each streamed doc's gram
   // sites (stateless posexplode, source carried through) probe the
@@ -1582,5 +1613,6 @@ object StreamingQueries {
     Q("s46_stream_ridge_fit", s46, Some(MlQueries.m09Sql)),
     Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)),
     Q("s48_stream_html_extract", s48, Some(TextQueries.d85Sql)),
-    Q("s49_stream_secret_scrub", s49, Some(TextQueries.d87Sql)))
+    Q("s49_stream_secret_scrub", s49, Some(TextQueries.d87Sql)),
+    Q("s50_stream_centroid_registers", s50, Some(VectorQueries.centroidSumsSql)))
 }

@@ -2408,14 +2408,32 @@ object VectorQueries {
   // threshold compare — so the flag bit cannot diverge cross-engine.
   private val outlierZMicro = 2000000L // z >= 2.0 flags
 
+  /** Per-dim micro-snapped element sums over a frame carrying `v` —
+    * v36's first pass, and a mergeable register table (dims × (s, n))
+    * the s50 stream maintains live in complete mode (the s41/s46
+    * register-maintenance shape). */
+  private[operators] def centroidSums(e: DataFrame): DataFrame =
+    e.select(posexplode(expr(
+        "transform(v, x -> cast(floor(x * 1e6 + 0.5) as bigint))")))
+      .select(col("pos").cast("long").as("pos"), col("col"))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+  /** The sums table's own oracle (0-based dims) — gates s50. */
+  private[operators] val centroidSumsSql =
+    """SELECT CAST(i - 1 AS BIGINT) AS pos,
+      |  CAST(SUM(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |  UNNEST(generate_series(1, len(v))) AS u(i)
+      |GROUP BY 1""".stripMargin
+
   private def v36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label".cast("long").as("label"),
         VectorOps.toDouble($"embedding").as("v"))
-    val sums = e.select(posexplode(expr(
-        "transform(v, x -> cast(floor(x * 1e6 + 0.5) as bigint))")))
-      .groupBy($"pos").agg(sum($"col").as("s"), count(lit(1)).as("n"))
+    val sums = centroidSums(e)
     val centroid = sums
       .select(sort_array(collect_list(struct($"pos", $"s"))).as("ps"),
         max($"n").as("n"))
