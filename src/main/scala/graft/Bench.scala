@@ -45,14 +45,17 @@ object Bench {
     // r8-r14 two-full-sweeps scheme the samples sat ~150 s apart and
     // drift between the windows kept them 20-30% apart on a loaded
     // host (the hygiene bar the r12-r14 verdicts flagged three rounds
-    // running). If the two samples still disagree >25% a third is
-    // taken (transient spike on one of them); the best two and the
-    // per-query start offsets go to the detail file, so a sustained
-    // stall shows up as a SPIKE IN THE t_off TIMELINE (plus the
-    // calibration row) rather than needing a second sweep window to
-    // diagnose. A query fails (negative time) only if its FIRST run
-    // throws; a success with a flaky re-run keeps the first timing
-    // and logs the flake.
+    // running). If the two samples disagree by more than 10% AND more
+    // than 50 ms a third is taken (transient spike on one of them),
+    // and if the best two of THOSE still disagree >25% a fourth —
+    // the streaming legs' micro-batch startup occasionally spikes two
+    // samples in a row; the best two and the per-query start offsets
+    // go to the detail file, so a sustained stall shows up as a SPIKE
+    // IN THE t_off TIMELINE (plus the calibration row) rather than
+    // needing a second sweep window to diagnose. A query fails
+    // (negative time) only if its FIRST run throws; a success with a
+    // flaky re-run keeps the min of the non-negative samples and logs
+    // the flake.
     val names = SparkEntry.queries.keys.toSeq.sorted
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -76,11 +79,18 @@ object Bench {
           // third sample only when the gap is big in BOTH relative and
           // absolute terms — sub-50ms jitter on a fast query is not
           // worth a re-run, a 10%+ gap on a real timing is (the best
-          // TWO of three then set the committed spread)
+          // TWO of the samples then set the committed spread); and a
+          // fourth only when even the best two of three still sit >25%
+          // apart (the streaming-leg warm-up mode where two of the
+          // first three samples carry micro-batch startup spikes)
           if (b >= 0 && math.max(a, b) > 1.10 * math.min(a, b) &&
-            math.abs(a - b) > 0.05)
-            Seq(a, b, once(n))
-          else Seq(a, b)
+            math.abs(a - b) > 0.05) {
+            val three = Seq(a, b, once(n))
+            val ok = three.filter(_ >= 0).sorted
+            if (ok.size >= 2 && ok(1) > 1.25 * ok(0) && ok(1) - ok(0) > 0.05)
+              three :+ once(n)
+            else three
+          } else Seq(a, b)
         }
       (n, tOff, ss)
     }
@@ -92,8 +102,12 @@ object Bench {
         if (ss.head < 0) ss.head
         else ss.filter(_ >= 0) match {
           case ok if ok.size < ss.size =>
-            System.err.println(s"[bench] $name re-run flaked; keeping run 1")
-            ss.head
+            // a flaked re-run invalidates only ITSELF: commit the min
+            // of the samples that did succeed (ADVICE r15 — keeping
+            // run 1 unconditionally discarded a valid faster run 2)
+            System.err.println(
+              s"[bench] $name re-run flaked; keeping min of ${ok.size} good")
+            ok.min
           case ok => ok.min
         }
       name -> best

@@ -4467,12 +4467,13 @@ object TextQueries {
 
   /** One learned merge over the `syms` column as a fenced replace
     * projection (greedy left-to-right, non-overlapping — Java and
-    * DuckDB `replace` share these semantics). */
-  private def bpeApplyOne(pair: String): org.apache.spark.sql.Column = {
-    val pq = pair.replace("'", "''")
-    val mq = pair.replace(" ", "").replace("'", "''")
-    expr(s"replace(syms, ' $pq ', ' $mq ')")
-  }
+    * DuckDB `replace` share these semantics). The pair rides as a
+    * literal Column, never spliced into an expr string — a corpus
+    * token containing a quote or backslash is data, not SQL
+    * (ADVICE r15). */
+  private def bpeApplyOne(pair: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.replace(col("syms"),
+      lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "))
 
   private def d66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -4613,9 +4614,12 @@ object TextQueries {
       merges: Seq[(Long, String, Long, String)]): DataFrame = {
     var v = v0
     for ((_, pair, _, _) <- merges) {
-      val pq = pair.replace(" ", "  ").replace("'", "''")
-      val mq = pair.replace(" ", "").replace("'", "''")
-      v = v.withColumn("syms", expr(s"replace(syms, ' $pq ', ' $mq ')"))
+      // the pair rides as a literal Column (ADVICE r15: an expr-string
+      // splice corrupted on backslashes under escaped string literals)
+      v = v.withColumn("syms",
+        org.apache.spark.sql.functions.replace(col("syms"),
+          lit(s" ${pair.replace(" ", "  ")} "),
+          lit(s" ${pair.replace(" ", "")} ")))
     }
     v
   }

@@ -2434,10 +2434,13 @@ object VectorQueries {
       .select($"vec_id", $"label".cast("long").as("label"),
         VectorOps.toDouble($"embedding").as("v"))
     val sums = centroidSums(e)
+    // each dim's sum divides by ITS OWN count (ADVICE r15): with
+    // ragged ingest dims a single max(n) would skew every short dim's
+    // mean; on uniform fixtures per-pos n == max n, so this is
+    // value-identical there and correct everywhere else
     val centroid = sums
-      .select(sort_array(collect_list(struct($"pos", $"s"))).as("ps"),
-        max($"n").as("n"))
-      .select(expr("transform(ps, p -> cast(p.s as double) / 1e6 / n)")
+      .select(sort_array(collect_list(struct($"pos", $"s", $"n"))).as("ps"))
+      .select(expr("transform(ps, p -> cast(p.s as double) / 1e6 / p.n)")
         .as("m"))
     val scored = e.crossJoin(broadcast(centroid))
       .select($"vec_id", $"label",
@@ -2468,9 +2471,8 @@ object VectorQueries {
        |    CAST(COUNT(*) AS BIGINT) AS n
        |  FROM e, UNNEST(generate_series(1, len(v))) AS u(i)
        |  GROUP BY 1),
-       |ct AS (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS ss,
-       |    MAX(n) AS n FROM sums),
-       |ctm AS (SELECT list_transform(ss, s -> s / 1e6 / n) AS m FROM ct),
+       |ctm AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY pos) AS m
+       |  FROM sums),
        |d AS (SELECT vec_id, label,
        |    sqrt(list_reduce(list_transform(generate_series(1, len(v)),
        |      i -> (v[i] - m[i]) * (v[i] - m[i])), (a, x) -> a + x)) AS dist
