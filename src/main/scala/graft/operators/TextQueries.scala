@@ -3884,12 +3884,52 @@ object TextQueries {
       (fz, bd)
     }
 
-  /** Screened docs → E-S weighted per-source top-k: the manifest tail
-    * every generation shares (only the verdict anti-joins differ). */
-  private def manifestSample(screened: DataFrame): DataFrame =
-    manifestSampleWeighted(screened
-      .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("w")))
+  // ---- the materialized per-doc screen report ----
+  // A curation run does not re-derive its screen verdicts for every
+  // artifact it publishes: it materializes ONE per-doc report — which
+  // screens flagged each doc, its raw and clean token mass — and the
+  // manifests (d60/d69/d79), the contamination report (d70) and the
+  // datasheet (d74) are all cheap reads of that table. Re-deriving
+  // per artifact re-audited the gram/vector pipelines every time: at
+  // r15 the datasheet's plan carried 18 scan nodes — 10+ redundant
+  // corpus passes at 100 TB for the most dashboard-like queries. The
+  // report is written once per (session, dataset) under the warehouse
+  // (the d35/v06 layout-amortization rule, with DiskLayoutCache's
+  // per-key locking + stale-session GC) and every composer audits as
+  // ONE FileScan of the report plus its own bounded tail. Columns:
+  // doc_id, source, n_toks (raw token count), flag_fuzzy/flag_bloom/
+  // flag_semantic (0/1 — d58, d57-majority, v31 as deployed, each
+  // with its own eval universe, the d60 doctrine), and d72's scrub
+  // ledger (dup_tokens/clean_tokens; null below the gram resolution,
+  // coalesced at use sites exactly as the unfused forms did).
+  private val screenReportDisk = new DiskLayoutCache("graft_screens")
+
+  private[operators] def screenReport(s: SparkSession, dir: String)
+      : DataFrame = {
+    val path = screenReportDisk.getOrBuild(s, dir) { p =>
+      val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
+      def tagged(df: DataFrame, c: String) =
+        df.select(col("doc_id"), lit(1L).as(c))
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") >= fuzzyEvalN)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .join(tagged(fuzzyFlagged, "ff"), Seq("doc_id"), "left")
+        .join(tagged(bloomDrop, "fb"), Seq("doc_id"), "left")
+        .join(tagged(VectorQueries.semanticFlaggedIds(s, dir), "fs"),
+          Seq("doc_id"), "left")
+        .join(d72(s, dir).select(col("doc_id"), col("dup_tokens"),
+          col("clean_tokens")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          coalesce(col("ff"), lit(0L)).as("flag_fuzzy"),
+          coalesce(col("fb"), lit(0L)).as("flag_bloom"),
+          coalesce(col("fs"), lit(0L)).as("flag_semantic"),
+          col("dup_tokens"), col("clean_tokens"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
 
   /** The E-S sampling tail over explicit (source, doc_id, w) rows —
     * d60/d69 weight by raw token count, d79 by the dedup-aware clean
@@ -3912,12 +3952,11 @@ object TextQueries {
 
   private def d60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
-    manifestSample(Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN)
-      .filter(length(trim($"text")) > 0)
-      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
-      .join(bloomDrop, Seq("doc_id"), "left_anti"))
+    // one report read; the anti-joins became flag predicates PUSHED
+    // INTO the report scan (d60 composes fuzzy + bloom only)
+    manifestSampleWeighted(screenReport(s, dir)
+      .filter($"flag_fuzzy" === 0L && $"flag_bloom" === 0L)
+      .select($"source", $"doc_id", $"n_toks".as("w")))
   }
   /** The composed-manifest oracle, parameterized by extra verdict CTEs
     * and extra survivor predicates (d60 passes none; d69 adds the
@@ -3991,14 +4030,12 @@ object TextQueries {
   // engine and the composed oracle inlines v31's SQL as a CTE.
   private def d69(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
-    manifestSample(Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN)
-      .filter(length(trim($"text")) > 0)
-      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
-      .join(bloomDrop, Seq("doc_id"), "left_anti")
-      .join(VectorQueries.semanticFlaggedIds(s, dir),
-        Seq("doc_id"), "left_anti"))
+    // all three contamination modalities are now columns of the
+    // materialized report — the composition is a pushed-down filter
+    manifestSampleWeighted(screenReport(s, dir)
+      .filter($"flag_fuzzy" === 0L && $"flag_bloom" === 0L &&
+        $"flag_semantic" === 0L)
+      .select($"source", $"doc_id", $"n_toks".as("w")))
   }
   /** v31's verdict set as an oracle CTE (shared by d69/d70). */
   private lazy val semCteSql = {
@@ -4028,21 +4065,11 @@ object TextQueries {
   // projection) — no gram or vector work happens here at all.
   private def d70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
-    def tagged(df: DataFrame, c: String) =
-      df.select(col("doc_id"), lit(1L).as(c))
-    Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN)
-      .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source")
-      .join(tagged(fuzzyFlagged, "ff"), Seq("doc_id"), "left")
-      .join(tagged(bloomDrop, "fb"), Seq("doc_id"), "left")
-      .join(tagged(VectorQueries.semanticFlaggedIds(s, dir), "fs"),
-        Seq("doc_id"), "left")
+    // a pure projection of the materialized report — the verdict
+    // joins happened once, at report-build time
+    screenReport(s, dir)
       .select($"doc_id", $"source",
-        coalesce($"ff", lit(0L)).as("flag_fuzzy"),
-        coalesce($"fb", lit(0L)).as("flag_bloom"),
-        coalesce($"fs", lit(0L)).as("flag_semantic"))
+        $"flag_fuzzy", $"flag_bloom", $"flag_semantic")
       .withColumn("n_flags",
         $"flag_fuzzy" + $"flag_bloom" + $"flag_semantic")
       .withColumn("keep", when($"n_flags" === 0L, 1L).otherwise(0L))
@@ -5019,21 +5046,19 @@ object TextQueries {
   // composition contract is re-proven live at the sweep scale there).
   private def d74(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val report = d70(s, dir)
-    val toksz = Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN && length(trim($"text")) > 0)
-      .select($"doc_id",
-        size(TextOps.tokens($"text")).cast("long").as("n_toks"))
-    val dup = d72(s, dir).select($"doc_id", $"dup_tokens".as("dup_t"))
-    report.join(toksz, "doc_id").join(dup, Seq("doc_id"), "left")
+    // the datasheet is a |sources|-key rollup of the materialized
+    // report — r15's 18-scan plan (the d70/d72 subplans re-derived
+    // inline) is now ONE report read + one bounded hash agg
+    screenReport(s, dir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_toks").as("n_tokens"),
         sum($"flag_fuzzy").as("n_flag_fuzzy"),
         sum($"flag_bloom").as("n_flag_bloom"),
         sum($"flag_semantic").as("n_flag_semantic"),
-        sum($"keep").as("n_keep"),
-        sum(coalesce($"dup_t", lit(0L))).as("dup_tokens"))
+        sum(when($"flag_fuzzy" + $"flag_bloom" + $"flag_semantic" === 0L,
+          1L).otherwise(0L)).as("n_keep"),
+        sum(coalesce($"dup_tokens", lit(0L))).as("dup_tokens"))
       .select($"source", $"n_docs", $"n_tokens", $"n_flag_fuzzy",
         $"n_flag_bloom", $"n_flag_semantic", $"n_keep", $"dup_tokens",
         expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
@@ -5293,19 +5318,14 @@ object TextQueries {
   // they have no measurable duplication by construction.
   private def d79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (fuzzyFlagged, bloomDrop) = screenVerdicts(s, dir)
-    val scrub = d72(s, dir).select($"doc_id", $"clean_tokens")
-    manifestSampleWeighted(Tables(s, dir, "documents")
-      .filter($"doc_id" >= fuzzyEvalN)
-      .filter(length(trim($"text")) > 0)
-      .join(fuzzyFlagged, Seq("doc_id"), "left_anti")
-      .join(bloomDrop, Seq("doc_id"), "left_anti")
-      .join(VectorQueries.semanticFlaggedIds(s, dir),
-        Seq("doc_id"), "left_anti")
-      .join(scrub, Seq("doc_id"), "left")
+    // the dedup-aware weight (d72's clean count, raw length below the
+    // gram resolution) is a report column — the whole manifest is one
+    // report read + the bounded-heap top-k
+    manifestSampleWeighted(screenReport(s, dir)
+      .filter($"flag_fuzzy" === 0L && $"flag_bloom" === 0L &&
+        $"flag_semantic" === 0L)
       .select($"source", $"doc_id",
-        coalesce($"clean_tokens",
-          size(TextOps.tokens($"text")).cast("long")).as("w"))
+        coalesce($"clean_tokens", $"n_toks").as("w"))
       .filter($"w" > 0))
   }
   private lazy val d79Sql =

@@ -705,28 +705,31 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("graft_bounded_top_k"), s"unbounded top-k:\n$p")
   }
 
-  test("d60 consumes persisted screen verdicts, not re-run gram pipelines") {
-    // the SessionCache memoization contract (VERDICT r12 improvement
-    // 2): screenVerdicts persists the d58/d57 verdict doc-id sets at
-    // build time, so d60's own query path anti-joins cached frames.
-    // Checked on the TREE, not the rendered string — InMemoryRelation
-    // prints its cached plan (minhash included) for display, but that
-    // subtree executes as a cache read: the outer plan's own nodes
-    // must carry no minhash expression
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  test("manifest family reads the materialized screen report, not re-run pipelines") {
+    // the r16 scan-economy contract: d60/d69/d70/d74/d79 all consume
+    // ONE FileScan of the materialized per-doc screen report (written
+    // once per session+dataset by screenReport), so none of them may
+    // re-run a gram/vector pipeline — no minhash expression anywhere
+    // in their executed plans, no scan of the documents fixture
+    // itself, and exactly one parquet scan (the report) in each plan.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val p = Catalog.queries("d60_curation_manifest_v2")(spark, TestSpark.sf0001)
+    try for (q <- Seq("d60_curation_manifest_v2", "d69_curation_manifest_v3",
+        "d70_contamination_report", "d74_source_datasheet",
+        "d79_curation_manifest_v4")) {
+      val p = Catalog.queries(q)(spark, TestSpark.sf0001)
         .queryExecution.executedPlan
-      val cacheScans = p.collect { case s: InMemoryTableScanExec => s }
-      assert(cacheScans.size >= 2,
-        s"both screen-verdict sides should read from cache:\n$p")
       val minhashNodes = p.collect {
         case n if n.expressions.exists(_.find(
           _.isInstanceOf[graft.functions.MinHashShinglesExpr]).isDefined) => n
       }
       assert(minhashNodes.isEmpty,
-        s"fuzzy-screen gram pipeline re-run inside d60's query path:\n$p")
+        s"fuzzy-screen gram pipeline re-run inside $q's query path:\n$p")
+      val ps = p.toString
+      val scans = ps.linesIterator.count(_.contains("FileScan"))
+      assert(scans == 1, s"$q should read exactly the screen report " +
+        s"(1 FileScan), found $scans:\n$p")
+      assert(!ps.contains("documents.parquet"),
+        s"$q re-scans the raw corpus instead of the screen report:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
