@@ -325,7 +325,15 @@ object TextQueries {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("term"))
+    // The tf agg is MATERIALIZED (eager localCheckpoint) so the df
+    // branch and the score join both read the materialized rows:
+    // Spark shares no subtrees across join branches, so the lazy form
+    // re-scanned and re-exploded the corpus for df — a second full
+    // gram pass at 100 TB for rows the tf agg already holds (r15
+    // verdict item 5). Disk-backed like any production intermediate;
+    // each invocation's checkpoint is GC'd when unreferenced.
     val tf = grams.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // N without touching the gram explode: docs with >= 3 tokens (ids
     // are unique, so countDistinct over grams degenerates to a count)
     val n = Tables(s, dir, "documents")
