@@ -5777,26 +5777,31 @@ object TextQueries {
        |  md5(scrubbed) AS scrubbed_md5
        |FROM sc""".stripMargin
 
-  // ---- d89: per-source ingest funnel report (d85 + d87 rollup) ----
+  // ---- d89: per-source ingest funnel report (d90+d85+d87 rollup) ----
   // The dashboard row a 100 TB crawl ingest emits per source per
-  // batch: pages seen → pages with extractable main content (d85) →
+  // batch: pages seen → unique canonical URLs (d90 — the first stage
+  // every crawl runs) → pages with extractable main content (d85) →
   // docs/tokens redacted by the secret screen (d87) → extracted
-  // character mass. Scale shape: both stages' column chains FUSE into
-  // one map-only projection of one documents scan (no doc_id joins
-  // between parallel projections of the same corpus), then one
-  // |sources|-key hash agg (bounded domain, map-side combined). The
-  // oracle composes the d85 and d87 CTE chains into one rollup.
+  // character mass. Scale shape: the URL canonicalization, extraction
+  // and scrub column chains all FUSE into one map-only projection of
+  // one documents scan (no doc_id joins between parallel projections
+  // of the same corpus), then one |sources|-key hash agg (the unique-
+  // URL count rides the same agg as a distinct — Catalyst's Expand,
+  // still one scan and map-side partials on (source, canon)). The
+  // oracle composes the d90, d85 and d87 CTE chains into one rollup.
   private def d89(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // extraction + scrub columns FUSED into one projection of one
-    // scan (syntheticPages carries source/text through, so both
-    // column chains stack) — no doc_id joins between parallel
+    // URL + extraction + scrub columns FUSED into one projection of
+    // one scan (syntheticPages carries source/text through, so all
+    // three column chains stack) — no doc_id joins between parallel
     // projections of the same corpus; the only shuffle is the
     // bounded sources-key agg
-    val fused = scrubCols(htmlExtractCols(
-      syntheticPages(Tables(s, dir, "documents"))))
+    val fused = scrubCols(htmlExtractCols(urlCanonCols(
+      syntheticPages(Tables(s, dir, "documents"))
+        .withColumn("url", expr(urlVariantSparkSql)))))
     fused.groupBy($"source")
       .agg(count(lit(1)).as("n_pages"),
+        countDistinct($"canon").as("n_urls_unique"),
         sum((size($"kept") >= 1).cast("long")).as("n_extracted"),
         sum(($"n_redacted" >= 1).cast("long")).as("n_docs_redacted"),
         sum($"n_redacted").as("n_tokens_redacted"),
@@ -5804,6 +5809,7 @@ object TextQueries {
   }
   private[operators] lazy val d89Sql =
     s"""WITH $d85CtePrefix,
+       |$urlCanonCteSql,
        |w89 AS (SELECT doc_id,
        |    string_split_regex(trim(text), '\\s+') AS ws
        |  FROM documents WHERE length(trim(text)) > 0),
@@ -5813,6 +5819,7 @@ object TextQueries {
        |src AS (SELECT doc_id, source FROM documents
        |  WHERE length(trim(text)) > 0)
        |SELECT src.source, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(COUNT(DISTINCT cu.canon_url) AS BIGINT) AS n_urls_unique,
        |  CAST(SUM(CASE WHEN len(kept) >= 1 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_extracted,
        |  CAST(SUM(CASE WHEN n_redacted >= 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -5821,7 +5828,150 @@ object TextQueries {
        |  CAST(SUM(length(main)) AS BIGINT) AS extracted_chars
        |FROM src JOIN m ON src.doc_id = m.doc_id
        |JOIN sc89 ON src.doc_id = sc89.doc_id
+       |JOIN cu ON src.doc_id = cu.doc_id
        |GROUP BY 1""".stripMargin
+
+  // ---- d90: URL canonicalization + URL-level dedup ----
+  // The crawl step UPSTREAM of d85 that every real ingest runs before
+  // any text screen: the same page arrives under scheme/host case
+  // variants, default ports, fragments and tracking-param noise, and
+  // fetching (or keeping) each spelling multiplies every downstream
+  // stage's cost. Canonicalize (lowercase scheme+host, strip fragment,
+  // strip default :443/:80, strip a leading www., drop tracking params
+  // keeping real ones, strip one trailing slash off non-root paths),
+  // then dedup EXACTLY on the canonical form with d01's min-id keeper
+  // election — as a partial-aggregable canon-key agg + join back (the
+  // d34/gh rule: a mirror URL duplicated millions of times collapses
+  // to one row per mapper, never a window partition). Scale shape: one
+  // map-only canonicalization a crawl scan pipelines + one canon-key
+  // shuffle. All ops are pure integer/string arithmetic with identical
+  // Spark/DuckDB semantics, so the rung is hash-gated end to end.
+  //
+  // The fixture corpus carries no URLs, so they are SYNTHESIZED
+  // deterministically (the d85 synthetic-page doctrine applied to
+  // addresses). The host carries the doc's source and sources cycle
+  // doc_id % 20, so an article group must sit WITHIN one source:
+  // article id = doc_id div 80, variant = (doc_id div 20) % 4 — docs
+  // {k, k+20, k+40, k+60} share a source and an article. The four
+  // variants: clean form with a trailing slash, SHOUTING scheme/host
+  // with default port + fragment, utm-tracking noise unique per doc,
+  // and a doc with a REAL query param (?id=) under http:80. Variants
+  // 0-2 canonicalize to ONE URL (3 collisions per full group),
+  // variant 3 stays distinct — real survivors and real dups at every
+  // SF (at sf0.001 each source holds 2-3 group-0 variants, still
+  // colliding).
+  private[operators] val urlVariantSparkSql =
+    "CASE CAST((doc_id DIV 20) % 4 AS INT) " +
+      "WHEN 0 THEN concat('https://www.', source, '.example.com/articles/', CAST(doc_id DIV 80 AS STRING), '/') " +
+      "WHEN 1 THEN concat('HTTPS://', upper(concat('www.', source, '.example.com')), ':443/articles/', CAST(doc_id DIV 80 AS STRING), '#sec-2') " +
+      "WHEN 2 THEN concat('https://www.', source, '.example.com/articles/', CAST(doc_id DIV 80 AS STRING), '?utm_source=feed&utm_campaign=c', CAST(doc_id AS STRING)) " +
+      "ELSE concat('http://www.', source, '.example.com:80/articles/', CAST(doc_id DIV 80 AS STRING), '?id=', CAST(doc_id % 7 AS STRING), '&utm_medium=social') END"
+
+  /** Deterministic crawl URLs for every nonempty fixture doc. */
+  private[graft] def syntheticUrls(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        expr(urlVariantSparkSql).as("url"))
+
+  /** Appends `canon` to a frame carrying `url` — one map-only column
+    * chain (tracking-param keys are matched by exact prefix compare,
+    * never LIKE, whose `_` wildcard would also match `utmX`). */
+  private[operators] def urlCanonCols(withUrl: DataFrame): DataFrame =
+    withUrl
+      .withColumn("u_nofrag", expr("split_part(url, '#', 1)"))
+      .withColumn("u_scheme", expr("lower(split_part(u_nofrag, '://', 1))"))
+      .withColumn("u_rest", expr("substr(u_nofrag, length(u_scheme) + 4)"))
+      .withColumn("u_authraw", expr("split_part(u_rest, '/', 1)"))
+      .withColumn("u_pathq", expr("substr(u_rest, length(u_authraw) + 1)"))
+      .withColumn("u_auth", expr(
+        "CASE WHEN u_scheme = 'https' AND lower(u_authraw) LIKE '%:443' " +
+          "THEN left(lower(u_authraw), length(u_authraw) - 4) " +
+          "WHEN u_scheme = 'http' AND lower(u_authraw) LIKE '%:80' " +
+          "THEN left(lower(u_authraw), length(u_authraw) - 3) " +
+          "ELSE lower(u_authraw) END"))
+      .withColumn("u_auth", expr(
+        "CASE WHEN u_auth LIKE 'www.%' THEN substr(u_auth, 5) " +
+          "ELSE u_auth END"))
+      .withColumn("u_path", expr("split_part(u_pathq, '?', 1)"))
+      .withColumn("u_qs", expr(
+        "CASE WHEN position('?' IN u_pathq) > 0 " +
+          "THEN substr(u_pathq, length(u_path) + 2) ELSE '' END"))
+      .withColumn("u_qkeep", expr(
+        "array_join(filter(split(u_qs, '&'), kv -> NOT (" +
+          "split_part(kv, '=', 1) IN ('fbclid', 'gclid', 'ref') OR " +
+          "substr(split_part(kv, '=', 1), 1, 4) = 'utm_')), '&')"))
+      .withColumn("canon", expr(
+        "concat(u_scheme, '://', u_auth, " +
+          "CASE WHEN length(u_path) > 1 AND u_path LIKE '%/' " +
+          "THEN left(u_path, length(u_path) - 1) ELSE u_path END, " +
+          "CASE WHEN u_qkeep <> '' THEN concat('?', u_qkeep) " +
+          "ELSE '' END)"))
+
+  private def d90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urls = urlCanonCols(syntheticUrls(Tables(s, dir, "documents")))
+      .select($"doc_id", $"canon".as("canon_url"))
+    val keepers = urls.groupBy($"canon_url")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+    urls.join(keepers, "canon_url")
+      .select($"doc_id", $"canon_url", $"n_variants", $"keeper",
+        when($"doc_id" === $"keeper", lit("keeper")).otherwise(lit("dup"))
+          .as("status"))
+  }
+  /** The synth + canonicalization chain as DuckDB CTEs ending at
+    * `cu(doc_id, source, canon_url)` — shared by d90's oracle and the
+    * d89 funnel's unique-URL stage. */
+  private[operators] val urlCanonCteSql =
+    """u0 AS (SELECT doc_id, source,
+      |    CASE CAST((doc_id // 20) % 4 AS INT)
+      |      WHEN 0 THEN 'https://www.' || source || '.example.com/articles/' || CAST(doc_id // 80 AS VARCHAR) || '/'
+      |      WHEN 1 THEN 'HTTPS://' || upper('www.' || source || '.example.com') || ':443/articles/' || CAST(doc_id // 80 AS VARCHAR) || '#sec-2'
+      |      WHEN 2 THEN 'https://www.' || source || '.example.com/articles/' || CAST(doc_id // 80 AS VARCHAR) || '?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'http://www.' || source || '.example.com:80/articles/' || CAST(doc_id // 80 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=social'
+      |    END AS url
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |c1 AS (SELECT doc_id, source, split_part(url, '#', 1) AS nofrag FROM u0),
+      |c2 AS (SELECT doc_id, source, nofrag,
+      |    lower(split_part(nofrag, '://', 1)) AS scheme,
+      |    substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest
+      |  FROM c1),
+      |c3 AS (SELECT doc_id, source, scheme,
+      |    split_part(rest, '/', 1) AS authraw,
+      |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      |  FROM c2),
+      |c4 AS (SELECT doc_id, source, scheme, pathq,
+      |    CASE WHEN scheme = 'https' AND lower(authraw) LIKE '%:443'
+      |        THEN left(lower(authraw), length(authraw) - 4)
+      |      WHEN scheme = 'http' AND lower(authraw) LIKE '%:80'
+      |        THEN left(lower(authraw), length(authraw) - 3)
+      |      ELSE lower(authraw) END AS auth0
+      |  FROM c3),
+      |c5 AS (SELECT doc_id, source, scheme,
+      |    CASE WHEN auth0 LIKE 'www.%' THEN substr(auth0, 5) ELSE auth0 END
+      |      AS auth,
+      |    split_part(pathq, '?', 1) AS upath,
+      |    CASE WHEN position('?' IN pathq) > 0
+      |      THEN substr(pathq, length(split_part(pathq, '?', 1)) + 2)
+      |      ELSE '' END AS qs
+      |  FROM c4),
+      |cu AS (SELECT doc_id, source,
+      |    scheme || '://' || auth ||
+      |    (CASE WHEN length(upath) > 1 AND upath LIKE '%/'
+      |      THEN left(upath, length(upath) - 1) ELSE upath END) ||
+      |    (CASE WHEN qkeep <> '' THEN '?' || qkeep ELSE '' END) AS canon_url
+      |  FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'),
+      |      kv -> NOT (split_part(kv, '=', 1) IN ('fbclid', 'gclid', 'ref')
+      |        OR substr(split_part(kv, '=', 1), 1, 4) = 'utm_')), '&')
+      |      AS qkeep FROM c5))""".stripMargin
+  private lazy val d90Sql =
+    s"WITH $urlCanonCteSql,\n" +
+      """k AS (SELECT canon_url, MIN(doc_id) AS keeper,
+        |    CAST(COUNT(*) AS BIGINT) AS n_variants
+        |  FROM cu GROUP BY 1)
+        |SELECT cu.doc_id, cu.canon_url, k.n_variants, k.keeper,
+        |  CASE WHEN cu.doc_id = k.keeper THEN 'keeper' ELSE 'dup' END
+        |    AS status
+        |FROM cu JOIN k USING (canon_url)""".stripMargin
 
   // ---- d85: HTML boilerplate extraction (main-content screen) ----
   // The curation rung UPSTREAM of every text screen in this file: real
@@ -6078,7 +6228,8 @@ object TextQueries {
     Q("d86_bpe_encode", d86, Some(d86Sql)),
     Q("d87_secret_scrub", d87, Some(d87Sql)),
     Q("d88_extracted_quality", d88, Some(d88Sql)),
-    Q("d89_ingest_funnel", d89, Some(d89Sql)))
+    Q("d89_ingest_funnel", d89, Some(d89Sql)),
+    Q("d90_url_canonical_dedup", d90, Some(d90Sql)))
 
 
 }
