@@ -5973,6 +5973,167 @@ object TextQueries {
         |    AS status
         |FROM cu JOIN k USING (canon_url)""".stripMargin
 
+  // ---- d91: end-to-end corpus release (the composed pipeline) ----
+  // What a user of this engine actually RUNS: one query that chains
+  // the already-gated rungs into a release manifest — URL dedup
+  // keepers (d90) → substring-span scrub (d83, keeper semantics
+  // corpus-wide) → decontamination apply (d33's rule over d23's
+  // verdicts: drop contamination >= tau, keep unscoreable) →
+  // leakage-safe split (d37's cluster-keeper coin; sig-equality
+  // clusters ARE the sig groups, the equivalence d37's own oracle
+  // pins, so the composed form uses the direct group-min keeper) →
+  // context-window packing (d16's sharded running sum, applied PER
+  // (split, shard) — a release never packs train and test into one
+  // bin). Output: one row per released doc with its split, pack bin,
+  // clean token count and scrubbed-text md5 — the manifest a training
+  // job consumes.
+  //
+  // Scale shape — the round-16 point: the rungs COMPOSE WITHOUT PLAN
+  // BLOWUP. One corpus pass materializes the release working set
+  // (doc_id, source, toks) as an eager localCheckpoint, and every
+  // rung (URL canon, gram sites, 5-gram shingles, word-set sigs, pack
+  // sizes) derives from that materialized base — zero per-rung
+  // re-scans of the raw corpus (pinned in PlanDisciplineSpec). The
+  // shuffles are each rung's own irreducible key exchange (canon /
+  // gh / sh / sig / doc_id), same as running the rungs separately;
+  // the eval slice (doc_id < 20) stays out by d33's definition, and
+  // a fully-scrubbed doc (kept 0) leaves the release, the d79 rule.
+  private def d91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+      .localCheckpoint()
+
+    // rung 1 — d90: canonical-URL keepers
+    val urls = urlCanonCols(base.select($"doc_id", $"source")
+        .withColumn("url", expr(urlVariantSparkSql)))
+      .select($"doc_id", $"canon")
+    val ukeep = urls.groupBy($"canon").agg(min($"doc_id").as("ukeeper"))
+    val urlKeepers = urls.join(ukeep, "canon")
+      .filter($"doc_id" === $"ukeeper").select($"doc_id")
+
+    // rung 2 — d83: removable spans under corpus-wide keeper semantics
+    val spansByDoc = dupSpansOf(removableSites(gramSitesOfToks(
+        base.select($"doc_id", $"toks"), dupL)))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"span_start".as("a"),
+        $"span_end".as("b")))).as("spans"))
+
+    // rung 3 — d23/d33: contamination verdicts as deployed
+    val sh = base.filter(size($"toks") >= 5)
+      .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
+    val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
+      .withColumn("hit", lit(1L))
+    val contaminated = sh.filter($"doc_id" >= 20)
+      .join(evalSet, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce($"hit", lit(0L))).as("nc"))
+      .filter(round($"nc".cast("double") / $"total", 6) >= decontamTau)
+      .select($"doc_id")
+
+    // rung 4 — d37: split coin off the word-set cluster keeper
+    val sigs = base.select($"doc_id",
+      md5(concat_ws(" ", array_sort(array_distinct($"toks")))
+        .cast("binary")).as("sig"))
+    val sigKeep = sigs.groupBy($"sig").agg(min($"doc_id").as("keeper"))
+    val bucket = substring(md5($"keeper".cast("string").cast("binary")), 1, 2)
+    val splits = sigs.join(sigKeep, "sig")
+      .select($"doc_id",
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+
+    // compose: training universe ∩ URL keepers − contaminated,
+    // scrubbed to clean text, split-assigned
+    val survivors = base.filter($"doc_id" >= 20)
+      .join(urlKeepers, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(spansByDoc, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce($"spans",
+        expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(toks) - 1), p -> " +
+          "NOT exists(spans, s -> p >= s.a AND p < s.b))"))
+      .filter(size($"kept") > 0)
+      .select($"doc_id", $"source",
+        size($"kept").cast("long").as("kept_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(kept, p -> toks[p])")).cast("binary"))
+          .as("clean_md5"))
+      .join(splits, "doc_id")
+
+    // rung 5 — d16: pack per (split, shard) with CLEAN token weights
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split", $"shard").orderBy($"doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    survivors
+      .withColumn("shard", pmod($"doc_id", lit(packShards)))
+      .withColumn("cum", sum($"kept_tokens").over(w))
+      .select($"doc_id", $"source", $"split", $"shard",
+        (($"cum" - $"kept_tokens") / packBudget).cast("long").as("bin"),
+        $"kept_tokens", $"clean_md5")
+  }
+  private lazy val d91Sql =
+    s"WITH $urlCanonCteSql,\n" +
+      """uk AS (SELECT canon_url, MIN(doc_id) AS ukeeper
+        |  FROM cu GROUP BY 1),
+        |ukeep AS (SELECT cu.doc_id FROM cu JOIN uk USING (canon_url)
+        |  WHERE cu.doc_id = uk.ukeeper),
+        |cont AS (SELECT doc_id FROM (
+        |""".stripMargin + d23Sql +
+      s"""
+        |) cq WHERE contamination >= $decontamTau),
+        |""".stripMargin + dupGramCte + ",\n" +
+      s"""r AS (SELECT doc_id, pos, row_number() OVER
+        |    (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM g),
+        |h AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+        |""".stripMargin + dupIslandsSql + ",\n" +
+      s"""spans AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + $dupL AS b
+        |  FROM sp GROUP BY doc_id, sid),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
+        |    toks FROM t),
+        |cov AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos
+        |  JOIN spans s ON pos.doc_id = s.doc_id
+        |    AND pos.p >= s.a AND pos.p < s.b),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.toks[pos.p + 1] AS tok
+        |  FROM pos LEFT JOIN cov
+        |    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+        |  FROM kept GROUP BY 1),
+        |sigs AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS sig
+        |  FROM t),
+        |sk AS (SELECT sig, MIN(doc_id) AS keeper FROM sigs GROUP BY 1),
+        |spl AS (SELECT s.doc_id,
+        |    CASE WHEN substring(md5(CAST(sk.keeper AS VARCHAR)), 1, 2) < 'cc'
+        |           THEN 'train'
+        |         WHEN substring(md5(CAST(sk.keeper AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM sigs s JOIN sk USING (sig)),
+        |surv AS (SELECT t.doc_id, d.source, cl.kept_tokens, cl.clean_md5,
+        |    spl.split, t.doc_id % $packShards AS shard
+        |  FROM t JOIN documents d ON t.doc_id = d.doc_id
+        |  JOIN ukeep ON t.doc_id = ukeep.doc_id
+        |  JOIN cl ON t.doc_id = cl.doc_id
+        |  JOIN spl ON t.doc_id = spl.doc_id
+        |  LEFT JOIN cont ON t.doc_id = cont.doc_id
+        |  WHERE t.doc_id >= 20 AND cont.doc_id IS NULL
+        |    AND cl.kept_tokens > 0),
+        |packed AS (SELECT *, SUM(kept_tokens) OVER
+        |    (PARTITION BY split, shard ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM surv)
+        |SELECT doc_id, source, split, shard,
+        |  CAST(floor(CAST(cum - kept_tokens AS DOUBLE) / $packBudget)
+        |    AS BIGINT) AS bin,
+        |  kept_tokens, clean_md5
+        |FROM packed""".stripMargin
+
   // ---- d85: HTML boilerplate extraction (main-content screen) ----
   // The curation rung UPSTREAM of every text screen in this file: real
   // corpora arrive as markup, and d01/d03/d43/d38 all assume someone
@@ -6229,7 +6390,8 @@ object TextQueries {
     Q("d87_secret_scrub", d87, Some(d87Sql)),
     Q("d88_extracted_quality", d88, Some(d88Sql)),
     Q("d89_ingest_funnel", d89, Some(d89Sql)),
-    Q("d90_url_canonical_dedup", d90, Some(d90Sql)))
+    Q("d90_url_canonical_dedup", d90, Some(d90Sql)),
+    Q("d91_corpus_release", d91, Some(d91Sql)))
 
 
 }

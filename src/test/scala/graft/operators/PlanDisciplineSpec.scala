@@ -705,6 +705,21 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("graft_bounded_top_k"), s"unbounded top-k:\n$p")
   }
 
+  test("d91 release composition derives every rung from one materialized base") {
+    // the composed release's scale contract: one corpus pass
+    // materializes (doc_id, source, toks), and the URL / span /
+    // contamination / sig / pack rungs all derive from it — ZERO
+    // FileScans of the raw corpus in the composed plan (each rung's
+    // own key shuffle is irreducible and allowed), and never a
+    // cartesian or a global sort
+    val p = Catalog.queries("d91_corpus_release")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"a d91 rung re-scans the raw corpus instead of the base:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("rangepartitioning"),
+      s"d91 grew a cartesian or global sort:\n$p")
+  }
+
   test("manifest family reads the materialized screen report, not re-run pipelines") {
     // the r16 scan-economy contract: d60/d69/d70/d74/d79 all consume
     // ONE FileScan of the materialized per-doc screen report (written
