@@ -643,7 +643,106 @@ object MultimodalQueries {
       |WHERE octet_length(encode(text)) = length(text)
       |  AND length(text) >= 6""".stripMargin
 
+  // ---- x15: paired image-text mismatch screen ----
+  // The joint-modality analog of d23 contamination — the screen a
+  // paired (image, caption) training set runs before contrastive
+  // training trusts its pairs: a caption that does not describe its
+  // image poisons the pair, and at crawl scale mispairings are routine
+  // (alt-text of the wrong asset, CDN mix-ups, template captions).
+  // The image side rides the SAME opaque-binary ingest path as every
+  // media query (payload bytes never interpreted as media), the text
+  // side is the caption; the screen scores caption→payload TRIGRAM
+  // CONTAINMENT (|distinct caption 3-grams ∩ payload 3-grams| /
+  // |distinct caption 3-grams|, micro-snapped integer arithmetic) and
+  // flags pairs under tau. Unigrams would be blind here — the fixture
+  // vocabulary appears in every doc (the d17 finding) — while a
+  // matched caption is a contiguous prefix, so its trigrams are ALL
+  // contained: matched pairs score exactly 1e6, planted mispairs
+  // 0–0.125e6 at sf0.01, and the 0.5 tau sits in a wide margin.
+  // Pairs are synthesized deterministically: doc k's image takes the
+  // caption of donor k-1 when k % 10 == 3 (the planted 10% mispair
+  // rate), its own caption otherwise. Pairs whose caption or payload
+  // carries < 3 tokens are 'unscoreable' and KEPT (the d33 rule).
+  // Scale shape: one broadcast-able caption-prefix table joined on
+  // donor id + one map-only scoring projection — no explode, no
+  // gram-key shuffle; the gram walk is a per-row HOF.
+  private val capLen = 10
+  private val mismatchTauMicro = 500000L
+  private def x15(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val pairs = media(s, dir).toDF()
+      .filter(length(trim(col("payload").cast("string"))) > 0)
+      .select(col("media_id").as("doc_id"),
+        TextOps.tokens(col("payload").cast("string")).as("ptoks"))
+      .withColumn("donor_id",
+        expr("CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
+    val caps = Tables(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("donor_id"),
+        slice(TextOps.tokens(col("text")), 1, capLen).as("ct"))
+    pairScreen(pairs, caps)
+  }
+
+  /** The scoring projection over explicit (doc_id, donor_id, ptoks)
+    * pairs and a (donor_id, ct) caption-prefix table — the seam
+    * MultimodalSpec drives with constructed mispairs. */
+  private[graft] def pairScreen(pairs: DataFrame, caps: DataFrame)
+      : DataFrame = {
+    import graft.text.TextOps
+    pairs.join(caps, Seq("donor_id"), "left")
+      .withColumn("cg", when(size(col("ct")) >= 3,
+        TextOps.shingles("ct", 3)))
+      .withColumn("pg", when(size(col("ptoks")) >= 3,
+        TextOps.shingles("ptoks", 3)))
+      .withColumn("n_hits", expr(
+        "CASE WHEN cg IS NULL OR pg IS NULL THEN NULL ELSE " +
+          "cast(size(filter(cg, g -> array_contains(pg, g))) as bigint) END"))
+      .withColumn("score_micro", expr(
+        "n_hits * 1000000 div cast(size(cg) as bigint)"))
+      .select(col("doc_id"), col("donor_id"),
+        size(col("cg")).cast("long").as("n_cap_grams"),
+        col("n_hits"), col("score_micro"),
+        when(col("score_micro").isNull, lit("unscoreable"))
+          .when(col("score_micro") < mismatchTauMicro, lit("mismatch"))
+          .otherwise(lit("ok")).as("verdict"))
+  }
+  private val x15Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(
+       |    regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |pgr AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |    ELSE NULL END AS pg FROM t),
+       |cgr AS (SELECT doc_id AS donor_id,
+       |    CASE WHEN least(len(toks), $capLen) >= 3 THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1, least(len(toks), $capLen) - 2),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |    ELSE NULL END AS cg FROM t),
+       |p AS (SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN doc_id - 1
+       |    ELSE doc_id END AS donor_id FROM t),
+       |j AS (SELECT p.doc_id, p.donor_id, pgr.pg, cgr.cg
+       |  FROM p JOIN pgr ON p.doc_id = pgr.doc_id
+       |  LEFT JOIN cgr ON p.donor_id = cgr.donor_id),
+       |sc AS (SELECT doc_id, donor_id,
+       |    CAST(len(cg) AS BIGINT) AS n_cap_grams,
+       |    CASE WHEN cg IS NULL OR pg IS NULL THEN NULL
+       |      ELSE CAST(len(list_filter(cg, g -> list_contains(pg, g)))
+       |        AS BIGINT) END AS n_hits,
+       |    CASE WHEN cg IS NULL OR pg IS NULL THEN NULL
+       |      ELSE CAST(len(list_filter(cg, g -> list_contains(pg, g)))
+       |        AS BIGINT) * 1000000 // CAST(len(cg) AS BIGINT) END
+       |      AS score_micro
+       |  FROM j)
+       |SELECT doc_id, donor_id, n_cap_grams, n_hits, score_micro,
+       |  CASE WHEN score_micro IS NULL THEN 'unscoreable'
+       |    WHEN score_micro < $mismatchTauMicro THEN 'mismatch'
+       |    ELSE 'ok' END AS verdict
+       |FROM sc""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("x15_pair_mismatch_screen", x15, Some(x15Sql)),
     Q("x14_real_codec_roundtrip", x14, Some(x14Sql)),
     Q("x12_phash_neardup", x12, Some(GoldenOracles.x12)),
     Q("x01_media_ingest", x01, Some(x01Sql)),

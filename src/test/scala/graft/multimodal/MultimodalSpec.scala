@@ -469,4 +469,40 @@ class MultimodalSpec extends AnyFunSuite {
         r.getLong(4))).toSet
     assert(got == Set((1L, 0L, 0L, -1L)), s"all-silent clip: $got")
   }
+
+  test("x15 pair screen: planted mispairs flagged, matched and short pairs kept") {
+    import graft.operators.MultimodalQueries
+    import graft.text.TextOps
+    import spark.implicits._
+    val storm = "a sudden storm rolled across the northern valley flooding " +
+      "every road and field before the calm returned at dawn"
+    val market = "the village market opened with crates of ripe apples " +
+      "while traders argued loudly about the price of winter grain"
+    // pairs: (1) caption from its own text -> ok, (2) caption from the
+    // OTHER text -> mismatch, (3) two-token payload -> unscoreable,
+    // (4) caption donor missing -> unscoreable
+    val images = Seq(
+      (1L, 1L, storm), (2L, 2L, market), (3L, 1L, market),
+      (4L, 4L, "too short"), (5L, 99L, storm))
+      .toDF("doc_id", "donor_id", "text")
+      .select($"doc_id", $"donor_id", TextOps.tokens($"text").as("ptoks"))
+    val caps = Seq((1L, storm), (2L, market), (4L, market))
+      .toDF("donor_id", "text")
+      .select($"donor_id",
+        org.apache.spark.sql.functions.slice(
+          TextOps.tokens($"text"), 1, 10).as("ct"))
+    val got = MultimodalQueries.pairScreen(images, caps)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5)))).toMap
+    assert(got(1L) == ((Some(1000000L), "ok")),
+      s"own-caption pair must score exactly 1.0: ${got(1L)}")
+    assert(got(2L) == ((Some(1000000L), "ok")))
+    assert(got(3L)._2 == "mismatch", s"planted mispair kept: ${got(3L)}")
+    assert(got(3L)._1.exists(_ < 500000L),
+      s"mispair containment must sit under tau: ${got(3L)}")
+    assert(got(4L) == ((None, "unscoreable")),
+      "a sub-trigram payload cannot be scored and is kept")
+    assert(got(5L) == ((None, "unscoreable")),
+      "a pair whose caption is missing cannot be scored and is kept")
+  }
 }
