@@ -40,6 +40,21 @@ object StreamingQueries {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // ts-generation detection memoized per (session, dir): resolving the
+  // events footer is an eager batch read paid at EVERY stream start,
+  // but the answer is a property of the fixture file — caching it is
+  // the one shareable piece of per-run setup (VERDICT r15 next 7; the
+  // rest of a stream start — checkpoint dir, source listing, state
+  // store init — is per-query by construction and is what the
+  // stream_fixed_cost breakdown in BENCH_DETAIL itemizes).
+  private val tsGenCache =
+    new SessionCache[String, java.lang.Boolean](_ => ())
+  private def eventsTsIsLong(s: SparkSession, dir: String): Boolean =
+    tsGenCache.getOrBuild(s, dir) {
+      java.lang.Boolean.valueOf(graft.Tables.eventsTsIsNanosLong(
+        s.read.parquet(s"$dir/events.parquet")))
+    }.booleanValue()
+
   /** Stream the events file through `transform` into a memory sink and
     * return the sink table.
     *
@@ -71,8 +86,7 @@ object StreamingQueries {
     graft.Tables.withNanosAsLong(s) {
       // resolved inside withNanosAsLong, so a nanos-generation file
       // surfaces as a long instead of failing PARQUET_TYPE_ILLEGAL
-      val tsIsLong = graft.Tables.eventsTsIsNanosLong(
-        s.read.parquet(s"$dir/events.parquet"))
+      val tsIsLong = eventsTsIsLong(s, dir)
       // the file stream source lists a DIRECTORY; the glob filter picks
       // out the events file from the shared sf dir
       val raw0 = s.readStream.schema(rawSchema(
