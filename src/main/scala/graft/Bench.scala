@@ -21,8 +21,71 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Status-listener retention, sized for a 600+-execution sweep
+      // (VERDICT r16 next 1 root cause): even with the UI off, the
+      // AppStatusListener and SQLAppStatusListener retain up to 1000
+      // jobs/stages/executions and 100k tasks BY DEFAULT — hundreds of
+      // multi-thousand-node plan graphs plus per-task metric rows that
+      // clearCache()/gc() cannot free. Over a 262-query sweep that
+      // old-gen ballast grew until late-sweep queries (s17, the
+      // probes) ran 3-9× slow with monotonically GROWING back-to-back
+      // samples — a GC signature, not a plan regression (isolated
+      // re-runs of the same queries on the same host sat at 1/4 of
+      // their sweep times; see BENCH_NOTES.md). A long-lived
+      // production driver would pin these exactly the same way.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10")
+      // unload terminated streams' state-store providers on a 10 s
+      // maintenance tick instead of 60 s — a sweep section that starts
+      // ~50 streams in a minute would otherwise hold every final state
+      // map on heap at once
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming-probe instrumentation: a session listener is the only
+    // way to reach a TERMINATED stream's progress (state-store rows,
+    // per-batch durations) from outside its runner — the queries stop
+    // their own streams before returning. The buffer collects across
+    // the whole run; the probes clear it, run one query, then drain.
+    val streamProg = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          streamProg.synchronized { streamProg += e.progress }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+    /** Run one streaming query and return (wall sec, max state rows,
+      * summed in-batch execution sec). Listener delivery is async —
+      * poll until the buffer is stable (2×100 ms) before draining. */
+    def streamRun(name: String, dir: String): (Double, Long, Double) = {
+      streamProg.synchronized(streamProg.clear())
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      var prev = -1
+      var cur = streamProg.synchronized(streamProg.size)
+      var tries = 0
+      while ((cur != prev || cur == 0) && tries < 20) {
+        Thread.sleep(100)
+        prev = cur
+        cur = streamProg.synchronized(streamProg.size)
+        tries += 1
+      }
+      val ps = streamProg.synchronized(streamProg.toList)
+      val stateRows =
+        if (ps.isEmpty) -1L
+        else ps.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val batchSec = ps.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)).sum / 1000.0
+      (wall, stateRows, batchSec)
+    }
     // untimed-in-total warmup: JIT/codegen/classloading + parquet
     // footers for every table, so the first timed query isn't charged
     // session init. Raw warmup seconds still land in the detail file —
@@ -373,6 +436,71 @@ object Bench {
         System.err.println(s"[bench] damds_dist_4k probe FAILED: ${e.getMessage}")
         ""
       }
+    // Third distributed-DAMDS point (VERDICT r16 next 7): n=16384 ×
+    // 32 blocks — 16× the 4k probe's distance cells (268M), 2 MB of
+    // X per allgather — so the gather-cap dispatch path now has a
+    // measured SLOPE (256 → 4096 → 16384), not one point. The job
+    // count is iteration-bound (identical to the 4k probe), so a
+    // superlinear time ratio here would indict the per-job data path
+    // (allgather/kernel), which is exactly what a 100× cluster run
+    // stresses. Matrix build parallelized across cores (driver-side
+    // ~4e9 flops, ~seconds wide, untimed); one timed run, warmed by
+    // the smaller probes; stress/cg_count = determinism checksum.
+    val dd16k =
+      try {
+        import graft.damds.{Damds, DamdsKernels}
+        val nD = 16384; val dDim = 3; val splits = 32; val latent = 8
+        val rnd = new java.util.Random(41L)
+        val pts = Array.fill(nD, latent)(rnd.nextDouble())
+        val shorts = new Array[Short](nD * nD)
+        val rowMx = new Array[Double](nD)
+        java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
+          var mx = 0.0
+          var j = 0
+          while (j < nD) {
+            var s2 = 0.0; var k = 0
+            while (k < latent) {
+              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+            }
+            val dv = math.sqrt(s2)
+            if (dv > mx) mx = dv
+            j += 1
+          }
+          rowMx(i) = mx
+        }
+        val mx = rowMx.max
+        java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
+          var j = 0
+          while (j < nD) {
+            var s2 = 0.0; var k = 0
+            while (k < latent) {
+              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+            }
+            shorts(i * nD + j) = graft.mm.FixedPoint.encode(math.sqrt(s2) / mx)
+            j += 1
+          }
+        }
+        val blocks = graft.mm.MatrixIO.rowSplits(nD, splits).zipWithIndex
+          .map { case ((start, rows), idx) =>
+            DamdsKernels.DamdsBlock(idx, start, rows, nD,
+              java.util.Arrays.copyOfRange(shorts, start * nD, (start + rows) * nD),
+              Array.empty[Short])
+          }
+        val ds = spark.createDataset(blocks)(
+          org.apache.spark.sql.Encoders.product[DamdsKernels.DamdsBlock])
+        val rInit = new java.util.Random(43L)
+        val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
+        val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
+          maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
+        val t0 = System.nanoTime()
+        val r = Damds.run(spark, ds, initX, nD, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        s""","damds_dist_16k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
+          s""""stress":${Bench.fmt("%.6f", math.rint(r.state.stress * 1e6) / 1e6)},"cg_count":${r.state.cgCount}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] damds_dist_16k probe FAILED: ${e.getMessage}")
+        ""
+      }
     // Scaling-slope probe (VERDICT r14 next 6): the only evidence
     // local[32] can give for the 100× question is a measured exponent,
     // so the flagship families run once at sf0.1 and once at a 10×
@@ -426,9 +554,139 @@ object Bench {
           val x10 = best2(n, scaledDir)
           s""""$n":{"sf01_sec":${Bench.fmt("%.3f", base)},"x10_sec":${Bench.fmt("%.3f", x10)},"ratio":${Bench.fmt("%.2f", x10 / base)}}"""
         }
-        s""","scaling_x10":{"reps":$reps,${rows.mkString(",")}}"""
+        // m08's x10 ratio decomposed (VERDICT r16 next 6): its one
+        // corpus scan rides ~linear like every screen; the driver EM
+        // tail is O(histogram/cores) per iteration and the histogram
+        // is the corpus's distinct 6dp-snapped score set — it grows
+        // with corpus size UNTIL the snap domain saturates at
+        // ≤ 1,000,001 rows, after which the tail is a constant
+        // ~25 ms/iter-class cost however large the corpus. The block
+        // commits both cardinalities and the tail seconds so the
+        // ratio reads as (linear scan) + (bounded tail), not as a
+        // scale bug.
+        val m08Decomp =
+          try {
+            val h1 = graft.operators.MlQueries.probeHistogram(spark, sfDir)
+            val t1 = System.nanoTime()
+            graft.operators.MlQueries.probeFit(h1)
+            val em1 = (System.nanoTime() - t1) / 1e9
+            val h2 = graft.operators.MlQueries.probeHistogram(spark, scaledDir)
+            val t2 = System.nanoTime()
+            graft.operators.MlQueries.probeFit(h2)
+            val em2 = (System.nanoTime() - t2) / 1e9
+            s""","m08_decomp":{"hist_rows_sf01":${h1.length},"hist_rows_x10":${h2.length},"hist_domain_bound":1000001,"em_sec_sf01":${Bench.fmt("%.3f", em1)},"em_sec_x10":${Bench.fmt("%.3f", em2)}}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] m08 decomp FAILED: ${e.getMessage}")
+            ""
+          }
+        s""","scaling_x10":{"reps":$reps,${rows.mkString(",")}$m08Decomp}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling probe FAILED: ${e.getMessage}")
+        ""
+      }
+    // Streaming x10 scaling probes (VERDICT r15 next 2 / r16 next 2):
+    // the stateful streaming legs are where 100× bites first — state
+    // stores grow with the KEY universe, not the batch size — so the
+    // six representative legs (stateless stream-static probes s10/
+    // s25/s40, bounded-register sketches s18/s32, and the GROWING
+    // dedup ledger s20) run at sf0.1 and at a 10× replica, with the
+    // final state-store row count per run committed next to the time.
+    // The replica mirrors the batch x10 build (remapped ids, one
+    // appended token per doc replica; remapped user/event ids for
+    // events at 10× the arrival density) but lands as SINGLE parquet
+    // FILES — the file-stream source matches fixtures by exact file
+    // name (pathGlobFilter), so a directory-shaped replica would
+    // stream zero rows. Expected state shapes: s18/s32 registers are
+    // CARDINALITY-BOUNDED (state ratio ~1×), s20's ledger rows track
+    // distinct signatures (~10×), the stream-static probes hold no
+    // state at all (0 rows) — a state ratio outside its documented
+    // bound is a scale bug this block exists to surface.
+    val scalingStream =
+      try {
+        import org.apache.spark.sql.functions._
+        val reps = 10
+        val streamDir = "/tmp/graft_scale_stream_" +
+          sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$reps"
+        if (!new java.io.File(s"$streamDir/_built").exists()) {
+          new java.io.File(streamDir).mkdirs()
+          def single(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+            val tmp = target + "_stage"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val stage = new java.io.File(tmp)
+            val part = stage.listFiles()
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(target),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            stage.listFiles().foreach(_.delete())
+            stage.delete()
+          }
+          val repDf = spark.range(reps).withColumnRenamed("id", "rep")
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+          single(docs.crossJoin(broadcast(repDf))
+            .withColumn("doc_id", col("doc_id") + col("rep") * maxId)
+            .withColumn("text", when(col("rep") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .drop("rep"), s"$streamDir/documents.parquet")
+          // ts round-trips as timestamp_ntz so the replica resolves
+          // exactly like the micros-generation fixture (session TZ is
+          // UTC, so the cast is value-preserving)
+          val ev = graft.Tables.events(spark, sfDir)
+          val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+          val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+          single(ev.crossJoin(broadcast(repDf))
+            .withColumn("event_id", col("event_id") + col("rep") * maxE)
+            .withColumn("user_id", col("user_id") + col("rep") * maxU)
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+            .drop("rep")
+            .select("event_id", "ts", "user_id", "event_type", "value",
+              "props"), s"$streamDir/events.parquet")
+          new java.io.File(s"$streamDir/_built").createNewFile()
+        }
+        val legs = Seq("s10_stream_incremental_dedup", "s18_stream_hll_registers",
+          "s20_stream_dedup_ledger", "s25_stream_block_dedup",
+          "s32_stream_sliding_distinct", "s40_stream_dup_spans")
+          .filter(SparkEntry.queries.contains)
+        val rows = legs.map { n =>
+          val (b1, st1, _) = streamRun(n, sfDir)
+          val (b2, st1b, _) = streamRun(n, sfDir)
+          val base = math.min(b1, b2)
+          val (x1, stx, _) = streamRun(n, streamDir)
+          val (x2, stxb, _) = streamRun(n, streamDir)
+          val x10 = math.min(x1, x2)
+          s""""$n":{"sf01_sec":${Bench.fmt("%.3f", base)},"x10_sec":${Bench.fmt("%.3f", x10)},"ratio":${Bench.fmt("%.2f", x10 / base)},""" +
+            s""""state_rows_sf01":${math.max(st1, st1b)},"state_rows_x10":${math.max(stx, stxb)}}"""
+        }
+        s""","scaling_x10_stream":{"reps":$reps,${rows.mkString(",")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream scaling probe FAILED: ${e.getMessage}")
+        ""
+      }
+    // Streaming fixed-cost breakdown (VERDICT r15 next 7 / r16 next
+    // 5): an s-family row's seconds are start/stop machinery (source
+    // listing, checkpoint + state-store init, micro-batch planning,
+    // plus any batch-side oracle tail) AND the actual in-batch work —
+    // this block splits them so a 2.5-3.5 s row is readable. wall =
+    // full query; batch = the engine's summed triggerExecution
+    // (the micro-batch work, still inclusive of per-batch planning);
+    // overhead = wall − batch. The sweep above already warmed every
+    // query, so these are steady-state splits.
+    val streamFixed =
+      try {
+        val legs = Seq("s01_stream_hourly", "s04_stream_interval_join",
+          "s17_stream_bm25_screen", "s18_stream_hll_registers",
+          "s43_stream_copy_flows")
+          .filter(SparkEntry.queries.contains)
+        val rows = legs.map { n =>
+          val (wall, _, batch) = streamRun(n, sfDir)
+          s""""$n":{"wall_sec":${Bench.fmt("%.3f", wall)},"batch_sec":${Bench.fmt("%.3f", batch)},"overhead_sec":${Bench.fmt("%.3f", math.max(0.0, wall - batch))}}"""
+        }
+        s""","stream_fixed_cost":{${rows.mkString(",")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream fixed-cost probe FAILED: ${e.getMessage}")
         ""
       }
     // Host/env fingerprint (VERDICT r10): a committed builder snapshot
@@ -439,6 +697,33 @@ object Bench {
     // loop is deterministic arithmetic (xorshift64*), so its seconds
     // ARE the host-speed axis: same code, slower calibration = slower
     // host, not a plan regression.
+    //
+    // ~0.5 s fixed overhead (two 200M measured spins + a short JIT
+    // warmup), paid AFTER both timed sweeps so it can't perturb
+    // them; SPARK_GRAFT_NO_CALIB=1 skips it entirely (calib_sec -1)
+    // for harnesses that don't read the fingerprint (ADVICE r11).
+    // calibRef pins the r15 builder host's calibration (2.60 GHz
+    // Xeon, calib 0.581 s) as the cross-round reference axis: the
+    // detail file's queries_calib_norm block divides each query's
+    // seconds by (calib_sec / calibRef), so round-over-round deltas
+    // survive host swaps (VERDICT r16 next 1d).
+    val calibRef = 0.581
+    val calSec =
+      if (sys.env.get("SPARK_GRAFT_NO_CALIB").contains("1")) -1.0
+      else {
+        def spin(iters: Int): Double = {
+          val t0 = System.nanoTime()
+          var x = 0x9e3779b97f4a7c15L; var i = 0
+          while (i < iters) {
+            x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+            x *= 0x2545f4914f6cdd1dL; i += 1
+          }
+          if (x == 0L) System.err.println("unreachable") // keep the loop live
+          (System.nanoTime() - t0) / 1e9
+        }
+        spin(20000000) // JIT warmup only — 10% of a measured spin
+        math.min(spin(200000000), spin(200000000))
+      }
     val envFingerprint = {
       val cpuModel =
         try {
@@ -453,28 +738,8 @@ object Bench {
           try src.getLines().next().split(" ").take(1).mkString
           finally src.close()
         } catch { case _: Throwable => "-1" }
-      // ~0.5 s fixed overhead (two 200M measured spins + a short JIT
-      // warmup), paid AFTER both timed sweeps so it can't perturb
-      // them; SPARK_GRAFT_NO_CALIB=1 skips it entirely (calib_sec -1)
-      // for harnesses that don't read the fingerprint (ADVICE r11).
-      val calSec =
-        if (sys.env.get("SPARK_GRAFT_NO_CALIB").contains("1")) -1.0
-        else {
-          def spin(iters: Int): Double = {
-            val t0 = System.nanoTime()
-            var x = 0x9e3779b97f4a7c15L; var i = 0
-            while (i < iters) {
-              x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-              x *= 0x2545f4914f6cdd1dL; i += 1
-            }
-            if (x == 0L) System.err.println("unreachable") // keep the loop live
-            (System.nanoTime() - t0) / 1e9
-          }
-          spin(20000000) // JIT warmup only — 10% of a measured spin
-          math.min(spin(200000000), spin(200000000))
-        }
       s"""{"cpu":"${cpuModel.replace("\"", "'")}","cores":${Runtime.getRuntime.availableProcessors},""" +
-        s""""loadavg":$loadAvg,"calib_sec":${Bench.fmt("%.3f", calSec)}}"""
+        s""""loadavg":$loadAvg,"calib_sec":${Bench.fmt("%.3f", calSec)},"calib_ref_sec":$calibRef}"""
     }
     // The caller captures only the last ~2000 chars of output, so the
     // stdout line must stay compact: query keys are the unique ID
@@ -519,7 +784,17 @@ object Bench {
       val spreadsJson = spreads.map { case (k, v) =>
         "\"" + k + "\":" + Bench.fmt("%.4f", v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive)","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$scaling}"""
+      // host-normalized seconds (VERDICT r16 next 1d): each query's
+      // time divided by this run's calibration drift vs the pinned
+      // r15 reference calib — cross-round comparisons read THIS block
+      // when the hosts differ. -1 when calibration was skipped.
+      val calibNorm = results.map { case (k, v) =>
+        val norm =
+          if (v >= 0 && calSec > 0) Bench.fmt("%.4f", v * calibRef / calSec)
+          else "-1"
+        "\"" + k + "\":" + norm
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"queries_calib_norm":$calibNorm,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive)","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$scaling$scalingStream$streamFixed}"""
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
@@ -529,7 +804,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$scaling}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$scaling$scalingStream$streamFixed}"""
     spark.stop()
     // printed last, after spark.stop(), so nothing can land after it in
     // the captured tail

@@ -1,0 +1,54 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Isolation probe: run the named queries N times back-to-back each in
+  * a FRESH session (default) and print per-run seconds. The full-sweep
+  * Bench main times queries after ~250 others have run in the same JVM,
+  * so a regression seen there can be (a) the query itself, (b) session
+  * state accumulated by the sweep (cached relations, state stores,
+  * shuffle temp files, heap pressure), or (c) host conditions during
+  * that wall-clock window. This main isolates (a): same code, same
+  * data, cold session — if the isolated time matches the historical
+  * number, the sweep measurement was (b) or (c).
+  *
+  * Usage: runMain graft.BenchIsolate <runs> <query1> [query2 ...]
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_SHARED=1 to reuse ONE session for all runs
+  *      (reproduces the sweep's accumulation behavior on purpose).
+  */
+object BenchIsolate {
+  def main(args: Array[String]): Unit = {
+    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shared = sys.env.get("SPARK_GRAFT_SHARED").contains("1")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val sparkShared = if (shared) Some(newSession()) else None
+    names.foreach { n =>
+      val spark = sparkShared.getOrElse(newSession())
+      // one untimed warmup (codegen + footers), then `runs` timed
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[isolate] $n warmup FAILED: ${e.getMessage}")
+      }
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"""{"query":"$n","mode":"${if (shared) "shared" else "fresh"}","runs":[${secs.map(s => Bench.fmt("%.3f", s)).mkString(",")}]}""")
+      if (sparkShared.isEmpty) spark.stop()
+    }
+    sparkShared.foreach(_.stop())
+  }
+}

@@ -400,22 +400,54 @@ object MlQueries {
       new JBD(java.lang.Double.toString(d)).setScale(15, RoundingMode.HALF_UP)
     def dens(w: Double, m: Double, v: Double, x: Double): Double =
       w * math.exp(-(x - m) * (x - m) / (2 * v)) / math.sqrt(2 * math.Pi * v)
+    // The per-x contributions fold in PARALLEL chunks: decimal
+    // addition is exact, hence associative and commutative, so the
+    // chunked sum is bit-identical to the sequential left fold (same
+    // for the integer micro-nat loglik) — the same order-independence
+    // argument the distributed per-row form already rests on. The
+    // histogram grows with corpus score cardinality until the 6dp
+    // snap domain saturates (≤ 1e6 + 1 rows), and a single-threaded
+    // 50-iteration fold over it was the m08 x10 superlinearity
+    // (VERDICT r16 next 6): the one distributed scan rode 10× like
+    // every map-only screen, but the driver tail rode 10× TOO on one
+    // core. Chunking caps the tail at histSize/cores per iteration;
+    // past saturation it is O(1e6/cores) regardless of corpus size.
+    final case class Part(var r1: JBD, var s1: JBD, var q1: JBD,
+        var r2: JBD, var s2: JBD, var q2: JBD, var ll: Long, var n: Long)
+    val nChunks = math.min(Runtime.getRuntime.availableProcessors,
+      math.max(1, hist.length / 1024))
+    val bounds = (0 to nChunks).map(i =>
+      (hist.length.toLong * i / nChunks).toInt)
+    val parts = java.util.stream.IntStream.range(0, nChunks).parallel()
+      .mapToObj[Part] { ci =>
+        val pt = Part(JBD.ZERO, JBD.ZERO, JBD.ZERO,
+          JBD.ZERO, JBD.ZERO, JBD.ZERO, 0L, 0L)
+        var i = bounds(ci)
+        while (i < bounds(ci + 1)) {
+          val (x, cnt) = hist(i)
+          val f1 = dens(p.w1, p.m1, p.v1, x)
+          val f2 = dens(p.w2, p.m2, p.v2, x)
+          val tot = f1 + f2 + 1e-300
+          val c = JBD.valueOf(cnt)
+          pt.r1 = pt.r1.add(snap(f1 / tot).multiply(c))
+          pt.s1 = pt.s1.add(snap(f1 / tot * x).multiply(c))
+          pt.q1 = pt.q1.add(snap(f1 / tot * x * x).multiply(c))
+          pt.r2 = pt.r2.add(snap(f2 / tot).multiply(c))
+          pt.s2 = pt.s2.add(snap(f2 / tot * x).multiply(c))
+          pt.q2 = pt.q2.add(snap(f2 / tot * x * x).multiply(c))
+          pt.ll += cnt * math.floor(math.log(tot) * 1e6 + 0.5).toLong
+          pt.n += cnt
+          i += 1
+        }
+        pt
+      }.collect(java.util.stream.Collectors.toList[Part])
     var (r1, s1, q1) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
     var (r2, s2, q2) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
     var ll = 0L; var n = 0L
-    hist.foreach { case (x, cnt) =>
-      val f1 = dens(p.w1, p.m1, p.v1, x)
-      val f2 = dens(p.w2, p.m2, p.v2, x)
-      val tot = f1 + f2 + 1e-300
-      val c = JBD.valueOf(cnt)
-      r1 = r1.add(snap(f1 / tot).multiply(c))
-      s1 = s1.add(snap(f1 / tot * x).multiply(c))
-      q1 = q1.add(snap(f1 / tot * x * x).multiply(c))
-      r2 = r2.add(snap(f2 / tot).multiply(c))
-      s2 = s2.add(snap(f2 / tot * x).multiply(c))
-      q2 = q2.add(snap(f2 / tot * x * x).multiply(c))
-      ll += cnt * math.floor(math.log(tot) * 1e6 + 0.5).toLong
-      n += cnt
+    parts.forEach { pt =>
+      r1 = r1.add(pt.r1); s1 = s1.add(pt.s1); q1 = q1.add(pt.q1)
+      r2 = r2.add(pt.r2); s2 = s2.add(pt.s2); q2 = q2.add(pt.q2)
+      ll += pt.ll; n += pt.n
     }
     val nd = n.toDouble
     def m(su: JBD, r: JBD) = su.doubleValue() / r.doubleValue()
@@ -448,6 +480,17 @@ object MlQueries {
     }
     hist += ((p, gmmStepHist(h, p)._2))
     hist.toSeq
+  }
+
+  /** Instrumentation hooks for the m08 scaling probe: the histogram
+    * pass and the driver EM tail, separately callable so the x10
+    * ratio decomposes into its scan vs tail components. */
+  def probeHistogram(s: SparkSession, dir: String): Array[(Double, Long)] =
+    gmmHistogram(gmmScores(s, dir))
+  def probeFit(h: Array[(Double, Long)]): GmmParams = {
+    var p = GmmParams(0.5, -0.05, 0.0025, 0.5, 0.05, 0.0025)
+    for (_ <- 0 until gmmIters) p = gmmStepHist(h, p)._1
+    p
   }
 
   /** The real distributed DAG behind the eager m08 — the single

@@ -47,12 +47,22 @@ object StreamingQueries {
   // rest of a stream start — checkpoint dir, source listing, state
   // store init — is per-query by construction and is what the
   // stream_fixed_cost breakdown in BENCH_DETAIL itemizes).
+  // PRECONDITION (repo-wide dir-keyed cache convention): the fixture
+  // at $dir/events.parquet is immutable for the session lifetime; an
+  // in-place regeneration mid-session requires a new session (or dir).
   private val tsGenCache =
     new SessionCache[String, java.lang.Boolean](_ => ())
   private def eventsTsIsLong(s: SparkSession, dir: String): Boolean =
     tsGenCache.getOrBuild(s, dir) {
-      java.lang.Boolean.valueOf(graft.Tables.eventsTsIsNanosLong(
-        s.read.parquet(s"$dir/events.parquet")))
+      // Self-contained scope: the nanos-generation fixture only resolves
+      // (rather than erroring with PARQUET_TYPE_ILLEGAL) under the
+      // nanosAsLong flag. The current caller already holds that scope,
+      // but a cold-cache call from anywhere else must not depend on it
+      // (withNanosAsLong is idempotent under nesting — it save/restores).
+      graft.Tables.withNanosAsLong(s) {
+        java.lang.Boolean.valueOf(graft.Tables.eventsTsIsNanosLong(
+          s.read.parquet(s"$dir/events.parquet")))
+      }
     }.booleanValue()
 
   /** Stream the events file through `transform` into a memory sink and

@@ -1065,20 +1065,41 @@ object TextQueries {
   // source, n_tokens, epoch). Every stage is one of the
   // individually-oracle-checked operators; this row hash-gates their
   // COMPOSITION as a single DuckDB CTE chain, end to end.
+  // The v1 manifest's expensive front — chunk dedup APPLIED (d25's
+  // reassembled clean text) scored per doc (clean token count,
+  // stopword quality, budget shard) — is a per-doc table a curation
+  // run materializes ONCE, exactly like the v2+ screen report: r16's
+  // d30 was the only composed artifact still re-deriving its screens
+  // per run (6 scans / 6 exchanges / 5 Generates, 1.34 s — VERDICT
+  // r16 next 3). Built per (session, dataset) under the warehouse;
+  // d30 reads it and runs only its own bounded tail (budget window +
+  // mixture expansion). Oracle unchanged — the composed CTE chain
+  // still hash-gates the full pipeline end to end.
+  private val curationV1Disk = new DiskLayoutCache("graft_cur_v1")
+  private def curationV1Scored(s: SparkSession, dir: String): DataFrame = {
+    val path = curationV1Disk.getOrBuild(s, dir) { p =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val clean = TextOps.chunkDedupApply(docs, "doc_id", "text", d25W)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val h = md5(concat($"doc_id".cast("string"), lit(":cur"))
+        .cast("binary"))
+      clean
+        .select($"doc_id", $"source",
+          TextOps.tokens($"clean_text").as("toks"), h.as("h"))
+        .select($"doc_id", $"source",
+          size($"toks").cast("long").as("n_tokens"),
+          (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
+          pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
+            lit(d28Shards)).as("shard"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private def d30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-    val clean = TextOps.chunkDedupApply(docs, "doc_id", "text", d25W)
-      .join(docs.select($"doc_id", $"source"), "doc_id")
-    val h = md5(concat($"doc_id".cast("string"), lit(":cur")).cast("binary"))
-    val scored = clean
-      .select($"doc_id", $"source", TextOps.tokens($"clean_text").as("toks"),
-        h.as("h"))
-      .select($"doc_id", $"source",
-        size($"toks").cast("long").as("n_tokens"),
-        (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
-        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
-          lit(d28Shards)).as("shard"))
+    val scored = curationV1Scored(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source", $"shard").orderBy($"q".desc, $"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -4755,9 +4776,13 @@ object TextQueries {
   private val tokenizedCache = new SessionCache[String, DataFrame](_.unpersist())
   private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     tokenizedCache.getOrBuild(s, dir) {
+      // `source` rides along (a few bytes next to the corpus-sized toks
+      // column) so consumers that need it — d91's URL rung, the release
+      // ledger build — don't re-scan the raw corpus for one column
       val t = Tables(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          TextOps.tokens(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t.count() // materialize under the builder's monitor
       t
@@ -5988,55 +6013,107 @@ object TextQueries {
   // clean token count and scrubbed-text md5 — the manifest a training
   // job consumes.
   //
-  // Scale shape — the round-16 point: the rungs COMPOSE WITHOUT PLAN
-  // BLOWUP. One corpus pass materializes the release working set
-  // (doc_id, source, toks) as an eager localCheckpoint, and every
-  // rung (URL canon, gram sites, 5-gram shingles, word-set sigs, pack
-  // sizes) derives from that materialized base — zero per-rung
-  // re-scans of the raw corpus (pinned in PlanDisciplineSpec). The
-  // shuffles are each rung's own irreducible key exchange (canon /
-  // gh / sh / sig / doc_id), same as running the rungs separately;
-  // the eval slice (doc_id < 20) stays out by d33's definition, and
-  // a fully-scrubbed doc (kept 0) leaves the release, the d79 rule.
+  // Scale shape — r17's refinement of the round-16 point: the heavy
+  // rungs (span scrub, exact contamination, per-doc signatures) live
+  // in the materialized release ledger below, and the composed query
+  // touches ONLY that ledger — every FileScan in its plan is the
+  // ledger's, zero scans of the raw corpus (pinned in
+  // PlanDisciplineSpec). The rungs d91 adds live (URL canon keeper
+  // election, the split coin, packing) are the remaining shuffles —
+  // each rung's own irreducible key exchange (canon / sig / doc_id /
+  // pack window); the eval slice (doc_id < 20) stays out by d33's
+  // definition, and a fully-scrubbed doc (kept 0) leaves the
+  // release, the d79 rule.
+  // ---- the materialized release scrub ledger ----
+  // r16's d91 recomputed its two EXPENSIVE rungs — the corpus-wide
+  // span ledger (gram sites → keeper election → islands → kept
+  // positions) and the exact contamination verdicts (5-gram shingle
+  // join against the eval slice) — from the checkpointed base on
+  // every run: 3.63 s at sf0.1, the round's 3rd-slowest row, while
+  // the screen-report family had already shown the production shape
+  // (materialize once, read everywhere — VERDICT r16 next 4). The
+  // verdict suggested reading `screenReport`, but that artifact can't
+  // serve this composition: its universe starts at doc_id >= fuzzyEvalN
+  // (=100, the sampler's corpus) while the release universe starts at
+  // 20 (d33's eval slice), its contamination flags are the FUZZY and
+  // BLOOM screens (d58/d57) where the release deploys the EXACT d23
+  // tau verdict, and it carries scrub token COUNTS where the release
+  // needs the scrubbed text's md5. So the release path gets its own
+  // per-doc artifact at its own grain — doc_id, source, kept_tokens,
+  // clean_md5, contaminated — built once per (session, dataset) and
+  // read by d91 as one FileScan. The rungs d91 genuinely adds at
+  // compose time (URL canon keepers, the split coin, per-(split,shard)
+  // packing) stay live in the query.
+  private val releaseLedgerDisk = new DiskLayoutCache("graft_release")
+  private def releaseLedger(s: SparkSession, dir: String): DataFrame = {
+    val path = releaseLedgerDisk.getOrBuild(s, dir) { p =>
+      import s.implicits._
+      val base = tokenizedDocs(s, dir) // doc_id, source, toks (persisted)
+
+      // d83: removable spans under corpus-wide keeper semantics
+      val spansByDoc = dupSpansOf(removableSites(gramSitesOfToks(
+          base.select($"doc_id", $"toks"), dupL)))
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"span_start".as("a"),
+          $"span_end".as("b")))).as("spans"))
+
+      // d23/d33: exact contamination verdicts as deployed
+      val sh = base.filter(size($"toks") >= 5)
+        .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
+      val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
+        .withColumn("hit", lit(1L))
+      val contaminated = sh.filter($"doc_id" >= 20)
+        .join(evalSet, Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("total"),
+          sum(coalesce($"hit", lit(0L))).as("nc"))
+        .filter(round($"nc".cast("double") / $"total", 6) >= decontamTau)
+        .select($"doc_id", lit(1L).as("contaminated"))
+
+      base
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(spansByDoc, Seq("doc_id"), "left")
+        .withColumn("spans", coalesce($"spans",
+          expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
+        .withColumn("kept", expr(
+          "filter(sequence(0, size(toks) - 1), p -> " +
+            "NOT exists(spans, s -> p >= s.a AND p < s.b))"))
+        .select($"doc_id", $"source",
+          coalesce($"contaminated", lit(0L)).as("contaminated"),
+          size($"kept").cast("long").as("kept_tokens"),
+          md5(concat_ws(" ",
+            expr("transform(kept, p -> toks[p])")).cast("binary"))
+            .as("clean_md5"),
+          // the word-set signature (d34's bag-of-words identity) rides
+          // along: it is the third per-doc signature this ledger
+          // already exists to hold (next to clean_md5), and it lets
+          // the split rung's keeper election run off the ledger
+          // without re-tokenizing the corpus
+          md5(concat_ws(" ", array_sort(array_distinct($"toks")))
+            .cast("binary")).as("sig"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private def d91(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables(s, dir, "documents")
-      .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
-      .localCheckpoint()
+    val led = releaseLedger(s, dir)
 
-    // rung 1 — d90: canonical-URL keepers
-    val urls = urlCanonCols(base.select($"doc_id", $"source")
+    // rung 1 — d90: canonical-URL keepers (live — d91's own rung; the
+    // URL derives from doc_id/source, which the ledger carries).
+    // min(doc_id) per canon IS the keeper id, so the election is one
+    // partial-aggregable groupBy with no join-back (the r16 form
+    // re-joined the urls frame just to re-derive the min it had).
+    val urlKeepers = urlCanonCols(led.select($"doc_id", $"source")
         .withColumn("url", expr(urlVariantSparkSql)))
       .select($"doc_id", $"canon")
-    val ukeep = urls.groupBy($"canon").agg(min($"doc_id").as("ukeeper"))
-    val urlKeepers = urls.join(ukeep, "canon")
-      .filter($"doc_id" === $"ukeeper").select($"doc_id")
-
-    // rung 2 — d83: removable spans under corpus-wide keeper semantics
-    val spansByDoc = dupSpansOf(removableSites(gramSitesOfToks(
-        base.select($"doc_id", $"toks"), dupL)))
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"span_start".as("a"),
-        $"span_end".as("b")))).as("spans"))
-
-    // rung 3 — d23/d33: contamination verdicts as deployed
-    val sh = base.filter(size($"toks") >= 5)
-      .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
-    val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
-      .withColumn("hit", lit(1L))
-    val contaminated = sh.filter($"doc_id" >= 20)
-      .join(evalSet, Seq("sh"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("total"),
-        sum(coalesce($"hit", lit(0L))).as("nc"))
-      .filter(round($"nc".cast("double") / $"total", 6) >= decontamTau)
+      .groupBy($"canon").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
 
-    // rung 4 — d37: split coin off the word-set cluster keeper
-    val sigs = base.select($"doc_id",
-      md5(concat_ws(" ", array_sort(array_distinct($"toks")))
-        .cast("binary")).as("sig"))
+    // rung 4 — d37: split coin off the word-set cluster keeper (live;
+    // the per-doc sig is a ledger column, the election + coin are not)
+    val sigs = led.select($"doc_id", $"sig")
     val sigKeep = sigs.groupBy($"sig").agg(min($"doc_id").as("keeper"))
     val bucket = substring(md5($"keeper".cast("string").cast("binary")), 1, 2)
     val splits = sigs.join(sigKeep, "sig")
@@ -6044,23 +6121,14 @@ object TextQueries {
         when(bucket < "cc", "train").when(bucket < "e6", "val")
           .otherwise("test").as("split"))
 
-    // compose: training universe ∩ URL keepers − contaminated,
-    // scrubbed to clean text, split-assigned
-    val survivors = base.filter($"doc_id" >= 20)
+    // rungs 2+3 — span scrub + exact contamination — are ledger
+    // columns; compose: training universe ∩ URL keepers − contaminated,
+    // kept > 0, split-assigned
+    val survivors = led
+      .filter($"doc_id" >= 20 && $"contaminated" === 0L &&
+        $"kept_tokens" > 0)
+      .select($"doc_id", $"source", $"kept_tokens", $"clean_md5")
       .join(urlKeepers, "doc_id")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(spansByDoc, Seq("doc_id"), "left")
-      .withColumn("spans", coalesce($"spans",
-        expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
-      .withColumn("kept", expr(
-        "filter(sequence(0, size(toks) - 1), p -> " +
-          "NOT exists(spans, s -> p >= s.a AND p < s.b))"))
-      .filter(size($"kept") > 0)
-      .select($"doc_id", $"source",
-        size($"kept").cast("long").as("kept_tokens"),
-        md5(concat_ws(" ",
-          expr("transform(kept, p -> toks[p])")).cast("binary"))
-          .as("clean_md5"))
       .join(splits, "doc_id")
 
     // rung 5 — d16: pack per (split, shard) with CLEAN token weights
@@ -6133,6 +6201,66 @@ object TextQueries {
         |    AS BIGINT) AS bin,
         |  kept_tokens, clean_md5
         |FROM packed""".stripMargin
+
+  // ---- d92: end-to-end crawl ingest (the composed APPLY pipeline) ----
+  // d89 REPORTS the ingest funnel; this row RUNS it (VERDICT r16 next
+  // 8) — the ingest-side sibling of d91's release composition: URL
+  // canonicalization with keeper dedup APPLIED (d90: only the min-id
+  // spelling of each canonical URL is fetched/kept), HTML main-content
+  // extraction APPLIED (d85: non-extractable pages leave the corpus),
+  // and the secret scrub APPLIED TO THE EXTRACTED TEXT (d87 over d85's
+  // output — the order a production ingest runs them, and the one
+  // composition d88 doesn't already pin: d88 screens extracted text,
+  // this one rewrites it). Output: one row per ingested page — its
+  // canonical URL, token/redaction counts and the scrubbed main
+  // content's md5 (the bytes a downstream curation run would receive).
+  //
+  // Scale shape: page synthesis + URL canon + extraction fuse into ONE
+  // map-only projection of one corpus scan (the d89 fusion seam); the
+  // only exchange pair is the canon-key keeper election (a partial-
+  // aggregable min, the d90 shape) joined back on doc_id; the scrub is
+  // a second map-only chain over the survivors. No window, no
+  // corpus-sized broadcast, no explode.
+  private def d92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fused = htmlExtractCols(urlCanonCols(
+      syntheticPages(Tables(s, dir, "documents"))
+        .withColumn("url", expr(urlVariantSparkSql))))
+    val keepers = fused.select($"doc_id", $"canon")
+      .groupBy($"canon").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val survivors = fused.filter(size($"kept") >= 1)
+      .join(keepers, "doc_id")
+      .select($"doc_id", $"source", $"canon".as("canon_url"),
+        $"main".as("text"))
+    scrubCols(survivors)
+      .select($"doc_id", $"source", $"canon_url",
+        size($"ws").cast("long").as("n_tokens"),
+        $"n_redacted",
+        length($"scrubbed").cast("long").as("clean_chars"),
+        md5($"scrubbed".cast("binary")).as("clean_md5"))
+  }
+  private lazy val d92Sql =
+    s"WITH $d85CtePrefix,\n$urlCanonCteSql,\n" +
+      s"""uk AS (SELECT canon_url, MIN(doc_id) AS keeper FROM cu GROUP BY 1),
+         |surv AS (SELECT m.doc_id, cu.source, cu.canon_url, m.main
+         |  FROM m JOIN cu ON m.doc_id = cu.doc_id
+         |  JOIN uk ON cu.canon_url = uk.canon_url AND m.doc_id = uk.keeper
+         |  WHERE len(m.kept) >= 1),
+         |w92 AS (SELECT doc_id, source, canon_url,
+         |    string_split_regex(trim(main), '\\s+') AS ws
+         |  FROM surv),
+         |sc92 AS (SELECT doc_id, source, canon_url, ws,
+         |    array_to_string(list_transform(ws, t -> CASE WHEN $flagPredDuck
+         |      THEN '[REDACTED]' ELSE t END), ' ') AS scrubbed
+         |  FROM w92)
+         |SELECT doc_id, source, canon_url,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(ws, t -> $flagPredDuck)) AS BIGINT)
+         |    AS n_redacted,
+         |  CAST(length(scrubbed) AS BIGINT) AS clean_chars,
+         |  md5(scrubbed) AS clean_md5
+         |FROM sc92""".stripMargin
 
   // ---- d85: HTML boilerplate extraction (main-content screen) ----
   // The curation rung UPSTREAM of every text screen in this file: real
@@ -6391,7 +6519,8 @@ object TextQueries {
     Q("d88_extracted_quality", d88, Some(d88Sql)),
     Q("d89_ingest_funnel", d89, Some(d89Sql)),
     Q("d90_url_canonical_dedup", d90, Some(d90Sql)),
-    Q("d91_corpus_release", d91, Some(d91Sql)))
+    Q("d91_corpus_release", d91, Some(d91Sql)),
+    Q("d92_crawl_ingest", d92, Some(d92Sql)))
 
 
 }

@@ -706,16 +706,24 @@ class PlanDisciplineSpec extends AnyFunSuite {
   }
 
   test("d91 release composition derives every rung from one materialized base") {
-    // the composed release's scale contract: one corpus pass
-    // materializes (doc_id, source, toks), and the URL / span /
-    // contamination / sig / pack rungs all derive from it — ZERO
-    // FileScans of the raw corpus in the composed plan (each rung's
-    // own key shuffle is irreducible and allowed), and never a
-    // cartesian or a global sort
+    // the composed release's scale contract (r17 form): the heavy
+    // rungs (span scrub, exact contamination, per-doc signatures)
+    // come from the materialized release ledger — every FileScan in
+    // the plan is that ledger's (once per live rung: the URL canon,
+    // the sig election + coin join, the survivor filter) — while the
+    // rungs d91 adds (keeper elections, packing) are the remaining
+    // exchanges. Zero scans of the raw corpus, never a cartesian or
+    // a global sort
     val p = Catalog.queries("d91_corpus_release")(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
-    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
-      s"a d91 rung re-scans the raw corpus instead of the base:\n$p")
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_release")),
+      s"a d91 rung re-scans the raw corpus instead of the ledger:\n$p")
+    assert(scans.size <= 4,
+      s"d91 should read only the release ledger (<=4 rung reads), " +
+        s"got ${scans.size}:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"d91 re-scans the raw corpus:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("rangepartitioning"),
       s"d91 grew a cartesian or global sort:\n$p")
   }
@@ -746,6 +754,25 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(!ps.contains("documents.parquet"),
         s"$q re-scans the raw corpus instead of the screen report:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d30 v1 manifest reads the materialized scored table, not raw text") {
+    // the same scan-economy contract extended to the v1 manifest
+    // (VERDICT r16 next 3): the chunk-dedup + scoring front is
+    // materialized once (curationV1Scored) and d30's plan touches
+    // ONLY that artifact — no scan of the documents fixture, no
+    // Generate (the chunk explode lives in the builder), and at most
+    // two scans of the scored table (the budget window and the
+    // epoch-join tail read it independently).
+    val p = Catalog.queries("d30_curation_manifest")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_cur_v1")),
+      s"d30 re-scans the raw corpus instead of the scored table:\n$p")
+    assert(scans.size <= 2,
+      s"d30 should read the scored table at most twice, got ${scans.size}:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"d30 re-scans the raw corpus:\n$p")
   }
 
   test("v24 drift audit: one bounded-key exchange, vectors never shuffled") {
