@@ -1560,6 +1560,44 @@ object StreamingQueries {
     s.table(name)
   }
 
+  // ---- s51: composed crawl ingest on arrival (d92 live) ----
+  // The whole d92 ingest pipeline as a crawler deploys it: arriving
+  // pages run the FUSED stateless chain (page synthesis + URL canon +
+  // extraction — one map-only projection, the s48 lift), non-
+  // extractable pages drop, the canonical-URL keeper LEDGER probes as
+  // a stream-static join (the s10/s25 frozen-ledger shape — batch
+  // history elects keepers, the stream admits only their fetches),
+  // and the secret scrub rewrites the EXTRACTED text before it lands
+  // (the s49 redact-before-landing rule, applied downstream of
+  // extraction exactly as d92 orders them). No streaming state, no
+  // watermark — the only stateful-looking piece is the static ledger,
+  // recomputed per micro-batch like every stream-static side. Gated
+  // by d92's batch oracle exactly.
+  private def s51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keepers = TextQueries.urlKeeperLedger(s, dir)
+    val raw = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir)
+    val survivors = TextQueries.ingestCols(raw)
+      .filter(size($"kept") >= 1)
+      .join(keepers, "doc_id")
+      .select($"doc_id", $"source", $"canon".as("canon_url"),
+        $"main".as("text"))
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val q = TextQueries.ingestScrubOut(survivors).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   // ---- s46: streaming ridge-fit register maintenance ----
   // m09's nine integer sum registers are a mergeable sufficient
   // statistic, so the live form of the distillation audit is a
@@ -1638,5 +1676,6 @@ object StreamingQueries {
     Q("s47_stream_audio_vad", s47, Some(GoldenOracles.x13)),
     Q("s48_stream_html_extract", s48, Some(TextQueries.d85Sql)),
     Q("s49_stream_secret_scrub", s49, Some(TextQueries.d87Sql)),
-    Q("s50_stream_centroid_registers", s50, Some(VectorQueries.centroidSumsSql)))
+    Q("s50_stream_centroid_registers", s50, Some(VectorQueries.centroidSumsSql)),
+    Q("s51_stream_crawl_ingest", s51, Some(TextQueries.d92Sql)))
 }

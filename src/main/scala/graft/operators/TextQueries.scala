@@ -6221,26 +6221,43 @@ object TextQueries {
   // aggregable min, the d90 shape) joined back on doc_id; the scrub is
   // a second map-only chain over the survivors. No window, no
   // corpus-sized broadcast, no explode.
+  /** The fused ingest column chain — page synthesis + URL canon +
+    * extraction in ONE map-only projection (the d89 fusion seam) —
+    * over any documents frame, batch (d92) or stream (s51). */
+  private[operators] def ingestCols(docs: DataFrame): DataFrame =
+    htmlExtractCols(urlCanonCols(
+      syntheticPages(docs).withColumn("url", expr(urlVariantSparkSql))))
+
+  /** The canonical-URL keeper set (d90's partial-aggregable min-id
+    * election) as a doc_id ledger — d92's dedup stage and s51's
+    * stream-static side. Corpus-proportional: consumers join it. */
+  private[operators] def urlKeeperLedger(s: SparkSession, dir: String)
+      : DataFrame =
+    urlCanonCols(syntheticUrls(Tables(s, dir, "documents")))
+      .select(col("doc_id"), col("canon"))
+      .groupBy(col("canon")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** d92's scrubbed per-page output over ingest survivors carrying
+    * (doc_id, source, canon_url, text=extracted main). */
+  private[operators] def ingestScrubOut(survivors: DataFrame): DataFrame =
+    scrubCols(survivors)
+      .select(col("doc_id"), col("source"), col("canon_url"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        col("n_redacted"),
+        length(col("scrubbed")).cast("long").as("clean_chars"),
+        md5(col("scrubbed").cast("binary")).as("clean_md5"))
+
   private def d92(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fused = htmlExtractCols(urlCanonCols(
-      syntheticPages(Tables(s, dir, "documents"))
-        .withColumn("url", expr(urlVariantSparkSql))))
-    val keepers = fused.select($"doc_id", $"canon")
-      .groupBy($"canon").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
+    val fused = ingestCols(Tables(s, dir, "documents"))
     val survivors = fused.filter(size($"kept") >= 1)
-      .join(keepers, "doc_id")
+      .join(urlKeeperLedger(s, dir), "doc_id")
       .select($"doc_id", $"source", $"canon".as("canon_url"),
         $"main".as("text"))
-    scrubCols(survivors)
-      .select($"doc_id", $"source", $"canon_url",
-        size($"ws").cast("long").as("n_tokens"),
-        $"n_redacted",
-        length($"scrubbed").cast("long").as("clean_chars"),
-        md5($"scrubbed".cast("binary")).as("clean_md5"))
+    ingestScrubOut(survivors)
   }
-  private lazy val d92Sql =
+  private[operators] lazy val d92Sql =
     s"WITH $d85CtePrefix,\n$urlCanonCteSql,\n" +
       s"""uk AS (SELECT canon_url, MIN(doc_id) AS keeper FROM cu GROUP BY 1),
          |surv AS (SELECT m.doc_id, cu.source, cu.canon_url, m.main

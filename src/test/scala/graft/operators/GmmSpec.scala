@@ -111,4 +111,53 @@ class GmmSpec extends AnyFunSuite {
           s"  hist:   $fast\n  perRow: $slow")
     }
   }
+
+  test("chunk-parallel histogram fold is bit-identical to the sequential fold") {
+    // gmmStepHist folds the histogram in parallel chunks (decimal
+    // addition is exact, hence associative — the x10-superlinearity
+    // fix), but the parallel path only engages past 1024 rows and the
+    // gate-scale fixture histogram sits below that; this leg builds a
+    // synthetic 100k-row histogram (6dp-snapped xs, the production
+    // domain) and replays the ORIGINAL sequential left fold
+    // independently, pinning chunked == sequential bit-for-bit.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rnd = new scala.util.Random(7)
+    val h = Array.tabulate(100000)(_ =>
+      (math.rint((rnd.nextDouble() - 0.5) * 1e6) / 1e6,
+        (rnd.nextInt(5) + 1).toLong))
+    val p = MlQueries.GmmParams(0.5, -0.05, 0.0025, 0.5, 0.05, 0.0025)
+    def snap(d: Double): JBD =
+      new JBD(java.lang.Double.toString(d)).setScale(15, RoundingMode.HALF_UP)
+    def dens(w: Double, m: Double, v: Double, x: Double): Double =
+      w * math.exp(-(x - m) * (x - m) / (2 * v)) / math.sqrt(2 * math.Pi * v)
+    var (r1, s1, q1) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
+    var (r2, s2, q2) = (JBD.ZERO, JBD.ZERO, JBD.ZERO)
+    var ll = 0L; var n = 0L
+    h.foreach { case (x, cnt) =>
+      val f1 = dens(p.w1, p.m1, p.v1, x)
+      val f2 = dens(p.w2, p.m2, p.v2, x)
+      val tot = f1 + f2 + 1e-300
+      val c = JBD.valueOf(cnt)
+      r1 = r1.add(snap(f1 / tot).multiply(c))
+      s1 = s1.add(snap(f1 / tot * x).multiply(c))
+      q1 = q1.add(snap(f1 / tot * x * x).multiply(c))
+      r2 = r2.add(snap(f2 / tot).multiply(c))
+      s2 = s2.add(snap(f2 / tot * x).multiply(c))
+      q2 = q2.add(snap(f2 / tot * x * x).multiply(c))
+      ll += cnt * math.floor(math.log(tot) * 1e6 + 0.5).toLong
+      n += cnt
+    }
+    val nd = n.toDouble
+    def m(su: JBD, r: JBD) = su.doubleValue() / r.doubleValue()
+    def v(qu: JBD, su: JBD, r: JBD) = {
+      val (q, s, rr) = (qu.doubleValue(), su.doubleValue(), r.doubleValue())
+      math.max(q / rr - (s / rr) * (s / rr), 1e-5)
+    }
+    val seq = (MlQueries.GmmParams(
+      r1.doubleValue() / nd, m(s1, r1), v(q1, s1, r1),
+      r2.doubleValue() / nd, m(s2, r2), v(q2, s2, r2)), ll)
+    val par = MlQueries.gmmStepHist(h, p)
+    assert(par == seq,
+      s"chunk-parallel fold diverged from sequential:\n  par: $par\n  seq: $seq")
+  }
 }

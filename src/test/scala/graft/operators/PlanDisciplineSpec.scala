@@ -775,6 +775,26 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"d30 re-scans the raw corpus:\n$p")
   }
 
+  test("d92 crawl ingest: fused map-only chains, one keeper election") {
+    // the composed ingest's scale contract: page synthesis + URL
+    // canon + extraction + scrub are string HOF column chains fused
+    // into projections (no Generate — an explode would manufacture a
+    // per-block row universe), the corpus is scanned at most twice
+    // (the fused chain and the keeper-ledger branch), and the only
+    // non-join shuffle is the canon-key keeper election — never a
+    // window, cartesian, or global sort
+    val p = Catalog.queries("d92_crawl_ingest")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans <= 2,
+      s"d92 should scan the corpus at most twice (fused + ledger), got $scans:\n$p")
+    assert(!p.contains("Generate"),
+      s"d92 extraction must stay HOF column chains, not explode:\n$p")
+    assert(!p.contains("Window ") && !p.contains("CartesianProduct") &&
+      !p.contains("rangepartitioning"),
+      s"d92 grew a window/cartesian/global sort:\n$p")
+  }
+
   test("v24 drift audit: one bounded-key exchange, vectors never shuffled") {
     // per-cell counts are the only shuffle (hashpartitioning on the
     // 2^divBits bucket domain after map-side partials); the total row
