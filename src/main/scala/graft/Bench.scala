@@ -685,7 +685,12 @@ object Bench {
           "s43_stream_copy_flows")
           .filter(SparkEntry.queries.contains)
         val rows = legs.map { n =>
-          val (wall, _, batch) = streamRun(n, sfDir)
+          // min-of-2 by wall, keeping the matching batch split — the
+          // probe runs right after the x10 stream sweep, and a single
+          // reading proved hostage to the state-store maintenance /
+          // GC window that sweep leaves behind
+          val (wall, _, batch) = Seq(streamRun(n, sfDir),
+            streamRun(n, sfDir)).minBy(_._1)
           s""""$n":{"wall_sec":${Bench.fmt("%.3f", wall)},"batch_sec":${Bench.fmt("%.3f", batch)},"overhead_sec":${Bench.fmt("%.3f", math.max(0.0, wall - batch))}}"""
         }
         s""","stream_fixed_cost":{${rows.mkString(",")}}"""
