@@ -4493,8 +4493,20 @@ object TextQueries {
 
   /** The trainer loop: k greedy rounds over the cached vocabulary
     * table; only the argmax (pair, cnt) row crosses the driver each
-    * round. Returns the learned merge table in order. */
+    * round. Returns the learned merge table in order.
+    *
+    * Memoized per (session, dataset): the merge table is a k-row
+    * driver constant of the corpus, and FOUR queries consume it
+    * (d66 train, d67 audit, d86 encode, s37 stream) — each paid the
+    * k distributed argmax rounds per run before this (the bloom/bm25
+    * small-constant memoization rule). */
+  private val bpeMergeCache =
+    new SessionCache[String, Seq[(Long, String, Long, String)]](_ => ())
   private[operators] def bpeMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, Long, String)] =
+    bpeMergeCache.getOrBuild(s, dir) { bpeMergesUncached(s, dir) }
+
+  private def bpeMergesUncached(s: SparkSession, dir: String)
       : Seq[(Long, String, Long, String)] = {
     import s.implicits._
     val vocab0 = bpeVocab(s, dir).select($"freq", $"syms").persist()
