@@ -828,8 +828,14 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$scaling$scalingStream$streamFixed}"""
     spark.stop()
-    // printed last, after spark.stop(), so nothing can land after it in
-    // the captured tail
+    // The state-store maintenance scheduler is a JVM singleton that
+    // spark.stop() does NOT stop: a tick firing during teardown logs a
+    // benign "SparkEnv not active" stack trace AFTER the JSON line,
+    // eating the end of a last-N-chars output capture. Stop it
+    // explicitly, print last, exit immediately.
+    org.apache.spark.sql.GraftShims.stopStateStoreMaintenance()
     println(line)
+    System.out.flush()
+    System.exit(0)
   }
 }

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stops the JVM-wide state-store maintenance scheduler. It is a
+    * singleton OUTSIDE any SparkContext, so `spark.stop()` does not
+    * stop it — a tick that fires after stop() logs a benign
+    * "SparkEnv not active" stack trace, which for an output-capturing
+    * caller (the bench) lands AFTER the final JSON line and corrupts
+    * a last-N-chars capture. Call between spark.stop() and the final
+    * print. */
+  def stopStateStoreMaintenance(): Unit =
+    execution.streaming.state.StateStore.stop()
 }
