@@ -52,12 +52,18 @@ object Bench {
     // the whole run; the probes clear it, run one query, then drain.
     val streamProg = new scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.streaming.StreamingQueryProgress]
+    // armed only inside streamRun: the listener must not accumulate
+    // progress objects across the whole 262-query sweep (old-gen
+    // ballast), and dis-arming after the drain keeps a late async
+    // event from one run out of the next run's buffer
+    val streamProgArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit =
-          streamProg.synchronized { streamProg += e.progress }
+          if (streamProgArmed.get)
+            streamProg.synchronized { streamProg += e.progress }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       })
     /** Run one streaming query and return (wall sec, max state rows,
@@ -65,6 +71,7 @@ object Bench {
       * poll until the buffer is stable (2×100 ms) before draining. */
     def streamRun(name: String, dir: String): (Double, Long, Double) = {
       streamProg.synchronized(streamProg.clear())
+      streamProgArmed.set(true)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -77,6 +84,7 @@ object Bench {
         cur = streamProg.synchronized(streamProg.size)
         tries += 1
       }
+      streamProgArmed.set(false)
       val ps = streamProg.synchronized(streamProg.toList)
       val stateRows =
         if (ps.isEmpty) -1L
@@ -189,15 +197,22 @@ object Bench {
         val v = spreads.map(_._2).sorted
         100.0 * v(v.size / 2)
       }
-    // Drop state accumulated by the query sweep (memory-sink tables,
-    // memoized persisted datasets, bucketed-table cache) so the probes
-    // below measure the kernels, not leftover GC pressure — probe
-    // timings were swinging 4-5× run-to-run before this.
-    spark.catalog.listTables().collect()
-      .filter(_.isTemporary)
-      .foreach(t => spark.catalog.dropTempView(t.name))
-    spark.catalog.clearCache()
-    System.gc()
+    // Drop state accumulated by a query sweep (memory-sink tables,
+    // memoized persisted datasets, bucketed-table cache) so the next
+    // probe block measures its kernels, not leftover GC pressure —
+    // probe timings were swinging 4-5× run-to-run before this. Called
+    // between EVERY probe block: the x10 stream sweep alone leaves a
+    // dozen 10×-scale memory sinks plus the scaled corpus's memoized
+    // tokenized table pinned on the driver, which inflated the
+    // fixed-cost probe's "steady-state" readings that follow it.
+    def dropSweepState(): Unit = {
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    dropSweepState()
     // Raw probe seconds, collected so the detail file can publish a
     // calib-normalized view of each probe next to the per-query block
     // (the probes are single numbers the judge reads directly, and a
@@ -537,6 +552,7 @@ object Bench {
     val scaling =
       try {
         import org.apache.spark.sql.functions._
+        dropSweepState() // the DAMDS probes left 0.5-1 GB block datasets
         val reps = 10
         val scaledDir = "/tmp/graft_scale_" +
           sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$reps"
@@ -633,6 +649,8 @@ object Bench {
     val scalingStream =
       try {
         import org.apache.spark.sql.functions._
+        dropSweepState() // the batch x10 block left the scaled corpus's
+                         // memoized tables persisted
         val reps = 10
         val streamDir = "/tmp/graft_scale_stream_" +
           sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$reps"
@@ -652,14 +670,27 @@ object Bench {
             stage.delete()
           }
           val repDf = spark.range(reps).withColumnRenamed("id", "rep")
-          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-          val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
-          single(docs.crossJoin(broadcast(repDf))
-            .withColumn("doc_id", col("doc_id") + col("rep") * maxId)
-            .withColumn("text", when(col("rep") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
-            .withColumn("n_chars", length(col("text")).cast("long"))
-            .drop("rep"), s"$streamDir/documents.parquet")
+          // the documents replica IS the batch x10 corpus (same dir
+          // naming as the scaling block), re-landed as one FILE — so
+          // the batch and stream x10 ratios measure the same corpus
+          // by construction; the remap is re-derived only if the
+          // batch build didn't run this session
+          val batchScaled = "/tmp/graft_scale_" +
+            sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"_x$reps"
+          val docsScaled =
+            if (new java.io.File(s"$batchScaled/_built").exists())
+              spark.read.parquet(s"$batchScaled/documents.parquet")
+            else {
+              val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+              val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+              docs.crossJoin(broadcast(repDf))
+                .withColumn("doc_id", col("doc_id") + col("rep") * maxId)
+                .withColumn("text", when(col("rep") === 0, col("text"))
+                  .otherwise(concat(col("text"), lit(" rep"), col("rep"))))
+                .withColumn("n_chars", length(col("text")).cast("long"))
+                .drop("rep")
+            }
+          single(docsScaled, s"$streamDir/documents.parquet")
           // ts round-trips as timestamp_ntz so the replica resolves
           // exactly like the micros-generation fixture (session TZ is
           // UTC, so the cast is value-preserving)
@@ -705,6 +736,11 @@ object Bench {
     // query, so these are steady-state splits.
     val streamFixed =
       try {
+        // the x10 stream sweep leaves a dozen 10x-scale memory sinks
+        // pinned on the driver; without this the "steady-state" splits
+        // below read 2-6x high (exactly the self-inflicted ballast
+        // BENCH_NOTES root-caused for the r16 sweep)
+        dropSweepState()
         val legs = Seq("s01_stream_hourly", "s04_stream_interval_join",
           "s17_stream_bm25_screen", "s18_stream_hll_registers",
           "s43_stream_copy_flows")
@@ -843,7 +879,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$scaling$scalingStream$streamFixed}"""
+    // the stream probe blocks live in BENCH_DETAIL only: the caller
+    // keeps ~2000 tail chars of this line, and every probe byte here
+    // displaces per-query entries from that capture
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$scaling}"""
     spark.stop()
     // The state-store maintenance scheduler is a JVM singleton that
     // spark.stop() does NOT stop: a tick firing during teardown logs a

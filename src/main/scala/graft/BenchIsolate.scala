@@ -18,8 +18,20 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchIsolate {
   def main(args: Array[String]): Unit = {
-    val runs = args.headOption.map(_.toInt).getOrElse(3)
-    val names = args.drop(1).toSeq
+    val runs = args.headOption.flatMap(_.toIntOption).getOrElse(3)
+    val names = args.drop(if (args.headOption.exists(_.toIntOption.isDefined)) 1 else 0).toSeq
+    if (names.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.BenchIsolate [runs] <query> [query ...]\n" +
+          "  env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), " +
+          "SPARK_GRAFT_SHARED=1 for one shared session")
+      return
+    }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val shared = sys.env.get("SPARK_GRAFT_SHARED").contains("1")
     def newSession(): SparkSession = {
