@@ -1286,7 +1286,16 @@ object StreamingQueries {
   // bit-for-bit.
   private def s40(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ledger = TextQueries.dupGramLedger(s, dir)
+    // r18: the ledger is MATERIALIZED bucketed+sorted on gh (once per
+    // (session, dataset)) instead of re-derived inside the static
+    // subtree — a stream-static join re-executes its static side every
+    // micro-batch, so the live form re-paid the gram-explode + keeper
+    // election AND re-exchanged the ledger per trigger. Bucketed, the
+    // static side is a co-located FileScan crossing no exchange; the
+    // merge hint keeps AQE from broadcasting the (fixture-small,
+    // corpus-proportional) ledger file — same no-broadcast pin as
+    // before, now plan-asserted against the bucketed read.
+    val ledger = TextQueries.dupGramLedgerBucketed(s, dir).hint("merge")
     val raw = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1000000")
@@ -1386,7 +1395,9 @@ object StreamingQueries {
   // keeper sites, so d78's SQL oracle gates the streamed path.
   private def s43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ledger = TextQueries.copyFlowLedger(s, dir)
+    // bucketed on gh like s40's ledger (build amortized across
+    // triggers, static side exchange-free; merge hint = no-broadcast)
+    val ledger = TextQueries.copyFlowLedgerBucketed(s, dir).hint("merge")
     val raw = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1000000")
@@ -1571,11 +1582,16 @@ object StreamingQueries {
   // (the s49 redact-before-landing rule, applied downstream of
   // extraction exactly as d92 orders them). No streaming state, no
   // watermark — the only stateful-looking piece is the static ledger,
-  // recomputed per micro-batch like every stream-static side. Gated
-  // by d92's batch oracle exactly.
+  // materialized bucketed once per (session, dataset) and read
+  // co-located by every micro-batch. Gated by d92's batch oracle
+  // exactly.
   private def s51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keepers = TextQueries.urlKeeperLedger(s, dir)
+    // bucketed on doc_id (shared with d92's batch read; built once per
+    // (session, dataset)): the keeper ledger is corpus-proportional,
+    // so the static side reads co-located buckets and the merge hint
+    // pins the no-broadcast shape (ADVICE r17)
+    val keepers = TextQueries.urlKeeperLedgerBucketed(s, dir).hint("merge")
     val raw = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1000000")

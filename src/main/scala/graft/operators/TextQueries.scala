@@ -6057,7 +6057,7 @@ object TextQueries {
   // compose time (URL canon keepers, the split coin, per-(split,shard)
   // packing) stay live in the query.
   private val releaseLedgerDisk = new DiskLayoutCache("graft_release")
-  private def releaseLedger(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def releaseLedger(s: SparkSession, dir: String): DataFrame = {
     val path = releaseLedgerDisk.getOrBuild(s, dir) { p =>
       import s.implicits._
       val base = tokenizedDocs(s, dir) // doc_id, source, toks (persisted)
@@ -6128,7 +6128,13 @@ object TextQueries {
     val sigs = led.select($"doc_id", $"sig")
     val sigKeep = sigs.groupBy($"sig").agg(min($"doc_id").as("keeper"))
     val bucket = substring(md5($"keeper".cast("string").cast("binary")), 1, 2)
-    val splits = sigs.join(sigKeep, "sig")
+    // keeper tables are corpus-proportional (one row per distinct sig /
+    // canon URL): the merge hints pin the shuffled-join shape — the
+    // ledger discipline — where size-based planning would broadcast
+    // them at fixture scale (they derive from a small FileScan here,
+    // so unlike the raw-corpus aggregations Catalyst CAN see their
+    // size and WOULD broadcast)
+    val splits = sigs.join(sigKeep.hint("merge"), "sig")
       .select($"doc_id",
         when(bucket < "cc", "train").when(bucket < "e6", "val")
           .otherwise("test").as("split"))
@@ -6140,8 +6146,8 @@ object TextQueries {
       .filter($"doc_id" >= 20 && $"contaminated" === 0L &&
         $"kept_tokens" > 0)
       .select($"doc_id", $"source", $"kept_tokens", $"clean_md5")
-      .join(urlKeepers, "doc_id")
-      .join(splits, "doc_id")
+      .join(urlKeepers.hint("merge"), "doc_id")
+      .join(splits.hint("merge"), "doc_id")
 
     // rung 5 — d16: pack per (split, shard) with CLEAN token weights
     val w = org.apache.spark.sql.expressions.Window
@@ -6250,6 +6256,49 @@ object TextQueries {
       .groupBy(col("canon")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
+  // ---- bucketed ledger materializations (the q30/v06 discipline) ----
+  // The corpus-proportional ledgers the streaming probes (s40/s43/s51)
+  // and the composed batch forms (d92) join on EVERY micro-batch /
+  // run were, until r18, re-DERIVED inside each consumer plan: a
+  // stream-static join re-executes its static subtree per trigger, so
+  // every micro-batch paid the full gram-explode + keeper-election
+  // build AND a fresh exchange of the ledger (VERDICT r17 next 3).
+  // Production shape: elect once, land the ledger bucketed+sorted on
+  // its join key, and every subsequent join reads co-located buckets —
+  // the static side crosses NO exchange, per-batch cost is the probe
+  // side only. Memoized once per (session, dataset); results are
+  // bucketing-invisible, so the consumers' oracles are unchanged.
+  // Consumers still attach `hint("merge")`: the materialized ledger
+  // has a known (small, at fixture scale) file size, and without the
+  // hint AQE would broadcast it — masking the no-broadcast 100 TB
+  // shape the plan pins assert.
+  private val ledgerTables =
+    new SessionCache[(String, String), String](_ => ())
+
+  private[graft] def bucketedLedger(s: SparkSession, dir: String,
+      name: String, key: String)(build: => DataFrame): DataFrame = {
+    val tbl = ledgerTables.getOrBuild(s, (dir, name)) {
+      val tag = Integer.toHexString(dir.hashCode)
+      val t = s"graft_led_${name}_$tag"
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Bucketing.writeBucketed(build, s"$wh/$t", t, key, 32)
+      t
+    }
+    s.table(tbl)
+  }
+
+  private[graft] def dupGramLedgerBucketed(s: SparkSession, dir: String)
+      : DataFrame =
+    bucketedLedger(s, dir, "dupgram", "gh")(dupGramLedger(s, dir))
+
+  private[graft] def copyFlowLedgerBucketed(s: SparkSession, dir: String)
+      : DataFrame =
+    bucketedLedger(s, dir, "copyflow", "gh")(copyFlowLedger(s, dir))
+
+  private[graft] def urlKeeperLedgerBucketed(s: SparkSession, dir: String)
+      : DataFrame =
+    bucketedLedger(s, dir, "urlkeep", "doc_id")(urlKeeperLedger(s, dir))
+
   /** d92's scrubbed per-page output over ingest survivors carrying
     * (doc_id, source, canon_url, text=extracted main). */
   private[operators] def ingestScrubOut(survivors: DataFrame): DataFrame =
@@ -6263,8 +6312,12 @@ object TextQueries {
   private def d92(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fused = ingestCols(Tables(s, dir, "documents"))
+    // keeper ledger: materialized bucketed on doc_id (built once per
+    // (session, dataset), shared with s51) and joined SHUFFLED — the
+    // ledger is corpus-proportional, so the merge hint pins the
+    // no-broadcast shape AQE would otherwise hide at fixture scale
     val survivors = fused.filter(size($"kept") >= 1)
-      .join(urlKeeperLedger(s, dir), "doc_id")
+      .join(urlKeeperLedgerBucketed(s, dir).hint("merge"), "doc_id")
       .select($"doc_id", $"source", $"canon".as("canon_url"),
         $"main".as("text"))
     ingestScrubOut(survivors)

@@ -828,9 +828,10 @@ class PlanDisciplineSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     graft.Tables.withConfs(spark, Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.enabled" -> "false")) {
-      val ledger = TextQueries.dupGramLedger(spark, TestSpark.sf0001)
+      // the s40 shape as deployed: MATERIALIZED ledger, bucketed on gh
+      val ledger = TextQueries.dupGramLedgerBucketed(spark, TestSpark.sf0001)
+        .hint("merge")
       val mem = MemoryStream[(Long, String)]
       mem.addData((7L, "graft dup span probe tokens " * 4))
       val hits = TextQueries.gramSites(mem.toDF()
@@ -847,6 +848,15 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(p.toString.contains("SortMergeJoin") ||
         p.toString.contains("ShuffledHashJoin"),
         s"expected a shuffled stream-static equi-join:\n$p")
+      // the bucketed layout's whole point: the static (ledger) side
+      // crosses NO exchange per micro-batch — the only shuffle in the
+      // joined plan is the probe (stream) side aligning to the buckets
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 1,
+        s"expected at most the stream-side exchange, got ${shuffles.size}:\n$p")
+      assert(!shuffles.exists(_.child.toString.contains("graft_led_")),
+        s"bucketed ledger side must not re-exchange:\n$p")
     }
   }
 
@@ -860,9 +870,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     graft.Tables.withConfs(spark, Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.enabled" -> "false")) {
-      val ledger = TextQueries.copyFlowLedger(spark, TestSpark.sf0001)
+      val ledger = TextQueries.copyFlowLedgerBucketed(spark, TestSpark.sf0001)
+        .hint("merge")
       val mem = MemoryStream[(Long, String, String)]
       mem.addData((7L, "graft copy flow probe tokens " * 4, "srcX"))
       val flows = TextQueries.gramSitesSrc(mem.toDF()
@@ -880,7 +890,66 @@ class PlanDisciplineSpec extends AnyFunSuite {
       assert(p.toString.contains("SortMergeJoin") ||
         p.toString.contains("ShuffledHashJoin"),
         s"expected a shuffled stream-static equi-join:\n$p")
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(!shuffles.exists(_.child.toString.contains("graft_led_")),
+        s"bucketed ledger side must not re-exchange:\n$p")
     }
+  }
+
+  test("s51/d92 keeper ledger joins shuffled off the bucketed layout, never broadcast") {
+    // the canonical-URL keeper ledger is corpus-proportional (one row
+    // per distinct canonical URL), so its joins carry the same
+    // no-broadcast discipline as the s40/s43 ledgers (ADVICE r17) —
+    // and since r18 it is materialized bucketed on doc_id, so the
+    // static side must read co-located buckets without re-exchanging
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Tables.withConfs(spark, Seq(
+        "spark.sql.adaptive.enabled" -> "false")) {
+      // batch (d92) leg: executed plan must hold the shuffled shape
+      val pd = Catalog.queries("d92_crawl_ingest")(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!pd.contains("BroadcastHashJoin"),
+        s"d92 keeper join must not broadcast the URL keeper ledger:\n$pd")
+      assert(pd.contains("SortMergeJoin") || pd.contains("ShuffledHashJoin"),
+        s"d92 keeper join should be a shuffled equi-join:\n$pd")
+      // streaming (s51-shaped) leg: keeper probe on a micro-batch
+      val keepers = TextQueries.urlKeeperLedgerBucketed(spark, TestSpark.sf0001)
+        .hint("merge")
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((7L, "srcX"))
+      val probe = mem.toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("source"))
+        .join(keepers, "doc_id")
+      val q = probe.writeStream.format("memory").queryName("s51_plan_probe")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val p = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(p.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        s"URL keeper ledger must not broadcast into the stream:\n$p")
+      assert(!p.collect { case e: ShuffleExchangeExec => e }
+          .exists(_.child.toString.contains("graft_led_")),
+        s"bucketed keeper ledger side must not re-exchange:\n$p")
+    }
+  }
+
+  test("d91 keeper elections join shuffled, never broadcast") {
+    // d91's live rungs elect two corpus-proportional keeper tables
+    // (canon-URL keepers, word-set-sig keepers) and join them back on
+    // doc_id/sig: both derive from the materialized release ledger's
+    // (small, fixture-scale) FileScan, so size-based planning WOULD
+    // broadcast them — the merge hints pin the ledger discipline
+    val p = Catalog.queries("d91_corpus_release")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"d91 must not broadcast its corpus-proportional keeper tables:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"d91 keeper joins should be shuffled equi-joins:\n$p")
   }
 
   test("no Window over a term/vocab key in d17/d32/d52/d80/d81") {
