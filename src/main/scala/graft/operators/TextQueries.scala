@@ -5897,7 +5897,7 @@ object TextQueries {
   // variant 3 stays distinct — real survivors and real dups at every
   // SF (at sf0.001 each source holds 2-3 group-0 variants, still
   // colliding).
-  private[operators] val urlVariantSparkSql =
+  private[graft] val urlVariantSparkSql =
     "CASE CAST((doc_id DIV 20) % 4 AS INT) " +
       "WHEN 0 THEN concat('https://www.', source, '.example.com/articles/', CAST(doc_id DIV 80 AS STRING), '/') " +
       "WHEN 1 THEN concat('HTTPS://', upper(concat('www.', source, '.example.com')), ':443/articles/', CAST(doc_id DIV 80 AS STRING), '#sec-2') " +
@@ -5913,7 +5913,7 @@ object TextQueries {
   /** Appends `canon` to a frame carrying `url` — one map-only column
     * chain (tracking-param keys are matched by exact prefix compare,
     * never LIKE, whose `_` wildcard would also match `utmX`). */
-  private[operators] def urlCanonCols(withUrl: DataFrame): DataFrame =
+  private[graft] def urlCanonCols(withUrl: DataFrame): DataFrame =
     withUrl
       .withColumn("u_nofrag", expr("split_part(url, '#', 1)"))
       .withColumn("u_scheme", expr("lower(split_part(u_nofrag, '://', 1))"))
@@ -5943,6 +5943,15 @@ object TextQueries {
           "THEN left(u_path, length(u_path) - 1) ELSE u_path END, " +
           "CASE WHEN u_qkeep <> '' THEN concat('?', u_qkeep) " +
           "ELSE '' END)"))
+      // the coalesce never fires (every input above is non-null by
+      // construction) — it exists to make `canon` NON-NULLABLE, which
+      // stops join-key isnotnull inference from pushing a copy of the
+      // whole 13-step chain into a pre-projection Filter: Catalyst
+      // substitutes projections into pushed predicates without CSE, so
+      // the inlined isnotnull(canon) condition re-evaluated the chain's
+      // shared steps multiplicatively — measured 4-5x the entire d90
+      // cost at sf0.1 (VERDICT r17 next 6)
+      .withColumn("canon", coalesce(col("canon"), lit("")))
 
   private def d90(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -5950,7 +5959,11 @@ object TextQueries {
       .select($"doc_id", $"canon".as("canon_url"))
     val keepers = urls.groupBy($"canon_url")
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"))
-    urls.join(keepers, "canon_url")
+    // the urls frame is corpus-proportional (one row per doc), and
+    // without the hint Catalyst picked BuildLeft — broadcasting the
+    // CORPUS side of the join (driver OOM at real scale). Merge hint =
+    // the ledger discipline's shuffled shape.
+    urls.join(keepers.hint("merge"), "canon_url")
       .select($"doc_id", $"canon_url", $"n_variants", $"keeper",
         when($"doc_id" === $"keeper", lit("keeper")).otherwise(lit("dup"))
           .as("status"))

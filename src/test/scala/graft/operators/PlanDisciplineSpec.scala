@@ -938,6 +938,22 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("d90 keeper join is shuffled and the canon chain is not re-inlined into a filter") {
+    // two r18 pins: (1) the urls frame is corpus-proportional, so the
+    // canon-key join must shuffle — Catalyst's size estimate was
+    // broadcasting the CORPUS side (BuildLeft); (2) `canon` is
+    // non-nullable by construction, so join-key isnotnull inference
+    // must NOT push an inlined copy of the 13-step canon chain into a
+    // pre-projection Filter (measured 4-5x the query's whole cost)
+    val p = plan("d90_url_canonical_dedup")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"d90 must not broadcast either side of the canon join:\n$p")
+    val inlinedFilter = p.linesIterator.exists(l =>
+      l.contains("Filter ") && l.contains("stringsplitsql"))
+    assert(!inlinedFilter,
+      s"canon chain inlined into a Filter condition (isnotnull pushdown):\n$p")
+  }
+
   test("d91 keeper elections join shuffled, never broadcast") {
     // d91's live rungs elect two corpus-proportional keeper tables
     // (canon-URL keepers, word-set-sig keepers) and join them back on
