@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.BenchIsolate <runs> <query1> [query2 ...]
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   *      SPARK_GRAFT_SHARED=1 to reuse ONE session for all runs
-  *      (reproduces the sweep's accumulation behavior on purpose).
+  *      (reproduces the sweep's accumulation behavior on purpose),
+  *      SPARK_GRAFT_BENCH_CONFS=1 to apply Bench's session pins
+  *      (listener retention, state-store maintenance interval) so a
+  *      suspected conf-induced regression can be A/B'd: run a query
+  *      with and without the pins on the same host window.
   */
 object BenchIsolate {
   def main(args: Array[String]): Unit = {
@@ -34,14 +38,22 @@ object BenchIsolate {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val shared = sys.env.get("SPARK_GRAFT_SHARED").contains("1")
+    val benchConfs = sys.env.get("SPARK_GRAFT_BENCH_CONFS").contains("1")
     def newSession(): SparkSession = {
-      val s = SparkSession.builder()
+      var b = SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.extensions", "graft.functions.GraftExtensions")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      if (benchConfs)
+        b = b.config("spark.sql.ui.retainedExecutions", "8")
+          .config("spark.ui.retainedJobs", "64")
+          .config("spark.ui.retainedStages", "128")
+          .config("spark.ui.retainedTasks", "2000")
+          .config("spark.sql.streaming.numRecentProgressUpdates", "10")
+          .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
+      val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }
@@ -53,12 +65,21 @@ object BenchIsolate {
       catch { case e: Throwable =>
         System.err.println(s"[isolate] $n warmup FAILED: ${e.getMessage}")
       }
+      // a timed run that throws marks only ITSELF (negative seconds)
+      // and the remaining queries still run — an unguarded throw here
+      // silently aborted the whole requested list (ADVICE r17)
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[isolate] $n timed run FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
       }
-      println(s"""{"query":"$n","mode":"${if (shared) "shared" else "fresh"}","runs":[${secs.map(s => Bench.fmt("%.3f", s)).mkString(",")}]}""")
+      println(s"""{"query":"$n","mode":"${if (shared) "shared" else "fresh"}","bench_confs":$benchConfs,"runs":[${secs.map(s => Bench.fmt("%.3f", s)).mkString(",")}]}""")
       if (sparkShared.isEmpty) spark.stop()
     }
     sparkShared.foreach(_.stop())
