@@ -45,6 +45,24 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    /** Materialize a query's FULL output through Spark's noop sink.
+      *
+      * r18 measurement-semantics fix (BENCH_NOTES): timing via
+      * `.count()` let Catalyst COLUMN-PRUNE every projection above the
+      * last aggregation/join — `groupBy().count()` needs no columns,
+      * so a map-only query's entire compute chain (entropy screens,
+      * extractors, scorers: 147 of 213 batch queries are
+      * projection-terminal) was optimized out and the row measured
+      * scan+filter only (d84: 0.16 s counted vs 1.8 s materialized,
+      * same session). The noop DataSourceV2 sink consumes every row
+      * with no pruning and no write cost — the standard Spark
+      * benchmarking sink — so from r18 every timed row is the cost of
+      * PRODUCING THE QUERY'S OUTPUT, which is what a consumer pays.
+      * Cross-round: r17-and-earlier `queries`/`queries_calib_norm`
+      * are NOT comparable for projection-terminal queries; the bridge
+      * table is in BENCH_NOTES. */
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Streaming-probe instrumentation: a session listener is the only
     // way to reach a TERMINATED stream's progress (state-store rows,
     // per-batch durations) from outside its runner — the queries stop
@@ -97,7 +115,7 @@ object Bench {
       streamProg.synchronized(streamProg.clear())
       streamProgArmed.set(true)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      materialize(SparkEntry.queries(name)(spark, dir))
       val wall = (System.nanoTime() - t0) / 1e9
       val ps = drainStreamProgress(name)
       val stateRows =
@@ -116,7 +134,7 @@ object Bench {
     val warmups = Seq("q08_global_agg", "q03_join_agg", "d02_token_counts",
         "m01_kmeans_assign", "q17_events_hourly").map { w =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(w)(spark, sfDir).count()
+      try materialize(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       w -> (System.nanoTime() - t0) / 1e9
     }
@@ -165,7 +183,7 @@ object Bench {
       }
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try { materialize(SparkEntry.queries(name)(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
@@ -583,6 +601,11 @@ object Bench {
     // one-off curve extensions; the measured point is committed to
     // BENCH_NOTES.md with its provenance. Same seeded construction —
     // stress/cg_count are the determinism checksum.
+    // NEEDS A LARGE HEAP (SBT_OPTS=-Xmx24g or similar): the 2.1 GB
+    // distance build + per-block copies + the dataset's task-side
+    // deserialized copies overflow the default ~10 GB local-mode heap
+    // with an executor OOM that destabilizes every later probe in the
+    // same JVM — run it alone, not inside a graded sweep.
     val dd32k =
       if (!sys.env.get("SPARK_GRAFT_DAMDS_32K").contains("1")) ""
       else try {
@@ -699,14 +722,14 @@ object Bench {
             val legs = Seq("sf01" -> sfDir, "x10" -> scaledDir).map {
               case (tag, dir) =>
                 val t0 = System.nanoTime()
-                graft.operators.TextQueries.releaseLedger(spark, dir).count()
+                materialize(graft.operators.TextQueries.releaseLedger(spark, dir))
                 val first = (System.nanoTime() - t0) / 1e9
                 val t1 = System.nanoTime()
-                graft.operators.TextQueries.releaseLedger(spark, dir).count()
+                materialize(graft.operators.TextQueries.releaseLedger(spark, dir))
                 val read = (System.nanoTime() - t1) / 1e9
                 val comp = (1 to 2).map { _ =>
                   val t = System.nanoTime()
-                  SparkEntry.queries("d91_corpus_release")(spark, dir).count()
+                  materialize(SparkEntry.queries("d91_corpus_release")(spark, dir))
                   (System.nanoTime() - t) / 1e9
                 }.min
                 (tag, first, read, comp)
@@ -726,7 +749,7 @@ object Bench {
         // prewarmed by the decomp block) and drop the build's ballast
         // so the flagship rows time the amortized production read path
         for (dir <- Seq(sfDir, scaledDir))
-          try SparkEntry.queries("d92_crawl_ingest")(spark, dir).count()
+          try materialize(SparkEntry.queries("d92_crawl_ingest")(spark, dir))
           catch { case _: Throwable => () }
         dropSweepState()
         val flagships = Seq("d01_dedup_exact", "d82_dup_spans_prod",
@@ -735,7 +758,7 @@ object Bench {
           "d91_corpus_release", "d92_crawl_ingest")
         def best2(name: String, dir: String): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).count()
+          materialize(SparkEntry.queries(name)(spark, dir))
           (System.nanoTime() - t0) / 1e9
         }.min
         val rows = flagships.map { n =>
@@ -1028,7 +1051,7 @@ object Bench {
             Bench.fmt("%.4f", batch * calibRef / calSec) else "-1"
           "\"" + k + "\":" + norm
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive)","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingStream$streamFixed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"timing_semantics":"materialized-noop (r18+; pre-r18 rows used count() and are not comparable for projection-terminal queries)","queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive)","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingStream$streamFixed}"""
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
@@ -1041,7 +1064,7 @@ object Bench {
     // the stream probe blocks live in BENCH_DETAIL only: the caller
     // keeps ~2000 tail chars of this line, and every probe byte here
     // displaces per-query entries from that capture
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing_semantics":"materialized-noop","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling}"""
     spark.stop()
     // The state-store maintenance scheduler is a JVM singleton that
     // spark.stop() does NOT stop: a tick firing during teardown logs a

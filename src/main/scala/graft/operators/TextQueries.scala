@@ -5897,7 +5897,7 @@ object TextQueries {
   // variant 3 stays distinct — real survivors and real dups at every
   // SF (at sf0.001 each source holds 2-3 group-0 variants, still
   // colliding).
-  private[graft] val urlVariantSparkSql =
+  private[operators] val urlVariantSparkSql =
     "CASE CAST((doc_id DIV 20) % 4 AS INT) " +
       "WHEN 0 THEN concat('https://www.', source, '.example.com/articles/', CAST(doc_id DIV 80 AS STRING), '/') " +
       "WHEN 1 THEN concat('HTTPS://', upper(concat('www.', source, '.example.com')), ':443/articles/', CAST(doc_id DIV 80 AS STRING), '#sec-2') " +
@@ -5913,7 +5913,7 @@ object TextQueries {
   /** Appends `canon` to a frame carrying `url` — one map-only column
     * chain (tracking-param keys are matched by exact prefix compare,
     * never LIKE, whose `_` wildcard would also match `utmX`). */
-  private[graft] def urlCanonCols(withUrl: DataFrame): DataFrame =
+  private[operators] def urlCanonCols(withUrl: DataFrame): DataFrame =
     withUrl
       .withColumn("u_nofrag", expr("split_part(url, '#', 1)"))
       .withColumn("u_scheme", expr("lower(split_part(u_nofrag, '://', 1))"))
