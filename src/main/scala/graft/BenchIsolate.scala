@@ -57,11 +57,15 @@ object BenchIsolate {
       s.sparkContext.setLogLevel("WARN")
       s
     }
+    // r18: time through the noop sink like Bench — count() lets
+    // Catalyst prune the projection/aggregate work being measured
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     val sparkShared = if (shared) Some(newSession()) else None
     names.foreach { n =>
       val spark = sparkShared.getOrElse(newSession())
       // one untimed warmup (codegen + footers), then `runs` timed
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[isolate] $n warmup FAILED: ${e.getMessage}")
       }
@@ -71,7 +75,7 @@ object BenchIsolate {
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          try { materialize(SparkEntry.queries(n)(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[isolate] $n timed run FAILED: ${e.getMessage}")
             false

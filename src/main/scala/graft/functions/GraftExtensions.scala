@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64Expr(args.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[CharCountsExpr].getName, "graft_char_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, Literal(a: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          CharCountsExpr(s, a.toString)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_counts(s, alphabet literal string)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

@@ -5653,16 +5653,24 @@ object TextQueries {
   private val entThresholdMicro = 3500000L // 3.5 bits
   private def entArr(quoteList: Seq[String] => String): String =
     quoteList(entAlphabet.map(c => s"'$c'"))
-  private val entArrSpark = entArr(l => s"array(${l.mkString(",")})")
   private val entArrDuck = entArr(l => s"[${l.mkString(",")}]")
+  // the Spark side counts the alphabet in ONE byte-scan pass via the
+  // native graft_char_counts kernel (CharCountsExpr) — the composed
+  // transform/replace form re-scanned + re-allocated the string once
+  // per alphabet char (74×/doc), 5-6× the whole screen's cost at
+  // sf0.1. The counts are value-identical (asserted char-by-char in
+  // CharCountsSpec, incl. multibyte text), so the DECIMAL/fold
+  // exactness story and the DuckDB oracles are untouched.
+  private val entAlphabetSql = entAlphabet.mkString // no quotes/backslashes
+  private def charCountsSpark(sv: String): String =
+    s"graft_char_counts($sv, '$entAlphabetSql')"
 
   /** Per-token char-entropy micro-bits over the fixed alphabet —
     * candidate tokens are charset-filtered into the alphabet, so no
     * residual class is needed. `tv` is the lambda variable holding
     * the token. */
   private def tokBitsSpark(tv: String): String =
-    s"cast(floor((ln(length($tv)) - aggregate(transform($entArrSpark, " +
-      s"c -> length($tv) - length(replace($tv, c, ''))), " +
+    s"cast(floor((ln(length($tv)) - aggregate(${charCountsSpark(tv)}, " +
       s"cast(0.0 as double), (a, n) -> a + n * ln(greatest(n, 1))) " +
       s"/ length($tv)) / ln(2.0) * 1e6 + 0.5) as bigint)"
   private def tokBitsDuck(tv: String): String =
@@ -5678,8 +5686,7 @@ object TextQueries {
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("ccnts", expr(
-        s"transform($entArrSpark, c -> length(text) - length(replace(text, c, '')))"))
+      .withColumn("ccnts", expr(charCountsSpark("text")))
       .withColumn("cother", expr(
         "length(text) - aggregate(ccnts, cast(0 as bigint), (a, n) -> a + n)"))
       .withColumn("char_entropy_micro", expr(

@@ -9,6 +9,11 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // the production session shape (Verify/Bench/SparkEntry docs all
+      // pin the extensions class): the SQL-registered native kernels
+      // (graft_char_counts & co.) must resolve in tests exactly as
+      // they do in the graded sessions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
