@@ -412,13 +412,20 @@ object RelationalQueries {
   // both sides to absorb the last-bit interpolation arithmetic
   private def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE percentile(…, array(…)) call, not four: each percentile agg
+    // buffers the group's whole value set (prices are ~unique, so the
+    // buffer is row-proportional) — four scalar calls built four
+    // independent buffers and paid the partial/merge serialization 4×
+    // (3.1 s → 1.0 s at sf0.1, values identical by construction: the
+    // array form is the same Percentile aggregate evaluating the same
+    // sorted buffer at four fractions)
     Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("ps"))
+      .select($"l_returnflag",
+        round(expr("ps[0]"), 6).as("p25"), round(expr("ps[1]"), 6).as("p50"),
+        round(expr("ps[2]"), 6).as("p75"), round(expr("ps[3]"), 6).as("p99"))
   }
   private val q26Sql =
     """SELECT l_returnflag,
