@@ -126,6 +126,51 @@ object Bench {
           .map(_.longValue).getOrElse(0L)).sum / 1000.0
       (wall, stateRows, batchSec)
     }
+    // ---- host-speed calibration machinery (r19: intra-sweep) ----
+    // The single end-of-run calibration spin cannot see INTRA-sweep
+    // contention windows: r18 committed d51/d52/d54 at 2-10× their
+    // isolated cost because one contiguous ~95 s sweep stretch was
+    // contended for every sample while the per-sweep calib ran in a
+    // clean window (VERDICT r18 wrong 1). From r19 a single-thread
+    // micro-calib (100M xorshift64* iters, ~0.3 s at the reference
+    // host) runs every >=20 s of sweep/probe wall; the series is
+    // committed and each query/probe normalizes by its NEAREST calib
+    // sample. The reference axis stays the pinned r15 host (0.581 s
+    // per 200M iters => 0.2905 s per 100M).
+    val calibRef = 0.581
+    val noCalib = sys.env.get("SPARK_GRAFT_NO_CALIB").contains("1")
+    def spin(iters: Int): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < iters) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        x *= 0x2545f4914f6cdd1dL; i += 1
+      }
+      if (x == 0L) System.err.println("unreachable") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    val microIters = 100000000
+    val microRef = calibRef * microIters / 2e8
+    if (!noCalib) spin(20000000) // JIT the spin loop before any sample
+    val benchT0 = System.nanoTime()
+    def tNow(): Double = (System.nanoTime() - benchT0) / 1e9
+    // (t_off, seconds-for-100M-spin) samples across the whole run
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var lastCalibT = -1e9
+    /** One throttled micro-calib: records a host-speed sample unless one
+      * was taken in the last 20 s (force overrides — probe blocks and
+      * the recheck phase always want a window-local sample). */
+    def microCalib(force: Boolean = false): Unit =
+      if (!noCalib && (force || tNow() - lastCalibT >= 20.0)) {
+        val s = spin(microIters)
+        calibSeries += ((tNow(), s))
+        lastCalibT = tNow()
+      }
+    /** Host-slowdown ratio (>=1 on a slower host) of the calib sample
+      * nearest in time to t; -1 when calibration is disabled/empty. */
+    def nearestCalibRatio(t: Double): Double =
+      if (calibSeries.isEmpty) -1.0
+      else calibSeries.minBy { case (ct, _) => math.abs(ct - t) }._2 / microRef
     // untimed-in-total warmup: JIT/codegen/classloading + parquet
     // footers for every table, so the first timed query isn't charged
     // session init. Raw warmup seconds still land in the detail file —
@@ -194,14 +239,24 @@ object Bench {
         val batch = ps.map(p =>
           Option(p.durationMs.get("triggerExecution"))
             .map(_.longValue).getOrElse(0L)).sum / 1000.0
-        if (ok && ps.nonEmpty && streamSplit.get(name).forall(_._1 > dt))
-          streamSplit(name) = (dt, batch)
+        if (ok && ps.nonEmpty) {
+          // best wall among drain-SUCCESSFUL samples; a real split
+          // always replaces a -1 drain-timeout sentinel
+          if (streamSplit.get(name).forall(c => c._2 < 0 || c._1 > dt))
+            streamSplit(name) = (dt, batch)
+        } else if (ok && !streamSplit.contains(name))
+          // ADVICE r18: a query whose drains ALL time out must stay
+          // visible in the detail blocks — batch=-1 marks "wall is
+          // real, split unknown" instead of silently vanishing
+          streamSplit(name) = (dt, -1.0)
       }
       if (ok) dt else -dt
     }
     val sweepT0 = System.nanoTime()
+    microCalib(force = true) // anchor the calib series at sweep start
     val sampled: Seq[(String, Double, Seq[Double])] = names.map { n =>
-      val tOff = (System.nanoTime() - sweepT0) / 1e9
+      microCalib() // throttled: one host-speed sample per >=20 s of sweep
+      val tOff = tNow()
       val a = once(n)
       val ss =
         if (a < 0) Seq(a)
@@ -226,6 +281,7 @@ object Bench {
       (n, tOff, ss)
     }
     val sweep1Sec = (System.nanoTime() - sweepT0) / 1e9
+    microCalib(force = true) // close the sweep's calib window
     val samples: Seq[(String, Seq[Double])] =
       sampled.map { case (n, _, ss) => n -> ss }
     val results = samples.map { case (name, ss) =>
@@ -279,6 +335,13 @@ object Bench {
     // loaded-host window otherwise makes them illegible cross-round —
     // the same fix queries_calib_norm applied to the sweep).
     val probeSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // probe start offsets on the same clock as the calib series, so
+    // probes_calib_norm can normalize by the window the probe RAN in
+    val probeTOff = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def recordProbe(name: String, sec: Double): Unit = {
+      probeSecs(name) = sec
+      probeTOff(name) = tNow()
+    }
     // K-Means throughput probe against BASELINE.md's headline workload
     // (10M pts × k=1000 × d=2 × 10 iters in 93.8 s on p=320 ⇒ ~6.7e6
     // point-centroid dist-dims /core/sec). Same shape normalized to
@@ -288,6 +351,7 @@ object Bench {
     // 60+ queries, so a single timing is hostage to JIT/GC noise.
     val km =
       try {
+        microCalib(force = true)
         import org.apache.spark.sql.functions._
         val nPts = 1000000L; val k = 100; val d = 2; val iters = 10
         val pts = spark.range(nPts).select(
@@ -305,7 +369,7 @@ object Bench {
           for (_ <- 1 to iters) c = graft.ml.KMeans.stepBlock(pts, c)
           (System.nanoTime() - t0) / 1e9
         }.min
-        probeSecs("kmeans") = sec
+        recordProbe("kmeans", sec)
         pts.unpersist()
         val opsPerCoreSec = nPts.toDouble * k * d * iters / sec / cpus.toInt
         s""","kmeans":{"points":$nPts,"k":$k,"d":$d,"iters":$iters,"sec":${Bench.fmt("%.3f", sec)},""" +
@@ -325,6 +389,7 @@ object Bench {
     // same code; the sweep's min-of-2 discipline applies here too).
     val km1k =
       try {
+        microCalib(force = true)
         import org.apache.spark.sql.functions._
         val nPts = 1000000L; val k = 1000; val d = 2; val iters = 10
         val pts = spark.range(nPts).select(
@@ -342,7 +407,7 @@ object Bench {
           for (_ <- 1 to iters) c = graft.ml.KMeans.stepBlock(pts, c)
           (System.nanoTime() - t0) / 1e9
         }.min
-        probeSecs("kmeans_baseline_shape") = sec
+        recordProbe("kmeans_baseline_shape", sec)
         pts.unpersist()
         val opsPerCoreSec = nPts.toDouble * k * d * iters / sec / cpus.toInt
         s""","kmeans_baseline_shape":{"points":$nPts,"k":$k,"d":$d,"iters":$iters,"sec":${Bench.fmt("%.3f", sec)},""" +
@@ -356,6 +421,7 @@ object Bench {
     // (no reference GEMM numbers exist; tracked round-over-round).
     val gm =
       try {
+        microCalib(force = true)
         import org.apache.spark.sql.functions._
         val m = 65536; val kk = 256; val nn = 128
         val bCol = graft.mm.Gemm.toColMajor(
@@ -393,7 +459,7 @@ object Bench {
         }
         sweep() // warmup (JIT + codegen)
         val (sec, sum) = Seq(sweep(), sweep()).minBy(_._1)
-        probeSecs("gemm") = sec
+        recordProbe("gemm", sec)
         a.unpersist(); bBc.destroy()
         val gflops = 2.0 * m * kk * nn / sec / 1e9
         s""","gemm":{"m":$m,"k":$kk,"n":$nn,"sec":${Bench.fmt("%.3f", sec)},"gflops":${Bench.fmt("%.3f", gflops)},"checksum":${Bench.fmt("%.6g", sum)}}"""
@@ -411,6 +477,7 @@ object Bench {
     // as a determinism checksum across rounds.
     val dd =
       try {
+        microCalib(force = true)
         import graft.damds.{Damds, DamdsKernels}
         val nD = 256; val dDim = 3; val splits = 16; val latent = 8
         val rnd = new java.util.Random(11L)
@@ -452,7 +519,7 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, r)
         }
         val (sec, r) = runs.minBy(_._1)
-        probeSecs("damds_dist") = sec
+        recordProbe("damds_dist", sec)
         s""","damds_dist":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
           s""""stress":${Bench.fmt("%.6f", math.rint(r.state.stress * 1e6) / 1e6)},"cg_count":${r.state.cgCount}}"""
       } catch { case e: Throwable =>
@@ -471,6 +538,7 @@ object Bench {
     // driver flops we don't want to pay twice).
     val dd4k =
       try {
+        microCalib(force = true)
         import graft.damds.{Damds, DamdsKernels}
         val nD = 4096; val dDim = 3; val splits = 32; val latent = 8
         val rnd = new java.util.Random(29L)
@@ -519,7 +587,7 @@ object Bench {
         val t0 = System.nanoTime()
         val r = Damds.run(spark, ds, initX, nD, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
-        probeSecs("damds_dist_4k") = sec
+        recordProbe("damds_dist_4k", sec)
         s""","damds_dist_4k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
           s""""stress":${Bench.fmt("%.6f", math.rint(r.state.stress * 1e6) / 1e6)},"cg_count":${r.state.cgCount}}"""
       } catch { case e: Throwable =>
@@ -538,6 +606,7 @@ object Bench {
     // the smaller probes; stress/cg_count = determinism checksum.
     val dd16k =
       try {
+        microCalib(force = true)
         import graft.damds.{Damds, DamdsKernels}
         val nD = 16384; val dDim = 3; val splits = 32; val latent = 8
         val rnd = new java.util.Random(41L)
@@ -585,7 +654,7 @@ object Bench {
         val t0 = System.nanoTime()
         val r = Damds.run(spark, ds, initX, nD, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
-        probeSecs("damds_dist_16k") = sec
+        recordProbe("damds_dist_16k", sec)
         // stress at this n sits below the 6dp grid the smaller probes
         // print, so the checksum keeps full significant digits
         s""","damds_dist_16k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
@@ -609,6 +678,7 @@ object Bench {
     val dd32k =
       if (!sys.env.get("SPARK_GRAFT_DAMDS_32K").contains("1")) ""
       else try {
+        microCalib(force = true)
         import graft.damds.{Damds, DamdsKernels}
         val nD = 32768; val dDim = 3; val splits = 32; val latent = 8
         val rnd = new java.util.Random(53L)
@@ -656,7 +726,7 @@ object Bench {
         val t0 = System.nanoTime()
         val r = Damds.run(spark, ds, initX, nD, cfg)
         val sec = (System.nanoTime() - t0) / 1e9
-        probeSecs("damds_dist_32k") = sec
+        recordProbe("damds_dist_32k", sec)
         s""","damds_dist_32k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
           s""""stress":${Bench.fmt("%.4e", r.state.stress)},"cg_count":${r.state.cgCount}}"""
       } catch { case e: Throwable =>
@@ -680,6 +750,7 @@ object Bench {
     // memoized on disk (marker file) so re-runs don't pay the write.
     val scaling =
       try {
+        microCalib(force = true)
         import org.apache.spark.sql.functions._
         dropSweepState() // the DAMDS probes left 0.5-1 GB block datasets
         val reps = 10
@@ -734,8 +805,16 @@ object Bench {
                 }.min
                 (tag, first, read, comp)
             }
+            // ADVICE r18: the sf0.1 "first" leg is NOT a build — the
+            // main sweep's d91 row already materialized the ledger in
+            // this session (DiskLayoutCache), so that leg re-reads a
+            // cached layout; only the x10 first-leg (first touch of the
+            // scaled dir) pays the true build. The keys say so.
             val fields = legs.flatMap { case (tag, first, read, comp) => Seq(
-              s""""ledger_first_sec_$tag":${Bench.fmt("%.3f", first)}""",
+              (if (tag == "sf01")
+                s""""ledger_first_post_sweep_sec_$tag":${Bench.fmt("%.3f", first)}"""
+              else
+                s""""ledger_first_build_sec_$tag":${Bench.fmt("%.3f", first)}"""),
               s""""ledger_read_sec_$tag":${Bench.fmt("%.3f", read)}""",
               s""""compose_sec_$tag":${Bench.fmt("%.3f", comp)}""") }
             val ratio = legs(1)._4 / legs(0)._4
@@ -820,6 +899,7 @@ object Bench {
     // scale bug this block exists to surface.
     val scalingStream =
       try {
+        microCalib(force = true)
         import org.apache.spark.sql.functions._
         dropSweepState() // the batch x10 block left the scaled corpus's
                          // memoized tables persisted
@@ -919,16 +999,102 @@ object Bench {
         // is the best-wall sweep sample's (wall, summed
         // triggerExecution) pair, so fixed overhead (wall − batch) and
         // marginal work are visible per query without a second probe
-        // pass. Queries whose listener drain timed out (logged above)
-        // are simply absent.
+        // pass. ADVICE r18: a query whose drains ALL timed out keeps a
+        // sentinel row (batch/overhead -1) instead of vanishing, and
+        // committed_sec carries the query's committed min so a reader
+        // sees when the best-DRAINED wall differs from the best wall.
+        val committed = results.toMap
         val rows = streamSplit.toSeq.sortBy(_._1).map { case (n, (wall, batch)) =>
-          s""""$n":{"wall_sec":${Bench.fmt("%.3f", wall)},"batch_sec":${Bench.fmt("%.3f", batch)},"overhead_sec":${Bench.fmt("%.3f", math.max(0.0, wall - batch))}}"""
+          val (b, oh) =
+            if (batch < 0) ("-1", "-1")
+            else (Bench.fmt("%.3f", batch),
+              Bench.fmt("%.3f", math.max(0.0, wall - batch)))
+          s""""$n":{"wall_sec":${Bench.fmt("%.3f", wall)},"batch_sec":$b,"overhead_sec":$oh,"committed_sec":${Bench.fmt("%.3f", committed.getOrElse(n, -1.0))}}"""
         }
         s""","stream_fixed_cost":{${rows.mkString(",")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream fixed-cost probe FAILED: ${e.getMessage}")
         ""
       }
+    // ---- isolated recheck of the most expensive batch rows (r19,
+    // VERDICT r18 next 1b) ----
+    // min-of-N back-to-back samples CANNOT detect a window that is
+    // contended for ALL N samples: r18 committed d51 at 9.7 s (spread
+    // 3.1% — every sample ran in one bad ~95 s sweep stretch) where
+    // fresh-session isolated runs read 0.9 s. Before the snapshot is
+    // written, the top batch rows by committed seconds are re-run in
+    // FRESH sessions (BenchIsolate semantics: new session, untimed
+    // warmup, min-of-2) with a window-local micro-calib; the committed
+    // value becomes the MIN across sweep and isolated samples (same
+    // semantics, more samples), both numbers are published in
+    // isolated_recheck, and rows whose sweep reading was >2× the
+    // isolated one land in recheck_replaced. Streaming rows are
+    // excluded: their cross-round axis is queries_stream_marginal, and
+    // a fresh session's checkpoint/state-store init would dominate a
+    // min-of-2 wall there.
+    spark.stop()
+    def freshSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "64")
+        .config("spark.ui.retainedStages", "128")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10")
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    // name -> (sweep min, isolated min, isolated-window t_off)
+    val recheck: Seq[(String, Double, Double, Double)] =
+      results
+        .filter { case (n, v) => v > 0.4 && !n.startsWith("s") }
+        .sortBy(-_._2).take(10)
+        .flatMap { case (n, sweepSec) =>
+          try {
+            microCalib(force = true)
+            val s2 = freshSession()
+            try materialize(SparkEntry.queries(n)(s2, sfDir)) // warmup
+            catch { case _: Throwable => () }
+            val iso = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              materialize(SparkEntry.queries(n)(s2, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val tIso = tNow()
+            s2.stop()
+            Some((n, sweepSec, iso, tIso))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] recheck $n FAILED: ${e.getMessage}")
+            None
+          }
+        }
+    microCalib(force = true) // close the recheck calib window
+    val isoByName = recheck.map { case (n, _, iso, t) => n -> (iso, t) }.toMap
+    // committed per-query values: min of sweep and isolated samples
+    val finalResults: Seq[(String, Double)] = results.map { case (n, v) =>
+      isoByName.get(n) match {
+        case Some((iso, _)) if v > 0 && iso > 0 && iso < v => n -> iso
+        case _ => n -> v
+      }
+    }
+    val recheckReplaced = recheck.collect {
+      case (n, sw, iso, _) if iso > 0 && sw > 2.0 * iso => n
+    }
+    if (recheckReplaced.nonEmpty)
+      System.err.println("[bench] sweep window flagged contended for: " +
+        recheckReplaced.mkString(", "))
+    // the time each committed value was MEASURED at, for nearest-calib
+    // normalization: the sweep t_off, unless the committed min came
+    // from the isolated recheck — then the recheck window's t
+    val normT: Map[String, Double] =
+      sampled.map { case (n, t, _) => n -> t }.toMap ++
+        recheck.collect { case (n, sw, iso, t) if iso > 0 && iso < sw => n -> t }
     // Host/env fingerprint (VERDICT r10): a committed builder snapshot
     // and the driver's re-run of the same code can differ ~9% globally
     // from host conditions alone; recording the machine and a fixed
@@ -938,32 +1104,19 @@ object Bench {
     // ARE the host-speed axis: same code, slower calibration = slower
     // host, not a plan regression.
     //
-    // ~0.5 s fixed overhead (two 200M measured spins + a short JIT
-    // warmup), paid AFTER both timed sweeps so it can't perturb
-    // them; SPARK_GRAFT_NO_CALIB=1 skips it entirely (calib_sec -1)
-    // for harnesses that don't read the fingerprint (ADVICE r11).
+    // ~0.6 s fixed overhead (two 200M measured spins), paid AFTER all
+    // timed work so it can't perturb it; SPARK_GRAFT_NO_CALIB=1 skips
+    // all calibration (calib_sec -1, calib-norm blocks -1) for
+    // harnesses that don't read the fingerprint (ADVICE r11).
     // calibRef pins the r15 builder host's calibration (2.60 GHz
-    // Xeon, calib 0.581 s) as the cross-round reference axis: the
-    // detail file's queries_calib_norm block divides each query's
-    // seconds by (calib_sec / calibRef), so round-over-round deltas
-    // survive host swaps (VERDICT r16 next 1d).
-    val calibRef = 0.581
+    // Xeon, calib 0.581 s per 200M iters) as the cross-round
+    // reference axis. r19: the per-query/per-probe normalization now
+    // divides by the NEAREST intra-run micro-calib sample (see the
+    // calib machinery at the top) — this whole-run spin remains in the
+    // fingerprint as the coarse host axis.
     val calSec =
-      if (sys.env.get("SPARK_GRAFT_NO_CALIB").contains("1")) -1.0
-      else {
-        def spin(iters: Int): Double = {
-          val t0 = System.nanoTime()
-          var x = 0x9e3779b97f4a7c15L; var i = 0
-          while (i < iters) {
-            x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-            x *= 0x2545f4914f6cdd1dL; i += 1
-          }
-          if (x == 0L) System.err.println("unreachable") // keep the loop live
-          (System.nanoTime() - t0) / 1e9
-        }
-        spin(20000000) // JIT warmup only — 10% of a measured spin
-        math.min(spin(200000000), spin(200000000))
-      }
+      if (noCalib) -1.0
+      else math.min(spin(200000000), spin(200000000))
     val envFingerprint = {
       val cpuModel =
         try {
@@ -986,17 +1139,17 @@ object Bench {
     // prefix ("q01", "v05", ...) and times are 3-decimal. The full
     // mapping (long names, full-precision times) goes to a detail file.
     def r3(v: Double): String = Bench.fmt("%.3f", v)
-    val ids = results.map { case (n, _) => n.takeWhile(_ != '_') }
+    val ids = finalResults.map { case (n, _) => n.takeWhile(_ != '_') }
     require(ids.distinct.size == ids.size, "query ID prefixes not unique")
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val qs = finalResults.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map("\"" + _._1.takeWhile(_ != '_') + "\"")
+    val failed = finalResults.filter(_._2 < 0).map("\"" + _._1.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     val detail = {
-      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val full = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val failedFull = results.filter(_._2 < 0).map("\"" + _._1 + "\"")
+      val failedFull = finalResults.filter(_._2 < 0).map("\"" + _._1 + "\"")
         .mkString("[", ",", "]")
       // all raw per-query samples (back-to-back, 2 or 3) + each
       // query's start offset into the sweep + warmup: a host stall is
@@ -1024,18 +1177,23 @@ object Bench {
       val spreadsJson = spreads.map { case (k, v) =>
         "\"" + k + "\":" + Bench.fmt("%.4f", v)
       }.mkString("{", ",", "}")
-      // host-normalized seconds (VERDICT r16 next 1d): each query's
-      // time divided by this run's calibration drift vs the pinned
-      // r15 reference calib — cross-round comparisons read THIS block
-      // when the hosts differ. -1 when calibration was skipped.
-      val calibNorm = results.map { case (k, v) =>
+      // host-normalized seconds (VERDICT r16 next 1d, r18 next 1a):
+      // each committed value divided by the host-slowdown ratio of the
+      // calib sample NEAREST the moment it was measured — one
+      // per-sweep calib could not see intra-sweep contention windows
+      // (the r18 d51/d52/d54 artifact). Cross-round comparisons read
+      // THIS block when the hosts differ. -1 when calibration was
+      // skipped.
+      val calibNorm = finalResults.map { case (k, v) =>
+        val r = nearestCalibRatio(normT.getOrElse(k, 0.0))
         val norm =
-          if (v >= 0 && calSec > 0) Bench.fmt("%.4f", v * calibRef / calSec)
+          if (v >= 0 && r > 0) Bench.fmt("%.4f", v / r)
           else "-1"
         "\"" + k + "\":" + norm
       }.mkString("{", ",", "}")
       val probesNorm = probeSecs.map { case (k, v) =>
-        val norm = if (calSec > 0) Bench.fmt("%.3f", v * calibRef / calSec)
+        val r = nearestCalibRatio(probeTOff.getOrElse(k, 0.0))
+        val norm = if (r > 0) Bench.fmt("%.3f", v / r)
           else "-1"
         "\"" + k + "\":" + norm
       }.mkString("{", ",", "}")
@@ -1047,11 +1205,25 @@ object Bench {
       // queries_calib_norm stays for the batch families.
       val streamMarginal = streamSplit.toSeq.sortBy(_._1).map {
         case (k, (_, batch)) =>
-          val norm = if (calSec > 0)
-            Bench.fmt("%.4f", batch * calibRef / calSec) else "-1"
+          val r = nearestCalibRatio(normT.getOrElse(k, 0.0))
+          val norm = if (batch >= 0 && r > 0)
+            Bench.fmt("%.4f", batch / r) else "-1"
           "\"" + k + "\":" + norm
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"timing_semantics":"materialized-noop (r18+; pre-r18 rows used count() and are not comparable for projection-terminal queries)","queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive)","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingStream$streamFixed}"""
+      // the intra-run host-speed series: [t_off, seconds-per-100M-spin]
+      // pairs — a contended window reads as a bump in this timeline,
+      // attributable from the artifact alone
+      val calibSeriesJson = calibSeries.map { case (t, sec) =>
+        s"[${r3(t)},${Bench.fmt("%.4f", sec)}]"
+      }.mkString("[", ",", "]")
+      // the fresh-session recheck of the top batch rows: sweep min vs
+      // isolated min; `queries` already committed the min of the two
+      val recheckJson = recheck.map { case (n, sw, iso, _) =>
+        s""""$n":{"sweep_sec":${r3(sw)},"iso_sec":${r3(iso)},"sweep_vs_iso":${Bench.fmt("%.2f", if (iso > 0) sw / iso else -1.0)}}"""
+      }.mkString("{", ",", "}")
+      val replacedJson = recheckReplaced.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"timing_semantics":"materialized-noop (r18+; pre-r18 rows used count() and are not comparable for projection-terminal queries)","queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive); top batch rows fresh-session rechecked, min committed","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"calib_series":$calibSeriesJson,"calib_micro_iters":$microIters,"calib_micro_ref_sec":${Bench.fmt("%.4f", microRef)},"isolated_recheck":$recheckJson,"recheck_replaced":$replacedJson,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingStream$streamFixed}"""
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
@@ -1061,10 +1233,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    // the stream probe blocks live in BENCH_DETAIL only: the caller
-    // keeps ~2000 tail chars of this line, and every probe byte here
-    // displaces per-query entries from that capture
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing_semantics":"materialized-noop","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling}"""
+    // the stream probe blocks, the opt-in dd32k block and the full
+    // timing-semantics string live in BENCH_DETAIL only (ADVICE r18):
+    // the caller keeps ~2000 tail chars of this line, and every probe
+    // byte here displaces per-query entries from that capture — the
+    // line carries only the short "t":"noop" marker
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","t":"noop","queries":$qs,"failed":$failed,"sf":"$sfDir"$km$km1k$gm$dd$dd4k$dd16k$scaling}"""
     spark.stop()
     // The state-store maintenance scheduler is a JVM singleton that
     // spark.stop() does NOT stop: a tick firing during teardown logs a

@@ -756,5 +756,21 @@ object MultimodalQueries {
     Q("x09_modality_coverage", x09, Some(x09Sql)),
     Q("x10_cdc_dial_curve", x10, Some(GoldenOracles.x10)),
     Q("x11_scene_segments", x11, Some(GoldenOracles.x11)),
-    Q("x13_audio_vad", x13, Some(GoldenOracles.x13)))
+    Q("x13_audio_vad", x13, Some(GoldenOracles.x13)),
+    // second-scale gates (VERDICT r18 next 2): the feature tables are
+    // ~5,000 rows at sf0.1 — too large for VALUES literals — so the
+    // full outputs are gated at both scales through 1-row
+    // order-insensitive digests (DigestGate / GoldenOracles.x02d etc.)
+    Q("x02d_image_features_digest",
+      (s, d) => DigestGate.digest(x02(s, d)), Some(GoldenOracles.x02d)),
+    Q("x04d_media_dedup_digest",
+      (s, d) => DigestGate.digest(x04(s, d)), Some(GoldenOracles.x04d)),
+    Q("x05d_audio_features_digest",
+      (s, d) => DigestGate.digest(x05(s, d)), Some(GoldenOracles.x05d)),
+    Q("x07d_cdc_chunks_digest",
+      (s, d) => DigestGate.digest(x07(s, d)), Some(GoldenOracles.x07d)),
+    Q("x11d_scene_segments_digest",
+      (s, d) => DigestGate.digest(x11(s, d)), Some(GoldenOracles.x11d)),
+    Q("x13d_audio_vad_digest",
+      (s, d) => DigestGate.digest(x13(s, d)), Some(GoldenOracles.x13d)))
 }

@@ -6298,7 +6298,14 @@ object TextQueries {
   private[graft] def bucketedLedger(s: SparkSession, dir: String,
       name: String, key: String)(build: => DataFrame): DataFrame = {
     val tbl = ledgerTables.getOrBuild(s, (dir, name)) {
-      val tag = Integer.toHexString(dir.hashCode)
+      // collision-proof dataset tag (ADVICE r18): two dirs colliding on
+      // Int hashCode would silently OVERWRITE each other's ledger table
+      // while the SessionCache (keyed on the exact dir) kept handing
+      // earlier consumers the shared table name — md5 of the path
+      // cannot collide in practice
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
       val t = s"graft_led_${name}_$tag"
       val wh = s.conf.get("spark.sql.warehouse.dir")
       graft.sources.Bucketing.writeBucketed(build, s"$wh/$t", t, key, 32)
@@ -6538,6 +6545,12 @@ object TextQueries {
     Q("d05_ngram_jaccard", d05, Some(d05Sql)),
     Q("d06_minhash_lsh", d06MinhashLsh, Some(GoldenOracles.d06)),
     Q("d07_simhash", d07Simhash, Some(GoldenOracles.d07)),
+    // second-scale gate for d07's 138,939-row sf0.1 output (VERDICT
+    // r18 next 2): the full table digested order-insensitively, pinned
+    // at both scales — see DigestGate/GoldenOracles.d07d
+    Q("d07d_simhash_digest",
+      (s, d) => DigestGate.digest(d07Simhash(s, d)),
+      Some(GoldenOracles.d07d)),
     Q("d08_fingerprints", d08Fingerprint, Some(GoldenOracles.d08)),
     Q("d09_curation_pipeline", d09, Some(d09Sql)),
     Q("d10_minhash_lsh_md5", d10MinhashMd5, Some(d10Sql)),

@@ -22,8 +22,11 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("query names follow the family_name convention") {
+    // the optional trailing `d` marks a second-scale DIGEST companion
+    // (d07d/x02d/...: DigestGate over a VALUES-infeasible golden row) —
+    // still a unique ID prefix for the bench's short keys
     val bad = Catalog.all.map(_.name)
-      .filterNot(_.matches("[a-z][0-9]{2}_[a-z0-9_]+"))
+      .filterNot(_.matches("[a-z][0-9]{2}d?_[a-z0-9_]+"))
     assert(bad.isEmpty, s"malformed names: $bad")
   }
 

@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private val sfDir =
     sys.env.getOrElse("SPARK_GRAFT_GOLDEN_SF", "/root/testdata/sf0.1")
 
-  /** The 37 golden-gated queries: every Catalog entry whose oracle is
+  /** The 44 golden-gated queries: every Catalog entry whose oracle is
     * a pinned GoldenOracles VALUES table — verbatim (the pure goldens
     * and s24, gated on GoldenOracles.d58 itself) or embedded (d60,
     * d69, d70 and d74, whose SQL oracles inline that golden as a
@@ -70,7 +70,16 @@ class GoldenSweepSpec extends AnyFunSuite {
     "v30_filtered_recall_curve", "v32_pca_power", "v33_pca_spectrum",
     "x02_image_features", "x04_media_dedup", "x05_audio_features",
     "x07_cdc_chunks", "x10_cdc_dial_curve", "x11_scene_segments",
-    "x12_phash_neardup", "x13_audio_vad")
+    "x12_phash_neardup", "x13_audio_vad",
+    // r19 second-scale digest companions (DigestGate): golden-gated at
+    // BOTH scales, so the invariance leg must cover them too — their
+    // XOR folds are order-invariant by construction, but the premise
+    // that each underlying ROW is partition-independent is exactly
+    // what this sweep exists to re-prove
+    "d07d_simhash_digest", "x02d_image_features_digest",
+    "x04d_media_dedup_digest", "x05d_audio_features_digest",
+    "x07d_cdc_chunks_digest", "x11d_scene_segments_digest",
+    "x13d_audio_vad_digest")
 
   /** Canonical form: every row rendered (Row.toString keeps the -0.0 /
     * 0.0 distinction and full double precision), sorted. */
@@ -271,6 +280,22 @@ class GoldenSweepSpec extends AnyFunSuite {
     val disk = canon("v11_knn_ivfpq_disk", narrowSplits)
     assert(mem.nonEmpty && mem == disk,
       s"IVFADC disk path diverges from memory path at $sfDir")
+  }
+
+  test("s30/s47 stream lifts equal their batch tables at the sweep scale") {
+    // the two stream lifts whose oracles stay gate-scale-pinned (their
+    // batch twins' sf0.1 outputs are VALUES-infeasible, gated by the
+    // x11d/x13d digests instead): the stream path must produce the
+    // SAME table as the batch path at the sweep scale, which chains
+    // the digests' sf0.1 gate onto the lifts without new literals
+    for ((sName, xName) <- Seq(
+        "s30_stream_scene_segments" -> "x11_scene_segments",
+        "s47_stream_audio_vad" -> "x13_audio_vad")) {
+      val streamed = canon(sName, narrowSplits)
+      val batch = canon(xName, narrowSplits)
+      assert(streamed.nonEmpty && streamed == batch,
+        s"$sName diverges from $xName at $sfDir")
+    }
   }
 
   test("v08 PQ-ADC equals a plain-Scala reimplementation at the sweep scale") {

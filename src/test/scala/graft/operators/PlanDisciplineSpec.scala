@@ -938,6 +938,55 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered batch query pushes an inlined derived-column chain into a Filter") {
+    // The d90 pin, generalized (VERDICT r18 next 6): join-key isnotnull
+    // inference substitutes a derived column's WHOLE projection chain
+    // into a pushed Filter condition without CSE — shared steps then
+    // re-evaluate multiplicatively per row (measured 4-5× d90's entire
+    // cost before the non-null fix). The signature is a single Filter
+    // line dense with hash/regexp/string-kernel calls, so this sweep
+    // fails ANY registered batch query whose plan carries one — the
+    // next derived-key join someone writes regresses here, not in a
+    // bench round. Legit plans stay far under the bound: a pushed
+    // hash-split or bloom screen carries 1-3 such calls; the d90
+    // blowup carried 13+ (the whole canon chain, twice). Streaming
+    // queries are exercised through their micro-batch pins above —
+    // their registered DataFrames are memory-sink results, so there is
+    // no batch plan to sweep here.
+    val heavy = Seq("xxhash64(", "md5(", "sha2(", "crc32(",
+      "regexp_replace(", "regexp_extract(", "regexp_extract_all(",
+      "translate(", "conv(", "graft_char_counts(", "graft_term_counts(",
+      "graft_minhash_sig(")
+    def heavyCount(line: String): Int =
+      heavy.map { h =>
+        var c = 0; var i = line.indexOf(h)
+        while (i >= 0) { c += 1; i = line.indexOf(h, i + 1) }
+        c
+      }.sum
+    val names = Catalog.queries.keys.toSeq.sorted.filterNot(_.startsWith("s"))
+    val bound = 6
+    var sawAny = false
+    val offenders = names.flatMap { n =>
+      val p = Catalog.auditPlan(spark, TestSpark.sf0001, n).toString
+      val worst = p.linesIterator
+        .filter(l => l.contains("Filter"))
+        .map(heavyCount).maxOption.getOrElse(0)
+      if (worst > 0) sawAny = true
+      if (worst > bound) Some(s"$n (max $worst heavy calls in one Filter)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"inlined-chain signature in pushed Filters (bound $bound): " +
+        offenders.mkString(", "))
+    // canary: if Catalyst's plan rendering ever changes so the token
+    // list matches nothing (every plan counts 0), this sweep would
+    // pass forever while detecting nothing — some queries legitimately
+    // filter on a hash (d15's pmod(xxhash64) split, the bloom screens),
+    // so a healthy detector must see at least one heavy call somewhere
+    assert(sawAny, "detector saw zero heavy calls in any Filter — " +
+      "token list no longer matches Catalyst's rendering")
+  }
+
   test("d90 keeper join is shuffled and the canon chain is not re-inlined into a filter") {
     // two r18 pins: (1) the urls frame is corpus-proportional, so the
     // canon-key join must shuffle — Catalyst's size estimate was

@@ -75,6 +75,21 @@ class UrlCanonSpec extends AnyFunSuite {
       Seq("https://site.org/News/Today?q=rain"))
   }
 
+  test("fixture canon is never null or empty (the non-null pin is real)") {
+    // ADVICE r18: the never-firing coalesce(canon, '') exists only to
+    // make the column non-nullable (it blocks the isnotnull-inference
+    // chain-inlining blowup, BENCH_NOTES r18/d90) — but it also changes
+    // NULL-canon semantics from "row drops out of the keeper equi-join"
+    // to "all NULL rows merge under one '' keeper group". This pin makes
+    // a future null- or empty-producing input fail LOUDLY here instead
+    // of silently merging a dup group.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, graft.TestSpark.sf001, "documents")
+    val bad = TextQueries.urlCanonCols(TextQueries.syntheticUrls(docs))
+      .filter(col("canon").isNull || col("canon") === "").count()
+    assert(bad == 0L, "urlCanonCols produced null/empty canon on the fixture")
+  }
+
   test("synthesized variants 0-2 collide within a source; variant 3 stays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
