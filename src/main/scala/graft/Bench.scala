@@ -978,7 +978,58 @@ object Bench {
           s""""$n":{"sf01_sec":${Bench.fmt("%.3f", base)},"x10_sec":${Bench.fmt("%.3f", x10)},"ratio":${Bench.fmt("%.2f", x10 / base)},""" +
             s""""state_rows_sf01":${math.max(st1, st1b)},"state_rows_x10":${math.max(stx, stxb)}}"""
         }
-        s""","scaling_x10_stream":{"reps":$reps,${rows.mkString(",")}}"""
+        // s43 decomposition (VERDICT r18 next 3): s43's x10 ratio was
+        // the stream family's only exactly-linear probe (10.03 at r18,
+        // zero economy of scale) — this block splits its per-trigger
+        // cost into the three batch-expressible legs at both scales so
+        // the slope is attributable: sites = the stateless gram-hash
+        // explode over every arriving doc (pure per-row work — the leg
+        // that CANNOT amortize, now on the d82 gram kernel instead of
+        // md5 strings), ledger_read = the bucketed copy-flow ledger
+        // FileScan (amortized, build untimed), flows = sites + the
+        // shuffled equi-join + origin filter (the full probe minus
+        // micro-batch machinery and the memory-sink rollup). The
+        // stream walls/marginals for the same corpus sit in the rows
+        // above.
+        val s43Decomp =
+          try {
+            val legs = Seq("sf01" -> sfDir, "x10" -> streamDir).map {
+              case (tag, dir) =>
+                val docs = graft.Tables(spark, dir, "documents")
+                def ledger() =
+                  graft.operators.TextQueries.copyFlowLedgerBucketed(spark, dir)
+                materialize(ledger()) // first touch untimed (build memoized)
+                def best2(f: => org.apache.spark.sql.DataFrame): Double =
+                  (1 to 2).map { _ =>
+                    val t0 = System.nanoTime()
+                    materialize(f)
+                    (System.nanoTime() - t0) / 1e9
+                  }.min
+                val sites = best2(
+                  graft.operators.TextQueries.gramSitesSrc(docs))
+                val ledgerSec = best2(ledger())
+                val flows = best2 {
+                  import org.apache.spark.sql.functions.col
+                  graft.operators.TextQueries.gramSitesSrc(docs)
+                    .join(ledger().hint("merge"), "gh")
+                    .filter(!(col("doc_id") === col("kdoc") &&
+                      col("pos") === col("kpos")))
+                    .select(col("src_from"), col("source").as("src_to"),
+                      col("doc_id"))
+                }
+                (tag, sites, ledgerSec, flows)
+            }
+            val fields = legs.flatMap { case (tag, sites, led, flows) => Seq(
+              s""""sites_sec_$tag":${Bench.fmt("%.3f", sites)}""",
+              s""""ledger_read_sec_$tag":${Bench.fmt("%.3f", led)}""",
+              s""""flows_sec_$tag":${Bench.fmt("%.3f", flows)}""") }
+            val ratio = legs(1)._4 / legs(0)._4
+            s""","s43_decomp":{${fields.mkString(",")},"flows_ratio":${Bench.fmt("%.2f", ratio)}}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] s43 decomp FAILED: ${e.getMessage}")
+            ""
+          }
+        s""","scaling_x10_stream":{"reps":$reps,${rows.mkString(",")}$s43Decomp}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream scaling probe FAILED: ${e.getMessage}")
         ""

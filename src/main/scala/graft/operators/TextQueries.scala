@@ -4802,19 +4802,28 @@ object TextQueries {
 
   /** Gram sites with the doc's source carried through the explode —
     * free in the projection, and saves the d78/s43 consumers a join
-    * back to the documents table. */
-  private[operators] def gramSitesSrc(docs: DataFrame): DataFrame = {
-    val parts = (0 until dupL).map(j => s"toks[i + $j]").mkString(", ")
+    * back to the documents table.
+    *
+    * r19 (VERDICT r18 next 3, the s43 slope): the gram key is d82's
+    * production gram kernel (`graft_gram_hashes`, one codegen'd
+    * xxhash64 pass per window over a reused byte buffer), not
+    * md5(concat_ws(...)). `gh` never reaches any output and the d78
+    * oracle re-derives the flows in DuckDB from the gram STRINGS, so
+    * only the grouping (gram equality) matters — identical under any
+    * injective-enough hash, the same premise every xxhash64-keyed
+    * dedup family already stands on. What changes is the per-site
+    * cost the s43 probe pays on EVERY streamed document: no gram
+    * string materialization + no md5, and the shuffle/join key drops
+    * from a 32-char string to 8 bytes. */
+  private[graft] def gramSitesSrc(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= dupL)
-      .select(col("doc_id"), col("source"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $dupL), " +
-          s"i -> md5(cast(concat_ws(' ', $parts) as binary)))")))
+      .select(col("doc_id"), col("source"), posexplode(
+        graft.functions.GraftFunctions.gramHashes(col("toks"), dupL)))
       .select(col("doc_id"), col("source"),
         col("pos").cast("long").as("pos"), col("col").as("gh"))
-  }
 
   /** Copy-flow ledger: one row per DUPLICATED gram — its hash, origin
     * site (first corpus occurrence), and origin source. Corpus-
