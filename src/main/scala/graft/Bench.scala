@@ -12,6 +12,68 @@ object Bench {
   def fmt(f: String, v: Double): String =
     String.format(java.util.Locale.ROOT, f, java.lang.Double.valueOf(v))
 
+  /** The n=32768 distributed-DAMDS probe body (the gather-cap curve's
+    * 4th point), shared by the opt-in in-sweep block and the
+    * standalone `graft.Damds32k` main. Returns (seconds, json
+    * fragment) — (-1, "") on failure. Seeded construction, so
+    * stress/cg_count double as the determinism checksum. */
+  private[graft] def damds32kProbe(spark: SparkSession): (Double, String) =
+    try {
+      import graft.damds.{Damds, DamdsKernels}
+      val nD = 32768; val dDim = 3; val splits = 32; val latent = 8
+      val rnd = new java.util.Random(53L)
+      val pts = Array.fill(nD, latent)(rnd.nextDouble())
+      val shorts = new Array[Short](nD * nD)
+      val rowMx = new Array[Double](nD)
+      java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
+        var mx = 0.0
+        var j = 0
+        while (j < nD) {
+          var s2 = 0.0; var k = 0
+          while (k < latent) {
+            val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+          }
+          val dv = math.sqrt(s2)
+          if (dv > mx) mx = dv
+          j += 1
+        }
+        rowMx(i) = mx
+      }
+      val mx = rowMx.max
+      java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
+        var j = 0
+        while (j < nD) {
+          var s2 = 0.0; var k = 0
+          while (k < latent) {
+            val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
+          }
+          shorts(i * nD + j) = graft.mm.FixedPoint.encode(math.sqrt(s2) / mx)
+          j += 1
+        }
+      }
+      val blocks = graft.mm.MatrixIO.rowSplits(nD, splits).zipWithIndex
+        .map { case ((start, rows), idx) =>
+          DamdsKernels.DamdsBlock(idx, start, rows, nD,
+            java.util.Arrays.copyOfRange(shorts, start * nD, (start + rows) * nD),
+            Array.empty[Short])
+        }
+      val ds = spark.createDataset(blocks)(
+        org.apache.spark.sql.Encoders.product[DamdsKernels.DamdsBlock])
+      val rInit = new java.util.Random(59L)
+      val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
+      val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
+        maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
+      val t0 = System.nanoTime()
+      val r = Damds.run(spark, ds, initX, nD, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec,
+        s""","damds_dist_32k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
+          s""""stress":${Bench.fmt("%.4e", r.state.stress)},"cg_count":${r.state.cgCount}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] damds_dist_32k probe FAILED: ${e.getMessage}")
+      (-1.0, "")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -677,61 +739,11 @@ object Bench {
     // same JVM — run it alone, not inside a graded sweep.
     val dd32k =
       if (!sys.env.get("SPARK_GRAFT_DAMDS_32K").contains("1")) ""
-      else try {
+      else {
         microCalib(force = true)
-        import graft.damds.{Damds, DamdsKernels}
-        val nD = 32768; val dDim = 3; val splits = 32; val latent = 8
-        val rnd = new java.util.Random(53L)
-        val pts = Array.fill(nD, latent)(rnd.nextDouble())
-        val shorts = new Array[Short](nD * nD)
-        val rowMx = new Array[Double](nD)
-        java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
-          var mx = 0.0
-          var j = 0
-          while (j < nD) {
-            var s2 = 0.0; var k = 0
-            while (k < latent) {
-              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
-            }
-            val dv = math.sqrt(s2)
-            if (dv > mx) mx = dv
-            j += 1
-          }
-          rowMx(i) = mx
-        }
-        val mx = rowMx.max
-        java.util.stream.IntStream.range(0, nD).parallel().forEach { i =>
-          var j = 0
-          while (j < nD) {
-            var s2 = 0.0; var k = 0
-            while (k < latent) {
-              val t = pts(i)(k) - pts(j)(k); s2 += t * t; k += 1
-            }
-            shorts(i * nD + j) = graft.mm.FixedPoint.encode(math.sqrt(s2) / mx)
-            j += 1
-          }
-        }
-        val blocks = graft.mm.MatrixIO.rowSplits(nD, splits).zipWithIndex
-          .map { case ((start, rows), idx) =>
-            DamdsKernels.DamdsBlock(idx, start, rows, nD,
-              java.util.Arrays.copyOfRange(shorts, start * nD, (start + rows) * nD),
-              Array.empty[Short])
-          }
-        val ds = spark.createDataset(blocks)(
-          org.apache.spark.sql.Encoders.product[DamdsKernels.DamdsBlock])
-        val rInit = new java.util.Random(59L)
-        val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
-        val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
-          maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
-        val t0 = System.nanoTime()
-        val r = Damds.run(spark, ds, initX, nD, cfg)
-        val sec = (System.nanoTime() - t0) / 1e9
-        recordProbe("damds_dist_32k", sec)
-        s""","damds_dist_32k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
-          s""""stress":${Bench.fmt("%.4e", r.state.stress)},"cg_count":${r.state.cgCount}}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] damds_dist_32k probe FAILED: ${e.getMessage}")
-        ""
+        val (sec, js) = Bench.damds32kProbe(spark)
+        if (sec > 0) recordProbe("damds_dist_32k", sec)
+        js
       }
     // Scaling-slope probe (VERDICT r14 next 6): the only evidence
     // local[32] can give for the 100× question is a measured exponent,
@@ -1298,6 +1310,44 @@ object Bench {
     // explicitly, print last, exit immediately.
     org.apache.spark.sql.GraftShims.stopStateStoreMaintenance()
     println(line)
+    System.out.flush()
+    System.exit(0)
+  }
+}
+
+/** Standalone runner for the opt-in n=32768 DAMDS probe (VERDICT r18
+  * next 7): the point needs a ~40 GB heap and must run ALONE — its
+  * build + block copies OOM a default JVM and the damage destabilizes
+  * every later probe in the same process — so it gets its own main and
+  * its own JVM instead of a slot in the graded sweep.
+  *
+  *   SBT_OPTS=-Xmx40g sbt -batch "runMain graft.Damds32k"
+  *
+  * Prints one JSON line; min-of-2 within the one session (single
+  * samples on this host are worthless — BENCH_NOTES). The committed
+  * snapshot's dd32k block stays env-gated for in-sweep use at your own
+  * risk; this main is the supported path.
+  */
+object Damds32k {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val runs = (1 to 2).map(_ => Bench.damds32kProbe(spark))
+      .filter(_._1 > 0)
+    spark.stop()
+    org.apache.spark.sql.GraftShims.stopStateStoreMaintenance()
+    if (runs.isEmpty) println("""{"damds_dist_32k":"FAILED"}""")
+    else {
+      val best = runs.minBy(_._1)
+      println("{" + best._2.stripPrefix(",") + s""","samples":[${runs.map(r => Bench.fmt("%.3f", r._1)).mkString(",")}]}""")
+    }
     System.out.flush()
     System.exit(0)
   }

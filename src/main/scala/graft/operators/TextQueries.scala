@@ -4811,10 +4811,13 @@ object TextQueries {
     * oracle re-derives the flows in DuckDB from the gram STRINGS, so
     * only the grouping (gram equality) matters — identical under any
     * injective-enough hash, the same premise every xxhash64-keyed
-    * dedup family already stands on. What changes is the per-site
-    * cost the s43 probe pays on EVERY streamed document: no gram
-    * string materialization + no md5, and the shuffle/join key drops
-    * from a 32-char string to 8 bytes. */
+    * dedup family already stands on. The shared oracle is therefore
+    * ALSO the cross-hash equivalence check (the d82-vs-d71 pairing:
+    * DuckDB groups md5 grams, Spark groups kernel hashes, outputs must
+    * agree row-for-row at both gated scales). What changes is the
+    * per-site cost the s43 probe pays on EVERY streamed document: no
+    * gram string materialization + no md5, and the shuffle/join key
+    * drops from a 32-char string to 8 bytes. */
   private[graft] def gramSitesSrc(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
