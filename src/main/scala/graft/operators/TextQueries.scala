@@ -4757,16 +4757,28 @@ object TextQueries {
   // exact.
   private[operators] val dupL = 8
 
-  /** Positioned L-gram sites: (doc_id, pos, gh = md5 of the L-token
-    * gram starting at pos). Positions are 0-based token indexes. */
+  /** Positioned L-gram sites: (doc_id, pos, gh). Positions are 0-based
+    * token indexes.
+    *
+    * r19 (the s43/d78 treatment, extended): the production form keys
+    * grams on d82's codegen'd kernel (`graft_gram_hashes`, one
+    * xxhash64 pass per window, 8-byte keys) instead of the md5-HOF
+    * string pipeline. gh never reaches any consumer output (spans,
+    * scrub ledgers, dial curves, flow matrices only), and every
+    * consumer oracle re-derives the grouping from gram STRINGS in
+    * DuckDB, so the shared oracles double as cross-hash equivalence
+    * checks at both gated scales. d71 alone stays on `gramSitesMd5` —
+    * it is the DESIGNATED interpreted md5 sibling whose frame equality
+    * with d82 (DupSpansSpec) is the in-engine cross-hash proof. */
   private[operators] def gramSites(docs: DataFrame): DataFrame =
-    gramSitesL(docs, dupL)
+    gramSitesNativeOfToks(docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), dupL)
 
-  /** The same at an explicit resolution `l` (d77 sweeps this dial;
-    * everything else runs the production dupL). */
-  private[operators] def gramSitesL(docs: DataFrame, l: Int): DataFrame =
+  /** The md5-HOF site builder (d71, the d82-vs-d71 pairing's
+    * interpreted side). */
+  private[operators] def gramSitesMd5(docs: DataFrame): DataFrame =
     gramSitesOfToks(docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), l)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), dupL)
 
   /** Gram sites over an already-tokenized (doc_id, toks) frame — the
     * seam that lets d77's four L rungs share ONE tokenize pass. */
@@ -4911,7 +4923,7 @@ object TextQueries {
 
   private def d71(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sites = gramSites(Tables(s, dir, "documents"))
+    val sites = gramSitesMd5(Tables(s, dir, "documents"))
     val dup = sites.groupBy($"gh").agg(count(lit(1)).as("n"))
       .filter($"n" >= 2).select($"gh")
     dupSpansOf(sites.join(dup, "gh").select($"doc_id", $"pos"))
