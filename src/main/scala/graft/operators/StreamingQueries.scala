@@ -1406,17 +1406,31 @@ object StreamingQueries {
       .join(ledger, "gh")
       .filter(!($"doc_id" === $"kdoc" && $"pos" === $"kpos"))
       .select($"src_from", $"source".as("src_to"), $"doc_id")
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    // DISTRIBUTED file sink, not the memory sink (r19): the flow rows
+    // are corpus-SITE-proportional (one per duplicated gram site —
+    // ~tokens, not ~docs), so s43 was the one streaming query whose
+    // append sink collected a corpus-proportional frame onto the
+    // driver — an OOM at real scale, and the dominant term of its x10
+    // probe (the memory-sink collect, not the plan). Every other
+    // s-query's memory sink holds doc/pair/media-proportional or
+    // state-bounded rows (the gate's observation device; production
+    // swaps it for exactly this kind of distributed sink). The rollup
+    // (with its countDistinct, which append streams can't do) then
+    // reads the files like d78 reads its sites.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_s43_flows_").toString
     graft.Tables.withConfs(s,
         Seq("spark.sql.shuffle.partitions" -> "8")) {
       val q = flows.writeStream
-        .format("memory").queryName(name)
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    s.table(name)
+    s.read.parquet(s"$base/out")
       .groupBy($"src_from", $"src_to")
       .agg(count(lit(1)).as("n_sites"),
         countDistinct($"doc_id").as("n_docs"))
