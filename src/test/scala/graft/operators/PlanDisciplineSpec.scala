@@ -938,6 +938,23 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("s43's site-proportional flows land in a distributed file sink, not the memory sink") {
+    // r19: the copy-flow stream emits one row per duplicated gram SITE
+    // (~tokens, not ~docs) — the only streaming output that is
+    // corpus-site-proportional — so it must append to a distributed
+    // sink; a memory sink here collects a corpus-proportional frame
+    // onto the driver (OOM at real scale; it also dominated the x10
+    // probe). The registered frame's rollup must therefore read back
+    // from a parquet FileScan, not from an in-memory sink table
+    // (LocalTableScan / MemoryPlan).
+    val p = Catalog.queries("s43_stream_copy_flows")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet"),
+      s"s43 rollup does not read a distributed file sink:\n$p")
+    assert(!p.contains("MemoryPlan") && !p.contains("LocalTableScan"),
+      s"s43 rollup reads a driver-side sink table:\n$p")
+  }
+
   test("no registered batch query pushes an inlined derived-column chain into a Filter") {
     // The d90 pin, generalized (VERDICT r18 next 6): join-key isnotnull
     // inference substitutes a derived column's WHOLE projection chain
