@@ -2805,15 +2805,25 @@ object TextQueries {
   // test compares bit-identical doubles against literals.
   /** The deduped (source, 5-gram) frame the sketch and its exact-count
     * audit share. */
-  private[operators] def gramSets(s: SparkSession, dir: String): DataFrame = {
+  /** (source, gram) OCCURRENCES — no set dedup. The register leg's
+    * input: max over a multiset equals max over its set, so the HLL
+    * fold needs no corpus-wide gram-string distinct (the streaming leg
+    * always skipped it); r19 moved batch d49 onto this form too — its
+    * only large shuffle was the dedup, while the occurrence form
+    * partial-aggregates map-side straight to (source, bucket) rows.
+    * The exact-count audit keeps the distinct: sets ARE its value. */
+  private[operators] def gramOccurrences(s: SparkSession, dir: String)
+      : DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"source", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
-      .distinct()
   }
+
+  private[operators] def gramSets(s: SparkSession, dir: String): DataFrame =
+    gramOccurrences(s, dir).distinct()
 
   /** (source, gram) stream → HLL register table (source, bucket, r).
     * Max over a multiset equals max over its set, so callers may skip
@@ -2851,7 +2861,7 @@ object TextQueries {
   }
 
   private def d49(s: SparkSession, dir: String): DataFrame =
-    hllFinish(s, dir, hllRegisters(gramSets(s, dir)))
+    hllFinish(s, dir, hllRegisters(gramOccurrences(s, dir)))
 
   /** HLL register table (source, bucket, r) → (source, est_distinct):
     * m = 256 buckets over a 40-bit rho domain; empty buckets count as
