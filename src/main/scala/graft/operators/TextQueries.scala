@@ -3182,14 +3182,28 @@ object TextQueries {
   private val sjK = 128
   private def d54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables(s, dir, "documents")
+    // r19 shuffle diet (the d49/gram-kernel discipline): per-doc
+    // array_distinct collapses within-doc gram repeats BEFORE the
+    // explode, and every occurrence is hashed ONCE in the projection —
+    // g = xxhash64(sh) as the set-identity key (the corpus-wide
+    // distinct and the pairwise self-join now shuffle 8-byte longs,
+    // never gram strings), h = the oracle-shared 40-bit md5 KMV hash.
+    // Set counts over g equal set counts over sh under the same
+    // collision-free premise every hash-keyed family stands on; the
+    // DuckDB oracle re-derives everything from gram STRINGS, so the
+    // shared oracle is also the cross-hash check.
+    val hashed = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"source", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
-      .select($"source", explode(TextOps.shingles("toks", 5)).as("sh"))
-      .distinct()
+      .select($"source",
+        explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
+      .select($"source", xxhash64($"sh").as("g"), expr(
+        "cast(conv(substring(md5(cast(sh as binary)), 1, 10), 16, 10) " +
+          "as bigint)").as("h"))
+    val grams = hashed.select($"source", $"g").distinct()
     val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
-    val inter = grams.as("x").join(grams.as("y"), Seq("sh"))
+    val inter = grams.as("x").join(grams.as("y"), Seq("g"))
       .filter($"x.source" < $"y.source")
       .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -3201,10 +3215,7 @@ object TextQueries {
       .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
       .withColumn("exact_jaccard", expr(
         "floor(n_inter / cast(n_a + n_b - n_inter as double) * 1e6 + 0.5) / 1e6"))
-    val hashes = grams.select($"source", expr(
-        "cast(conv(substring(md5(cast(sh as binary)), 1, 10), 16, 10) " +
-          "as bigint)").as("h"))
-      .distinct()
+    val hashes = hashed.select($"source", $"h").distinct()
     val sk = graft.vec.VectorOps.topKPerQuery(
         hashes.select($"source".as("qid"), $"h".as("vec_id"),
           (-$"h").cast("double").as("score")), sjK)
