@@ -318,6 +318,13 @@ object TextQueries {
   private val tfidfTopN = 5
   private def d17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r19 shuffle diet: gh = xxhash64(term) is computed in the explode
+    // projection and keys the df agg and the score join (8-byte longs;
+    // the trigram vocabulary is corpus-proportional, so those two
+    // exchanges are the big ones). The term STRING must survive to the
+    // output, so it rides the tf agg as a payload column — grouping on
+    // (doc_id, gh) with min(term) is value-identical under the
+    // collision-free premise the string-keyed oracle checks.
     val grams = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
@@ -325,6 +332,7 @@ object TextQueries {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))")).as("term"))
+      .select($"doc_id", xxhash64($"term").as("gh"), $"term")
     // The tf agg is MATERIALIZED (eager localCheckpoint) so the df
     // branch and the score join both read the materialized rows:
     // Spark shares no subtrees across join branches, so the lazy form
@@ -332,7 +340,8 @@ object TextQueries {
     // gram pass at 100 TB for rows the tf agg already holds (r15
     // verdict item 5). Disk-backed like any production intermediate;
     // each invocation's checkpoint is GC'd when unreferenced.
-    val tf = grams.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val tf = grams.groupBy($"doc_id", $"gh")
+      .agg(min($"term").as("term"), count(lit(1)).as("tf"))
       .localCheckpoint()
     // N without touching the gram explode: docs with >= 3 tokens (ids
     // are unique, so countDistinct over grams degenerates to a count)
@@ -340,7 +349,7 @@ object TextQueries {
       .filter(length(trim($"text")) > 0)
       .filter(size(TextOps.tokens($"text")) >= 3)
       .agg(count(lit(1)).as("n_docs"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy($"gh").agg(count(lit(1)).as("df"))
     // cross-engine determinism: the ONE transcendental (ln) is rounded
     // to 6dp while still O(1)-sized, BEFORE the tf multiply — rounding
     // after the multiply would amplify a 1-ulp ln divergence by up to
@@ -348,7 +357,10 @@ object TextQueries {
     // there the arithmetic is exact: DECIMAL idf × integer tf, cast to
     // double (both engines IEEE-round the identical decimal, so the
     // ranked value is bit-equal)
-    val scored = tf.join(df, "term")
+    // the corpus-proportional df frame joins merge-hinted (never
+    // broadcast at fixture scale — the d90/d91 no-broadcast rule);
+    // AQE splits the skewed probe side at scale as before
+    val scored = tf.join(df.hint("merge"), "gh")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"term", $"tf",
         ($"tf" * round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0, 6)
@@ -392,14 +404,26 @@ object TextQueries {
   private val bpMinDocs = 2
   private def d18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r19 shuffle diet (the d54/d82 gram-kernel discipline): grams are
+    // hashed ONCE in the explode projection and every downstream
+    // shuffle — the doc-frequency agg and the boilerplate-set join —
+    // carries 8-byte longs, never 5-gram strings (~40 B each). Counts
+    // over gh equal counts over the strings under the same
+    // collision-free premise every hash-keyed family stands on; the
+    // DuckDB oracle re-derives everything from gram STRINGS, so the
+    // shared oracle doubles as the cross-hash equivalence check. The
+    // boilerplate gram set is CORPUS-proportional (a ledger): its join
+    // is merge-hinted so fixture-scale AQE can't broadcast a frame
+    // that is GBs at 100 TB (the d90/d91 no-broadcast rule).
     val sh = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
-    val bp = sh.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
-      .filter($"n_docs" >= bpMinDocs).select($"sh")
-    val nBp = sh.join(bp, "sh")
+      .select($"doc_id", xxhash64($"sh").as("gh"))
+    val bp = sh.groupBy($"gh").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= bpMinDocs).select($"gh")
+    val nBp = sh.join(bp.hint("merge"), "gh")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_boilerplate"))
     sh.groupBy($"doc_id").agg(count(lit(1)).as("total_5grams"))
       .join(nBp, Seq("doc_id"), "left")
@@ -1328,12 +1352,19 @@ object TextQueries {
     // branch re-derives the explode from a second scan — the skew
     // safety costs one extra map-side-collapsed corpus pass, the
     // oracle's own two-CTE structure.
+    // r19 shuffle diet: the gram is hashed in the explode projection —
+    // the first-occurrence agg and the join back shuffle 8-byte longs,
+    // never 3-gram strings (the d54/d82 discipline; the string oracle
+    // is the cross-hash check). The first-occurrence frame is
+    // CORPUS-proportional: merge-hinted so fixture-scale AQE cannot
+    // broadcast what is GBs at 100 TB.
     val ex = Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
-    val first = ex.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-    ex.join(first, "sh")
+      .select($"doc_id", xxhash64($"sh").as("gh"))
+    val first = ex.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    ex.join(first.hint("merge"), "gh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(($"first_doc" === $"doc_id").cast("long")).as("novel"))
@@ -2745,15 +2776,22 @@ object TextQueries {
   // integers, floor-snapped, so the matrix is ulp-safe cross-engine.
   private def d48(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r19 shuffle diet (the d54 treatment on its sibling): grams hash
+    // to 8-byte longs in the explode projection, so the corpus-wide
+    // distinct and the pairwise intersection self-join never shuffle
+    // gram strings. Set counts over g equal set counts over the
+    // strings under the collision-free premise; the string-keyed
+    // DuckDB oracle is the cross-hash check.
     val g = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"source", TextOps.tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
+      .select($"source", xxhash64($"gram").as("g"))
       .distinct()
     val tot = g.groupBy($"source").agg(count(lit(1)).as("n"))
-    val shared = g.select($"gram", $"source".as("sa"))
-      .join(g.select($"gram", $"source".as("sb")), "gram")
+    val shared = g.select($"g", $"source".as("sa"))
+      .join(g.select($"g", $"source".as("sb")), "g")
       .filter($"sa" < $"sb")
       .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_shared"))
     shared
@@ -2849,9 +2887,17 @@ object TextQueries {
     val merged = regs.groupBy($"bucket").agg(max($"r").as("r"))
       .select(lit("__all__").as("source"), $"bucket", $"r")
     val est = hllEstimate(regs.unionByName(merged))
-    val gd = gramSets(s, dir)
+    // r19 shuffle diet: the exact-count audit's corpus-wide distincts
+    // run over 8-byte xxhash64 keys, not gram strings (the d54/d82
+    // discipline; set counts are equal under the collision-free
+    // premise, and the string-keyed oracle is the cross-hash check).
+    // The register leg above still hashes gram STRINGS through md5 —
+    // that hash IS the oracle-shared sketch coin — but only inside its
+    // projection stage; nothing string-keyed crosses an exchange.
+    val gd = gramOccurrences(s, dir)
+      .select($"source", xxhash64($"gram").as("g")).distinct()
     val exact = gd.groupBy($"source").agg(count(lit(1)).as("n_exact"))
-      .unionByName(gd.select($"gram").distinct()
+      .unionByName(gd.select($"g").distinct()
         .agg(count(lit(1)).as("n_exact"))
         .select(lit("__all__").as("source"), $"n_exact"))
     est.join(exact, "source")
@@ -3653,13 +3699,23 @@ object TextQueries {
     val evalPos = evalG
       .select(explode(bloomPositions("sh")).as("pos")).distinct()
       .withColumn("setbit", lit(1L))
-    val evalHit = evalG.withColumn("ehit", lit(1L))
+    // r19 shuffle diet: the per-gram-site agg and the exact-hit join
+    // key on gh = xxhash64(sh) — the corpus side's only shuffle
+    // carries (doc_id, 8-byte long), never gram strings. Both bloom
+    // positions and gh are computed in the same explode projection
+    // (the md5 positions stay string-derived: they are the
+    // oracle-shared coin); the eval-hit side hashes its own bounded
+    // strings identically, so join semantics are unchanged under the
+    // collision-free premise the string oracle checks.
+    val evalHit = evalG.select(xxhash64($"sh").as("gh"))
+      .withColumn("ehit", lit(1L))
     val corp = sh.filter($"doc_id" >= 20)
-      .select($"doc_id", $"sh", explode(bloomPositions("sh")).as("pos"))
+      .select($"doc_id", xxhash64($"sh").as("gh"),
+        explode(bloomPositions("sh")).as("pos"))
       .join(broadcast(evalPos), Seq("pos"), "left")
-      .groupBy($"doc_id", $"sh")
+      .groupBy($"doc_id", $"gh")
       .agg(min(coalesce($"setbit", lit(0L))).as("allset"))
-      .join(broadcast(evalHit), Seq("sh"), "left")
+      .join(broadcast(evalHit), Seq("gh"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("total_5grams"),
         sum($"allset").as("n_bloom_hits"),

@@ -362,32 +362,76 @@ class PlanDisciplineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("d18 boilerplate shuffles on the gram key, never all-pairs") {
+  test("d18 boilerplate shuffles on the gram HASH key, never all-pairs") {
     // the doc-frequency agg and the boilerplate semi-join back must
-    // both key on the gram (sh) — the scale contract is one shuffle per
-    // gram occurrence, no cartesian/nested-loop pairing of documents
+    // both key on gh = xxhash64(gram) — the scale contract is one
+    // 8-byte-keyed shuffle per gram occurrence (r19 shuffle diet: gram
+    // STRINGS never cross an exchange), no cartesian/nested-loop
+    // pairing of documents, and the corpus-proportional boilerplate
+    // set joins merge-hinted, never broadcast
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = plan("d18_boilerplate")
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"all-pairs join in the boilerplate plan:\n$p")
-      assert(p.contains("hashpartitioning(sh"),
-        s"no gram-key shuffle in the boilerplate plan:\n$p")
+      assert(p.contains("hashpartitioning(gh"),
+        s"no gram-hash-key shuffle in the boilerplate plan:\n$p")
+      assert(!p.contains("hashpartitioning(sh"),
+        s"gram STRINGS still cross an exchange in the boilerplate plan:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"boilerplate-set join is not the hinted merge join:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("d31 novelty shuffles on the gram key, never all-pairs") {
+  test("d31 novelty shuffles on the gram HASH key, never all-pairs") {
     // first-occurrence needs one gram-keyed agg and one gram-keyed join
-    // back; any document-pairing join would be quadratic at corpus scale
+    // back, both on gh = xxhash64(gram) (r19 shuffle diet); any
+    // document-pairing join would be quadratic at corpus scale, and
+    // the corpus-proportional first-occurrence frame joins
+    // merge-hinted, never broadcast
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = plan("d31_ngram_novelty")
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"all-pairs join in the novelty plan:\n$p")
-      assert(p.contains("hashpartitioning(sh"),
-        s"no gram-key shuffle in the novelty plan:\n$p")
+      assert(p.contains("hashpartitioning(gh"),
+        s"no gram-hash-key shuffle in the novelty plan:\n$p")
+      assert(!p.contains("hashpartitioning(sh"),
+        s"gram STRINGS still cross an exchange in the novelty plan:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"first-occurrence join is not the hinted merge join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("gram-hash diet: d17/d48/d49 corpus exchanges never key on gram strings") {
+    // r19: every corpus-proportional gram exchange keys on
+    // gh/g = xxhash64(gram) (8-byte longs); the gram STRING is consumed
+    // inside its projection stage (output payload in d17, the md5
+    // sketch coin in d49) and must never key an exchange. d57's
+    // corpus side is pinned separately (its eval-bounded string dedup
+    // is allowed); d18/d31 carry their own pins above.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("d17_tfidf_topterms", "d48_source_overlap",
+          "d49_hll_distinct")) {
+        val p = plan(name)
+        val parts = "hashpartitioning\\((sh|gram|term)[#,]".r
+          .findAllMatchIn(p).map(_.group(1)).toSet
+        assert(parts.isEmpty,
+          s"$name: a gram/term STRING keys an exchange ($parts):\n$p")
+      }
+      // d17's corpus-proportional df frame joins merge-hinted — never
+      // broadcast at fixture scale (the d90/d91 no-broadcast rule)
+      val p17 = plan("d17_tfidf_topterms")
+      assert(p17.contains("SortMergeJoin"),
+        s"d17 df join is not the hinted merge join:\n$p17")
+      // d57's per-gram-site agg keys on the hash, not the string
+      val p57 = plan("d57_bloom_contamination")
+      assert(p57.contains("hashpartitioning(doc_id") ||
+        p57.contains("hashpartitioning(gh"),
+        s"d57 gram-site agg does not key on (doc_id, gh):\n$p57")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
