@@ -999,6 +999,48 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"s43 rollup reads a driver-side sink table:\n$p")
   }
 
+  // one plan build shared by the all-query sweep pins below (each
+  // executedPlan render at sf0.001 is cheap but 220 of them twice is
+  // not); built under the suite's default confs (AQE on) — every
+  // toggling test above restores its conf in a finally
+  private lazy val batchPlanStrings: Seq[(String, String)] =
+    Catalog.queries.keys.toSeq.sorted.filterNot(_.startsWith("s"))
+      .map(n => n -> Catalog.auditPlan(spark, TestSpark.sf0001, n).toString)
+
+  test("no registered batch query shuffles corpus gram STRINGS") {
+    // the r19 diet, generalized: an Exchange keyed on a raw gram
+    // string column (sh/gram) re-pays ~40 B/key across every
+    // corpus-proportional shuffle where the 8-byte xxhash64 key
+    // carries the same equality pattern — so any such exchange must
+    // come from a sanctioned site: the eval-bounded dedups that feed
+    // broadcasts (d23/d33/d57, doc_id < 20 below them) or the
+    // deliberately string-keyed bounded slice (d05, doc_id < 100).
+    // A new query that shuffles gram strings fails here, not in a
+    // bench round. (Vocab-bounded `term` exchanges are a different,
+    // sanctioned class — Heaps-sublinear state; md5-hex SIGNATURE
+    // keys are doc-proportional identities that ride as payload
+    // anyway.)
+    val sanctioned = Set("d05_ngram_jaccard", "d23_contamination",
+      "d33_decontam_apply", "d57_bloom_contamination")
+    val gramKey = "Exchange hashpartitioning\\((sh|gram)#".r
+    val offenders = batchPlanStrings.collect {
+      case (n, p) if !sanctioned.contains(n) &&
+        gramKey.findFirstIn(p).isDefined => n
+    }
+    assert(offenders.isEmpty,
+      "gram-STRING-keyed exchange outside the sanctioned eval-bounded " +
+        s"sites: ${offenders.mkString(", ")} — key on xxhash64(gram) " +
+        "and let the string-keyed oracle check the hash (the d54/d82 " +
+        "discipline)")
+    // canary: the sanctioned eval-bounded sites DO shuffle gram
+    // strings (that is why they are listed) — if the regex ever stops
+    // matching Catalyst's rendering this sweep would pass vacuously
+    assert(batchPlanStrings.exists { case (n, p) =>
+      sanctioned.contains(n) && gramKey.findFirstIn(p).isDefined },
+      "detector matched no gram-string exchange anywhere — regex no " +
+        "longer matches Catalyst's rendering")
+  }
+
   test("no registered batch query pushes an inlined derived-column chain into a Filter") {
     // The d90 pin, generalized (VERDICT r18 next 6): join-key isnotnull
     // inference substitutes a derived column's WHOLE projection chain
@@ -1024,11 +1066,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
         while (i >= 0) { c += 1; i = line.indexOf(h, i + 1) }
         c
       }.sum
-    val names = Catalog.queries.keys.toSeq.sorted.filterNot(_.startsWith("s"))
     val bound = 6
     var sawAny = false
-    val offenders = names.flatMap { n =>
-      val p = Catalog.auditPlan(spark, TestSpark.sf0001, n).toString
+    val offenders = batchPlanStrings.flatMap { case (n, p) =>
       val worst = p.linesIterator
         .filter(l => l.contains("Filter"))
         .map(heavyCount).maxOption.getOrElse(0)
