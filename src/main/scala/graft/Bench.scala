@@ -846,7 +846,13 @@ object Bench {
         val flagships = Seq("d01_dedup_exact", "d82_dup_spans_prod",
           "d58_fuzzy_decontam_prod", "m08_gmm_quality", "v09_knn_ivfpq",
           "v11_knn_ivfpq_disk", "d85_html_extract", "d87_secret_scrub",
-          "d91_corpus_release", "d92_crawl_ingest")
+          "d91_corpus_release", "d92_crawl_ingest",
+          // r19: the gram-hash diet family's representative — two
+          // 8-byte-keyed corpus exchanges (df agg + merge-hinted set
+          // join); at x10 the replicas make nearly every gram
+          // boilerplate, so this row stresses the diet where the old
+          // string keys would have hurt most
+          "d18_boilerplate")
         def best2(name: String, dir: String): Double = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           materialize(SparkEntry.queries(name)(spark, dir))
