@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_char_counts(s, alphabet literal string)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5PrefixExpr].getName, "graft_md5_prefix"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin, Literal(k: Int, IntegerType)) => Md5PrefixExpr(bin, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_md5_prefix(bin, hexDigits literal int)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

@@ -226,6 +226,38 @@ object HashKernels2 {
     out
   }
 
+  /** The engine's md5-derived sketch coins all parse a hex PREFIX of
+    * the digest back into an integer:
+    * `cast(conv(substring(md5(x), 1, k), 16, 10) as bigint)`. That
+    * chain materializes the 32-char hex string, substrings it, and
+    * re-parses base-16 — three string allocations per call on
+    * per-gram-occurrence hot paths (HLL registers, bloom positions,
+    * classifier/perplexity bucket hashes). This kernel computes the
+    * digest once and folds the first k nibbles directly:
+    * value-identical because the hex rendering is just the digest's
+    * nibble sequence and `conv` parses it back unsigned (k ≤ 15 keeps
+    * the value under 2^60, inside Long). MessageDigest is per-thread
+    * (not thread-safe, and allocating one per row is exactly the
+    * garbage this kernel exists to avoid). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Prefix(bytes: Array[Byte], hexDigits: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < hexDigits) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
   /** One-pass sign-LSH band codes: project v on every hyperplane (flat
     * row-major planes matrix), take sign bits, pack `bitsPerBand` bits
     * per band with the band index folded into the high bits —
@@ -313,6 +345,34 @@ final case class GramHashesExpr(child: Expression, l: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+/** md5_prefix(bin: binary, hexDigits) → bigint: the first `hexDigits`
+  * hex characters of md5(bin) parsed base-16 — value-identical to
+  * `cast(conv(substring(md5(bin), 1, hexDigits), 16, 10) as bigint)`
+  * with zero string materialization (see [[HashKernels2.md5Prefix]]).
+  * The md5 coin itself stays: it is the hash both engines share, so
+  * every oracle keeps gating the sketch values bit-for-bit. */
+final case class Md5PrefixExpr(child: Expression, hexDigits: Int)
+    extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15, s"bad hexDigits=$hexDigits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels2.md5Prefix(input.asInstanceOf[Array[Byte]], hexDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels2.md5Prefix($c, $hexDigits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixExpr =
     copy(child = newChild)
 }
 
@@ -762,6 +822,8 @@ object GraftFunctions {
     column(MinHashShinglesExpr(expression(tokens), n, k))
   def gramHashes(tokens: Column, l: Int): Column =
     column(GramHashesExpr(expression(tokens), l))
+  def md5Prefix(bin: Column, hexDigits: Int): Column =
+    column(Md5PrefixExpr(expression(bin), hexDigits))
   def signLsh(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
     val dim = planes.head.length
     column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))

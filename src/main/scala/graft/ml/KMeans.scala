@@ -304,9 +304,9 @@ object KMeans {
         if (total <= 0.0) {
           r = rounds + 1 // every point sits on a candidate — done
         } else {
-          val u = conv(substring(md5(concat(col("id").cast("string"),
-            lit(s":kmpp:$r")).cast("binary")), 1, 6), 16, 10)
-            .cast("double") / lit(16777216.0)
+          val u = graft.functions.GraftFunctions.md5Prefix(
+            concat(col("id").cast("string"), lit(s":kmpp:$r")).cast("binary"),
+            6).cast("double") / lit(16777216.0)
           cand ++= costed
             .filter(u * lit(total) < lit(ell) * col("cost"))
             .select(col("id"), col("v")).collect()

@@ -382,8 +382,8 @@ object EventQueries {
   private[operators] def hourRegisters(events: DataFrame): DataFrame =
     events
       .select(expr("unix_micros(ts) div 3600000000").as("hb"),
-        expr("cast(conv(substring(md5(cast(cast(user_id " +
-          "as string) as binary)), 1, 12), 16, 10) as bigint)").as("h"))
+        expr("graft_md5_prefix(cast(cast(user_id as string) as binary), 12)")
+          .as("h"))
       .select(col("hb"), expr("shiftright(h, 40)").as("bucket"),
         expr("h & 1099511627775").as("w"))
       .groupBy(col("hb"), col("bucket"))

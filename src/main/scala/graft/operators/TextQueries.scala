@@ -469,9 +469,8 @@ object TextQueries {
     val srcnum = substring($"source", 4, 8).cast("int")
     val rate = when(srcnum < 5, 230).when(srcnum < 10, 128)
       .otherwise(64).as("rate_256")
-    val bucket = conv(substring(
-      md5(concat($"doc_id".cast("string"), lit(":sample"))
-        .cast("binary")), 1, 2), 16, 10)
+    val bucket = graft.functions.GraftFunctions.md5Prefix(
+      concat($"doc_id".cast("string"), lit(":sample")).cast("binary"), 2)
       .cast("int").as("bucket")
     Tables(s, dir, "documents")
       .select($"doc_id", $"source", bucket, rate)
@@ -1298,9 +1297,9 @@ object TextQueries {
   private[operators] def mixtureExpand(docs: DataFrame): DataFrame = {
     val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
     val w = lit(0.5) + pmod(srcNum, lit(4)).cast("double") * lit(0.75)
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":mix")).cast("binary")), 1, 6), 16, 10).cast("double") /
-      lit(16777216.0)
+    val u = graft.functions.GraftFunctions.md5Prefix(
+      concat(col("doc_id").cast("string"), lit(":mix")).cast("binary"), 6)
+      .cast("double") / lit(16777216.0)
     docs
       .select(col("doc_id"), col("source"),
         (floor(w) + when(w - floor(w) > u, 1.0).otherwise(0.0))
@@ -1729,11 +1728,10 @@ object TextQueries {
     * expression qualityClassify and m09's feature frame share. */
   private[operators] def gramWsumExpr(buckets: Int = qcBuckets): String = {
     val bucketOf = (g: String) =>
-      s"pmod(cast(conv(substring(md5(cast($g as binary)), 1, 6), 16, 10) " +
-        s"as long), $buckets)"
+      s"pmod(graft_md5_prefix(cast($g as binary), 6), $buckets)"
     val weightOf = (g: String) =>
-      s"(cast(conv(substring(md5(cast(concat('qw:', cast(${bucketOf(g)} " +
-        "as string)) as binary)), 1, 6), 16, 10) as double) / 16777216.0 - 0.5)"
+      s"(cast(graft_md5_prefix(cast(concat('qw:', cast(${bucketOf(g)} " +
+        "as string)) as binary), 6) as double) / 16777216.0 - 0.5)"
     s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"
   }
 
@@ -1857,8 +1855,8 @@ object TextQueries {
       .withColumn("grams", expr(uniBigramExpr))
       .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("lang"), expr(
-        s"pmod(cast(conv(substring(md5(cast(gram as binary)), 1, 6), 16, 10) " +
-          s"as long), $buckets)").as("bucket"))
+        s"pmod(graft_md5_prefix(cast(gram as binary), 6), $buckets)")
+        .as("bucket"))
 
   /** The DSIR index: the persisted per-doc bucket histogram
     * (doc_id, lang, bucket, c) — the ONE tokenize+explode corpus pass
@@ -1907,8 +1905,9 @@ object TextQueries {
     * (s14). */
   private[operators] def irVerdict(scored: DataFrame): DataFrame = {
     val lnuMicro = floor(log(
-      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":dsir"))
-        .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) / 16777216.0)
+      (graft.functions.GraftFunctions.md5Prefix(
+        concat(col("doc_id").cast("string"), lit(":dsir")).cast("binary"), 6)
+        .cast("double") + 0.5) / 16777216.0)
       * 1e6 + 0.5).cast("long")
     scored.select(col("doc_id"), col("n_grams"),
       (col("wsum") / 1e6).as("logw"),
@@ -2004,8 +2003,8 @@ object TextQueries {
       .withColumn("grams", expr(uniBigramExpr))
       .withColumn("wsum", aggregate(col("grams"), lit(0L),
         (acc, g) => acc + element_at(arr,
-          (pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
-            .cast("long"), lit(llr.length.toLong)) + lit(1L)).cast("int"))))
+          (pmod(graft.functions.GraftFunctions.md5Prefix(g.cast("binary"), 6),
+            lit(llr.length.toLong)) + lit(1L)).cast("int"))))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         col("wsum"))
     irVerdict(scored)
@@ -2356,8 +2355,8 @@ object TextQueries {
         .withColumn("grams", expr(uniBigramExpr))
         .select(explode(col("grams")).as("gram"))
         .select((instr(col("gram"), " ") > 0).as("bg"), expr(
-          s"pmod(cast(conv(substring(md5(cast(gram as binary)), 1, 6), " +
-            s"16, 10) as long), $buckets)").as("bucket"))
+          s"pmod(graft_md5_prefix(cast(gram as binary), 6), $buckets)")
+          .as("bucket"))
         .groupBy(col("bg"), col("bucket"))
         .agg(count(lit(1)).as("c"))
         .collect() // bounded: <= 2 * buckets rows
@@ -2387,8 +2386,8 @@ object TextQueries {
     val lncArr = typedLit(lnc)
     val lndArr = typedLit(lnd)
     def bucketOf(g: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(g.cast("binary")), 1, 6), 16, 10)
-        .cast("long"), lit(buckets.toLong))
+      pmod(graft.functions.GraftFunctions.md5Prefix(g.cast("binary"), 6),
+        lit(buckets.toLong))
     def at(arr: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column) =
       element_at(arr, (b + 1).cast("int"))
@@ -2666,9 +2665,8 @@ object TextQueries {
   private[operators] def kmvSketch(pairs: DataFrame): DataFrame = {
     val d = pairs.select(col("source"), col("term")).distinct()
     val exact = d.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-    val hashes = d.select(col("source"), expr(
-        "cast(conv(substring(md5(cast(term as binary)), 1, 10), 16, 10) " +
-          "as bigint)").as("h"))
+    val hashes = d.select(col("source"),
+        expr("graft_md5_prefix(cast(term as binary), 10)").as("h"))
       .distinct()
     val kmv = graft.vec.VectorOps.topKPerQuery(
       hashes.select(col("source").as("qid"), col("h").as("vec_id"),
@@ -2867,9 +2865,8 @@ object TextQueries {
     * Max over a multiset equals max over its set, so callers may skip
     * the dedup (the streaming leg does — no second agg needed). */
   private[graft] def hllRegisters(grams: DataFrame): DataFrame =
-    grams.select(col("source"), expr(
-        "cast(conv(substring(md5(cast(gram as binary)), 1, 12), 16, 10) " +
-          "as bigint)").as("h"))
+    grams.select(col("source"),
+        expr("graft_md5_prefix(cast(gram as binary), 12)").as("h"))
       .select(col("source"), expr("shiftright(h, 40)").as("bucket"),
         expr("h & 1099511627775").as("w"))
       .groupBy(col("source"), col("bucket"))
@@ -3244,9 +3241,8 @@ object TextQueries {
       .filter(size($"toks") >= 5)
       .select($"source",
         explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
-      .select($"source", xxhash64($"sh").as("g"), expr(
-        "cast(conv(substring(md5(cast(sh as binary)), 1, 10), 16, 10) " +
-          "as bigint)").as("h"))
+      .select($"source", xxhash64($"sh").as("g"),
+        expr("graft_md5_prefix(cast(sh as binary), 10)").as("h"))
     val grams = hashed.select($"source", $"g").distinct()
     val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = grams.as("x").join(grams.as("y"), Seq("g"))
@@ -3365,9 +3361,8 @@ object TextQueries {
       .filter(size(col("toks")) >= 5)
       .select(col("source"),
         explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
-      .select(col("source"), expr(
-        "cast(conv(substring(md5(cast(sh as binary)), 1, 10), 16, 10) " +
-          "as bigint)").as("h"))
+      .select(col("source"),
+        expr("graft_md5_prefix(cast(sh as binary), 10)").as("h"))
 
   /** (source, hs) per-source KMV sketches — the aggregate that is
     * BOTH d61's batch sketch build and s27's complete-mode stream
@@ -3689,8 +3684,8 @@ object TextQueries {
     * array column — stateless, streamable. */
   private def bloomPositions(shCol: String): org.apache.spark.sql.Column =
     array((0 until bloomK).map(i =>
-      expr(s"cast(conv(substring(md5(cast(concat('$i', ' ', $shCol) " +
-        s"as binary)), 1, 4), 16, 10) as long)")): _*)
+      expr(s"graft_md5_prefix(cast(concat('$i', ' ', $shCol) " +
+        s"as binary), 4)")): _*)
 
   private def d57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3790,8 +3785,8 @@ object TextQueries {
     // literal '$i' prefix, so the positions are bit-identical.
     val hit =
       s"aggregate(transform(sequence(0, ${bloomK - 1}), " +
-        "i -> cast(conv(substring(md5(cast(concat(cast(i as string), " +
-        "' ', g) as binary)), 1, 4), 16, 10) as long)), " +
+        "i -> graft_md5_prefix(cast(concat(cast(i as string), " +
+        "' ', g) as binary), 4)), " +
         "cast(1 as bigint), (acc, p) -> acc * " +
         "((element_at(bm, cast(shiftright(p, 6) + 1 as int)) " +
         ">> (p & 63)) & 1))"
@@ -3906,9 +3901,9 @@ object TextQueries {
       .select(col("source"), col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("w"))
       .withColumn("u",
-        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))
-          .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
-          / 16777216.0)
+        (graft.functions.GraftFunctions.md5Prefix(
+          concat(col("doc_id").cast("string"), lit(":ws")).cast("binary"), 6)
+          .cast("double") + 0.5) / 16777216.0)
       .select(col("source").as("qid"), col("doc_id").as("vec_id"),
         expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)")
           .cast("double").as("score"))
@@ -4043,9 +4038,9 @@ object TextQueries {
   private def manifestSampleWeighted(survivors0: DataFrame): DataFrame = {
     val survivors = survivors0
       .withColumn("u",
-        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws"))
-          .cast("binary")), 1, 6), 16, 10).cast("double") + 0.5)
-          / 16777216.0)
+        (graft.functions.GraftFunctions.md5Prefix(
+          concat(col("doc_id").cast("string"), lit(":ws")).cast("binary"), 6)
+          .cast("double") + 0.5) / 16777216.0)
       .withColumn("prio",
         expr("cast(floor(ln(u) / w * 1e6 + 0.5) as bigint)"))
     graft.vec.VectorOps.topKPerQuery(
@@ -4403,8 +4398,8 @@ object TextQueries {
   private def cmRbW(term: org.apache.spark.sql.Column, w: Long) =
     array((0 until cmD).map { r =>
       struct(lit(r).as("r"),
-        pmod(conv(substring(md5(concat(lit(s"cm$r:"), term)
-          .cast("binary")), 1, 12), 16, 10).cast("long"),
+        pmod(graft.functions.GraftFunctions.md5Prefix(
+          concat(lit(s"cm$r:"), term).cast("binary"), 12),
           lit(w)).as("b"))
     }: _*)
   private def cmRb(term: org.apache.spark.sql.Column) = cmRbW(term, cmW)

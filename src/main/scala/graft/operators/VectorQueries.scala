@@ -1195,9 +1195,9 @@ object VectorQueries {
   /** The thinning coin: keep iff u * n_cell < cap (u a dyadic md5
     * fraction — see the exactness note above). */
   private def divKeep(withN: DataFrame): DataFrame = {
-    val u = (conv(substring(md5(concat(col("vec_id").cast("string"),
-      lit(":div")).cast("binary")), 1, 6), 16, 10).cast("double") + 0.5) /
-      16777216.0
+    val u = (graft.functions.GraftFunctions.md5Prefix(
+      concat(col("vec_id").cast("string"), lit(":div")).cast("binary"), 6)
+      .cast("double") + 0.5) / 16777216.0
     withN.select(col("vec_id"), col("bucket"), col("n_bucket"),
       (u * col("n_bucket") < divCap).cast("long").as("keep"))
   }

@@ -309,4 +309,35 @@ class HashExprsSpec extends AnyFunSuite {
     assert(out(1).getAs[scala.collection.Seq[Long]]("m").size == 4)
     assert(out(1).isNullAt(2)) // 2 tokens < n=3 shingle width
   }
+
+  test("md5_prefix equals the conv(substring(md5)) chain at every used width") {
+    import spark.implicits._
+    // the interpreted chain every sketch coin used before r19, kept as
+    // the independent oracle; widths are exactly the ones the engine
+    // uses (bloom positions 4, bucket hashes 6, KMV 10, HLL 12, plus
+    // the 1/2/15 edges). Inputs cover ASCII, multibyte UTF-8, the
+    // empty string, and a long doc body.
+    val inputs = Seq("", "a", "hello world", "héllo wörld 世界",
+      "x" * 10000, "0", " ", "\n\t")
+    val df = inputs.toDF("s").withColumn("b", $"s".cast("binary"))
+    for (k <- Seq(1, 2, 4, 6, 10, 12, 15)) {
+      val rows = df.select(
+          expr(s"cast(conv(substring(md5(b), 1, $k), 16, 10) as bigint)")
+            .as("chain"),
+          GraftFunctions.md5Prefix($"b", k).as("native"),
+          expr(s"graft_md5_prefix(b, $k)").as("sqlform"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("chain") == r.getAs[Long]("native"),
+          s"k=$k native mismatch")
+        assert(r.getAs[Long]("chain") == r.getAs[Long]("sqlform"),
+          s"k=$k sql-registered mismatch")
+      }
+    }
+    // null propagates like the chain's
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.md5Prefix($"s".cast("binary"), 6).as("v"))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
 }

@@ -1059,7 +1059,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
     val heavy = Seq("xxhash64(", "md5(", "sha2(", "crc32(",
       "regexp_replace(", "regexp_extract(", "regexp_extract_all(",
       "translate(", "conv(", "graft_char_counts(", "graft_term_counts(",
-      "graft_minhash_sig(")
+      "graft_minhash_sig(", "graft_md5_prefix(")
     def heavyCount(line: String): Int =
       heavy.map { h =>
         var c = 0; var i = line.indexOf(h)
