@@ -1724,15 +1724,34 @@ object TextQueries {
       "i -> concat_ws(' ', toks[i], toks[i + 1])) " +
       "ELSE cast(array() as array<string>) END)"
 
+  /** The model's weight table, precomputed: weight of bucket b is the
+    * md5-derived dyadic constant md5Prefix("qw:b", 6)/2^24 − 0.5 — a
+    * pure function of the bucket id over a BOUNDED domain, so the
+    * per-gram rendering (a SECOND md5 per gram, r19 finding) paid
+    * |grams| digests for `buckets` distinct values. Each entry is the
+    * bit-identical value the inline expression produced (same digest,
+    * same exact dyadic arithmetic), so per-doc sums — index-order
+    * folds of identical terms — are unchanged and the d38 oracle
+    * still gates the whole path. The d44 lnc/lnd literal-array
+    * pattern applied to the classifier. */
+  private lazy val qcWeights: Array[Double] = qcWeightsFor(qcBuckets)
+  private def qcWeightsFor(buckets: Int): Array[Double] =
+    Array.tabulate(buckets) { b =>
+      graft.functions.HashKernels2.md5Prefix(
+        s"qw:$b".getBytes("UTF-8"), 6).toDouble / 16777216.0 - 0.5
+    }
+
   /** The d38 gram-weight fold over a `grams` column — the one scoring
-    * expression qualityClassify and m09's feature frame share. */
-  private[operators] def gramWsumExpr(buckets: Int = qcBuckets): String = {
-    val bucketOf = (g: String) =>
-      s"pmod(graft_md5_prefix(cast($g as binary), 6), $buckets)"
-    val weightOf = (g: String) =>
-      s"(cast(graft_md5_prefix(cast(concat('qw:', cast(${bucketOf(g)} " +
-        "as string)) as binary), 6) as double) / 16777216.0 - 0.5)"
-    s"aggregate(grams, cast(0.0 as double), (acc, g) -> acc + ${weightOf("g")})"
+    * expression qualityClassify and m09's feature frame share: ONE
+    * md5 per gram (the bucket), then an O(1) literal-array lookup. */
+  private[operators] def gramWsum(buckets: Int = qcBuckets)
+      : org.apache.spark.sql.Column = {
+    val w = if (buckets == qcBuckets) qcWeights else qcWeightsFor(buckets)
+    val arr = typedLit(w)
+    aggregate(col("grams"), lit(0.0), (acc, g) =>
+      acc + element_at(arr,
+        (pmod(graft.functions.GraftFunctions.md5Prefix(g.cast("binary"), 6),
+          lit(buckets.toLong)) + lit(1L)).cast("int")))
   }
 
   /** The classifier transform itself — stateless column ops only, so
@@ -1745,7 +1764,7 @@ object TextQueries {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
-      .withColumn("wsum", expr(gramWsumExpr(buckets)))
+      .withColumn("wsum", gramWsum(buckets))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         (floor(col("wsum") / size(col("grams")) * 1e6 + 0.5) / 1e6).as("qscore"))
       .withColumn("keep", (col("qscore") >= 0.0).cast("long"))
@@ -1764,7 +1783,7 @@ object TextQueries {
         (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size(col("toks")))
           .as("x1"),
         (expr(hitCount("toks", stopEn)) / size(col("toks"))).as("x2"),
-        (floor(expr(gramWsumExpr()) / size(col("grams")) * 1e6 + 0.5) / 1e6)
+        (floor(gramWsum() / size(col("grams")) * 1e6 + 0.5) / 1e6)
           .as("y"))
 
   /** DuckDB mirror of [[qualityFeatureFrame]] — a CTE body yielding
