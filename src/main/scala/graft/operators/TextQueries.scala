@@ -2807,8 +2807,14 @@ object TextQueries {
       .select($"source", xxhash64($"gram").as("g"))
       .distinct()
     val tot = g.groupBy($"source").agg(count(lit(1)).as("n"))
+    // both sides are the corpus-proportional gram-set frame: the
+    // self-join must stay SHUFFLED (fixture-scale AQE would otherwise
+    // broadcast a side that is GBs at 100 TB; the d90/d91 rule).
+    // shuffle_hash, not merge: equal-size high-cardinality long keys
+    // need no sort, and ShuffledHashJoin spills — the shape that is
+    // both the fixture-cheap and the 100 TB plan
     val shared = g.select($"g", $"source".as("sa"))
-      .join(g.select($"g", $"source".as("sb")), "g")
+      .join(g.select($"g", $"source".as("sb")).hint("shuffle_hash"), "g")
       .filter($"sa" < $"sb")
       .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_shared"))
     shared
@@ -3264,7 +3270,11 @@ object TextQueries {
         expr("graft_md5_prefix(cast(sh as binary), 10)").as("h"))
     val grams = hashed.select($"source", $"g").distinct()
     val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
-    val inter = grams.as("x").join(grams.as("y"), Seq("g"))
+    // corpus-proportional self-join: shuffled, never broadcast (the
+    // d48 rationale — fixture-scale AQE would broadcast the
+    // 16-byte-row frame that is GBs at 100 TB); shuffle_hash skips
+    // the sort merge would pay on the 8-byte keys
+    val inter = grams.as("x").join(grams.as("y").hint("shuffle_hash"), Seq("g"))
       .filter($"x.source" < $"y.source")
       .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
       .agg(count(lit(1)).as("n_inter"))

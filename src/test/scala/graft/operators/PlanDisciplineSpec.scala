@@ -414,23 +414,34 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // is allowed); d18/d31 carry their own pins above.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // any-position match: a gram string in ANY slot of a composite
+      // exchange key (e.g. (doc_id, sh)) still ships ~40 B/row strings
+      val gramKeyed = "Exchange hashpartitioning\\([^\\n]*?\\b(sh|gram|term)#".r
       for (name <- Seq("d17_tfidf_topterms", "d48_source_overlap",
           "d49_hll_distinct")) {
         val p = plan(name)
-        val parts = "hashpartitioning\\((sh|gram|term)[#,]".r
-          .findAllMatchIn(p).map(_.group(1)).toSet
+        val parts = gramKeyed.findAllMatchIn(p).map(_.group(1)).toSet
         assert(parts.isEmpty,
           s"$name: a gram/term STRING keys an exchange ($parts):\n$p")
       }
-      // d17's corpus-proportional df frame joins merge-hinted — never
-      // broadcast at fixture scale (the d90/d91 no-broadcast rule)
-      val p17 = plan("d17_tfidf_topterms")
-      assert(p17.contains("SortMergeJoin"),
-        s"d17 df join is not the hinted merge join:\n$p17")
-      // d57's per-gram-site agg keys on the hash, not the string
+      // the corpus-proportional frames join SHUFFLED — never broadcast
+      // at fixture scale (the d90/d91 no-broadcast rule): d17's df
+      // branch (merge), d48's and d54's gram-set self-joins
+      // (shuffle_hash — no sort on the 8-byte keys); either shuffled
+      // join satisfies the scale shape, a broadcast does not
+      for (name <- Seq("d17_tfidf_topterms", "d48_source_overlap",
+          "d54_source_jaccard_sketch")) {
+        val p = plan(name)
+        assert(p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"),
+          s"$name: corpus-frame join is not a hinted shuffled join:\n$p")
+      }
+      // d57's per-gram-site agg keys on (doc_id, gh) — the exact
+      // corpus exchange the diet rewired (a bare doc_id check would be
+      // satisfied by the final per-doc rollup and pin nothing)
       val p57 = plan("d57_bloom_contamination")
-      assert(p57.contains("hashpartitioning(doc_id") ||
-        p57.contains("hashpartitioning(gh"),
+      assert("hashpartitioning\\(doc_id#\\d+L?, gh#".r
+        .findFirstIn(p57).isDefined,
         s"d57 gram-site agg does not key on (doc_id, gh):\n$p57")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
@@ -1022,7 +1033,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // anyway.)
     val sanctioned = Set("d05_ngram_jaccard", "d23_contamination",
       "d33_decontam_apply", "d57_bloom_contamination")
-    val gramKey = "Exchange hashpartitioning\\((sh|gram)#".r
+    // any-position match (a composite (doc_id, sh) key still ships
+    // strings); the [^\n]*? stays within the one partitioning line
+    val gramKey = "Exchange hashpartitioning\\([^\\n]*?\\b(sh|gram)#".r
     val offenders = batchPlanStrings.collect {
       case (n, p) if !sanctioned.contains(n) &&
         gramKey.findFirstIn(p).isDefined => n
