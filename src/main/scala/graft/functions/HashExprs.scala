@@ -244,10 +244,16 @@ object HashKernels2 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def md5Prefix(bytes: Array[Byte], hexDigits: Int): Long = {
+  def md5Prefix(bytes: Array[Byte], hexDigits: Int): Long =
+    md5PrefixRange(bytes, bytes.length, hexDigits)
+
+  /** Same coin over the first `len` bytes of a reusable buffer — the
+    * zero-copy entry the gram-walk kernels use. */
+  def md5PrefixRange(bytes: Array[Byte], len: Int, hexDigits: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, 0, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < hexDigits) {
@@ -846,6 +852,9 @@ object GraftFunctions {
   /** KMV bottom-k: the k smallest DISTINCT bigint values, ascending. */
   def minKDistinct(v: Column, k: Int): Column =
     column(MinKDistinctAgg(expression(v), k).toAggregateExpression())
+  /** HLL registers over per-doc L-gram walks: 256-byte mergeable state. */
+  def hllRegs(toks: Column, l: Int): Column =
+    column(HllRegsAgg(expression(toks), l).toAggregateExpression())
   /** Exact decimal PCA summary: upper-triangle Gram + mean registers. */
   def gramRegisters(v: Column, dim: Int): Column =
     column(GramRegisterAgg(expression(v), dim).toAggregateExpression())

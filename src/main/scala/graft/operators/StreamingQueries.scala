@@ -544,32 +544,30 @@ object StreamingQueries {
 
   // ---- s18: streaming HLL register maintenance (stateful sketch) ----
   // d49's distinct-count sketch as a STATEFUL stream: arriving
-  // documents explode to 5-grams and fold into the per-(source,
-  // bucket) register table via ONE streaming max-aggregation — the
-  // state store holds exactly the HLL registers (≤ sources·256 rows,
-  // the textbook bounded-state streaming sketch; no dedup pass is
-  // needed because max over a multiset equals max over its set), and
-  // complete mode emits the current registers each micro-batch. The
+  // documents fold their 5-gram windows into the per-source register
+  // BUFFER via the fused TypedImperativeAggregate (graft_hll_regs) —
+  // the state store holds exactly the HLL sketch (one 256-byte row
+  // per source, the textbook bounded-state streaming sketch; no dedup
+  // pass is needed because max over a multiset equals max over its
+  // set, and no gram ever becomes a stream row), and complete mode
+  // emits the current registers each micro-batch. The
   // estimate/merge/audit tail then runs BATCH-side over the final
   // register sink through the same hllFinish the batch query uses, so
   // the whole d49 oracle gates the streamed registers: any drift in
   // the streaming fold surfaces as a hash mismatch.
   private def s18(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val raw = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
-    val grams = raw
-      .filter(length(trim($"text")) > 0)
-      .select($"source", graft.text.TextOps.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 5)
-      .select($"source", explode(graft.text.TextOps.shingles("toks", 5))
-        .as("gram"))
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     graft.Tables.withConfs(s,
         Seq("spark.sql.shuffle.partitions" -> "8")) {
-      val q = TextQueries.hllRegisters(grams).writeStream
+      // the fused register aggregate (r19): state is ONE 256-byte
+      // buffer row per source — the row form kept 256 register rows —
+      // and no gram ever explodes into a stream row; recovery leg in
+      // StreamingRecoverySpec
+      val q = TextQueries.hllRegistersFused(raw).writeStream
         .format("memory").queryName(name)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())

@@ -2928,8 +2928,28 @@ object TextQueries {
           "/ 1e6").as("err_pct"))
   }
 
+  /** The register build with the explode folded away: one
+    * TypedImperativeAggregate walks each doc's 5-token windows (the
+    * gramHashes byte walk, md5-prefix coin) and folds a 256-BYTE
+    * per-source buffer — no gram row, shingle array, or per-doc
+    * distinct is ever materialized, and streaming state is ONE row
+    * per source (s18). Emits the same (source, bucket, r) rows as
+    * [[hllRegisters]] (multiset-max ≡ set-max, identical md5 coin),
+    * so hllFinish and every d49/s18 oracle are unchanged — equality
+    * is additionally pinned in SketchAndQuantileSpec. Input needs
+    * (source, text). */
+  private[graft] def hllRegistersFused(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.hllRegs(col("toks"), 5).as("regs"))
+      .select(col("source"), explode(col("regs")).as("br"))
+      .select(col("source"), col("br.bucket").as("bucket"),
+        col("br.r").as("r"))
+
   private def d49(s: SparkSession, dir: String): DataFrame =
-    hllFinish(s, dir, hllRegisters(gramOccurrences(s, dir)))
+    hllFinish(s, dir, hllRegistersFused(Tables(s, dir, "documents")))
 
   /** HLL register table (source, bucket, r) → (source, est_distinct):
     * m = 256 buckets over a 40-bit rho domain; empty buckets count as

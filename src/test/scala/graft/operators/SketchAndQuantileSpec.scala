@@ -111,6 +111,24 @@ class SketchAndQuantileSpec extends AnyFunSuite {
     assert(est > 12 && est < 30, s"LC-branch estimate $est far from 20")
   }
 
+  test("fused HLL register aggregate equals the explode+agg row form") {
+    // the r19 fused build (graft_hll_regs: per-doc gram walk into a
+    // 256-byte buffer) must emit the exact (source, bucket, r) rows
+    // the explode form derives — same md5 coin, multiset-max ≡
+    // set-max. Checked on the real fixture so every bucket path
+    // (multi-doc merges, short docs, per-doc repeats) is exercised.
+    val rowForm = TextQueries.hllRegisters(
+        TextQueries.gramOccurrences(spark, TestSpark.sf001))
+      .collect().map(_.toSeq).toSet
+    val fused = TextQueries.hllRegistersFused(
+        graft.Tables(spark, TestSpark.sf001, "documents"))
+      .collect().map(_.toSeq).toSet
+    assert(fused == rowForm,
+      s"fused registers diverge from the row form: " +
+        s"only-fused=${fused -- rowForm} only-row=${rowForm -- fused}")
+    assert(fused.nonEmpty)
+  }
+
   test("v22 RRF fusion is a faithful rank combiner of its two inputs") {
     // unconditional RRF properties on the engine's own gated inputs:
     // every fused id came from an input top-10; any id in BOTH top-10s

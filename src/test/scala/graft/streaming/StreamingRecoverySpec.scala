@@ -186,6 +186,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "batch-1-only source s2 must survive the restart (state restore)")
   }
 
+  test("fused HLL buffer (the s18 engine) restores its 256-byte state across restart") {
+    // s18 now folds grams through the TypedImperativeAggregate buffer
+    // (graft_hll_regs) instead of the row-form register agg above, so
+    // the recovery property must hold for the BUFFER state too: run 2
+    // only ever SEES batch 2, so batch-1-only registers (all of s2's)
+    // can appear in the final complete-mode emission ONLY if the
+    // serialized buffer was restored from the checkpoint.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("hllf-ckpt")
+    val name = "graft_hllf_recovery_sink"
+    val mem = MemoryStream[(String, String)]
+
+    def start() = graft.operators.TextQueries.hllRegistersFused(
+        mem.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    val batch1 = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta"),
+      ("s2", "one two three four five six seven"))
+    val batch2 = Seq(("s1", "eta theta iota kappa lambda mu"),
+      ("s3", "eight nine ten eleven twelve thirteen"))
+    mem.addData(batch1: _*)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table(name).count() > 0)
+
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table(name)
+      .select($"source", $"bucket", $"r").collect().map(_.toSeq).toSet
+
+    import spark.implicits._
+    val want = graft.operators.TextQueries.hllRegistersFused(
+        (batch1 ++ batch2).toDF("source", "text"))
+      .select($"source", $"bucket", $"r").collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"restarted fused registers != single-pass batch registers:\n" +
+        s"got $got\nwant $want")
+    assert(got.exists(_.head == "s2"),
+      "batch-1-only source s2 must survive the restart (buffer restore)")
+  }
+
   test("streaming weighted reservoir (s26 engine) restores bounded-heap state across restart") {
     // the r12 round's novel state shape: the E-S sample's per-source
     // top-k heap IS the state-store row. Run 2 only ever SEES batch 2,
