@@ -9,14 +9,22 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * too large for a VALUES literal (VERDICT r18 next 2: d07's sf0.1
   * output is 139k rows; the x-family's is 5k rows per query).
   *
-  * Shape: (n_rows, xor_a, xor_b) where xor_a/xor_b are bitwise-XOR
-  * folds of two independently-seeded xxhash64 values of each row's
-  * canonical string. XOR is commutative/associative and overflow-free,
-  * so the digest is exactly partition- and order-invariant (the
-  * pinning premise), and ANY change to any row — value, count,
-  * duplication — flips it with overwhelming probability (two
-  * independent 64-bit folds; a single xor could in principle be
-  * cancelled by a crafted pair). Canonical row string: every column
+  * Shape: (n_rows, xor_a, sum_b) over two independently-seeded
+  * xxhash64 values of each row's canonical string: xor_a is a
+  * bitwise-XOR fold of h_a; sum_b is a WRAPPING 64-bit sum of h_b.
+  * Both folds are commutative/associative, so the digest is exactly
+  * partition- and order-invariant (the pinning premise). They cover
+  * complementary drift classes: the XOR flips on any change to the
+  * multiset's odd-multiplicity structure, while the sum is
+  * multiset-linear, so it detects the even-multiplicity swaps XOR is
+  * blind to — replacing two copies of row X with two copies of row Y
+  * preserves EVERY xor fold (both h_a and h_b cancel pairwise) but
+  * shifts sum_b by 2·(h_b(Y) − h_b(X)) (VERDICT r19 wrong 1: with two
+  * XOR folds the "independence" was illusory — both were functions of
+  * the same row string and shared the same blind spot). What remains
+  * undetectable is only a crafted simultaneous collision of count,
+  * xor_a and sum_b — not a drift class any plan change produces.
+  * Canonical row string: every column
   * cast to string in schema order, doubles/floats snapped to 6dp first
   * (floor(x*1e6+0.5)/1e6, the cross-engine exactness discipline —
   * though only Spark ever computes the digest: the oracle side is a
@@ -44,10 +52,22 @@ object DigestGate {
       coalesce(c, lit("\u0002null"))
     }
     val rowStr = concat_ws("\u0001", parts: _*)
+    // the wrapping sum is computed EXACTLY in DECIMAL(38,0) (|sum| ≤
+    // 2^63·n_rows < 10^38 for any n below 2^31), then wrapped mod 2^64
+    // and mapped back onto the signed-long range — deterministic,
+    // partition-invariant integer arithmetic, no IEEE order anywhere
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
     df.select(xxhash64(rowStr).as("h_a"), xxhash64(rowStr, lit(1)).as("h_b"))
       .agg(
         count(lit(1)).as("n_rows"),
         expr("bit_xor(h_a)").as("xor_a"),
-        expr("bit_xor(h_b)").as("xor_b"))
+        sum(col("h_b").cast("decimal(38,0)")).as("raw_sum_b"))
+      .select(
+        col("n_rows"), col("xor_a"), {
+          val p = pmod(col("raw_sum_b"), two64)
+          when(p >= two63, p - two64).otherwise(p)
+            .cast("long").as("sum_b")
+        })
   }
 }
