@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_md5_prefix(bin, hexDigits literal int)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_sort_key"),
+      new ExpressionInfo(classOf[Md5SortKeyExpr].getName, "graft_md5_sort_key"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => Md5SortKeyExpr(bin)
+        case _ => throw new IllegalArgumentException(
+          "graft_md5_sort_key(bin)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => args match {

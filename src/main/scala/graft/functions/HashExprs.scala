@@ -264,6 +264,34 @@ object HashKernels2 {
     v
   }
 
+  /** The full md5 digest as a 3-long sort key: the 32 nibbles split
+    * [0,15), [15,30), [30,32) and each run parsed as a non-negative
+    * long. Elementwise array order over the key is EXACTLY the
+    * lexicographic order of the digest's 32-char lowercase-hex
+    * rendering (hex is a monotone per-nibble encoding and all three
+    * limbs are zero-extended), so an ORDER BY on the key reproduces an
+    * ORDER BY on md5-hex — the d24 family's oracle-shared ordering
+    * coin — with zero string materialization and 8-byte comparisons
+    * (VERDICT r19 next 6: the last hex round-trip class left after the
+    * r19 md5Prefix sweep). */
+  def md5SortKey(bytes: Array[Byte]): Array[Long] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes)
+    val d = md.digest()
+    def nib(start: Int, n: Int): Long = {
+      var v = 0L
+      var i = start
+      while (i < start + n) {
+        val b = d(i >> 1) & 0xff
+        v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+        i += 1
+      }
+      v
+    }
+    Array(nib(0, 15), nib(15, 15), nib(30, 2))
+  }
+
   /** One-pass sign-LSH band codes: project v on every hyperplane (flat
     * row-major planes matrix), take sign bits, pack `bitsPerBand` bits
     * per band with the band index folded into the high bits —
@@ -379,6 +407,36 @@ final case class Md5PrefixExpr(child: Expression, hexDigits: Int)
       s"graft.functions.HashKernels2.md5Prefix($c, $hexDigits)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixExpr =
+    copy(child = newChild)
+}
+
+/** md5_sort_key(bin: binary) → array<bigint>: md5(bin)'s 32 nibbles as
+  * three non-negative longs ([15,15,2] nibbles) whose elementwise array
+  * order equals the hex string's lexicographic order — the ordering
+  * twin of [[Md5PrefixExpr]] for sites that sort on the FULL digest
+  * (see [[HashKernels2.md5SortKey]]). The md5 coin itself stays: it is
+  * the hash both engines share, so the oracle keeps gating the order
+  * bit-for-bit. */
+final case class Md5SortKeyExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_sort_key"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      HashKernels2.md5SortKey(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels2.md5SortKey($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SortKeyExpr =
     copy(child = newChild)
 }
 
@@ -830,6 +888,8 @@ object GraftFunctions {
     column(GramHashesExpr(expression(tokens), l))
   def md5Prefix(bin: Column, hexDigits: Int): Column =
     column(Md5PrefixExpr(expression(bin), hexDigits))
+  def md5SortKey(bin: Column): Column =
+    column(Md5SortKeyExpr(expression(bin)))
   def signLsh(v: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
     val dim = planes.head.length
     column(SignLshExpr(expression(v), planes.flatten, dim, bitsPerBand))

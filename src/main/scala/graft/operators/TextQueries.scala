@@ -985,13 +985,21 @@ object TextQueries {
   private val shuffleShards = 16
   private def d24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = md5(concat($"doc_id".cast("string"), lit(":ep1")).cast("binary"))
+    // one digest per row and no hex anywhere (VERDICT r19 next 6):
+    // hk = md5's 32 nibbles as [15,15,2]-nibble longs, whose array
+    // order IS the hex string's lexicographic order — so the window
+    // sorts 8-byte limbs while the ORACLE keeps ordering by the same
+    // md5's hex rendering, bit-for-bit. The shard is the digest's
+    // first two nibbles, read from hk[0]'s top bits (15 nibbles = 60
+    // bits; >> 52 leaves the leading 8).
+    val hk = graft.functions.GraftFunctions.md5SortKey(
+      concat($"doc_id".cast("string"), lit(":ep1")).cast("binary"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"h", $"doc_id")
+      .partitionBy($"shard").orderBy($"hk", $"doc_id")
     Tables(s, dir, "documents")
-      .select($"doc_id", h.as("h"))
+      .select($"doc_id", hk.as("hk"))
       .withColumn("shard",
-        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
+        pmod(shiftright(element_at($"hk", 1), 52).cast("int"),
           lit(shuffleShards)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"doc_id", $"shard", $"pos")
@@ -1105,16 +1113,19 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val clean = TextOps.chunkDedupApply(docs, "doc_id", "text", d25W)
         .join(docs.select($"doc_id", $"source"), "doc_id")
-      val h = md5(concat($"doc_id".cast("string"), lit(":cur"))
-        .cast("binary"))
+      // shard coin = the digest's first two nibbles, via the native
+      // kernel (value-identical to conv(substring(md5-hex,1,2),16,10)
+      // — the documented Md5PrefixExpr equivalence; no hex string)
+      val shard = pmod(graft.functions.GraftFunctions.md5Prefix(
+          concat($"doc_id".cast("string"), lit(":cur")).cast("binary"), 2)
+        .cast("int"), lit(d28Shards))
       clean
         .select($"doc_id", $"source",
-          TextOps.tokens($"clean_text").as("toks"), h.as("h"))
+          TextOps.tokens($"clean_text").as("toks"), shard.as("shard"))
         .select($"doc_id", $"source",
           size($"toks").cast("long").as("n_tokens"),
           (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
-          pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
-            lit(d28Shards)).as("shard"))
+          $"shard")
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(path)
@@ -1239,15 +1250,20 @@ object TextQueries {
   private val d28Budget = 100L // tokens per (source, shard)
   private def d28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = md5(concat($"doc_id".cast("string"), lit(":cur")).cast("binary"))
+    // shard coin = the digest's first two nibbles via the native
+    // kernel — no hex round-trip (VERDICT r19 next 6; value-identical
+    // to conv(substring(md5-hex,1,2),16,10), the Md5PrefixExpr spec)
+    val shard = pmod(graft.functions.GraftFunctions.md5Prefix(
+        concat($"doc_id".cast("string"), lit(":cur")).cast("binary"), 2)
+      .cast("int"), lit(d28Shards))
     val base = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"), h.as("h"))
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"),
+        shard.as("shard"))
       .select($"doc_id", $"source",
         size($"toks").cast("long").as("n_tokens"),
         (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
-        pmod(conv(substring($"h", 1, 2), 16, 10).cast("int"),
-          lit(d28Shards)).as("shard"))
+        $"shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source", $"shard").orderBy($"q".desc, $"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -340,4 +340,43 @@ class HashExprsSpec extends AnyFunSuite {
       .collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("md5_sort_key limbs equal the conv(substring(md5)) chain and order like the hex string") {
+    import spark.implicits._
+    val inputs = (1 to 500).map(i => s"doc-$i:ep1") ++
+      Seq("", "a", "héllo wörld 世界", "x" * 2000)
+    val df = inputs.toDF("s").withColumn("b", $"s".cast("binary"))
+    // limb equivalence against the interpreted hex chain (the
+    // independent oracle the md5_prefix spec above uses), including
+    // the [30,32) tail limb no prefix kernel can reach
+    val rows = df.select(
+        expr("cast(conv(substring(md5(b), 1, 15), 16, 10) as bigint)").as("c0"),
+        expr("cast(conv(substring(md5(b), 16, 15), 16, 10) as bigint)").as("c1"),
+        expr("cast(conv(substring(md5(b), 31, 2), 16, 10) as bigint)").as("c2"),
+        GraftFunctions.md5SortKey($"b").as("native"),
+        expr("graft_md5_sort_key(b)").as("sqlform"),
+        md5($"b").as("hex"))
+      .collect()
+    rows.foreach { r =>
+      val nat = r.getAs[scala.collection.Seq[Long]]("native")
+      val sql = r.getAs[scala.collection.Seq[Long]]("sqlform")
+      val chain = Seq(r.getAs[Long]("c0"), r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+      assert(nat == chain, s"native limbs $nat != chain $chain")
+      assert(sql == chain, s"sql-registered limbs $sql != chain $chain")
+    }
+    // ORDER equivalence — the property d24 rides on: sorting by the
+    // key array must reproduce sorting by the hex string exactly
+    val byHex = rows.sortBy(_.getAs[String]("hex")).map(_.getAs[String]("hex"))
+    implicit val seqOrd: Ordering[scala.collection.Seq[Long]] =
+      Ordering.Implicits.seqOrdering(Ordering.Long)
+    val byKey = rows.sortBy(_.getAs[scala.collection.Seq[Long]]("native"))
+      .map(_.getAs[String]("hex"))
+    assert(byKey.toSeq == byHex.toSeq,
+      "array order diverged from hex lexicographic order")
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.md5SortKey($"s".cast("binary")).as("v"))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
 }
