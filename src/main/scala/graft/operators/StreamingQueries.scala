@@ -92,7 +92,8 @@ object StreamingQueries {
     */
   private def runStream(s: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
-      mode: String = "complete"): DataFrame =
+      mode: String = "complete",
+      shufflePartitions: Int = 8): DataFrame =
     graft.Tables.withNanosAsLong(s) {
       // resolved inside withNanosAsLong, so a nanos-generation file
       // surfaces as a long instead of failing PARQUET_TYPE_ILLEGAL
@@ -112,7 +113,7 @@ object StreamingQueries {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
       graft.Tables.withConfs(s,
-          Seq("spark.sql.shuffle.partitions" -> "8")) {
+          Seq("spark.sql.shuffle.partitions" -> shufflePartitions.toString)) {
         val q = transform(raw).writeStream
           .format("memory").queryName(name)
           .outputMode(mode)
@@ -172,15 +173,28 @@ object StreamingQueries {
   // micro-batch they pair up, the watermark only bounds join state);
   // the per-user rollup happens in batch over the sink so the oracle is
   // exactly q24's SQL
-  private def s04(s: SparkSession, dir: String): DataFrame = {
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    s04Probe(s, dir, lateness = "1 hour", shufflePartitions = 8)
+
+  /** s04 with the two state-machinery knobs exposed, for the bench's
+    * s04_decomp probe (VERDICT r19 next 5): `lateness` sets the
+    * watermark delay on both join sides (the inner-join OUTPUT is
+    * lateness-independent under the single-batch contract — all rows
+    * pair up in the one micro-batch; lateness only moves the final
+    * watermark, i.e. how much join state survives to the commit-time
+    * checkpoint write), and `shufflePartitions` sets the state-store
+    * count the 2×|events| row inserts + probes parallelize across. */
+  private[graft] def s04Probe(s: SparkSession, dir: String,
+      lateness: String, shufflePartitions: Int): DataFrame = {
     import s.implicits._
     runStream(s, dir, { raw =>
       val e = raw.select($"user_id", $"ts")
-      StreamingOps.correlate(e, e, "user_id", windowSec = 900)
+      StreamingOps.correlate(e, e, "user_id", windowSec = 900,
+          lateness = lateness)
         .select(col("l.user_id").as("user_id"),
           unix_micros(col("l.ts")).as("us_l"),
           unix_micros(col("r.ts")).as("us_r"))
-    }, mode = "append")
+    }, mode = "append", shufflePartitions = shufflePartitions)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_pairs"),
         max($"us_r" - $"us_l").cast("long").as("max_gap_us"))

@@ -20,4 +20,13 @@ object GraftShims {
     * print. */
   def stopStateStoreMaintenance(): Unit =
     execution.streaming.state.StateStore.stop()
+
+  /** Blocks until the context's listener bus has dispatched every
+    * queued event — the test-side plan sweeps capture
+    * SparkListenerSQLExecutionStart events (the only way to reach a
+    * TERMINATED stream's executed micro-batch plans from outside its
+    * runner), and event delivery is async, so attribution of a plan to
+    * the query that produced it needs a flush between queries. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

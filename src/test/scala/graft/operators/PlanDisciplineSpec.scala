@@ -1101,6 +1101,102 @@ class PlanDisciplineSpec extends AnyFunSuite {
       "token list no longer matches Catalyst's rendering")
   }
 
+  // ---- r20: the two sweep-wide guards extended to the 51 streaming
+  // plans (VERDICT r19 next 4) ----
+  // The batch sweeps above iterate registered BATCH queries only; the
+  // stream lifts share the underlying builders, but their micro-batch
+  // plans are planned separately (IncrementalExecution) and were never
+  // swept. The registered s-queries run their streams eagerly inside
+  // the query function and stop them before returning, so the executed
+  // plans are captured from the listener bus instead:
+  // SparkListenerSQLExecutionStart carries the plan description of
+  // EVERY SQL execution — each micro-batch included — which is the
+  // only hook that reaches a TERMINATED stream's plans. The capture
+  // also sweeps the batch tails those queries run over their sinks:
+  // strictly more coverage under the same discipline. explainMode is
+  // pinned to "simple" for the sweep so the rendering matches the
+  // executedPlan.toString form the batch guards' regexes parse.
+  private lazy val streamPlanStrings: Seq[(String, String)] = {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            val n = current.get
+            if (n.nonEmpty)
+              plans.synchronized { plans += n -> e.physicalPlanDescription }
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try graft.Tables.withConfs(spark,
+        Seq("spark.sql.ui.explainMode" -> "simple")) {
+      for (n <- Catalog.queries.keys.toSeq.sorted.filter(_.startsWith("s"))) {
+        // flush stragglers from the previous query, then attribute
+        org.apache.spark.sql.GraftShims.waitListenerBus(spark.sparkContext)
+        current.set(n)
+        Catalog.queries(n)(spark, TestSpark.sf0001)
+          .write.mode("overwrite").format("noop").save()
+        org.apache.spark.sql.GraftShims.waitListenerBus(spark.sparkContext)
+        current.set("")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    plans.synchronized(plans.toVector)
+  }
+
+  test("no registered STREAMING query shuffles corpus gram STRINGS (micro-batch plans)") {
+    // the batch guard's sanction rule, applied to the stream lifts:
+    // stream twins of the eval-bounded decontam screens may shuffle
+    // gram strings (their gram frames are bounded by the eval suite /
+    // the d05 slice by construction, exactly like their batch forms)
+    val sanctioned = Set("s23_stream_bloom_screen",
+      "s24_stream_fuzzy_decontam", "s35_stream_semantic_decontam")
+    val gramKey = "Exchange hashpartitioning\\([^\\n]*?\\b(sh|gram)#".r
+    val covered = streamPlanStrings.map(_._1).distinct
+    assert(covered.size >= 50,
+      s"stream plan capture covered only ${covered.size} queries — " +
+        "the listener plumbing is broken")
+    // capture sanity: micro-batch plans must actually be present
+    assert(streamPlanStrings.exists(_._2.contains("Exchange")),
+      "capture saw no Exchange anywhere — explainMode/rendering drifted")
+    val offenders = streamPlanStrings.collect {
+      case (n, p) if !sanctioned.contains(n) &&
+        gramKey.findFirstIn(p).isDefined => n
+    }.distinct
+    assert(offenders.isEmpty,
+      "gram-STRING-keyed exchange in a streaming plan outside the " +
+        s"sanctioned eval-bounded sites: ${offenders.mkString(", ")} — " +
+        "key on xxhash64(gram) (the d54/d82 discipline)")
+  }
+
+  test("no registered STREAMING query pushes an inlined derived-column chain into a Filter") {
+    // the d90 guard over the captured micro-batch plans, same token
+    // list and bound as the batch sweep
+    val heavy = Seq("xxhash64(", "md5(", "sha2(", "crc32(",
+      "regexp_replace(", "regexp_extract(", "regexp_extract_all(",
+      "translate(", "conv(", "graft_char_counts(", "graft_term_counts(",
+      "graft_minhash_sig(", "graft_md5_prefix(")
+    def heavyCount(line: String): Int =
+      heavy.map { h =>
+        var c = 0; var i = line.indexOf(h)
+        while (i >= 0) { c += 1; i = line.indexOf(h, i + 1) }
+        c
+      }.sum
+    val bound = 6
+    val offenders = streamPlanStrings.flatMap { case (n, p) =>
+      val worst = p.linesIterator
+        .filter(_.contains("Filter"))
+        .map(heavyCount).maxOption.getOrElse(0)
+      if (worst > bound) Some(s"$n (max $worst heavy calls in one Filter)")
+      else None
+    }.distinct
+    assert(offenders.isEmpty,
+      s"inlined-chain signature in streaming Filters (bound $bound): " +
+        offenders.mkString(", "))
+  }
+
   test("d90 keeper join is shuffled and the canon chain is not re-inlined into a filter") {
     // two r18 pins: (1) the urls frame is corpus-proportional, so the
     // canon-key join must shuffle — Catalyst's size estimate was
