@@ -12,6 +12,53 @@ object Bench {
   def fmt(f: String, v: Double): String =
     String.format(java.util.Locale.ROOT, f, java.lang.Double.valueOf(v))
 
+  /** The contended-snapshot gate's pure decision (r20, VERDICT r19
+    * next 7): given the COMMITTED detail file's raw JSON, this run's
+    * sf dir, per-query calib-norms and calib-series samples, returns
+    * Some(reason) when the run must be quarantined instead of
+    * overwriting the snapshot. Fires only when BOTH r19-postmortem
+    * signatures agree: median per-query calib-norm ratio vs the
+    * committed snapshot > 1.15 AND an intra-run calib spike > 1.5×
+    * (a global ratio alone can be a real regression or a code change;
+    * a spike alone is a transient the min-of-N already absorbs).
+    * Guards: same sf dir only, ≥20 shared queries, fails OPEN (None)
+    * on any parse irregularity — a malformed snapshot must never
+    * block a fresh one. Extracted pure so the firing direction is
+    * unit-testable (`BenchGateSpec`); the main wires in file I/O and
+    * the force-override env. */
+  private[graft] def quarantineReason(prevJson: String, sfDir: String,
+      curNorms: Seq[(String, Double)], calibs: Seq[Double]): Option[String] =
+    try {
+      val prevNorm: Map[String, Double] =
+        """"queries_calib_norm":\{([^}]*)\}""".r.findFirstMatchIn(prevJson)
+          .map(_.group(1).split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.replace("\"", "") -> v.toDouble)
+                catch { case _: Throwable => None }
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty)
+      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(prevJson)
+        .map(_.group(1))
+      val ratios = curNorms.collect {
+        case (k, v) if v > 0 && prevNorm.getOrElse(k, -1.0) > 0 =>
+          v / prevNorm(k)
+      }.sorted
+      val medianRatio =
+        if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+      val spike = calibs.size >= 2 && calibs.max > 1.5 * calibs.min
+      if (prevSf.contains(sfDir) && ratios.size >= 20 &&
+          medianRatio > 1.15 && spike)
+        Some(s"median calib-norm ratio vs committed snapshot " +
+          s"${fmt("%.2f", medianRatio)} > 1.15 AND intra-run " +
+          s"calib spike ${fmt("%.2f", calibs.max / calibs.min)}x > 1.5x")
+      else None
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] snapshot gate failed OPEN: ${e.getMessage}")
+      None
+    }
+
   /** The n=32768 distributed-DAMDS probe body (the gather-cap curve's
     * 4th point), shared by the opt-in in-sweep block and the
     * standalone `graft.Damds32k` main. Returns (seconds, json
@@ -1571,36 +1618,9 @@ object Bench {
         val f = new java.io.File(detailPath)
         if (noCalib || !f.exists() ||
             sys.env.get("SPARK_GRAFT_FORCE_SNAPSHOT").contains("1")) None
-        else {
-          val prev = new String(
-            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          val prevNorm: Map[String, Double] =
-            """"queries_calib_norm":\{([^}]*)\}""".r.findFirstMatchIn(prev)
-              .map(_.group(1).split(",").flatMap { kv =>
-                kv.split(":") match {
-                  case Array(k, v) =>
-                    try Some(k.replace("\"", "") -> v.toDouble)
-                    catch { case _: Throwable => None }
-                  case _ => None
-                }
-              }.toMap).getOrElse(Map.empty)
-          val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(prev)
-            .map(_.group(1))
-          val ratios = calibNormVals.collect {
-            case (k, v) if v > 0 && prevNorm.getOrElse(k, -1.0) > 0 =>
-              v / prevNorm(k)
-          }.sorted
-          val medianRatio =
-            if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
-          val calibs = calibSeries.map(_._2)
-          val spike = calibs.size >= 2 && calibs.max > 1.5 * calibs.min
-          if (prevSf.contains(sfDir) && ratios.size >= 20 &&
-              medianRatio > 1.15 && spike)
-            Some(s"median calib-norm ratio vs committed snapshot " +
-              s"${Bench.fmt("%.2f", medianRatio)} > 1.15 AND intra-run " +
-              s"calib spike ${Bench.fmt("%.2f", calibs.max / calibs.min)}x > 1.5x")
-          else None
-        }
+        else Bench.quarantineReason(
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"),
+          sfDir, calibNormVals, calibSeries.map(_._2).toSeq)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] snapshot gate failed OPEN: ${e.getMessage}")
         None

@@ -61,9 +61,49 @@ object BenchIsolate {
     // Catalyst prune the projection/aggregate work being measured
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // r20: stream rows' cross-round axis is the MARGINAL (summed
+    // in-batch triggerExecution — queries_stream_marginal in the
+    // detail JSON; wall carries the micro-batch fixed machinery the
+    // calib axis can't correct), so for s-queries each timed run also
+    // records it — an isolated stream forensic then reads the same
+    // axis the sweep and the stream recheck commit. One listener per
+    // SESSION (sessions that already have one keep it — the buffer is
+    // cleared per run).
+    val progBuf = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listened = new java.util.IdentityHashMap[SparkSession, java.lang.Boolean]
+    def ensureListener(s: SparkSession): Unit =
+      if (!listened.containsKey(s)) {
+        listened.put(s, java.lang.Boolean.TRUE)
+        s.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit =
+              progBuf.synchronized { progBuf += e.progress }
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          })
+      }
+    def drainMarginal(): Double = {
+      var prev = -1
+      var cur = progBuf.synchronized(progBuf.size)
+      var tries = 0
+      while ((cur != prev || cur == 0) && tries < 20) {
+        Thread.sleep(100)
+        prev = cur
+        cur = progBuf.synchronized(progBuf.size)
+        tries += 1
+      }
+      val ps = progBuf.synchronized(progBuf.toList)
+      if (ps.isEmpty) -1.0 // drain timeout, not "zero work"
+      else ps.map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)).sum / 1000.0
+    }
     val sparkShared = if (shared) Some(newSession()) else None
     names.foreach { n =>
       val spark = sparkShared.getOrElse(newSession())
+      val isStream = n.startsWith("s")
+      if (isStream) ensureListener(spark)
       // one untimed warmup (codegen + footers), then `runs` timed
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable =>
@@ -72,7 +112,8 @@ object BenchIsolate {
       // a timed run that throws marks only ITSELF (negative seconds)
       // and the remaining queries still run — an unguarded throw here
       // silently aborted the whole requested list (ADVICE r17)
-      val secs = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
+        if (isStream) progBuf.synchronized(progBuf.clear())
         val t0 = System.nanoTime()
         val ok =
           try { materialize(SparkEntry.queries(n)(spark, sfDir)); true }
@@ -81,9 +122,15 @@ object BenchIsolate {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
+        val marg = if (isStream && ok) drainMarginal() else -1.0
+        (if (ok) dt else -dt, marg)
       }
-      println(s"""{"query":"$n","mode":"${if (shared) "shared" else "fresh"}","bench_confs":$benchConfs,"runs":[${secs.map(s => Bench.fmt("%.3f", s)).mkString(",")}]}""")
+      val secs = timed.map(_._1)
+      val margJson =
+        if (isStream)
+          s""","marginals":[${timed.map(t => Bench.fmt("%.3f", t._2)).mkString(",")}]"""
+        else ""
+      println(s"""{"query":"$n","mode":"${if (shared) "shared" else "fresh"}","bench_confs":$benchConfs,"runs":[${secs.map(s => Bench.fmt("%.3f", s)).mkString(",")}]$margJson}""")
       if (sparkShared.isEmpty) spark.stop()
     }
     sparkShared.foreach(_.stop())
