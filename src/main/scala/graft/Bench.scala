@@ -991,9 +991,11 @@ object Bench {
     // Streaming x10 scaling probes (VERDICT r15 next 2 / r16 next 2):
     // the stateful streaming legs are where 100× bites first — state
     // stores grow with the KEY universe, not the batch size — so the
-    // six representative legs (stateless stream-static probes s10/
-    // s25/s40, bounded-register sketches s18/s32, and the GROWING
-    // dedup ledger s20) run at sf0.1 and at a 10× replica, with the
+    // representative legs (stateless stream-static probes s10/s25/
+    // s40/s43/s51, bounded-register sketches s18/s32, the GROWING
+    // dedup ledger s20, and — r20 — the stream-stream JOIN s04, whose
+    // state is batch-lifetime join rows) run at sf0.1 and at a 10×
+    // replica, with the
     // final state-store row count per run committed next to the time.
     // The replica mirrors the batch x10 build (remapped ids, one
     // appended token per doc replica; remapped user/event ids for
@@ -1007,9 +1009,11 @@ object Bench {
     // toward the cap (measured ~2.5× at 10× input, vs 10× for an
     // unbounded design); s20's ledger rows track distinct signatures
     // (~10× — the one genuinely corpus-proportional state here, which
-    // is why s20 exists); the stream-static probes hold no state at
-    // all (0 rows). A state ratio outside its documented bound is a
-    // scale bug this block exists to surface.
+    // is why s20 exists); s04's join state is the BATCH's input rows
+    // on both sides (2×|events|, evicted at commit — exactly 10× at
+    // 10× arrivals, linear by construction); the stream-static probes
+    // hold no state at all (0 rows). A state ratio outside its
+    // documented bound is a scale bug this block exists to surface.
     val scalingStream =
       try {
         microCalib(force = true)
@@ -1123,7 +1127,17 @@ object Bench {
             ""
           }
         dropSweepState() // drop the build + dup-amp ballast before timing
-        val legs = Seq("s10_stream_incremental_dedup", "s18_stream_hll_registers",
+        // r20: s04 joins the legs — the stream-stream JOIN state class
+        // was the one stateful shape the block didn't probe. The
+        // events replica remaps user ids per replica, so per-user
+        // arrival density is unchanged and the workload is exactly
+        // linear (10× state inserts — 200k → 2M join-state rows —
+        // and 10× emitted pairs, 2,250 → 22,500 verified in DuckDB):
+        // its committed ratio reads directly against a 10× denominator
+        // (measured ~2.2×, the micro-batch fixed machinery and
+        // per-store overheads amortizing).
+        val legs = Seq("s04_stream_interval_join",
+          "s10_stream_incremental_dedup", "s18_stream_hll_registers",
           "s20_stream_dedup_ledger", "s25_stream_block_dedup",
           "s32_stream_sliding_distinct", "s40_stream_dup_spans",
           "s43_stream_copy_flows", "s51_stream_crawl_ingest")
