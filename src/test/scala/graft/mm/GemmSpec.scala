@@ -18,15 +18,21 @@ class GemmSpec extends AnyFunSuite {
     c
   }
 
-  test("kernel matches naive multiply on random shapes") {
+  test("kernel is BIT-identical to the ascending-k triple loop on tail-exercising shapes") {
+    // the r20 register-blocked kernel's contract: blocking reorders
+    // only which (i,j) cells advance together — every cell is still
+    // its own strict ascending-k FP chain, so equality here is EXACT
+    // (==), not tolerance. Shapes 1..20 exercise the 4×4 main block,
+    // both tails, and the all-tail (<4) cases.
     val rnd = new scala.util.Random(1)
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to 20) {
       val (m, k, n) = (1 + rnd.nextInt(20), 1 + rnd.nextInt(20), 1 + rnd.nextInt(20))
       val a = Array.fill(m * k)(rnd.nextDouble() - 0.5)
       val b = Array.fill(k * n)(rnd.nextDouble() - 0.5)
       val got = Gemm.gemm(a, m, k, Gemm.toColMajor(b, k, n), n)
       val want = naive(a, m, k, b, n)
-      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+      assert(got.toSeq == want.toSeq,
+        s"blocked kernel diverged from the ascending-k reference at ${m}x${k}x$n")
     }
   }
 
