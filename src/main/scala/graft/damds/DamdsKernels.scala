@@ -180,6 +180,44 @@ object DamdsKernels {
       tCur: Double): Array[Double] = {
     val diff = heatDiff(d, tCur)
     val out = new Array[Double](b.blockRows * d)
+    // d == 3 register path (r20) — the mmBlock treatment: three scalar
+    // accumulators replace per-flop `out` loads/stores; FP op order
+    // per component is unchanged (ascending gc, diagonal last), so
+    // bit-identical to the generic loop (DamdsKernelsSpec pins it).
+    if (d == 3) {
+      var localRow = 0
+      while (localRow < b.blockRows) {
+        val globalRow = localRow + b.start
+        var diag = 0.0
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var gc = 0
+        while (gc < b.n) {
+          if (gc != globalRow) {
+            val origD = b.dist(localRow * b.n + gc) * InvShortMax
+            val weight = b.w(localRow, gc)
+            if (origD >= 0 && weight != 0) {
+              val dist = euclidean(x, globalRow, gc, 3)
+              val bij =
+                if (dist >= 1.0e-10 && diff < origD)
+                  weight * -1.0 * (origD - diff) / dist
+                else 0.0
+              if (bij != 0.0) {
+                val xo = gc * 3
+                s0 += bij * x(xo); s1 += bij * x(xo + 1); s2 += bij * x(xo + 2)
+                diag -= bij
+              }
+            }
+          }
+          gc += 1
+        }
+        val xo = globalRow * 3
+        s0 += diag * x(xo); s1 += diag * x(xo + 1); s2 += diag * x(xo + 2)
+        val rowOff = localRow * 3
+        out(rowOff) = s0; out(rowOff + 1) = s1; out(rowOff + 2) = s2
+        localRow += 1
+      }
+      return out
+    }
     var localRow = 0
     while (localRow < b.blockRows) {
       val globalRow = localRow + b.start
@@ -247,6 +285,42 @@ object DamdsKernels {
   def mmBlock(b: WeightBlock, v: Array[Double], x: Array[Double],
       d: Int): Array[Double] = {
     val out = new Array[Double](b.blockRows * d)
+    // d == 3 register path (r20): the generic loop accumulates through
+    // `out` array stores — a load+store per flop — where three scalar
+    // accumulators stay in registers across the N-long gc sweep. The
+    // FP op sequence per component is UNCHANGED (ascending gc, the
+    // diagonal v·x term last), so results are bit-identical to the
+    // generic path — pinned in DamdsKernelsSpec ("mmBlock d=3 register
+    // path ≡ generic path") and transitively by every golden-gated
+    // n-query. targetDim is 3 in every probe and main; other d falls
+    // through to the generic loop below.
+    if (d == 3) {
+      var localRow = 0
+      while (localRow < b.blockRows) {
+        val globalRow = localRow + b.start
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var gc = 0
+        while (gc < b.n) {
+          if (gc != globalRow) {
+            val weight = b.w(localRow, gc)
+            if (weight != 0) {
+              val xo = gc * 3
+              s0 -= weight * x(xo)
+              s1 -= weight * x(xo + 1)
+              s2 -= weight * x(xo + 2)
+            }
+          }
+          gc += 1
+        }
+        val xo = globalRow * 3
+        val vr = v(localRow)
+        s0 += vr * x(xo); s1 += vr * x(xo + 1); s2 += vr * x(xo + 2)
+        val rowOff = localRow * 3
+        out(rowOff) = s0; out(rowOff + 1) = s1; out(rowOff + 2) = s2
+        localRow += 1
+      }
+      return out
+    }
     var localRow = 0
     while (localRow < b.blockRows) {
       val globalRow = localRow + b.start

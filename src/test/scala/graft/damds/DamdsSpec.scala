@@ -118,6 +118,71 @@ class DamdsSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
   }
 
+  test("mmBlock/bcBlock d=3 register path is BIT-identical to the generic ascending-gc loop (r20)") {
+    // the d==3 fast path keeps each output component's FP op sequence
+    // (ascending gc, diagonal term last) and only moves the
+    // accumulator from an `out` array slot into a register — so
+    // equality against an in-spec replica of the GENERIC loop is
+    // EXACT (==, not tolerance). This is the contract every
+    // golden-pinned n-query and the DD32K stress checksum ride on.
+    val d = 3
+    val rnd = new scala.util.Random(13)
+    val x = Array.fill(n * d)(rnd.nextGaussian())
+    val tCur = 0.05
+    val diff = heatDiff(d, tCur)
+    val blocks = mkBlocks(5)
+    // generic-loop replicas (the pre-r20 kernel bodies, verbatim order)
+    def mmGeneric(b: WeightBlock, v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](b.blockRows * d)
+      for (localRow <- 0 until b.blockRows) {
+        val globalRow = localRow + b.start
+        val rowOff = localRow * d
+        for (gc <- 0 until b.n if gc != globalRow) {
+          val weight = b.w(localRow, gc)
+          if (weight != 0)
+            for (k <- 0 until d) out(rowOff + k) -= weight * x(gc * d + k)
+        }
+        for (k <- 0 until d)
+          out(rowOff + k) += v(localRow) * x(globalRow * d + k)
+      }
+      out
+    }
+    def bcGeneric(b: DamdsBlock): Array[Double] = {
+      val out = new Array[Double](b.blockRows * d)
+      for (localRow <- 0 until b.blockRows) {
+        val globalRow = localRow + b.start
+        var diag = 0.0
+        val rowOff = localRow * d
+        for (gc <- 0 until b.n if gc != globalRow) {
+          val origD = b.dist(localRow * b.n + gc) * FixedPoint.InvShortMax
+          val weight = b.w(localRow, gc)
+          if (origD >= 0 && weight != 0) {
+            val dist = euclidean(x, globalRow, gc, d)
+            val bij =
+              if (dist >= 1.0e-10 && diff < origD)
+                weight * -1.0 * (origD - diff) / dist
+              else 0.0
+            if (bij != 0.0) {
+              for (k <- 0 until d) out(rowOff + k) += bij * x(gc * d + k)
+              diag -= bij
+            }
+          }
+        }
+        for (k <- 0 until d)
+          out(rowOff + k) += diag * x(globalRow * d + k)
+      }
+      out
+    }
+    blocks.foreach { b =>
+      val wb = WeightBlock(b.index, b.start, b.blockRows, b.n, b.weight)
+      val v = vArray(b)
+      assert(mmBlock(wb, v, x, d).toSeq == mmGeneric(wb, v).toSeq,
+        s"mmBlock d=3 diverged from the generic loop on block ${b.index}")
+      assert(bcBlock(b, x, d, tCur).toSeq == bcGeneric(b).toSeq,
+        s"bcBlock d=3 diverged from the generic loop on block ${b.index}")
+    }
+  }
+
   test("CG solves V*X = B against a dense direct solve (N10/I2)") {
     val d = 2
     val rnd = new scala.util.Random(7)
