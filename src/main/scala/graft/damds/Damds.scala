@@ -86,6 +86,28 @@ object Damds {
     Gemm.assemble(parts.toSeq)
   }
 
+  /** N4+N3 fused (r21): stress σ and BC at the same (x, tCur) from ONE
+    * pass over the cached blocks (`stressBcBlock`) — the per-block pair
+    * RDD is persisted so the σ treeReduce (identical partial order to
+    * `stress`) and the BC collect (identical parts to `bc`) both read
+    * the single kernel evaluation. Used where the annealed loop needs
+    * both values: the first stress iteration of every temperature step.
+    */
+  private[damds] def stressAndBc(spark: SparkSession,
+      blocks: Dataset[DamdsBlock], x: Array[Double], d: Int, tCur: Double,
+      invs: Double, n: Int): (Double, Array[Double]) = {
+    val xBc = spark.sparkContext.broadcast(x)
+    val fused = blocks.rdd.map { b =>
+      val (sig, out) = stressBcBlock(b, xBc.value, d, tCur)
+      (sig, DoubleMatrixBlock(b.index, b.start, b.blockRows, n, d, out))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigma = fused.map(_._1).treeReduce(_ + _, 2)
+    val parts = fused.map(_._2).collect()
+    fused.unpersist(false)
+    xBc.destroy()
+    (sigma * invs, Gemm.assemble(parts.toSeq))
+  }
+
   /** Largest N×d gather (in doubles) `mm`/`bc` will pull through the
     * driver per CG step — 64M doubles = 512 MB, past which the
     * parallelism-1 gather contract stops being sane. The reference's
@@ -201,15 +223,21 @@ object Damds {
       val log = scala.collection.mutable.ArrayBuffer[Double]()
       var done = false
       while (!done) {
-        // init stress at this temperature
-        state = state.copy(
-          preStress = stress(spark, blocks, x, d, state.tCur, invs))
+        // init stress at this temperature, fused with the first BC of
+        // the stress loop below — both need the same (x, tCur) pass
+        val (pre, bc0) = stressAndBc(spark, blocks, x, d, state.tCur,
+          invs, n)
+        state = state.copy(preStress = pre)
+        var firstBc = bc0
         var diffStress = cfg.threshold + 1
         var stressIterations = 0
         var continueStress = true
         while (continueStress &&
             (diffStress >= cfg.threshold || cfg.maxStressLoops > 0)) {
-          val bcM = bc(spark, blocks, x, d, state.tCur, n)
+          val bcM =
+            if (firstBc != null) firstBc
+            else bc(spark, blocks, x, d, state.tCur, n)
+          firstBc = null
           val (newX, cgc) = cg(spark, vblocks, x, bcM, d, n,
             cfg.cgIter, cfg.cgThreshold, cfg.exactCG)
           x = newX

@@ -101,28 +101,52 @@ object DamdsDistributed {
     * is evaluated mid-body and honored at the loop close, so the final
     * iteration still completes its r/p updates). Scalars differ from
     * the gathered path only in floating summation order (per-block
-    * partials + treeReduce vs one driver loop). */
+    * partials + treeReduce vs one driver loop).
+    *
+    * r21 orchestration diet (guide §2.4 — remove shuffles/jobs outright):
+    *  - `x0All` is the caller's already-persisted allgather of x0, so
+    *    the first matvec does not re-shuffle the X the caller just
+    *    gathered for the stress/BC pass;
+    *  - each iteration's (x,p,r) checkpoint is the `updated` RDD itself
+    *    (materialized by the rTr1 treeReduce that must run anyway); the
+    *    p-direction update `p₁ = r + βp` is a lazy O(N·d) map over it,
+    *    so the old per-iteration `state.count()` job is gone;
+    *  - the returned X is a lazy view over the final checkpoint
+    *    (`holder`), which the caller unpersists once its successor is
+    *    materialized — the old `xOut.count()` job is gone too.
+    * Scalar sequences (rTr, pAp, alpha, beta) are computed from the
+    * same per-block partials in the same treeReduce shape, so every
+    * number this produces is bit-identical to the r20 loop. */
+  private[damds] final case class CgResult(
+      x: RDD[(Int, Array[Double])],
+      holder: RDD[(Int, (Array[Double], Array[Double], Array[Double]))],
+      cgCount: Int)
+
   private[damds] def cg(
       vb: RDD[(Int, (WeightBlock, Array[Double]))],
       x0: RDD[(Int, Array[Double])],
       bcB: RDD[(Int, Array[Double])],
+      x0All: RDD[(Int, Array[Double])],
       nb: Int, part: HashPartitioner, starts: Map[Int, Int],
       n: Int, d: Int, cgIter: Int, cgThreshold: Double, exactCG: Boolean)
-      : (RDD[(Int, Array[Double])], Int) = {
+      : CgResult = {
     def mmD(p: RDD[(Int, Array[Double])]): RDD[(Int, Array[Double])] =
       vb.join(allgather(p, nb, part, starts, n, d), part)
         .mapValues { case ((w, v), pAll) => mmBlock(w, v, pAll, d) }
     // state: (x, p, r) blocks, co-partitioned with vb; every join below
     // is narrow (same partitioner), the only shuffle per step is the
     // allgather inside mmD
-    val mmr = mmD(x0)
-    var state = pinned(x0.join(bcB, part).join(mmr, part).mapValues {
+    val mmr = vb.join(x0All, part)
+      .mapValues { case ((w, v), pAll) => mmBlock(w, v, pAll, d) }
+    var holder = pinned(x0.join(bcB, part).join(mmr, part).mapValues {
       case ((xA, bcA), mmA) =>
         val p = new Array[Double](bcA.length)
         var i = 0
         while (i < bcA.length) { p(i) = bcA(i) - mmA(i); i += 1 }
         (xA, p, p.clone())
     })
+    var state: RDD[(Int, (Array[Double], Array[Double], Array[Double]))] =
+      holder
     var rTr = state.values.map(t => selfDot(t._3)).treeReduce(_ + _, 2)
     val testEnd = rTr * cgThreshold
     var cgCount = 0
@@ -135,7 +159,7 @@ object DamdsDistributed {
         .map { case ((_, p, _), apA) => dot(p, apA) }.treeReduce(_ + _, 2)
       val alpha = rTr / pAp
       if (rTr < testEnd && !exactCG) break = true
-      val updated = state.join(ap, part).mapValues {
+      val updated = pinned(state.join(ap, part).mapValues {
         case ((xA, pA, rA), apA) =>
           val x1 = xA.clone(); val r1 = rA.clone()
           var i = 0
@@ -143,29 +167,26 @@ object DamdsDistributed {
           i = 0
           while (i < r1.length) { r1(i) -= alpha * apA(i); i += 1 }
           (x1, pA, r1)
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      })
+      // this treeReduce is the job that materializes (and checkpoints)
+      // `updated` — the scalar it returns is needed for beta anyway
       val rTr1 = updated.values.map(t => selfDot(t._3)).treeReduce(_ + _, 2)
       val beta = rTr1 / rTr
       rTr = rTr1
-      val prev = state
-      state = pinned(updated.mapValues { case (x1, pA, r1) =>
+      val prevHolder = holder
+      holder = updated
+      // lazy O(N·d) view over the checkpoint — recomputed per consumer,
+      // which is cheaper than the extra materialization job it replaces
+      state = updated.mapValues { case (x1, pA, r1) =>
         val p1 = new Array[Double](pA.length)
         var i = 0
         while (i < p1.length) { p1(i) = r1(i) + beta * pA(i); i += 1 }
         (x1, p1, r1)
-      })
-      // materialize the checkpoint before releasing its inputs
-      state.count()
-      prev.unpersist(false)
-      updated.unpersist(false)
+      }
+      prevHolder.unpersist(false)
       ap.unpersist(false)
     }
-    // hand back a pinned x-only RDD and release the (x, p, r) state so
-    // a long anneal doesn't accumulate one checkpointed triple per solve
-    val xOut = pinned(state.mapValues(_._1))
-    xOut.count()
-    state.unpersist(false)
-    (xOut, cgCount)
+    CgResult(state.mapValues(_._1), holder, cgCount)
   }
 
   /** Full annealed run (I3) with X distributed: `Damds.run`'s control
@@ -202,15 +223,31 @@ object DamdsDistributed {
     val vbK = blocksK.mapValues(b => (weightView(b), vArray(b)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    def stressD(x: RDD[(Int, Array[Double])], tCur: Double): Double =
-      blocksK.join(allgather(x, nb, part, starts, n, d), part).values
-        .map { case (b, xAll) => stressSigma(b, xAll, d, tCur) }
+    // r21 (guide §2.4): every consumer of a given X joins one persisted
+    // allgather instead of re-shuffling it — stress, BC and the CG's
+    // first matvec previously each ran their own identical allgather.
+    def gatherX(x: RDD[(Int, Array[Double])]): RDD[(Int, Array[Double])] =
+      allgather(x, nb, part, starts, n, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def stressG(xAll: RDD[(Int, Array[Double])], tCur: Double): Double =
+      blocksK.join(xAll, part).values
+        .map { case (b, xA) => stressSigma(b, xA, d, tCur) }
         .treeReduce(_ + _, 2) * invs
 
-    def bcD(x: RDD[(Int, Array[Double])], tCur: Double)
+    // fused σ+BC evaluation (one N×N pass, stressBcBlock): used where a
+    // stress value and a BC at the same (x, tCur) are both needed —
+    // i.e. the first stress iteration of every temperature step
+    def sigmaBcG(xAll: RDD[(Int, Array[Double])], tCur: Double)
+        : RDD[(Int, (Double, Array[Double]))] =
+      blocksK.join(xAll, part)
+        .mapValues { case (b, xA) => stressBcBlock(b, xA, d, tCur) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def bcG(xAll: RDD[(Int, Array[Double])], tCur: Double)
         : RDD[(Int, Array[Double])] =
-      blocksK.join(allgather(x, nb, part, starts, n, d), part)
-        .mapValues { case (b, xAll) => bcBlock(b, xAll, d, tCur) }
+      blocksK.join(xAll, part)
+        .mapValues { case (b, xA) => bcBlock(b, xA, d, tCur) }
 
     try {
       val tMax = st.vmax / math.sqrt(2.0 * d)
@@ -220,27 +257,45 @@ object DamdsDistributed {
         stress = 0.0, preStress = 0.0, tItr = 0, stressItr = 0, cgCount = 0)
       var xb = pinned(initX.partitionBy(part).mapValues(identity))
       xb.count()
+      var xbHolder: RDD[_] = xb // backing cache of the current xb view
+      var xAll = gatherX(xb)
       val log = scala.collection.mutable.ArrayBuffer[Double]()
       var done = false
       while (!done) {
-        state = state.copy(preStress = stressD(xb, state.tCur))
+        // preStress and the first BC of this temperature share one
+        // fused block pass (the treeReduce below materializes it)
+        var fused = sigmaBcG(xAll, state.tCur)
+        state = state.copy(preStress =
+          fused.values.map(_._1).treeReduce(_ + _, 2) * invs)
         var diffStress = cfg.threshold + 1
         var stressIterations = 0
         var continueStress = true
         while (continueStress &&
             (diffStress >= cfg.threshold || cfg.maxStressLoops > 0)) {
-          val bcB = bcD(xb, state.tCur)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val (newX, cgc) = cg(vbK, xb, bcB, nb, part, starts, n, d,
+          val bcB =
+            if (fused != null) fused.mapValues(_._2)
+            else bcG(xAll, state.tCur)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          val bcHolder: RDD[_] = if (fused != null) fused else bcB
+          val res = cg(vbK, xb, bcB, xAll, nb, part, starts, n, d,
             cfg.cgIter, cfg.cgThreshold, cfg.exactCG)
-          val prevX = xb
-          xb = newX // already pinned + materialized by cg
-          prevX.unpersist(false)
-          bcB.unpersist(false)
-          val post = stressD(xb, state.tCur)
+          fused = null
+          // the CG state is checkpointed, so its inputs can be released
+          // as soon as the post-stress job materializes the new X
+          val newXAll = gatherX(res.x)
+          val post = stressG(newXAll, state.tCur)
+          val prevXHolder = xbHolder
+          val prevXAll = xAll
+          xb = res.x
+          xbHolder = res.holder
+          xAll = newXAll
+          prevXHolder.unpersist(false)
+          prevXAll.unpersist(false)
+          bcHolder.unpersist(false)
           diffStress = state.preStress - post
           state = state.copy(stress = post, preStress = post,
-            stressItr = state.stressItr + 1, cgCount = state.cgCount + cgc)
+            stressItr = state.stressItr + 1,
+            cgCount = state.cgCount + res.cgCount)
           log += post
           stressIterations += 1
           if (cfg.maxStressLoops >= 0 && stressIterations == cfg.maxStressLoops)
@@ -254,7 +309,13 @@ object DamdsDistributed {
             tCur = Damds.cooledTemp(state.tCur, state.tMin, cfg.alpha))
         }
       }
-      RunResultD(xb, meta, state, log.toSeq)
+      // hand back a self-contained pinned X (callers unpersist
+      // RunResultD.xBlocks; the (x,p,r) holder must not leak past run)
+      val xFinal = pinned(xb.mapValues(identity))
+      xFinal.count()
+      xAll.unpersist(false)
+      xbHolder.unpersist(false)
+      RunResultD(xFinal, meta, state, log.toSeq)
     } finally {
       blocksK.unpersist()
       vbK.unpersist()

@@ -250,6 +250,104 @@ object DamdsKernels {
     out
   }
 
+  /** N4+N3 fused (r21): one pass over the block computing BOTH the
+    * stress σ partial and the BC = B(Z)·X rows. `stressSigma` and
+    * `bcBlock` walk the identical (localRow asc, gc asc) cell order and
+    * never read each other's accumulators, so interleaving them in one
+    * loop preserves each accumulator's FP op sequence EXACTLY — the
+    * returned pair is bit-identical to calling the two kernels
+    * separately (pinned in DamdsSpec). What fusion saves is the second
+    * traversal of the N×N fixed-point array (the dominant memory
+    * stream at large N) and the second per-cell `euclidean` (a sqrt
+    * per cell — stress and BC each needed one; the fused pass computes
+    * it once and feeds both), plus one scheduler round trip per
+    * (x, tCur) evaluation in the drivers that call it.
+    */
+  def stressBcBlock(b: DamdsBlock, x: Array[Double], d: Int,
+      tCur: Double): (Double, Array[Double]) = {
+    val diff = heatDiff(d, tCur)
+    val out = new Array[Double](b.blockRows * d)
+    var sigma = 0.0
+    // d == 3 register path — same treatment as mmBlock/bcBlock (r20):
+    // per-row accumulators live in registers; op order per accumulator
+    // is unchanged (ascending gc, bc diagonal term last).
+    if (d == 3) {
+      var localRow = 0
+      while (localRow < b.blockRows) {
+        val globalRow = localRow + b.start
+        var diag = 0.0
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var gc = 0
+        while (gc < b.n) {
+          val origD = b.dist(localRow * b.n + gc) * InvShortMax
+          if (origD >= 0) {
+            val weight = b.w(localRow, gc)
+            val euc =
+              if (globalRow != gc) euclidean(x, globalRow, gc, 3) else 0.0
+            // stress accumulation — stressSigma's body verbatim
+            val heatD = origD - diff
+            val tmpD = if (origD >= diff) heatD - euc else -euc
+            sigma += weight * tmpD * tmpD
+            // bc accumulation — bcBlock's body verbatim (off-diagonal
+            // only; `euc` is the same value bcBlock recomputed)
+            if (gc != globalRow && weight != 0) {
+              val bij =
+                if (euc >= 1.0e-10 && diff < origD)
+                  weight * -1.0 * (origD - diff) / euc
+                else 0.0
+              if (bij != 0.0) {
+                val xo = gc * 3
+                s0 += bij * x(xo); s1 += bij * x(xo + 1); s2 += bij * x(xo + 2)
+                diag -= bij
+              }
+            }
+          }
+          gc += 1
+        }
+        val xo = globalRow * 3
+        s0 += diag * x(xo); s1 += diag * x(xo + 1); s2 += diag * x(xo + 2)
+        val rowOff = localRow * 3
+        out(rowOff) = s0; out(rowOff + 1) = s1; out(rowOff + 2) = s2
+        localRow += 1
+      }
+      return (sigma, out)
+    }
+    var localRow = 0
+    while (localRow < b.blockRows) {
+      val globalRow = localRow + b.start
+      var diag = 0.0
+      val rowOff = localRow * d
+      var gc = 0
+      while (gc < b.n) {
+        val origD = b.dist(localRow * b.n + gc) * InvShortMax
+        if (origD >= 0) {
+          val weight = b.w(localRow, gc)
+          val euc =
+            if (globalRow != gc) euclidean(x, globalRow, gc, d) else 0.0
+          val heatD = origD - diff
+          val tmpD = if (origD >= diff) heatD - euc else -euc
+          sigma += weight * tmpD * tmpD
+          if (gc != globalRow && weight != 0) {
+            val bij =
+              if (euc >= 1.0e-10 && diff < origD)
+                weight * -1.0 * (origD - diff) / euc
+              else 0.0
+            if (bij != 0.0) {
+              var k = 0
+              while (k < d) { out(rowOff + k) += bij * x(gc * d + k); k += 1 }
+              diag -= bij
+            }
+          }
+        }
+        gc += 1
+      }
+      var k = 0
+      while (k < d) { out(rowOff + k) += diag * x(globalRow * d + k); k += 1 }
+      localRow += 1
+    }
+    (sigma, out)
+  }
+
   /** Weight-only view of a block for the CG/V·x path: the distance
     * array is NOT needed there (except under Sammon weighting, which
     * divides by the cell distance — `DamdsBlock.weightView` retains

@@ -33,9 +33,86 @@ private[graft] object DecimalSnap {
     * scale-15 value ≤ 1e18, leaving headroom for long accumulation. */
   final val FastAbsMax = 1e3
 
+  private final val P5_15 = 30517578125L // 5^15 ≈ 2^34.83
+
+  /** Integer fast path (r21): the snap contract is HALF_UP at 15
+    * fractional digits of the SHORTEST-decimal rendering R of d (what
+    * `Double.toString` prints — the dominant cost of the register fold
+    * on pre-Ryu JDKs like this 17). R is only known to lie within the
+    * read-back interval [d − ulp/2, d + ulp/2], but HALF_UP is CONSTANT
+    * between consecutive half-points, so whenever that whole interval
+    * sits strictly inside one constancy interval the snap of R equals
+    * the snap of the EXACT value of d — computable in pure 128-bit
+    * integer math. With d = ±m·2^e (m ≤ 2^53) and t = −(e+15):
+    * d·10^15 = m·5^15 / 2^t, so in U = 2·m·5^15 units the half-points
+    * are the odd multiples of 2^t and the read-back interval is
+    * U ± 5^15 exactly (scale-free: ulp/2·10^15·2^t = 5^15/2). If
+    * [U − 5^15, U + 5^15] contains NO multiple of 2^t (conservative:
+    * parity ignored), every value in it — R included — snaps to
+    * floor((U + 2^t) / 2^(t+1)), no tie possible. Otherwise return
+    * `AmbiguousSnap` and the caller takes the toString path. Ambiguity
+    * odds are ~2^(35.8−t), i.e. ~2^-7 at |d| ≈ 0.01 and ~1 for
+    * |d| ≳ 4 — the Gram products of unit-normalized embeddings live
+    * far below that. Bit-equivalence to the reference is pinned in
+    * GramRegisterSpec (dense-near-half-boundary + random sweeps).
+    */
+  final val AmbiguousSnap = Long.MinValue
+
+  def snapFast15(d: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(d)
+    val biased = ((bits >>> 52) & 0x7ff).toInt
+    var m = bits & 0xfffffffffffffL
+    var e = -1074
+    if (biased != 0) { m |= (1L << 52); e = biased - 1075 }
+    if (m == 0L) return 0L
+    val t = -(e + 15) // |d| ≤ 1e3 ⇒ e ≤ −42 ⇒ t ≥ 27
+    // U = 2·m·5^15, a 89-bit value as (hi, lo) unsigned
+    val tLo = m * P5_15
+    val tHi = Math.multiplyHigh(m, P5_15)
+    val uLo = tLo << 1
+    val uHi = (tHi << 1) | (tLo >>> 63)
+    if (t >= 127) {
+      // S < 2^-37: the interval tops out far below the first half-point
+      return 0L
+    }
+    // lower/upper = U ∓ 5^15 (U ≥ 2·5^15 when m ≥ 1... m·2 ≥ 2 ⇒ U ≥ 2·5^15,
+    // so the subtraction cannot go negative)
+    val loLo = uLo - P5_15
+    val loHi = uHi - (if (java.lang.Long.compareUnsigned(uLo, P5_15) < 0) 1L else 0L)
+    val hiLo = uLo + P5_15
+    val hiHi = uHi + (if (java.lang.Long.compareUnsigned(hiLo, uLo) < 0) 1L else 0L)
+    // q = x >> t for the 128-bit endpoints
+    def shr(hi: Long, lo: Long, s: Int): Long =
+      if (s >= 64) hi >>> (s - 64)
+      else if (s == 0) lo
+      else (lo >>> s) | (hi << (64 - s))
+    val qLo = shr(loHi, loLo, t)
+    val qHi = shr(hiHi, hiLo, t)
+    // remainder of the lower endpoint (nonzero ⇒ strictly inside)
+    val remNonzero =
+      if (t >= 64) (loLo != 0L) || ((loHi & ((1L << (t - 64)) - 1)) != 0L)
+      else (loLo & ((1L << t) - 1)) != 0L
+    if (qLo != qHi || !remNonzero) return AmbiguousSnap
+    // snap = floor((U + 2^t) / 2^(t+1)) — no boundary ⇒ no tie
+    val aLo = uLo + (if (t < 64) 1L << t else 0L)
+    var aHi = uHi + (if (t >= 64) 1L << (t - 64) else 0L)
+    if (t < 64 && java.lang.Long.compareUnsigned(aLo, uLo) < 0) aHi += 1L
+    val abs = shr(aHi, aLo, t + 1)
+    if (bits < 0) -abs else abs
+  }
+
   /** Unscaled (scale-15) long for |d| ≤ FastAbsMax, finite. Manual
     * parse of Double.toString: `[-]ddd.ddd[E[-]xx]`. */
   def snapUnscaled15(d: Double): Long = {
+    val fast = snapFast15(d)
+    if (fast != AmbiguousSnap) return fast
+    snapViaString15(d)
+  }
+
+  /** The toString-based reference path (pre-r21 body of
+    * `snapUnscaled15`) — the contract's definition; the integer fast
+    * path above must agree wherever it answers. */
+  def snapViaString15(d: Double): Long = {
     val s = java.lang.Double.toString(d)
     val n = s.length
     var i = 0

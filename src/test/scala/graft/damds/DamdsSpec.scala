@@ -183,6 +183,42 @@ class DamdsSpec extends AnyFunSuite {
     }
   }
 
+  test("stressBcBlock is BIT-identical to (stressSigma, bcBlock) in every weight mode (r21)") {
+    // the fused kernel interleaves the two accumulations in one
+    // (localRow asc, gc asc) sweep without touching either's op order,
+    // so equality is EXACT (==, not tolerance) — this is what lets the
+    // annealed loops evaluate σ and BC from one N×N pass while keeping
+    // every golden n-query and the probe stress checksums unchanged.
+    val rnd = new scala.util.Random(31)
+    for (d <- Seq(2, 3); tCur <- Seq(0.0, 0.05, 0.4)) {
+      val x = Array.fill(n * d)(rnd.nextGaussian())
+      val wCells = Array.fill(n * n)((rnd.nextInt(Short.MaxValue)).toShort)
+      // inject missing cells (negative shorts) to exercise the
+      // origD < 0 skip on both accumulation paths
+      val distHoles = distShorts.clone()
+      for (_ <- 0 until 64)
+        distHoles(rnd.nextInt(distHoles.length)) = (-1 - rnd.nextInt(5)).toShort
+      val rowW = Array.fill(n)(rnd.nextDouble() + 0.1)
+      val variants = mkBlocks(5).flatMap { b0 =>
+        val b = b0.copy(dist = java.util.Arrays.copyOfRange(
+          distHoles, b0.start * n, (b0.start + b0.blockRows) * n))
+        Seq(
+          b, // constant weight 1.0
+          b.copy(weight = java.util.Arrays.copyOfRange(
+            wCells, b.start * n, (b.start + b.blockRows) * n)),
+          b.copy(rowWeight = rowW),
+          b.copy(sammonFactor = 0.001, avgDist = 0.37))
+      }
+      variants.foreach { b =>
+        val (sig, out) = stressBcBlock(b, x, d, tCur)
+        assert(sig == stressSigma(b, x, d, tCur),
+          s"fused sigma diverged (d=$d tCur=$tCur block=${b.index})")
+        assert(out.toSeq == bcBlock(b, x, d, tCur).toSeq,
+          s"fused bc diverged (d=$d tCur=$tCur block=${b.index})")
+      }
+    }
+  }
+
   test("CG solves V*X = B against a dense direct solve (N10/I2)") {
     val d = 2
     val rnd = new scala.util.Random(7)
@@ -275,13 +311,17 @@ class DamdsSpec extends AnyFunSuite {
     val vbK = blocks.rdd.map(bl => (bl.index,
       (WeightBlock(bl.index, bl.start, bl.blockRows, bl.n, bl.weight),
         vArray(bl)))).partitionBy(part)
-    val (gotB, iters) = DamdsDistributed.cg(vbK,
-      DamdsDistributed.split(spark, x0, meta, d, part),
-      DamdsDistributed.split(spark, b, meta, d, part),
+    val x0b = DamdsDistributed.split(spark, x0, meta, d, part)
+    val x0All = DamdsDistributed.allgather(x0b, meta.size, part, starts, n, d)
+      .persist()
+    val res = DamdsDistributed.cg(vbK, x0b,
+      DamdsDistributed.split(spark, b, meta, d, part), x0All,
       meta.size, part, starts, n, d,
       cgIter = 200, cgThreshold = 1e-14, exactCG = false)
-    assert(iters > 0)
-    val got = DamdsDistributed.gather(gotB, meta, n, d)
+    assert(res.cgCount > 0)
+    val got = DamdsDistributed.gather(res.x, meta, n, d)
+    x0All.unpersist(false)
+    res.holder.unpersist(false)
     // both paths solve the same SPD system to 1e-14 residual; they may
     // take different step counts (treeReduce vs driver-loop dot order)
     // but must land on the same solution

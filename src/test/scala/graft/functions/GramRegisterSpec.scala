@@ -42,6 +42,56 @@ class GramRegisterSpec extends AnyFunSuite {
       assert(DecimalSnap.snapUnscaled15(d) == ref(d), s"snap mismatch at $d")
   }
 
+  test("snapFast15 answers only where it matches the toString reference (r21)") {
+    def ref(d: Double): Long =
+      new JBigDecimal(java.lang.Double.toString(d))
+        .setScale(15, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val rnd = new scala.util.Random(1021)
+    var answered = 0
+    var total = 0
+    // adversarial: doubles DENSE around scale-15 half-up boundaries
+    // (k + 0.5) · 10^-15, where fast-path overreach would flip the
+    // rounding — walk ulp-adjacent neighbors on both sides
+    for (_ <- 0 until 20000) {
+      val k = rnd.nextInt(1000000000).toLong
+      val base = (k + 0.5) * 1e-15 * (if (rnd.nextBoolean()) 1 else -1)
+      var d = base
+      for (_ <- 0 until 8) {
+        d = Math.nextUp(d)
+        val f = DecimalSnap.snapFast15(d); total += 1
+        if (f != DecimalSnap.AmbiguousSnap) { answered += 1; assert(f == ref(d), s"fast snap wrong at $d") }
+      }
+      d = base
+      for (_ <- 0 until 8) {
+        d = Math.nextDown(d)
+        val f = DecimalSnap.snapFast15(d); total += 1
+        if (f != DecimalSnap.AmbiguousSnap) { answered += 1; assert(f == ref(d), s"fast snap wrong at $d") }
+      }
+    }
+    // magnitude sweep incl. the self-limiting large range
+    for (ex <- -320 to 2; _ <- 0 until 100) {
+      val d = (rnd.nextDouble() - 0.5) * 2 * math.pow(10, ex)
+      val f = DecimalSnap.snapFast15(d); total += 1
+      if (f != DecimalSnap.AmbiguousSnap) { answered += 1; assert(f == ref(d), s"fast snap wrong at $d") }
+    }
+    // typical Gram-product range must mostly take the fast path, or the
+    // r21 fold win silently evaporates
+    var fastHits = 0
+    for (_ <- 0 until 10000) {
+      val a = rnd.nextGaussian() * 0.125
+      val b = rnd.nextGaussian() * 0.125
+      val d = a * b
+      val f = DecimalSnap.snapFast15(d); total += 1
+      if (f != DecimalSnap.AmbiguousSnap) {
+        fastHits += 1; answered += 1
+        assert(f == ref(d), s"fast snap wrong at $d")
+      }
+    }
+    assert(fastHits > 9000, s"fast path answers only $fastHits/10000 in the Gram range")
+    assert(answered > 0 && total > answered, // both paths exercised
+      s"degenerate coverage: $answered/$total")
+  }
+
   test("gramSums equals the pre-r14 explode+groupBy decimal-sum form on the fixture") {
     import spark.implicits._
     val e = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
