@@ -16,8 +16,15 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val summary = args.drop(1).contains("--summary")
+    // --dump <outdir> <suffix>: write each query's explain("formatted")
+    // to <outdir>/<query>_<suffix>.txt (the optimization-round evidence
+    // format — plans/rNN/<query>_{before,after}.txt)
+    val dumpIx = args.indexOf("--dump")
+    val dumpDir = if (dumpIx >= 0) Some((args(dumpIx + 1), args(dumpIx + 2))) else None
     val names = if (summary) SparkEntry.queries.keys.toSeq.sorted
-      else if (args.length > 1) args.drop(1).toSeq
+      else if (args.length > 1)
+        args.drop(1).filterNot(_.startsWith("--")).toSeq
+          .diff(dumpDir.toSeq.flatMap(t => Seq(t._1, t._2)))
       else Seq("q01_pricing_summary", "q03_join_agg", "q10_topk",
         "d01_dedup_exact", "d06_minhash_lsh", "v01_knn_exact",
         "v04_cosine_dup_lsh", "m01_kmeans_assign", "v14_knn_graph",
@@ -46,6 +53,21 @@ object PlanAudit {
             f"${c("rangepartitioning")}%4d")
         } catch {
           case e: Throwable => println(f"$n%-28s FAILED: ${e.getMessage}")
+        }
+      }
+    } else if (dumpDir.isDefined) {
+      val (outDir, suffix) = dumpDir.get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      for (n <- names) {
+        try {
+          val txt = SparkEntry.queries(n)(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[plandump] wrote $outDir/${n}_$suffix.txt")
+        } catch {
+          case e: Throwable => println(s"[plandump] $n FAILED: ${e.getMessage}")
         }
       }
     } else for (n <- names) {

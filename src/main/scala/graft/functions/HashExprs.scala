@@ -658,6 +658,35 @@ final case class CosineExpr(left: Expression, right: Expression)
       newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
 }
 
+/** graft_opaque(e) → e: value-identity wrapper that REPORTS
+  * non-determinism, the guide-sanctioned barrier against the
+  * optimizer duplicating an expensive projection (guide §4.4 — the
+  * filter-on-derived-column rewrite substitutes the alias's whole
+  * expression tree into the pushed-down Filter, so a 32-cosine screen
+  * column gets evaluated twice per row: once below the filter, once
+  * in the surviving Project). Wrapping the alias blocks
+  * PushPredicateThroughNonJoin's substitution and CollapseProject's
+  * inlining; eval and codegen delegate to the child unchanged, so the
+  * value stream is bit-identical — only the plan shape moves. Use it
+  * on expensive aliases that a downstream filter consumes; it also
+  * blocks legitimate reorderings past the projection, so don't apply
+  * it blanket (the guide's caveat).
+  */
+final case class OpaqueExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_opaque"
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OpaqueExpr =
+    copy(child = newChild)
+}
+
 object TextKernels {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -905,6 +934,8 @@ object GraftFunctions {
     column(DotExpr(expression(a), expression(b)))
   def cosine(a: Column, b: Column): Column =
     column(CosineExpr(expression(a), expression(b)))
+  def opaque(c: Column): Column =
+    column(OpaqueExpr(expression(c)))
   /** Bounded top-k aggregate: k smallest (ns, vid) pairs, ascending. */
   def boundedTopK(ns: Column, vid: Column, k: Int): Column =
     column(BoundedTopKAgg(expression(ns), expression(vid), k)

@@ -82,20 +82,60 @@ object KMeans {
     val cBc = spark.sparkContext.broadcast(centroids)
     val partials = points.select(col("v")).rdd.mapPartitions { it =>
       val cs = cBc.value
+      // r21: the row's array<double> arrives as a Seq whose `apply`
+      // boxes per element — at k=1000 the assignment loop read it
+      // k·d times per point through that path. One primitive copy per
+      // point (d elements) and a flattened centroid matrix keep the
+      // hot loop on unboxed arrays; the op ORDER per accumulator is
+      // unchanged, so sums are bit-identical (m04's oracle rides it).
+      val flat = new Array[Double](k * d)
+      var ci = 0
+      while (ci < k) {
+        System.arraycopy(cs(ci), 0, flat, ci * d, d)
+        ci += 1
+      }
       val sums = Array.ofDim[Double](k, d)
       val counts = new Array[Long](k)
-      it.foreach { row =>
-        val v = row.getAs[scala.collection.Seq[Double]](0)
+      val v = new Array[Double](d)
+      // d == 2 register path (the baseline shape): the generic loop
+      // pays index arithmetic + loop control per dimension, which at
+      // d=2 is most of the work; hoisting the two coordinates into
+      // registers keeps the identical FP op sequence (t0²+t1² is the
+      // same ascending-j add order), so sums stay bit-identical.
+      if (d == 2) {
+        it.foreach { row =>
+          val sv = row.getAs[scala.collection.Seq[Double]](0)
+          val v0 = sv(0); val v1 = sv(1)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val t0 = v0 - flat(c * 2)
+            val t1 = v1 - flat(c * 2 + 1)
+            val dist = t0 * t0 + t1 * t1
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          val sb = sums(best)
+          sb(0) += v0; sb(1) += v1
+          counts(best) += 1
+        }
+      } else it.foreach { row =>
+        val sv = row.getAs[scala.collection.Seq[Double]](0)
+        var j = 0
+        while (j < d) { v(j) = sv(j); j += 1 }
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
-          var dist = 0.0; var j = 0
-          while (j < d) { val t = v(j) - cs(c)(j); dist += t * t; j += 1 }
+          var dist = 0.0
+          val off = c * d
+          j = 0
+          while (j < d) { val t = v(j) - flat(off + j); dist += t * t; j += 1 }
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
         }
-        var j = 0
-        while (j < d) { sums(best)(j) += v(j); j += 1 }
+        val sb = sums(best)
+        j = 0
+        while (j < d) { sb(j) += v(j); j += 1 }
         counts(best) += 1
       }
       Iterator.tabulate(k)(c => (c, (sums(c), counts(c))))

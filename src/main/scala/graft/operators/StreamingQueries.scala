@@ -1623,6 +1623,9 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir)
     val survivors = TextQueries.ingestCols(raw)
+      // opaque ALIAS: same single-eval fix as batch d92 — without it
+      // every micro-batch pays the block-extraction chain twice per page
+      .withColumn("kept", graft.functions.GraftFunctions.opaque($"kept"))
       .filter(size($"kept") >= 1)
       .join(keepers, "doc_id")
       .select($"doc_id", $"source", $"canon".as("canon_url"),

@@ -126,7 +126,7 @@ object TextQueries {
     import s.implicits._
     val sh = Tables(s, dir, "documents")
       .filter($"doc_id" < 100)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -327,7 +327,7 @@ object TextQueries {
     // collision-free premise the string-keyed oracle checks.
     val grams = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
@@ -417,7 +417,7 @@ object TextQueries {
     // that is GBs at 100 TB (the d90/d91 no-broadcast rule).
     val sh = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
       .select($"doc_id", xxhash64($"sh").as("gh"))
@@ -569,7 +569,7 @@ object TextQueries {
   private def d06MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 3)
     val k = 32
     // one fused tokens→minhash projection (no shingle-string array),
@@ -585,7 +585,7 @@ object TextQueries {
   private def d07Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val h = Tables(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 1)
       .select($"doc_id", TextOps.simhash64("toks").as("simhash"))
     // near-dup pairs: 4 bands × 16-bit blocking (a pair within hamming
@@ -629,7 +629,7 @@ object TextQueries {
   private[operators] def mhSigs(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", TextOps.shingles("toks", 3))
       .select(col("doc_id"), expr(
@@ -764,7 +764,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .withColumn("sh", TextOps.shingles("toks", 3))
       .select($"doc_id",
@@ -799,10 +799,16 @@ object TextQueries {
       .select($"doc_id", $"source", $"text", TextOps.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
         md5(TextOps.normText($"text").cast("binary")).as("sig"),
-        size($"toks").cast("long").as("n_tokens"),
-        (length(regexp_replace($"text", "[^.!?,;:]", "")) / length($"text"))
+        // opaque ALIASES (guide §4.4): the quality battery's derived
+        // columns are otherwise substituted into the pushed-down Filter
+        // below and computed twice per row (tokenize + regexp + fold)
+        graft.functions.GraftFunctions.opaque(
+          size($"toks").cast("long")).as("n_tokens"),
+        graft.functions.GraftFunctions.opaque(
+          length(regexp_replace($"text", "[^.!?,;:]", "")) / length($"text"))
           .as("punct_ratio"),
-        (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size($"toks"))
+        graft.functions.GraftFunctions.opaque(
+          expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size($"toks"))
           .as("avg_token_len"))
       .filter($"n_tokens" >= 10 && $"punct_ratio" < 0.2 &&
         $"avg_token_len".between(2.0, 12.0))
@@ -849,7 +855,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id",
         (size($"toks") - 4).cast("long").as("total_5grams"),
@@ -935,7 +941,7 @@ object TextQueries {
     import s.implicits._
     val sh = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
     val evalSet = sh.filter($"doc_id" < 20).select($"sh").distinct()
@@ -1374,7 +1380,7 @@ object TextQueries {
     // CORPUS-proportional: merge-hinted so fixture-scale AQE cannot
     // broadcast what is GBs at 100 TB.
     val ex = Tables(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(TextOps.shingles("toks", 3)).as("sh"))
       .select($"doc_id", xxhash64($"sh").as("gh"))
@@ -2290,7 +2296,7 @@ object TextQueries {
     import docs.sparkSession.implicits._
     docs
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 10)
       .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
         graft.functions.GraftFunctions.gopherStats($"toks", gopherNs).as("st"))
@@ -2428,7 +2434,7 @@ object TextQueries {
       element_at(arr, (b + 1).cast("int"))
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
         (size(col("toks")) - 1).cast("long").as("n_bigrams"),
@@ -2817,7 +2823,7 @@ object TextQueries {
     // DuckDB oracle is the cross-hash check.
     val g = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
       .select($"source", xxhash64($"gram").as("g"))
@@ -2894,7 +2900,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source", explode(TextOps.shingles("toks", 5)).as("gram"))
   }
@@ -3298,7 +3304,7 @@ object TextQueries {
     // shared oracle is also the cross-hash check.
     val hashed = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"source",
         explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
@@ -3422,7 +3428,7 @@ object TextQueries {
   private[graft] def sjHashes(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("source"),
         explode(array_distinct(TextOps.shingles("toks", 5))).as("sh"))
@@ -3740,7 +3746,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(TextOps.shingles("toks", 5)).as("sh"))
   }
@@ -3857,7 +3863,7 @@ object TextQueries {
         ">> (p & 63)) & 1))"
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= 5)
       .withColumn("bm", typedLit(bits))
       .withColumn("grams", TextOps.shingles("toks", 5))
@@ -3909,7 +3915,7 @@ object TextQueries {
     * only, so the same frame builds over a batch scan or a document
     * readStream (s24). */
   private[operators] def nativeSigs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    docs.select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", TextOps.minhashOfShingles("toks", 3, fuzzyK))
       .select(col("doc_id"), col("sig"))
@@ -4970,7 +4976,7 @@ object TextQueries {
   private[graft] def gramSitesSrc(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
-        TextOps.tokens(col("text")).as("toks"))
+        TextOps.tokensOnce(col("text")).as("toks"))
       .filter(size(col("toks")) >= dupL)
       .select(col("doc_id"), col("source"), posexplode(
         graft.functions.GraftFunctions.gramHashes(col("toks"), dupL)))
@@ -5174,7 +5180,7 @@ object TextQueries {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .filter($"doc_id" < lshSliceN && length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15) // p=2 prefix still has >= 1 shingle
       .withColumn("p", explode(lit(lshPs.toArray)))
       .withColumn("ptoks", expr("slice(toks, 1, (size(toks) * p + 9) div 10)"))
@@ -5713,7 +5719,7 @@ object TextQueries {
     import s.implicits._
     val sites = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= dupL)
       .select($"doc_id", posexplode(
         graft.functions.GraftFunctions.gramHashes($"toks", dupL)))
@@ -6504,7 +6510,12 @@ object TextQueries {
     // (session, dataset), shared with s51) and joined SHUFFLED — the
     // ledger is corpus-proportional, so the merge hint pins the
     // no-broadcast shape AQE would otherwise hide at fixture scale
-    val survivors = fused.filter(size($"kept") >= 1)
+    // opaque ALIAS (the d88 rationale): un-wrapped, the kept-blocks
+    // chain is substituted into the pushed-down Filter and every page
+    // pays the block extraction twice
+    val survivors = fused
+      .withColumn("kept", graft.functions.GraftFunctions.opaque($"kept"))
+      .filter(size($"kept") >= 1)
       .join(urlKeeperLedgerBucketed(s, dir).hint("merge"), "doc_id")
       .select($"doc_id", $"source", $"canon".as("canon_url"),
         $"main".as("text"))
@@ -6674,7 +6685,15 @@ object TextQueries {
   private def d88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     htmlExtract(syntheticPages(Tables(s, dir, "documents")))
-      .select($"doc_id", $"main".as("text"))
+      // r21 (guide §4.4): the opaque ALIAS blocks the trim filter from
+      // being pushed below this projection by substitution — un-wrapped,
+      // the whole extraction chain ran twice per row (once inside the
+      // pushed Filter, once in the surviving Project). Wrapping the
+      // CONDITION instead does nothing: Project pushdown does not check
+      // the condition's determinism, only the aliases'. Same values,
+      // one eval.
+      .select($"doc_id",
+        graft.functions.GraftFunctions.opaque($"main").as("text"))
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
       .select($"doc_id",

@@ -2029,8 +2029,17 @@ object VectorQueries {
       struct(VectorOps.cosine(col("v"), typedLit(ev.toSeq)).as("c"),
         lit(-id).as("nid"))
     }: _*))
+    // r21 (guide §4.4): the tau filter on the aliased screen column
+    // used to be pushed below the projection BY SUBSTITUTION, so the
+    // whole |evals|-cosine tree ran twice per row (once in the
+    // pushed-down Filter, once in the surviving Project — 64 cosine
+    // evals per row instead of 32, each re-casting the float
+    // embedding). The opaque wrapper blocks the substitution; values
+    // are untouched (identity eval/codegen), the expensive column is
+    // computed once and the filter reads the struct field.
     corpus
-      .select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.opaque(best).as("best"))
       .filter(col("best.c") >= sdTau)
       .select(col("vec_id"), (-col("best.nid")).as("eval_id"),
         round(col("best.c"), 6).as("cosine"))
@@ -2280,14 +2289,20 @@ object VectorQueries {
   private def v34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val uc = typedLit(abttU.toSeq)
+    // opaque ALIASES on both screens (guide §4.4, the v31 fix):
+    // un-wrapped, the pushed-down filters re-evaluate the whitening
+    // chain (on each side of the self-join) and the pair cosine once
+    // more per row
     val w = embeddings(s, dir).filter($"vec_id" < sliceN)
       .withColumn("dp", VectorOps.dotLit($"v", abttU))
-      .withColumn("w", zip_with($"v", uc, (x, y) => x - $"dp" * y))
+      .withColumn("w", graft.functions.GraftFunctions.opaque(
+        zip_with($"v", uc, (x, y) => x - $"dp" * y)))
       .filter(VectorOps.dot($"w", $"w") > 0.0)
     val a = w.select($"vec_id".as("id_a"), $"v".as("va"), $"w".as("wa"))
     val b = w.select($"vec_id".as("id_b"), $"v".as("vb"), $"w".as("wb"))
     a.join(b, $"id_a" < $"id_b")
-      .withColumn("cw", VectorOps.cosine($"wa", $"wb"))
+      .withColumn("cw", graft.functions.GraftFunctions.opaque(
+        VectorOps.cosine($"wa", $"wb")))
       .filter($"cw" >= dupTau)
       .select($"id_a", $"id_b",
         round(VectorOps.cosine($"va", $"vb"), 6).as("cosine_raw"),

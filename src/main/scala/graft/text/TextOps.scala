@@ -26,6 +26,17 @@ object TextOps {
   def tokens(c: Column): Column =
     graft.functions.GraftFunctions.normTokens(c)
 
+  /** `tokens` wrapped in the §4.4 opacity barrier (r21): use when the
+    * aliased column is consumed by a min-length filter right above —
+    * un-wrapped, predicate pushdown substitutes the tokenizer into the
+    * pushed Filter and every row is tokenized TWICE (once to take
+    * size(), once in the surviving projection). The barrier costs the
+    * early row prune, which these corpus screens never had in practice
+    * (nearly every document passes the min-token gate). Values are
+    * identical — only the plan shape moves. */
+  def tokensOnce(c: Column): Column =
+    graft.functions.GraftFunctions.opaque(tokens(c))
+
   /** Distinct word n-gram shingles from a `toks` array column (requires
     * size(toks) >= n; callers filter). 0-based array indexing.
     */
