@@ -59,6 +59,31 @@ object Bench {
       None
     }
 
+  /** r21 (VERDICT r20 next 1): the committed snapshot's x10/decomp
+    * ratio for one probe leg, parsed from the raw detail JSON — the
+    * reference the in-run rerun check compares against. -1 when the
+    * leg is absent or unparseable (fail open: no rerun). */
+  private[graft] def committedLegRatio(prevJson: String, name: String,
+      field: String = "ratio"): Double =
+    try {
+      (s""""$name":\\{[^{}]*?"$field":(-?[0-9.eE+]+)""").r
+        .findFirstMatchIn(prevJson).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
+  /** Rerun trigger for a probe leg: the measured x10 ratio deviates
+    * more than 1.75× (either way) from the committed snapshot's. A
+    * window covering both min-of-2 samples of ONE leg defeats min-of-N
+    * and calib normalization (the r20 driver run committed d91_decomp
+    * compose_ratio 17.49 and s40 x10 11.07 where same-code runs read
+    * 1.3-2.8 and 5.1-6.2 — ratio-of-ratios 6.3× and 1.87×, so the
+    * trigger sits below the s40 case and far below the d91 one); a
+    * spurious fire only costs one bounded extra leg pair, and the min
+    * is kept either way. Fails closed to "no rerun" when no committed
+    * reference exists. Pure, unit-tested in BenchGateSpec. */
+  private[graft] def legNeedsRerun(measured: Double, committed: Double): Boolean =
+    committed > 0 && measured > 0 &&
+      (measured > 1.75 * committed || measured < committed / 1.75)
+
   /** The n=32768 distributed-DAMDS probe body (the gather-cap curve's
     * 4th point), shared by the opt-in in-sweep block and the
     * standalone `graft.Damds32k` main. Returns (seconds, json
@@ -110,6 +135,28 @@ object Bench {
       val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
       val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
         maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
+      // r21 (VERDICT r20 next 4): an untimed small-N warmup run first —
+      // the committed DD32K point's 2.7× sample spread was the FIRST
+      // sample paying JIT + cache/allocator warmup; this pre-pays the
+      // code-path part cheaply (~2 s vs a ~90 s third sample) so the
+      // timed samples read steady-state without the argument.
+      locally {
+        val nW = 2048; val sW = 16
+        val wRnd = new java.util.Random(61L)
+        val wShorts = Array.fill(nW * nW)(
+          (1 + wRnd.nextInt(Short.MaxValue - 1)).toShort)
+        val wBlocks = graft.mm.MatrixIO.rowSplits(nW, sW).zipWithIndex
+          .map { case ((start, rows), idx) =>
+            DamdsKernels.DamdsBlock(idx, start, rows, nW,
+              java.util.Arrays.copyOfRange(wShorts, start * nW, (start + rows) * nW),
+              Array.empty[Short])
+          }
+        val wDs = spark.createDataset(wBlocks)(
+          org.apache.spark.sql.Encoders.product[DamdsKernels.DamdsBlock])
+        val wInit = Array.fill(nW * dDim)(0.25)
+        try Damds.run(spark, wDs, wInit, nW, cfg)
+        catch { case _: Throwable => () }
+      }
       val t0 = System.nanoTime()
       val r = Damds.run(spark, ds, initX, nD, cfg)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -717,9 +764,16 @@ object Bench {
         val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
         val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
           maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
-        val t0 = System.nanoTime()
-        val r = Damds.run(spark, ds, initX, nD, cfg)
-        val sec = (System.nanoTime() - t0) / 1e9
+        // r21 (VERDICT r20 next 1): min-of-2 like every graded row — a
+        // single-sample probe leg was the one place a contended window
+        // still committed silently (this run's own baseline sweep read
+        // the 16k leg at 54 s where paired isolated runs read 8.6-11)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val r = Damds.run(spark, ds, initX, nD, cfg)
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (sec, r) = runs.minBy(_._1)
         recordProbe("damds_dist_4k", sec)
         s""","damds_dist_4k":{"n":$nD,"d":$dDim,"blocks":$splits,"sec":${Bench.fmt("%.3f", sec)},""" +
           s""""stress":${Bench.fmt("%.6f", math.rint(r.state.stress * 1e6) / 1e6)},"cg_count":${r.state.cgCount}}"""
@@ -784,9 +838,15 @@ object Bench {
         val initX = Array.fill(nD * dDim)(rInit.nextDouble() - 0.5)
         val cfg = Damds.Config(targetDim = dDim, cgIter = 10,
           maxStressLoops = 1, maxTempLoops = 2, maxGatherDoubles = 1L)
-        val t0 = System.nanoTime()
-        val r = Damds.run(spark, ds, initX, nD, cfg)
-        val sec = (System.nanoTime() - t0) / 1e9
+        // r21: min-of-2 (the dd4k rationale — single-sample legs are
+        // the last silent contention hole; this leg read 54 s in the
+        // r21 baseline sweep vs 8.6-11 paired-isolated)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val r = Damds.run(spark, ds, initX, nD, cfg)
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (sec, r) = runs.minBy(_._1)
         recordProbe("damds_dist_16k", sec)
         // stress at this n sits below the 6dp grid the smaller probes
         // print, so the checksum keeps full significant digits
@@ -833,6 +893,19 @@ object Bench {
     // memoized on disk (marker file) so re-runs don't pay the write.
     // detail-only normalized-ratio companion block (set by the probe)
     var scalingNormOut = ""
+    // r21: the committed snapshot's raw JSON, read ONCE up front — the
+    // per-leg rerun checks compare each x10/decomp leg's ratio against
+    // it (VERDICT r20 next 1). Empty string = no reference, no reruns.
+    val committedJson: String =
+      try {
+        val f = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+        if (f.exists())
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        else ""
+      } catch { case _: Throwable => "" }
+    // legs the >2×-off-committed check re-ran this run (detail JSON)
+    val probeRerunsOut = scala.collection.mutable.ArrayBuffer[String]()
     val scaling =
       try {
         microCalib(force = true)
@@ -890,19 +963,40 @@ object Bench {
                 }.min
                 (tag, first, read, comp)
             }
+            // r21 (VERDICT r20 next 1): the r20 DRIVER run committed
+            // compose_ratio 17.49 where five same-code runs read
+            // 1.3-2.8 — a window covering one compose leg's both
+            // samples. When the ratio lands >2× off the committed
+            // snapshot's, re-measure both compose legs once and keep
+            // the per-leg min.
+            var legsF = legs
+            if (Bench.legNeedsRerun(legs(1)._4 / legs(0)._4,
+                Bench.committedLegRatio(committedJson, "d91_decomp",
+                  "compose_ratio"))) {
+              probeRerunsOut += "d91_decomp"
+              legsF = legs.map { case (tag, first, read, comp) =>
+                val dir = if (tag == "sf01") sfDir else scaledDir
+                val comp2 = (1 to 2).map { _ =>
+                  val t = System.nanoTime()
+                  materialize(SparkEntry.queries("d91_corpus_release")(spark, dir))
+                  (System.nanoTime() - t) / 1e9
+                }.min
+                (tag, first, read, math.min(comp, comp2))
+              }
+            }
             // ADVICE r18: the sf0.1 "first" leg is NOT a build — the
             // main sweep's d91 row already materialized the ledger in
             // this session (DiskLayoutCache), so that leg re-reads a
             // cached layout; only the x10 first-leg (first touch of the
             // scaled dir) pays the true build. The keys say so.
-            val fields = legs.flatMap { case (tag, first, read, comp) => Seq(
+            val fields = legsF.flatMap { case (tag, first, read, comp) => Seq(
               (if (tag == "sf01")
                 s""""ledger_first_post_sweep_sec_$tag":${Bench.fmt("%.3f", first)}"""
               else
                 s""""ledger_first_build_sec_$tag":${Bench.fmt("%.3f", first)}"""),
               s""""ledger_read_sec_$tag":${Bench.fmt("%.3f", read)}""",
               s""""compose_sec_$tag":${Bench.fmt("%.3f", comp)}""") }
-            val ratio = legs(1)._4 / legs(0)._4
+            val ratio = legsF(1)._4 / legsF(0)._4
             s""","d91_decomp":{${fields.mkString(",")},"compose_ratio":${Bench.fmt("%.2f", ratio)}}"""
           } catch { case e: Throwable =>
             System.err.println(s"[bench] d91 decomp FAILED: ${e.getMessage}")
@@ -943,18 +1037,32 @@ object Bench {
           }.min
           (sec, t)
         }
+        // r21 (VERDICT r20 next 1 — the last silent-wild-number hole):
+        // when a leg pair's ratio lands >2× off the committed
+        // snapshot's, re-run BOTH legs once and keep the per-leg min —
+        // a window covering both min-of-2 samples of one leg is the
+        // one contention shape min-of-N + calib norm cannot catch.
         val meas = flagships.map { n =>
-          val (base, tb) = best2T(n, sfDir)
-          val (x10, tx) = best2T(n, scaledDir)
-          (n, base, tb, x10, tx)
+          var (base, tb) = best2T(n, sfDir)
+          var (x10, tx) = best2T(n, scaledDir)
+          val rerun = Bench.legNeedsRerun(x10 / base,
+            Bench.committedLegRatio(committedJson, n))
+          if (rerun) {
+            val (b2, tb2) = best2T(n, sfDir)
+            val (x2, tx2) = best2T(n, scaledDir)
+            if (b2 < base) { base = b2; tb = tb2 }
+            if (x2 < x10) { x10 = x2; tx = tx2 }
+          }
+          (n, base, tb, x10, tx, rerun)
         }
+        probeRerunsOut ++= meas.collect { case (n, _, _, _, _, true) => n }
         microCalib(force = true) // close the flagship legs' calib window
-        val rows = meas.map { case (n, base, _, x10, _) =>
+        val rows = meas.map { case (n, base, _, x10, _, _) =>
           s""""$n":{"sf01_sec":${Bench.fmt("%.3f", base)},"x10_sec":${Bench.fmt("%.3f", x10)},"ratio":${Bench.fmt("%.2f", x10 / base)}}"""
         }
         // detail-only (the short line keeps raw scaling_x10 unchanged —
         // probe bytes there displace per-query entries, ADVICE r18)
-        val normRows = meas.map { case (n, base, tb, x10, tx) =>
+        val normRows = meas.map { case (n, base, tb, x10, tx, _) =>
           s""""$n":${ratioNormJson(x10, tx, base, tb)}"""
         }
         scalingNormOut = s""","scaling_x10_ratio_norm":{${normRows.mkString(",")}}"""
@@ -1148,18 +1256,32 @@ object Bench {
         // intra-block window skews the raw ratio hardest here (s40 read
         // 4.6/7.5/13.2 across three same-code runs). This block lives
         // in the detail JSON only, so the norm field rides inline.
+        // r21 (VERDICT r20 next 1): same >2×-off-committed rerun as the
+        // batch flagships — the r20 driver run committed s40 x10 11.07
+        // where same-code runs read 5.1-6.2, a window covering one
+        // leg's both samples.
         val measured = legs.map { n =>
-          microCalib()
-          val tb = tNow()
-          val (b1, st1, _) = streamRun(n, sfDir)
-          val (b2, st1b, _) = streamRun(n, sfDir)
-          val base = math.min(b1, b2)
-          microCalib()
-          val tx = tNow()
-          val (x1, stx, _) = streamRun(n, streamDir)
-          val (x2, stxb, _) = streamRun(n, streamDir)
-          val x10 = math.min(x1, x2)
-          (n, base, tb, math.max(st1, st1b), x10, tx, math.max(stx, stxb))
+          def legPair(): (Double, Double, Long, Double, Double, Long) = {
+            microCalib()
+            val tb = tNow()
+            val (b1, st1, _) = streamRun(n, sfDir)
+            val (b2, st1b, _) = streamRun(n, sfDir)
+            microCalib()
+            val tx = tNow()
+            val (x1, stx, _) = streamRun(n, streamDir)
+            val (x2, stxb, _) = streamRun(n, streamDir)
+            (math.min(b1, b2), tb, math.max(st1, st1b),
+              math.min(x1, x2), tx, math.max(stx, stxb))
+          }
+          var (base, tb, str, x10, tx, strx) = legPair()
+          if (Bench.legNeedsRerun(x10 / base,
+              Bench.committedLegRatio(committedJson, n))) {
+            probeRerunsOut += n
+            val (b2, tb2, _, x2, tx2, _) = legPair()
+            if (b2 < base) { base = b2; tb = tb2 }
+            if (x2 < x10) { x10 = x2; tx = tx2 }
+          }
+          (n, base, tb, str, x10, tx, strx)
         }
         microCalib(force = true) // close the stream legs' calib window
         val rows = measured.map { case (n, base, tb, str, x10, tx, strx) =>
@@ -1304,6 +1426,85 @@ object Bench {
           s""""wall_1h_p32":${Bench.fmt("%.3f", w32)},"marginal_1h_p32":${Bench.fmt("%.3f", m32)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] s04 decomp FAILED: ${e.getMessage}")
+        ""
+      }
+    // s09 decomposition (VERDICT r20 next 3, the s04 treatment): split
+    // the streamed LSH pair finder into its batch-expressible legs —
+    // the md5-minhash signature+banding projection alone, then the full
+    // banded self-join — against the streamed run's wall/marginal and
+    // its join-state rows. marginal − batch_join ≈ the stream-stream
+    // symmetric-hash-join state machinery. Retention contract (the
+    // VERDICT question): the join state IS the signature store a
+    // dedup-against-history service keeps — no watermark by design on
+    // the fixture (no ingest time; AvailableNow = one batch), bounded
+    // in production by the documented ingest-time watermark (s09's
+    // Scaladoc); state_rows commits the store's size so a retention
+    // regression is visible round-over-round.
+    val s09Decomp =
+      try {
+        microCalib(force = true)
+        def best2(f: => org.apache.spark.sql.DataFrame): Double =
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            materialize(f)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val proj = best2(
+          graft.operators.TextQueries.s09BandedProjection(spark, sfDir))
+        val join = best2(
+          graft.operators.TextQueries.s09BatchJoin(spark, sfDir))
+        val runs = (1 to 2).map { _ =>
+          streamRun("s09_stream_lsh_pairs", sfDir)
+        }
+        val wall = runs.map(_._1).min
+        val marg = runs.map(_._3).filter(_ > 0) match {
+          case s if s.nonEmpty => s.min
+          case _ => -1.0
+        }
+        s""","s09_decomp":{"sigs_proj_sec":${Bench.fmt("%.3f", proj)},""" +
+          s""""batch_join_sec":${Bench.fmt("%.3f", join)},""" +
+          s""""stream_wall_sec":${Bench.fmt("%.3f", wall)},""" +
+          s""""stream_marginal_sec":${Bench.fmt("%.3f", marg)},""" +
+          s""""state_rows":${runs.map(_._2).max}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] s09 decomp FAILED: ${e.getMessage}")
+        ""
+      }
+    // s41 decomposition (VERDICT r20 next 2): the r21 DecimalSnap fast
+    // path already answered it with a WIN — the 1.9 s marginal was the
+    // register fold's per-product Double.toString (pre-Ryu JDK 17),
+    // not stream machinery; the marginal now reads ~0.8 s. This block
+    // pins the residual attribution: the same fold batch-side (one
+    // pass over the embeddings, no streaming) vs the streamed
+    // wall/marginal — marginal − batch_fold ≈ complete-mode sink
+    // rewrite + micro-batch planning, fixed at ANY corpus size
+    // (state is one 2,080-register buffer row).
+    val s41Decomp =
+      try {
+        microCalib(force = true)
+        def best2(f: => org.apache.spark.sql.DataFrame): Double =
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            materialize(f)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), graft.vec.VectorOps.toDouble(col("embedding")).as("v"))
+        val fold = best2(graft.operators.VectorQueries.gramSums(emb))
+        val runs = (1 to 2).map { _ =>
+          streamRun("s41_stream_pca", sfDir)
+        }
+        val wall = runs.map(_._1).min
+        val marg = runs.map(_._3).filter(_ > 0) match {
+          case s if s.nonEmpty => s.min
+          case _ => -1.0
+        }
+        s""","s41_decomp":{"batch_fold_sec":${Bench.fmt("%.3f", fold)},""" +
+          s""""stream_wall_sec":${Bench.fmt("%.3f", wall)},""" +
+          s""""stream_marginal_sec":${Bench.fmt("%.3f", marg)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] s41 decomp FAILED: ${e.getMessage}")
         ""
       }
     // ---- isolated recheck of the most expensive batch rows (r19,
@@ -1614,7 +1815,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val streamReplacedJson = streamRecheckReplaced.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"timing_semantics":"materialized-noop (r18+; pre-r18 rows used count() and are not comparable for projection-terminal queries)","queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive); top batch rows fresh-session rechecked, min committed","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"calib_series":$calibSeriesJson,"calib_micro_iters":$microIters,"calib_micro_ref_sec":${Bench.fmt("%.4f", microRef)},"isolated_recheck":$recheckJson,"recheck_replaced":$replacedJson,"isolated_recheck_stream":$streamRecheckJson,"recheck_replaced_stream":$streamReplacedJson,"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingNormOut$scalingStream$streamFixed$s04Decomp}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"timing_semantics":"materialized-noop (r18+; pre-r18 rows used count() and are not comparable for projection-terminal queries)","queries_calib_norm":$calibNorm,"probes_calib_norm":$probesNorm,"queries_stream_marginal":$streamMarginal,"samples":$rawSamples,"t_off":$tOffs,"warmup":$warm,"sweep_sec":[${r3(sweep1Sec)}],"scheme":"per-query back-to-back min-of-2 (+1 adaptive); top batch rows fresh-session rechecked, min committed","sample_spread_median_pct":${Bench.fmt("%.2f", spreadMedianPct)},"sample_spread":$spreadsJson,"sample_outliers":$sampleOutliers,"calib_series":$calibSeriesJson,"calib_micro_iters":$microIters,"calib_micro_ref_sec":${Bench.fmt("%.4f", microRef)},"isolated_recheck":$recheckJson,"recheck_replaced":$replacedJson,"isolated_recheck_stream":$streamRecheckJson,"recheck_replaced_stream":$streamReplacedJson,"probe_leg_reruns":${probeRerunsOut.map("\"" + _ + "\"").mkString("[", ",", "]")},"failed":$failedFull,"sf":"$sfDir","env":$envFingerprint$km$km1k$gm$dd$dd4k$dd16k$dd32k$scaling$scalingNormOut$scalingStream$streamFixed$s04Decomp$s09Decomp$s41Decomp}"""
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     // Contended-run hard gate (VERDICT r19 next 7): the r19 driver run

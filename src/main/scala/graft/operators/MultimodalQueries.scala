@@ -328,7 +328,7 @@ object MultimodalQueries {
       .select(col("doc_id"), col("source"),
         (length(trim(col("text"))) === 0).cast("long").as("blank"),
         when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(graft.text.TextOps.tokens(col("text"))).cast("long"))
+          .otherwise(size(graft.text.TextOps.tokensOnce(col("text"))).cast("long"))
           .as("n_tokens"))
     docs.join(emb, col("doc_id") === col("vec_id"), "left")
       .groupBy(col("source"))
@@ -673,13 +673,13 @@ object MultimodalQueries {
     val pairs = media(s, dir).toDF()
       .filter(length(trim(col("payload").cast("string"))) > 0)
       .select(col("media_id").as("doc_id"),
-        TextOps.tokens(col("payload").cast("string")).as("ptoks"))
+        TextOps.tokensOnce(col("payload").cast("string")).as("ptoks"))
       .withColumn("donor_id",
         expr("CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END"))
     val caps = Tables(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id").as("donor_id"),
-        slice(TextOps.tokens(col("text")), 1, capLen).as("ct"))
+        slice(TextOps.tokensOnce(col("text")), 1, capLen).as("ct"))
     pairScreen(pairs, caps)
   }
 

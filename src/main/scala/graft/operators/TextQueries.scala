@@ -47,7 +47,7 @@ object TextQueries {
       .filter(length(trim($"text")) > 0)
       .select($"doc_id",
         length($"text").cast("long").as("n_chars_q"),
-        TextOps.tokens($"text").as("toks"))
+        TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id", $"n_chars_q",
         size($"toks").cast("long").as("n_tokens"),
         size(array_distinct($"toks")).cast("long").as("n_unique"),
@@ -68,7 +68,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"text", TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id",
         length($"text").cast("long").as("n_chars_q"),
         size($"toks").cast("long").as("n_tokens"),
@@ -93,7 +93,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id",
         expr(hitCount("toks", stopEn)).cast("long").as("en_hits"),
         expr(hitCount("toks", stopFr)).cast("long").as("fr_hits"),
@@ -274,7 +274,7 @@ object TextQueries {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables(s, dir, "documents")
       .select($"doc_id", pmod($"doc_id", lit(packShards)).as("shard"),
-        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+        size(TextOps.tokensOnce($"text")).cast("long").as("n_tokens"))
       .withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"shard", $"n_tokens",
         (($"cum" - $"n_tokens") / packBudget).cast("long").as("bin"))
@@ -516,7 +516,7 @@ object TextQueries {
     import s.implicits._
     val tok = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .select($"doc_id", explode(TextOps.tokensOnce($"text")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
     val tot = vocab.agg(sum($"cnt").as("total"))
@@ -666,6 +666,23 @@ object TextQueries {
   private[operators] def mhSliceSigs(s: SparkSession, dir: String): DataFrame =
     mhSigs(Tables(s, dir, "documents").filter(col("doc_id") < oracleSliceN))
 
+  /** s09 decomposition probes (r21, VERDICT r20 next 3): the streamed
+    * LSH pair finder's batch-expressible legs — the signature+banding
+    * projection alone, and the full banded self-join (projection +
+    * join, no rollup). The stream marginal minus these is the
+    * symmetric-hash-join state machinery itself (the s04 pattern). */
+  private[graft] def s09BandedProjection(s: SparkSession, dir: String)
+      : DataFrame =
+    mhBandedOf(mhSliceSigs(s, dir))
+  private[graft] def s09BatchJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = mhBandedOf(mhSliceSigs(s, dir))
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+        $"x.doc" < $"y.doc")
+      .select($"x.doc".as("id_a"), $"y.doc".as("id_b"))
+  }
+
   private def d10MinhashMd5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = mhSliceSigs(s, dir)
@@ -719,7 +736,7 @@ object TextQueries {
     val tokenBits = Tables(s, dir, "documents")
       .filter($"doc_id" < oracleSliceN)
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .select($"doc_id", explode(TextOps.tokensOnce($"text")).as("t"))
       .select($"doc_id",
         expr("cast(conv(substr(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)").as("v"))
     val bitCols = (0 until 32).map(b =>
@@ -796,7 +813,7 @@ object TextQueries {
     import s.implicits._
     val scored = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"source", $"text", TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id", $"source",
         md5(TextOps.normText($"text").cast("binary")).as("sig"),
         // opaque ALIASES (guide §4.4): the quality battery's derived
@@ -1127,7 +1144,7 @@ object TextQueries {
         .cast("int"), lit(d28Shards))
       clean
         .select($"doc_id", $"source",
-          TextOps.tokens($"clean_text").as("toks"), shard.as("shard"))
+          TextOps.tokensOnce($"clean_text").as("toks"), shard.as("shard"))
         .select($"doc_id", $"source",
           size($"toks").cast("long").as("n_tokens"),
           (expr(hitCount("toks", stopEn)) / size($"toks")).as("q"),
@@ -1209,7 +1226,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"lang", TextOps.tokens($"text").as("toks"))
+      .select($"lang", TextOps.tokensOnce($"text").as("toks"))
       .select($"lang",
         expr(hitCount("toks", stopEn)).cast("long").as("en_hits"),
         expr(hitCount("toks", stopFr)).cast("long").as("fr_hits"),
@@ -1264,7 +1281,7 @@ object TextQueries {
       .cast("int"), lit(d28Shards))
     val base = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"),
+      .select($"doc_id", $"source", TextOps.tokensOnce($"text").as("toks"),
         shard.as("shard"))
       .select($"doc_id", $"source",
         size($"toks").cast("long").as("n_tokens"),
@@ -1434,7 +1451,7 @@ object TextQueries {
     val bt = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select(($"doc_id" / vocabBucket).cast("long").as("bucket"),
-        explode(TextOps.tokens($"text")).as("term"))
+        explode(TextOps.tokensOnce($"text")).as("term"))
       .groupBy($"bucket", $"term").agg(count(lit(1)).as("c"))
     val pb = bt.groupBy($"bucket").agg(sum($"c").as("n_tokens"))
     // bucket is monotone in doc_id, so min(bucket) IS the first
@@ -1585,7 +1602,7 @@ object TextQueries {
     s.read.parquet(corpusLakePath(s, dir))
       .filter($"source" === source)
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"source", TextOps.tokensOnce($"text").as("toks"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size($"toks")).cast("bigint").as("n_tokens"),
@@ -1625,7 +1642,7 @@ object TextQueries {
   private[operators] def contextChunks(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
       .select(col("doc_id"), col("n"), col("toks"), explode(expr(
         s"sequence(cast(0 as bigint), " +
@@ -1784,7 +1801,7 @@ object TextQueries {
       buckets: Int = qcBuckets): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
       .withColumn("wsum", gramWsum(buckets))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
@@ -1799,7 +1816,7 @@ object TextQueries {
   private[operators] def qualityFeatureFrame(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
       .select(col("doc_id"),
         (expr("aggregate(toks, 0, (a, t) -> a + length(t))") / size(col("toks")))
@@ -1892,7 +1909,7 @@ object TextQueries {
   private def irGramBuckets(docs: DataFrame, buckets: Int): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), TextOps.tokensOnce(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
       .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("lang"), expr(
@@ -2040,7 +2057,7 @@ object TextQueries {
     val arr = typedLit(llr)
     val scored = docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .withColumn("grams", expr(uniBigramExpr))
       .withColumn("wsum", aggregate(col("grams"), lit(0L),
         (acc, g) => acc + element_at(arr,
@@ -2073,7 +2090,7 @@ object TextQueries {
       .filter(length(trim($"text")) > 0)
       .select($"lang", $"source",
         length($"text").cast("long").as("nc"),
-        TextOps.tokens($"text").as("toks"))
+        TextOps.tokensOnce($"text").as("toks"))
       .select($"lang", $"source", $"nc",
         size($"toks").cast("long").as("nw"),
         expr("aggregate(toks, cast(0 as bigint), " +
@@ -2146,7 +2163,7 @@ object TextQueries {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+      .select($"source", explode(TextOps.tokensOnce($"text")).as("term"))
     val st = toks.groupBy($"source", $"term").agg(count(lit(1)).as("k_src"))
     val tt = st.groupBy($"term").agg(sum($"k_src").as("k_tot"))
     val ns = st.groupBy($"source").agg(sum($"k_src").as("n_src"))
@@ -2392,7 +2409,7 @@ object TextQueries {
     lmCache.getOrBuild(s, (dir, buckets)) {
       val counts = Tables(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
-        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(TextOps.tokensOnce(col("text")).as("toks"))
         .withColumn("grams", expr(uniBigramExpr))
         .select(explode(col("grams")).as("gram"))
         .select((instr(col("gram"), " ") > 0).as("bg"), expr(
@@ -2516,7 +2533,11 @@ object TextQueries {
     import s.implicits._
     val t = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      // tokensOnce: InferFiltersFromGenerate adds a size>0+isnotnull
+      // filter under the explode below, and pushdown substitutes the
+      // tokenizer chain into it — one extra tokenize per row. The
+      // barrier keeps the inferred filter from ever being derived.
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
     val dl = t.select($"doc_id", size($"toks").cast("long").as("dl"))
     val tfc = t.select($"doc_id", explode($"toks").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
@@ -2588,7 +2609,7 @@ object TextQueries {
       import s.implicits._
       val t = Tables(s, dir, "documents")
         .filter(length(trim($"text")) > 0)
-        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       val Array(nd, tt) = t
         .agg(count(lit(1)).cast("long"), sum(size($"toks")).cast("long"))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
@@ -2634,7 +2655,7 @@ object TextQueries {
     })
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.termCounts(col("toks"), vocab).as("tf"),
         size(col("toks")).cast("long").as("dl"))
@@ -2729,7 +2750,7 @@ object TextQueries {
     import s.implicits._
     kmvSketch(Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", explode(TextOps.tokens($"text")).as("term")))
+      .select($"source", explode(TextOps.tokensOnce($"text")).as("term")))
   }
   private val d46Sql =
     s"""WITH t AS (SELECT source,
@@ -2770,7 +2791,7 @@ object TextQueries {
     import s.implicits._
     val hist = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .select($"source", size(TextOps.tokensOnce($"text")).cast("long").as("n_tokens"))
       .groupBy($"source", $"n_tokens").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"n_tokens")
@@ -2963,7 +2984,7 @@ object TextQueries {
   private[graft] def hllRegistersFused(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), TextOps.tokensOnce(col("text")).as("toks"))
       .groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.hllRegs(col("toks"), 5).as("regs"))
       .select(col("source"), explode(col("regs")).as("br"))
@@ -3050,7 +3071,7 @@ object TextQueries {
         .otherwise("de")
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id",
         expr(hitCount("toks", stopEn)).as("den"),
         expr(hitCount("toks", stopFr)).as("dfr"),
@@ -3160,7 +3181,7 @@ object TextQueries {
     import s.implicits._
     val tf = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"source", explode(TextOps.tokens($"text")).as("term"))
+      .select($"source", explode(TextOps.tokensOnce($"text")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
     // Collapse the vocabulary to the COUNT-OF-COUNTS histogram per
     // source before any window (Zipf makes distinct count values
@@ -3640,7 +3661,7 @@ object TextQueries {
   private[graft] def termCountsAgg(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(explode(TextOps.tokensOnce(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
 
   /** φ-threshold tail over exact counts — re-derived per emission in
@@ -3686,7 +3707,7 @@ object TextQueries {
   private[graft] def packingEfficiency(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .select(size(TextOps.tokensOnce(col("text"))).cast("long").as("nt"))
       .select(col("nt"), explode(typedLit(packWs)).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
@@ -3970,7 +3991,7 @@ object TextQueries {
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("w"))
+        size(TextOps.tokensOnce(col("text"))).cast("long").as("w"))
       .withColumn("u",
         (graft.functions.GraftFunctions.md5Prefix(
           concat(col("doc_id").cast("string"), lit(":ws")).cast("binary"), 6)
@@ -4086,7 +4107,7 @@ object TextQueries {
         .filter(col("doc_id") >= fuzzyEvalN)
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+          size(TextOps.tokensOnce(col("text"))).cast("long").as("n_toks"))
         .join(tagged(fuzzyFlagged, "ff"), Seq("doc_id"), "left")
         .join(tagged(bloomDrop, "fb"), Seq("doc_id"), "left")
         .join(tagged(VectorQueries.semanticFlaggedIds(s, dir), "fs"),
@@ -4481,7 +4502,7 @@ object TextQueries {
   private[graft] def cmCounters(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .select(explode(TextOps.tokensOnce(col("text"))).as("term"))
       .select(explode(cmRb(col("term"))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("tot"))
@@ -4628,7 +4649,7 @@ object TextQueries {
     import s.implicits._
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select(explode(TextOps.tokens($"text")).as("term"))
+      .select(explode(TextOps.tokensOnce($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("freq"))
       .withColumn("syms",
         concat(lit(" "), regexp_replace($"term", "(.)", "$1 ")))
@@ -4741,7 +4762,7 @@ object TextQueries {
   private[graft] def bpeSourceTermCounts(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("source"), explode(TextOps.tokensOnce(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
 
   /** Per-word segment counts under the learned merges: the vocabulary
@@ -4915,13 +4936,13 @@ object TextQueries {
     * with d82 (DupSpansSpec) is the in-engine cross-hash proof. */
   private[operators] def gramSites(docs: DataFrame): DataFrame =
     gramSitesNativeOfToks(docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), dupL)
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks")), dupL)
 
   /** The md5-HOF site builder (d71, the d82-vs-d71 pairing's
     * interpreted side). */
   private[operators] def gramSitesMd5(docs: DataFrame): DataFrame =
     gramSitesOfToks(docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), dupL)
+      .select(col("doc_id"), TextOps.tokensOnce(col("text")).as("toks")), dupL)
 
   /** Gram sites over an already-tokenized (doc_id, toks) frame — the
     * seam that lets d77's four L rungs share ONE tokenize pass. */
@@ -4949,7 +4970,7 @@ object TextQueries {
       val t = Tables(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
-          TextOps.tokens(col("text")).as("toks"))
+          TextOps.tokensOnce(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t.count() // materialize under the builder's monitor
       t
@@ -5114,7 +5135,7 @@ object TextQueries {
     val cut = dupSpansOf(removableSites(gramSites(docs)))
       .groupBy($"doc_id").agg(sum($"span_tokens").as("dup_tokens"))
     docs.filter(length(trim($"text")) > 0)
-      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .select($"doc_id", size(TextOps.tokensOnce($"text")).cast("long").as("n_tokens"))
       .filter($"n_tokens" >= dupL)
       .join(cut, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
@@ -5750,7 +5771,7 @@ object TextQueries {
         $"span_start".as("a"), $"span_end".as("b")))).as("spans"))
     Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.tokensOnce($"text").as("toks"))
       .join(spansByDoc, Seq("doc_id"), "left")
       .withColumn("spans", coalesce($"spans",
         expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
@@ -5852,7 +5873,7 @@ object TextQueries {
   private[operators] def entropyScreen(docs: DataFrame): DataFrame =
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), TextOps.tokensOnce(col("text")).as("toks"))
       .withColumn("ccnts", expr(charCountsSpark("text")))
       .withColumn("cother", expr(
         "length(text) - aggregate(ccnts, cast(0 as bigint), (a, n) -> a + n)"))
@@ -6695,7 +6716,7 @@ object TextQueries {
       .select($"doc_id",
         graft.functions.GraftFunctions.opaque($"main").as("text"))
       .filter(length(trim($"text")) > 0)
-      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"text", TextOps.tokensOnce($"text").as("toks"))
       .select($"doc_id",
         length($"text").cast("long").as("n_chars_q"),
         size($"toks").cast("long").as("n_tokens"),

@@ -1114,7 +1114,7 @@ object VectorQueries {
     val docs = Tables(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", $"lang",
-        size(graft.text.TextOps.tokens($"text")).cast("long").as("n_tokens"),
+        size(graft.text.TextOps.tokensOnce($"text")).cast("long").as("n_tokens"),
         length($"text").cast("long").as("n_chars"))
     docs.join(assigned, $"doc_id" === $"vec_id")
       .groupBy($"cluster", $"lang")

@@ -79,4 +79,39 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.quarantineReason("""{"queries_calib_norm":{},"sf":"/root/testdata/sf0.1"}""",
       "/root/testdata/sf0.1", norms(1.3), spikedCalib).isEmpty)
   }
+
+  // ---- r21: the probe-leg >2×-off-committed rerun trigger ----
+  // (VERDICT r20 next 1 — replayed against the r20 driver run's two
+  // wild legs, which five same-code runs contradicted)
+
+  private val snippet =
+    """{"scaling_x10":{"reps":10,"d01_dedup_exact":{"sf01_sec":0.182,""" +
+      """"x10_sec":0.741,"ratio":4.08},"d91_decomp":{"ledger_read_sec_sf01":0.100,""" +
+      """"compose_sec_sf01":0.664,"compose_ratio":2.76}},""" +
+      """"scaling_x10_stream":{"s40_stream_dup_spans":{"sf01_sec":1.0,""" +
+      """"x10_sec":5.92,"ratio":5.92,"state_rows_sf01":0}}}"""
+
+  test("committedLegRatio parses flagship, stream and decomp legs; -1 when absent") {
+    assert(Bench.committedLegRatio(snippet, "d01_dedup_exact") == 4.08)
+    assert(Bench.committedLegRatio(snippet, "s40_stream_dup_spans") == 5.92)
+    assert(Bench.committedLegRatio(snippet, "d91_decomp", "compose_ratio") == 2.76)
+    assert(Bench.committedLegRatio(snippet, "nope") == -1.0)
+    assert(Bench.committedLegRatio("garbage", "d01_dedup_exact") == -1.0)
+  }
+
+  test("legNeedsRerun fires on the r20 driver run's wild legs and not on clean ones") {
+    // d91_decomp: driver committed 17.49 vs builder 2.76 — fires
+    assert(Bench.legNeedsRerun(17.49, 2.76))
+    // s40: driver 11.07 vs committed 5.92 (1.87×) — fires too; both
+    // r20 wild legs are covered
+    assert(Bench.legNeedsRerun(11.07, 5.92))
+    // both directions fire
+    assert(Bench.legNeedsRerun(1.0, 2.5))
+    // clean ratios (the documented cross-run jitter band) don't
+    assert(!Bench.legNeedsRerun(4.3, 4.08))
+    assert(!Bench.legNeedsRerun(6.2, 5.92))
+    // no committed reference (or a dead leg) fails closed to no-rerun
+    assert(!Bench.legNeedsRerun(17.49, -1.0))
+    assert(!Bench.legNeedsRerun(-1.0, 2.76))
+  }
 }
